@@ -1,0 +1,292 @@
+"""Deduplication operators: exact, keep-first, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Reference parity: A2 keyed dedup keeping first-seen order
+(``src/preprocessing/preprocessor.py:30-42``, key ``:37``) and A3 search-hit
+dedup (``src/llm/llm_processor.py:53-61``). Everything beyond that is the
+LLM-training-data-pipeline surface (north star in BASELINE.json).
+
+Scale design notes
+------------------
+* ``dedup_exact``/``dedup_keep_first``: one hash shuffle on the key; with
+  AQE the reduce side coalesces. Keep-first uses a window over an explicit
+  arrival column — ``dropDuplicates`` alone keeps an *arbitrary* survivor,
+  which is nondeterministic under retries at scale.
+* ``minhash_lsh_neardup``: all stages are built-in exprs (xxhash64 min-agg
+  per permutation, band-hash explode, self-join per bucket). The only
+  shuffles are (a) groupBy doc for signatures, (b) groupBy band bucket,
+  (c) candidate-pair verification join — each keyed and skew-tolerant via
+  AQE. No Python boundary anywhere; at 100 TB the band join is the
+  classic LSH candidate-generation trick that avoids the O(n²) cross join.
+* ``simhash``: 64 bit-vote aggregations in one groupBy pass (map-side
+  partial agg), recombined into a single long.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, keys: list[str]) -> DataFrame:
+    """A2/A11 relaxed form: one arbitrary survivor per key (dropDuplicates).
+
+    Matches preprocessor.py:30-42 up to survivor choice; use
+    ``dedup_keep_first`` when first-seen parity matters.
+    """
+    return df.dropDuplicates(keys)
+
+
+def dedup_keep_first(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """A2/W7 strict parity: keep the first-seen row per key.
+
+    The reference's hash-set loop preserves input order (preprocessor.py:34-39);
+    Spark needs an explicit arrival column (ingest-time
+    ``monotonically_increasing_id`` or an event id) to make "first" defined.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by MinHash / n-gram Jaccard)
+# ---------------------------------------------------------------------------
+
+def shingle(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` as array<string>.
+
+    Tokenization = lowercase + split on whitespace runs; shingles are the
+    sliding word n-grams joined by a single space. Implemented with
+    higher-order functions only (filter/transform/slice), JVM-side.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    grams = F.transform(
+        # sequence over start positions 1..len-n+1 (1-based for slice)
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard similarity.
+
+    Plan shape: explode distinct shingles → self-equi-join on shingle
+    (never a cross join) → count common shingles per pair → join per-doc
+    shingle counts → |A∩B| / (|A|+|B|−|A∩B|). Returns
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    At scale: extremely common shingles generate hot buckets; callers
+    should cap shingle document-frequency upstream (stop-shingle removal)
+    — the LSH variant below is the preferred 100 TB path.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("doc"), shingle(text_col, n).alias("sh"))
+        .select("doc", F.explode("sh").alias("s"))
+    )
+    counts = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(ca, "id_a").join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      num_perm: int = 64, n: int = 3) -> DataFrame:
+    """MinHash signatures as (id, array<long> of length num_perm).
+
+    Permutation i is simulated by ``xxhash64(i, shingle)``; the signature
+    element is the min over the doc's shingles. One explode + one groupBy:
+    the min-aggregation is map-side combinable, so the shuffle carries only
+    num_perm longs per doc regardless of document size.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingle(text_col, n)).alias("s")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = exploded.groupBy("doc").agg(*aggs)
+    return sig.select(
+        "doc", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_neardup(df: DataFrame, id_col: str, text_col: str,
+                        num_perm: int = 64, bands: int = 16,
+                        n: int = 3, threshold: float = 0.5,
+                        verify: bool = True) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH.
+
+    Signature → split into ``bands`` bands of ``num_perm/bands`` rows →
+    band bucket key = hash(band_idx, band slice) → docs sharing any bucket
+    are candidates. With ``verify=True`` candidates are scored by the
+    estimated Jaccard (fraction of agreeing minhashes) and filtered by
+    ``threshold``. Returns (id_a, id_b, est_jaccard).
+
+    This replaces the O(n²) similarity join with O(n·bands) bucket
+    grouping — the standard web-scale near-dup design (cf. public MinHash
+    LSH literature, PAPERS.md).
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = minhash_signature(df, id_col, text_col, num_perm, n)
+
+    band_arr = F.array(*[
+        F.xxhash64(F.lit(b), *[F.col("sig")[b * r + j] for j in range(r)])
+        for b in range(bands)
+    ])
+    # posexplode gives (band_idx, bucket_hash); pairs dedup'd across bands
+    buckets = sig.select(
+        "doc", "sig", F.posexplode(band_arr).alias("band_idx", "bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not verify:
+        return cand.select("id_a", "id_b")
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(num_perm)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document as (id, simhash long).
+
+    Per token hash=xxhash64(token); each of the 64 bits votes ±1; the
+    fingerprint bit is the vote sign. All 64 votes are computed in ONE
+    groupBy pass as independent sum aggregates (map-side combinable) —
+    no Python, no second shuffle.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc").agg(*votes)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: XOR == OR == +
+    return agg.select("doc", fp.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup(df: DataFrame, id_col: str, text_col: str,
+                    max_hamming: int = 3, band_bits: int = 16) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ max_hamming on SimHash.
+
+    Blocking: split the 64-bit fingerprint into 64/band_bits chunks; by
+    pigeonhole, any pair within distance d < chunks shares at least one
+    exact chunk → join on (chunk_idx, chunk) instead of cross join, then
+    verify with bit_count. Same candidate-generation trick FAISS-less
+    systems use for web-scale simhash dedup.
+    """
+    chunks = 64 // band_bits
+    assert max_hamming < chunks, "pigeonhole blocking needs d < #chunks"
+    sh = simhash(df, id_col, text_col)
+    mask = (1 << band_bits) - 1
+    chunk_arr = F.array(*[
+        F.shiftright(F.col("simhash"), i * band_bits).bitwiseAND(F.lit(mask))
+        for i in range(chunks)
+    ])
+    blocked = sh.select("doc", "simhash",
+                        F.posexplode(chunk_arr).alias("chunk_idx", "chunk"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"),
+                hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_cosine_neardup(df: DataFrame, id_col: str, vec_col: str,
+                             threshold: float = 0.9) -> DataFrame:
+    """Pairs of rows whose embeddings have cosine ≥ threshold.
+
+    Brute-force O(n²) self-join — correct baseline for modest corpora and
+    the verification stage after ANN/LSH blocking. The scale path is
+    random-hyperplane LSH bucketing (see knn.knn_join_blocked for the
+    blocked-matmul pattern) or an external ANN index (SURVEY.md §2.8 [ext]).
+    """
+    from ..functions.vectors import cosine_similarity
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,188 @@
+"""k-NN similarity join (SURVEY.md §2.3 J2 — the flagship operator).
+
+Reference parity: exact brute-force squared-L2 top-k per query, k=5
+(``src/vector_db/faiss_db.py:43,49-61``; per-query loop
+``src/llm/llm_processor.py:48-52``); the positional id→metadata join J1
+(``faiss_db.py:56-58``) becomes a plain equi-join on ``vec_id``.
+
+Two physical strategies, same semantics:
+
+``knn_join``
+    Declarative: broadcast(queries) × corpus cross join, distance as a
+    Catalyst higher-order expression, per-query top-k via window. Right
+    when |Q| is small (the reference uses ≤5 queries per batch,
+    ``main.py:57``). The cross join is broadcast-nested-loop — no shuffle
+    of the corpus at all; the only shuffle is the tiny top-k window keyed
+    by query id.
+
+``knn_join_blocked``
+    Scale path: queries collected to a numpy matrix (must fit driver —
+    fine for ≤~1e5 queries × small dim), broadcast to executors;
+    ``mapInPandas`` over corpus partitions computes a BLAS block matmul
+    ‖q−c‖² = ‖q‖²+‖c‖²−2q·cᵀ and emits only each partition's LOCAL top-k
+    per query (the "partial aggregation" trick: the final window sees at
+    most #partitions·k candidates per query, not the whole corpus).
+    At 1000 executors × 100 TB corpus this is embarrassingly parallel
+    with a negligible final shuffle. Beyond that: external ANN [ext].
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, l2_sq
+
+_METRICS = ("l2_sq", "cosine")
+
+
+def _score_col(metric: str, qv: str, cv: str):
+    if metric == "l2_sq":
+        return l2_sq(qv, cv), F.col("distance").asc()
+    if metric == "cosine":
+        return cosine_similarity(qv, cv), F.col("distance").desc()
+    raise ValueError(f"metric must be one of {_METRICS}")
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             metric: str = "l2_sq",
+             query_id: str = "query_id", query_vec: str = "query_vec",
+             corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> DataFrame:
+    """Exact top-k join: for each query row, the k best corpus rows.
+
+    Returns (query_id, vec_id, distance) — ``distance`` is squared L2
+    (ascending best) or cosine similarity (descending best). Ties broken
+    by corpus id for determinism (FAISS breaks ties by insertion order,
+    faiss_db.py:56; an explicit id is the distributed equivalent).
+    """
+    q = F.broadcast(queries.select(F.col(query_id).alias("query_id"),
+                                   F.col(query_vec).alias("__qv")))
+    c = corpus.select(F.col(corpus_id).alias("vec_id"),
+                      F.col(corpus_vec).alias("__cv"))
+    score, order = _score_col(metric, "__qv", "__cv")
+    scored = q.crossJoin(c).withColumn("distance", score)
+    w = Window.partitionBy("query_id").orderBy(order, F.col("vec_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vec_id", "distance")
+    )
+
+
+def knn_join_blocked(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                     metric: str = "l2_sq",
+                     query_id: str = "query_id", query_vec: str = "query_vec",
+                     corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> DataFrame:
+    """Blocked-matmul exact k-NN: numpy per partition, partial top-k.
+
+    Same result as ``knn_join`` (exact, same tie-break); physical plan
+    trades the Catalyst expression for one Arrow pass over the corpus with
+    BLAS matmuls and a per-partition top-k, then a final global top-k over
+    #partitions·k candidates per query.
+    """
+    import numpy as np
+
+    if metric not in _METRICS:
+        raise ValueError(f"metric must be one of {_METRICS}")
+
+    qrows = queries.select(F.col(query_id).alias("qid"),
+                           F.col(query_vec).cast("array<double>").alias("qv")).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)  # (nq, d)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qmat))
+    want_max = metric == "cosine"
+
+    out_schema = "query_id long, vec_id long, distance double"
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qmat_ = bq.value
+        qnorm2 = (qmat_ * qmat_).sum(axis=1)  # (nq,)
+        qnormlen = np.sqrt(qnorm2)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cid = pdf[corpus_id].to_numpy(dtype=np.int64)
+            cmat = np.array(list(pdf[corpus_vec]), dtype=np.float64)  # (nc, d)
+            dot = qmat_ @ cmat.T  # (nq, nc) — BLAS
+            if metric == "l2_sq":
+                cnorm2 = (cmat * cmat).sum(axis=1)
+                score = qnorm2[:, None] + cnorm2[None, :] - 2.0 * dot
+            else:
+                cnormlen = np.sqrt((cmat * cmat).sum(axis=1))
+                score = dot / (qnormlen[:, None] * cnormlen[None, :])
+            kk = min(k, score.shape[1])
+            # local top-k per query; ties by corpus id ascending
+            key = -score if want_max else score
+            idx = np.argsort(key, axis=1, kind="stable")[:, :kk]
+            rows = {
+                "query_id": np.repeat(qids_, kk),
+                "vec_id": cid[idx].ravel(),
+                "distance": np.take_along_axis(score, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    # corpus rows sorted by id within partition → stable argsort breaks
+    # ties by vec_id, matching knn_join's ordering
+    cand = (
+        corpus.select(corpus_id, corpus_vec)
+        .sortWithinPartitions(corpus_id)
+        .mapInPandas(part, schema=out_schema)
+    )
+    order = F.col("distance").desc() if want_max else F.col("distance").asc()
+    w = Window.partitionBy("query_id").orderBy(order, F.col("vec_id").asc())
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vec_id", "distance")
+    )
+
+
+def ivf_knn_join(queries: DataFrame, corpus: DataFrame,
+                 centroids: DataFrame, k: int = 5, nprobe: int = 2,
+                 query_id: str = "query_id", query_vec: str = "query_vec",
+                 corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+                 centroid_id: str = "centroid_id",
+                 centroid_vec: str = "centroid") -> DataFrame:
+    """Approximate k-NN via inverted-file (IVF) partitioning.
+
+    Corpus rows are assigned to their nearest centroid (one broadcast-join
+    pass); each query probes only its ``nprobe`` nearest centroids' lists.
+    Both assignment and probe reuse ``knn_join`` with k=1 / k=nprobe, so the
+    whole plan is broadcast joins + windows — no all-pairs work. Recall is
+    governed by nprobe exactly as in FAISS IVF indexes; this is the
+    in-engine analog of the external ANN hand-off (SURVEY.md §4).
+    """
+    # assign corpus to nearest centroid
+    assign = knn_join(
+        corpus.select(F.col(corpus_id).alias("query_id"),
+                      F.col(corpus_vec).alias("query_vec")),
+        centroids, k=1, metric="l2_sq",
+        corpus_id=centroid_id, corpus_vec=centroid_vec,
+    ).select(F.col("query_id").alias(corpus_id), F.col("vec_id").alias("__cell"))
+    corpus_cells = corpus.join(assign, corpus_id)
+
+    # each query probes nprobe cells
+    probes = knn_join(
+        queries, centroids, k=nprobe, metric="l2_sq",
+        query_id=query_id, query_vec=query_vec,
+        corpus_id=centroid_id, corpus_vec=centroid_vec,
+    ).select("query_id", F.col("vec_id").alias("__cell"))
+
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       F.col(query_vec).alias("__qv"))
+    scored = (
+        F.broadcast(q.join(probes, "query_id"))
+        .join(corpus_cells, "__cell")
+        .withColumn("distance", l2_sq("__qv", corpus_vec))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(),
+                                               F.col(corpus_id).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", F.col(corpus_id).alias("vec_id"), "distance")
+    )

@@ -1,0 +1,130 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+North-star operators for a training-data pipeline (BASELINE.json): media
+rides as opaque ``binary`` columns + a typed metadata struct; decode /
+feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages so bytes never round-trip through Python row by
+row.
+
+The container has no image/audio codecs, so the actual decode kernels are
+STUBS: ``decode_image``/``decode_audio`` raise NotImplementedError unless
+``fake=True``, in which case a deterministic fake (seeded by content
+hash) produces fixed-shape features — the Spark-side plumbing (schema,
+batch shape, partitioning) is real and tested either way.
+
+Scale notes: media blobs dominate row size; keep them in their own table
+keyed by content hash (dedup for free), partition by size bucket so Arrow
+batches stay bounded (`spark.sql.execution.arrow.maxRecordsPerBatch`
+interacts with row width), and push metadata-only predicates BEFORE the
+decode stage so pruning happens on the cheap columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType([
+    T.StructField("media_type", T.StringType()),   # image|audio|video
+    T.StructField("format", T.StringType()),       # png|jpg|wav|mp4…
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+])
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("content", T.BinaryType()),
+    T.StructField("meta", MEDIA_META),
+])
+
+
+def make_media_table(df: DataFrame, id_col: str, payload_col: str,
+                     media_type: str = "image", fmt: str = "png") -> DataFrame:
+    """Build a media table from any source column (test harness packs text
+    bytes as the opaque payload). Adds the content-hash key used for
+    exact dedup of blobs."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).cast("binary").alias("content"),
+        F.struct(
+            F.lit(media_type).alias("media_type"), F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+        F.sha2(F.col(payload_col).cast("binary"), 256).alias("content_sha256"),
+    )
+
+
+def _fake_features(blob: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a decoded-media feature vector."""
+    h = hashlib.sha256(blob or b"").digest()
+    rng = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    return (rng % 1000).astype(np.float32) / 1000.0
+
+
+def extract_features(df: DataFrame, dim: int = 32, fake: bool = True) -> DataFrame:
+    """Decode + feature-extract stage over the media table.
+
+    Real implementation would open the codec per Arrow batch (PIL/librosa/
+    pyav — not in this container). ``fake=False`` raises to make the stub
+    boundary explicit.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media codecs unavailable in this environment; "
+            "run with fake=True for the deterministic stand-in")
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("n_bytes", T.IntegerType()),
+    ])
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_features(b, dim) for b in pdf["content"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "features": feats,
+                "n_bytes": [len(b or b"") for b in pdf["content"]],
+            })
+
+    return df.select("media_id", "content").mapInPandas(part, schema=out_schema)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
+    """Video frame-sampling stage (UDTF-shaped: 1 row → N frame rows).
+
+    Fake variant derives a deterministic frame count from blob size; real
+    variant needs pyav. Output is one row per sampled frame, ready for the
+    image feature extractor — the fan-out happens inside mapInPandas so
+    the blob is decoded once per partition pass, not once per frame.
+    """
+    if not fake:
+        raise NotImplementedError("video codecs unavailable; use fake=True")
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+    ])
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                n_frames = max(1, min(10, len(blob or b"") // 64))
+                for i in range(n_frames):
+                    ids.append(mid); idxs.append(i); tss.append(i * every_ms)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
+                                "frame_ts_ms": tss})
+
+    return df.select("media_id", "content").mapInPandas(part, schema=out_schema)

@@ -1,0 +1,104 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+north star): language-ID, quality scoring, token counting, fingerprinting.
+
+All pure column expressions (whole-stage codegen, no Python boundary) so
+they run at scan speed over 100 TB of documents. Each has a DuckDB oracle
+twin in __spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    c = F.trim(_c(col))
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(F.size(F.split(c, r"\s+")))
+
+
+def quality_score(col: Column | str,
+                  stopwords: tuple[str, ...] = ("the", "a", "of", "and")) -> Column:
+    """Heuristic document quality in [0,1]: blend of token-length sanity,
+    stopword presence, and alnum ratio — the standard cheap pre-filters in
+    LLM data pipelines (cf. public C4/Gopher filtering rules).
+    """
+    c = F.lower(F.trim(_c(col)))
+    toks = F.split(c, r"\s+")
+    n_tok = token_count(c)
+    n_chars = F.length(c)
+    avg_tok_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    sw = F.array([F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0))
+    alnum = F.length(F.regexp_replace(c, r"[^a-z0-9]", ""))
+    alnum_ratio = F.when(n_chars > 0, alnum.cast("double") / n_chars).otherwise(F.lit(0.0))
+    # sane prose: avg token len 3-12, some stopwords, mostly alnum
+    len_ok = F.when((avg_tok_len >= 3) & (avg_tok_len <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.least(stop_ratio * 5.0, F.lit(1.0))
+    return (len_ok + stop_ok + alnum_ratio) / F.lit(3.0)
+
+
+#: tiny per-language marker-word lists for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "la", "et", "est"),
+    "zh": ("de5", "shi4", "he2", "zai4"),  # pinyin-ish placeholder tokens
+}
+
+
+def _marker_hits(c: Column, words: tuple[str, ...]) -> Column:
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    arr = F.array([F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(col: Column | str,
+                markers: dict[str, tuple[str, ...]] | None = None) -> dict[str, Column]:
+    c = _c(col)
+    return {lang: _marker_hits(c, ws) for lang, ws in (markers or LANG_MARKERS).items()}
+
+
+def lang_id(col: Column | str,
+            markers: dict[str, tuple[str, ...]] | None = None,
+            default: str = "und") -> Column:
+    """Pick the language whose marker words hit most (ties → lexicographic
+    first language; zero hits → ``default``). A real pipeline plugs in a
+    fastText-style model via pandas_udf; the heuristic keeps the operator
+    oracle-checkable and JVM-only.
+    """
+    scores = lang_scores(col, markers)
+    items = sorted(scores.items())  # deterministic tie-break
+    best = F.greatest(*[s for _, s in items]) if len(items) > 1 else items[0][1]
+    out = F.lit(default)
+    for lang, s in reversed(items):
+        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of casefolded, punctuation-stripped,
+    whitespace-collapsed text — the canonical "url/text normalization +
+    hash" exact-dup key used before fuzzy dedup stages.
+    """
+    c = F.lower(F.trim(_c(col)))
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.md5(c)
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach all text-analysis columns at once."""
+    return (
+        df.withColumn("token_count", token_count(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("lang_pred", lang_id(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )

@@ -1,0 +1,948 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(spark_fn, oracle_sql) pair, consumed by __spark_entry__.py.
+
+Each entry's Spark side is the engine operator under test; the SQL side is
+an independent DuckDB formulation with IDENTICAL output column names and
+deterministic values (floats rounded where formulas differ only by FP
+association order). Entries with ``sql=None`` are genuinely
+non-SQL-expressible (pandas-UDF ML ops, approximate algorithms) and get
+the driver's weaker rows-only check; they carry pytest self-oracles
+instead (tests/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.redaction import DEFAULT_PATTERNS, LLM_SIDE_PATTERNS, redact
+from .functions.text import keyword_search_json, truncate_display
+from .functions.vectors import cosine_similarity
+from .operators.dedup import (
+    dedup_keep_first,
+    embedding_cosine_neardup,
+    minhash_lsh_neardup,
+    ngram_jaccard_pairs,
+    simhash_neardup,
+)
+from .operators.embedding import embed_text
+from .operators.knn import ivf_knn_join, knn_join, knn_join_blocked
+from .operators.multimodal import extract_features, make_media_table
+from .operators.rag import build_prompt_df
+from .operators.text_analysis import fingerprint, lang_id, quality_score, token_count
+from .plans.logquery import LogQuery
+from .sources.tables import load_table, union_tables
+
+
+@dataclass
+class Q:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def q(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Q(fn=fn, sql=sql, doc=doc)
+        return fn
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# flagship (entry()) — scan + filter + relative window + dedup + agg + sort
+# ===========================================================================
+
+@q("flagship_error_summary", """
+WITH f AS (
+  SELECT * FROM events
+  WHERE event_type = 'error'
+    AND ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOUR
+), d AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, props ORDER BY event_id) AS rn
+  FROM f
+)
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM d WHERE rn = 1
+GROUP BY day
+""", doc="SURVEY §7 minimum slice: errors in last 24h (rel. to max ts), "
+         "keep-first dedup, per-day counts")
+def flagship_error_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("__mx"))
+    f = (
+        ev.join(F.broadcast(mx))
+        .filter((F.col("event_type") == "error")
+                & (F.col("ts") >= F.col("__mx") - F.expr("INTERVAL 24 HOURS")))
+        .drop("__mx")
+    )
+    d = dedup_keep_first(f, ["user_id", "props"], "event_id")
+    return (
+        d.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
+    )
+
+
+# ===========================================================================
+# relational core: projections / filters / predicates (P1-P9)
+# ===========================================================================
+
+@q("scan_project_filter", """
+SELECT event_id, event_type, value FROM events
+WHERE event_type = 'error' AND value > 100
+""", doc="P1/P2/P6: projection + equality + conjunction; pushdown to scan")
+def scan_project_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "error") & (F.col("value") > 100))
+        .select("event_id", "event_type", "value")
+    )
+
+
+@q("like_notlike", """
+SELECT event_id, props FROM events
+WHERE props LIKE '%7%' AND props NOT LIKE '%9%' AND event_type NOT LIKE 'sign%'
+""", doc="P3/P4: LIKE / NOT LIKE predicates (NRQL new_relic_fetcher.py:75-78)")
+def like_notlike(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        LogQuery(ev)
+        .like("props", "%7%")
+        .not_like("props", "%9%")
+        .not_like("event_type", "sign%")
+        .select("event_id", "props")
+        .df()
+    )
+
+
+@q("time_window", """
+SELECT event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY event_type
+""", doc="P5: absolute SINCE..UNTIL window (main.py:21-25)")
+def time_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        LogQuery(ev)
+        .since("2024-01-10 00:00:00")
+        .until("2024-01-20 00:00:00")
+        .df()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
+    )
+
+
+@q("since_relative", """
+SELECT event_type, count(*) AS n FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 72 HOUR
+GROUP BY event_type
+""", doc="P5/F16: relative '72 hours ago' window anchored at max(ts)")
+def since_relative(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("__mx"))
+    anchored = ev.join(F.broadcast(mx))
+    out = (
+        LogQuery(anchored)
+        .since("72 hours ago", now=F.col("__mx"))
+        .df()
+        .groupBy("event_type").agg(F.count("*").alias("n"))
+    )
+    return out
+
+
+@q("ci_filters", """
+SELECT event_id, props FROM events
+WHERE lower(event_type) = 'error' AND contains(lower(props), '7')
+""", doc="P7/P8: case-insensitive equality + substring (app.py:72-77)")
+def ci_filters(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter((F.lower(F.col("event_type")) == "error")
+                & F.lower(F.col("props")).contains("7"))
+        .select("event_id", "props")
+    )
+
+
+@q("keyword_search_json", """
+SELECT event_id FROM events
+WHERE contains(lower(event_type), 'purchase') OR contains(lower(props), 'purchase')
+""", doc="P9/F18: whole-record to_json keyword search (app.py:78-82); oracle "
+         "is the semantically equal per-column search (keyword is alphabetic, "
+         "numeric cols can't match)")
+def q_keyword_search_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    return keyword_search_json(ev, "purchase").select("event_id")
+
+
+# ===========================================================================
+# dedup (A2/A3/A11) + distinct + unions (SO1-SO3)
+# ===========================================================================
+
+@q("dedup_distinct", """
+SELECT DISTINCT user_id, event_type FROM events
+""", doc="A11: distinct on key")
+def dedup_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@q("dedup_keep_first", """
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""", doc="A2/W7 strict parity: keep first-seen row per key (preprocessor.py:30-42)")
+def q_dedup_keep_first(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return dedup_keep_first(ev, ["user_id", "event_type"], "event_id") \
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@q("union_missing_columns", """
+SELECT event_type, count(*) AS n, count(value) AS n_with_value FROM (
+  SELECT event_id, event_type, value FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT event_id, event_type, CAST(NULL AS DOUBLE) FROM events WHERE event_type = 'signup'
+) GROUP BY event_type
+""", doc="S4/SO2: unionByName(allowMissingColumns) across drifted schemas "
+         "(NRQL FROM Log, Log_dev1)")
+def union_missing_columns(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("event_id", "event_type", "value")
+    b = ev.filter(F.col("event_type") == "signup").select("event_id", "event_type")
+    return (
+        union_tables(a, b)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.count("value").alias("n_with_value"))
+    )
+
+
+@q("union_distinct", """
+SELECT user_id FROM events WHERE event_type = 'error'
+UNION
+SELECT user_id FROM events WHERE event_type = 'signup'
+""", doc="SO3: union + distinct (llm_processor.py:52-61 hit merging)")
+def union_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.union(b).distinct()
+
+
+# ===========================================================================
+# aggregations (A1, A4-A8) / sorts / limits / windows (W1-W6)
+# ===========================================================================
+
+@q("count_by_day", """
+SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY day
+""", doc="A4/W3: per-day counts (app.py:22-27 timeline)")
+def count_by_day(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
+    )
+
+
+@q("count_by_type_default", """
+SELECT coalesce(event_type, 'unknown') AS event_type, count(*) AS n
+FROM events GROUP BY 1
+""", doc="A5-A8: group-count with 'unknown' default key (app.py:29-33)")
+def count_by_type_default(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.coalesce(F.col("event_type"), F.lit("unknown")).alias("event_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q("metrics_grouping_sets", """
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(strftime(ts, '%Y-%m-%d'), '<all>') AS day,
+       count(*) AS n
+FROM events
+GROUP BY GROUPING SETS ((event_type), (strftime(ts, '%Y-%m-%d')))
+""", doc="§3.3 metrics page: several single-key group-bys in ONE pass via "
+         "grouping sets instead of N scans")
+def metrics_grouping_sets(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ev")
+    return spark.sql("""
+        SELECT coalesce(event_type, '<all>') AS event_type,
+               coalesce(date_format(ts, 'yyyy-MM-dd'), '<all>') AS day,
+               count(*) AS n
+        FROM __ev
+        GROUP BY GROUPING SETS ((event_type), (date_format(ts, 'yyyy-MM-dd')))
+    """)
+
+
+@q("top_users", """
+SELECT user_id, count(*) AS n FROM events
+GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10
+""", doc="agg + deterministic global sort + limit (W2/W4)")
+def top_users(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+@q("sort_limit", """
+SELECT event_id, ts, event_type FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 100
+""", doc="W2/W4: global sort desc + limit (app.py:86; NRQL LIMIT 1000)")
+def sort_limit(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(100)
+        .select("event_id", "ts", "event_type")
+    )
+
+
+@q("topk_per_group", """
+SELECT event_type, event_id, value, rnk FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+) WHERE rnk <= 3
+""", doc="W1: top-k per group — the k-NN window shape (faiss_db.py:54)")
+def topk_per_group(spark, sf_dir):
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(),
+                                                 F.col("event_id").asc())
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "event_id", "value", "rnk")
+    )
+
+
+@q("running_total", """
+SELECT event_id, user_id,
+       round(SUM(value) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS running_value
+FROM events WHERE user_id < 20
+""", doc="window frame agg: per-user running total (beyond-reference window "
+         "coverage; same FP accumulation order both engines)")
+def running_total(spark, sf_dir):
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select("event_id", "user_id",
+                F.round(F.sum("value").over(w), 4).alias("running_value"))
+    )
+
+
+# ===========================================================================
+# scalar functions (F1-F24)
+# ===========================================================================
+
+@q("redact_pii", r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           'contact ' || source || '.user@example.com card 4111 1111 1111 1111 ' || substr(text, 1, 40),
+           '[\w\.-]+@[\w\.-]+', '[REDACTED_EMAIL]', 'g'),
+         '\b(?:\d[ -]*?){13,16}\b', '[REDACTED_CARD]', 'g') AS redacted
+FROM documents
+""", doc="F1/F2/F6: chained email+card redaction (preprocessor.py:9-22)")
+def redact_pii(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit("contact "), F.col("source"), F.lit(".user@example.com card 4111 1111 1111 1111 "),
+        F.substring("text", 1, 40),
+    )
+    return docs.select("doc_id", redact(payload, DEFAULT_PATTERNS).alias("redacted"))
+
+
+@q("redact_secrets", r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             'api_key: k' || doc_id || ' token=t' || doc_id || ' mail a@b.c ' || substr(text, 1, 20),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '[REDACTED_EMAIL]', 'g'),
+           '(?i)api[_-]?key\s*[:=]\s*\w+', 'api_key=[REDACTED]', 'g'),
+         '(?i)token\s*[:=]\s*\w+', 'token=[REDACTED]', 'g') AS redacted
+FROM documents
+""", doc="F3/F4/F5: LLM-side secret redaction (llm_processor.py:107-112)")
+def redact_secrets(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit("api_key: k"), F.col("doc_id"), F.lit(" token=t"), F.col("doc_id"),
+        F.lit(" mail a@b.c "), F.substring("text", 1, 20),
+    )
+    return docs.select("doc_id", redact(payload, LLM_SIDE_PATTERNS).alias("redacted"))
+
+
+@q("concat_null_skip", """
+SELECT doc_id, concat_ws(' ', nullif(lang, 'en'), source) AS joined
+FROM documents
+""", doc="F9: null-skipping concat_ws — exact embedder.py:19-21 semantics")
+def concat_null_skip(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id",
+                F.concat_ws(" ", F.nullif(F.col("lang"), F.lit("en")),
+                            F.col("source")).alias("joined"))
+    )
+
+
+@q("truncate_display", """
+SELECT doc_id,
+       CASE WHEN length(text) > 80 THEN substr(text, 1, 80) || '...' ELSE text END AS preview
+FROM documents
+""", doc="W6/F12: display truncation (templates/home.html:49)")
+def q_truncate_display(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", truncate_display("text", 80).alias("preview"))
+    )
+
+
+@q("format_lines", """
+SELECT event_id,
+       printf('- %s | %s | %s | %s',
+              strftime(ts, '%Y-%m-%d %H:%M:%S'),
+              CAST(user_id AS VARCHAR), event_type, props) AS line
+FROM events WHERE event_type = 'error'
+""", doc="F17: log-line formatting (llm_processor.py:37)")
+def format_lines(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return ev.select(
+        "event_id",
+        F.format_string("- %s | %s | %s | %s",
+                        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+                        F.col("user_id").cast("string"),
+                        F.col("event_type"), F.col("props")).alias("line"),
+    )
+
+
+@q("json_extract", """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod, count(*) AS n
+FROM events GROUP BY k_mod
+""", doc="F19: schema-on-read JSON projection (app.py:56; from_json analog)")
+def json_extract(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .select((F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_mod"))
+        .groupBy("k_mod").agg(F.count("*").alias("n"))
+    )
+
+
+# ===========================================================================
+# standard joins (J4) over the star schema
+# ===========================================================================
+
+@q("pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       round(AVG(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""", doc="TPC-H Q1 shape: scan + filter + multi-agg (driver star-schema harness)")
+def pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q("revenue_by_segment", """
+SELECT c.c_mktsegment AS mktsegment,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""", doc="J4 equi-join fact→dim (broadcast) + agg")
+def revenue_by_segment(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
+    )
+
+
+@q("revenue_by_region", """
+SELECT r.r_name AS region,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+""", doc="J4 multi-way star join: dims broadcast, single fact shuffle")
+def revenue_by_region(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
+    )
+
+
+@q("customers_with_orders", """
+SELECT n.n_name AS nation, count(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+""", doc="J4 left-semi join")
+def customers_with_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@q("customers_without_orders", """
+SELECT count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""", doc="J4 left-anti join")
+def customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@q("brand_volume", """
+SELECT p.p_brand AS brand,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+""", doc="J4 fact⋈dim with broadcast part + agg")
+def brand_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+             F.count("*").alias("n_items"))
+    )
+
+
+# ===========================================================================
+# text analysis (north-star operators)
+# ===========================================================================
+
+@q("token_count", r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+FROM documents
+""", doc="token counting (whitespace tokenizer)")
+def q_token_count(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", token_count("text").alias("n_tokens"))
+    )
+
+
+@q("quality_score", r"""
+WITH t AS (
+  SELECT doc_id, lower(trim(text)) AS c FROM documents
+), m AS (
+  SELECT doc_id, c,
+         length(c) AS n_chars,
+         CASE WHEN length(c) = 0 THEN 0
+              ELSE len(string_split_regex(c, '\s+')) END AS n_tok,
+         len(list_filter(string_split_regex(c, '\s+'),
+                         t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop,
+         length(regexp_replace(c, '[^a-z0-9]', '', 'g')) AS n_alnum
+  FROM t
+)
+SELECT doc_id,
+       round((
+         (CASE WHEN n_tok > 0 AND CAST(n_chars AS DOUBLE)/n_tok BETWEEN 3 AND 12
+               THEN 1.0 ELSE 0.0 END)
+         + least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0, 1.0)
+         + CASE WHEN n_chars > 0 THEN CAST(n_alnum AS DOUBLE)/n_chars ELSE 0.0 END
+       ) / 3.0, 6) AS quality
+FROM m
+""", doc="quality scoring: length/stopword/alnum heuristics (C4/Gopher-style)")
+def q_quality_score(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+    )
+
+
+@q("lang_id", r"""
+WITH s AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> t IN ('the','and','of','is')))   AS s_en,
+         len(list_filter(toks, t -> t IN ('el','la','de','que')))    AS s_es,
+         len(list_filter(toks, t -> t IN ('der','die','und','ist'))) AS s_de,
+         len(list_filter(toks, t -> t IN ('le','la','et','est')))    AS s_fr,
+         len(list_filter(toks, t -> t IN ('de5','shi4','he2','zai4'))) AS s_zh
+  FROM s
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+            ELSE 'zh' END AS lang_pred
+FROM h
+""", doc="language-ID marker-word heuristic; ties → lexicographic first")
+def q_lang_id(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", lang_id("text").alias("lang_pred"))
+    )
+
+
+@q("fingerprint", r"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'),
+                          '\s+', ' ', 'g')) AS fp
+FROM documents
+""", doc="document fingerprint: md5 of normalized text")
+def q_fingerprint(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", fingerprint("text").alias("fp"))
+    )
+
+
+@q("doc_stats_by_lang", """
+SELECT lang, count(*) AS n_docs,
+       round(AVG(n_chars), 4) AS avg_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+""", doc="per-language corpus stats")
+def doc_stats_by_lang(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"))
+    )
+
+
+@q("ngram_jaccard_pairs", r"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest(list_distinct([
+    array_to_string(toks[i:i+2], ' ')
+    for i in range(1, greatest(len(toks) - 2, 0) + 1)
+  ])) AS s
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents)
+), counts AS (
+  SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc
+), common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN counts ca ON ca.doc = id_a
+JOIN counts cb ON cb.doc = id_b
+WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.12
+""", doc="exact n-gram Jaccard near-dup pairs (shingle equi-join, no cross join)")
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ===========================================================================
+# vector ops (J1/J2/F20/F21 + north-star similarity search)
+# ===========================================================================
+
+_KNN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id >= 5
+)
+SELECT query_id, vec_id,
+       round(list_sum([ (x[1]-x[2])*(x[1]-x[2]) for x in list_zip(qv, cv) ]), 6) AS distance
+FROM q CROSS JOIN c
+QUALIFY row_number() OVER (
+  PARTITION BY query_id
+  ORDER BY list_sum([ (x[1]-x[2])*(x[1]-x[2]) for x in list_zip(qv, cv) ]) ASC,
+           vec_id ASC) <= 5
+"""
+
+
+def _qc_split(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q_ = (emb.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    c_ = emb.filter(F.col("vec_id") >= 5)
+    return q_, c_
+
+
+@q("knn_l2", _KNN_ORACLE,
+   doc="J2 flagship: exact top-5 squared-L2 join, broadcast-NL + window")
+def knn_l2(spark, sf_dir):
+    q_, c_ = _qc_split(spark, sf_dir)
+    return (
+        knn_join(q_, c_, k=5, metric="l2_sq")
+        .withColumn("distance", F.round("distance", 6))
+    )
+
+
+@q("knn_l2_blocked", _KNN_ORACLE,
+   doc="J2 scale path: blocked numpy matmul + per-partition partial top-k; "
+       "same exact result as knn_l2")
+def knn_l2_blocked(spark, sf_dir):
+    q_, c_ = _qc_split(spark, sf_dir)
+    return (
+        knn_join_blocked(q_, c_, k=5, metric="l2_sq")
+        .withColumn("distance", F.round("distance", 6))
+    )
+
+
+@q("knn_cosine", """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id >= 5
+), scored AS (
+  SELECT query_id, vec_id,
+         list_sum([ x[1]*x[2] for x in list_zip(qv, cv) ])
+           / (sqrt(list_sum([ x*x for x in qv ])) * sqrt(list_sum([ x*x for x in cv ]))) AS sim
+  FROM q CROSS JOIN c
+)
+SELECT query_id, vec_id, round(sim, 6) AS distance
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) <= 5
+""", doc="cosine top-k variant (ANN brute-force baseline)")
+def knn_cosine(spark, sf_dir):
+    q_, c_ = _qc_split(spark, sf_dir)
+    return (
+        knn_join(q_, c_, k=5, metric="cosine")
+        .withColumn("distance", F.round("distance", 6))
+    )
+
+
+@q("embedding_neardup", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum([ x[1]*x[2] for x in list_zip(a.v, b.v) ])
+         / (sqrt(list_sum([ x*x for x in a.v ])) * sqrt(list_sum([ x*x for x in b.v ]))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_sum([ x[1]*x[2] for x in list_zip(a.v, b.v) ])
+      / (sqrt(list_sum([ x*x for x in a.v ])) * sqrt(list_sum([ x*x for x in b.v ]))) >= 0.4
+""", doc="embedding-cosine near-dup pairs (brute-force verify stage)")
+def q_embedding_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        embedding_cosine_neardup(emb, "vec_id", "embedding", threshold=0.4)
+        .withColumn("cosine", F.round("cosine", 6))
+    )
+
+
+@q("centroid_by_label", """
+SELECT label, i - 1 AS pos, round(AVG(v), 6) AS avg_val
+FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+GROUP BY label, pos
+""", doc="array-column aggregation: per-label centroid via posexplode")
+def centroid_by_label(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>"))
+                   .alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("avg_val"))
+    )
+
+
+@q("knn_ivf", None,
+   doc="approximate IVF k-NN (nprobe=2 over label centroids) — approximate "
+       "by design, no SQL oracle; recall checked in tests vs exact knn")
+def q_knn_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>"))
+                   .alias("pos", "v"))
+        .groupBy("label", "pos").agg(F.avg("v").alias("v"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(F.col("label").alias("centroid_id"),
+                F.transform("pv", lambda s: s["v"]).alias("centroid"))
+    )
+    q_, c_ = _qc_split(spark, sf_dir)
+    return ivf_knn_join(q_, c_, cents, k=5, nprobe=2) \
+        .withColumn("distance", F.round("distance", 6))
+
+
+# ===========================================================================
+# fuzzy dedup, embedding, multimodal, RAG (rows-only or derived oracles)
+# ===========================================================================
+
+@q("minhash_lsh_neardup", None,
+   doc="MinHash+LSH near-dup candidates (probabilistic signatures → no SQL "
+       "oracle; est_jaccard vs exact jaccard bounded in tests)")
+def q_minhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_neardup(docs, "doc_id", "text",
+                               num_perm=64, bands=16, threshold=0.2)
+
+
+@q("simhash_neardup", None,
+   doc="SimHash near-dup pairs with pigeonhole chunk blocking (hash-sign "
+       "votes not SQL-portable; self-oracle in tests)")
+def q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_neardup(docs, "doc_id", "text", max_hamming=12, band_bits=4)
+
+
+@q("embed_text", None,
+   doc="U1 embedding operator: iterator pandas_udf, hashing fake model "
+       "(deterministic); value-level self-oracle in tests")
+def q_embed_text(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = embed_text(docs, ["text"], dim=64)
+    return out.select(
+        "doc_id", F.size("embedding").alias("dim"),
+        F.round(F.aggregate(F.col("embedding").cast("array<double>"), F.lit(0.0),
+                            lambda a, x: a + x * x), 4).alias("sq_norm"),
+    )
+
+
+@q("multimodal_features", """
+SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes
+FROM documents
+""", doc="multimodal plumbing: binary payload + mapInPandas feature stub; "
+         "oracle checks the metadata path (payload byte length)")
+def q_multimodal(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    media = make_media_table(docs, "doc_id", "text")
+    feats = extract_features(media, dim=32, fake=True)
+    return feats.select("media_id", "n_bytes")
+
+
+@q("rag_prompt", """
+SELECT string_agg(line, chr(10) ORDER BY event_id) AS prompt, count(*) AS n_logs
+FROM (
+  SELECT event_id,
+         printf('- %s | %s | %s | %s', strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                CAST(user_id AS VARCHAR), event_type, props) AS line
+  FROM events WHERE event_type = 'error' AND event_id < 200
+)
+""", doc="A9 prompt aggregation: ordered collect_list → newline join "
+         "(llm_processor.py:30-42)")
+def q_rag_prompt(spark, sf_dir):
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "error") & (F.col("event_id") < 200))
+    )
+    line = F.format_string("- %s | %s | %s | %s",
+                           F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+                           F.col("user_id").cast("string"),
+                           F.col("event_type"), F.col("props"))
+    return (
+        ev.select(F.struct(F.col("event_id").alias("k"), line.alias("line")).alias("s"))
+        .agg(
+            F.array_join(F.transform(F.array_sort(F.collect_list("s")),
+                                     lambda s: s["line"]), "\n").alias("prompt"),
+            F.count("*").alias("n_logs"),
+        )
+    )
+
+
+@q("nested_history_roundtrip", """
+SELECT event_type, event_id, props FROM events WHERE event_type IN ('error', 'signup')
+""", doc="F23/nested types: build array<struct> per group, strip a field via "
+         "transform(), explode back — values must round-trip unchanged")
+def nested_history_roundtrip(spark, sf_dir):
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("error", "signup"))
+    )
+    nested = (
+        ev.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("event_id", "props", "value"))).alias("batch_logs"))
+    )
+    from .operators.rag import strip_embedding_nested
+    stripped = strip_embedding_nested(nested, "batch_logs", field="value")
+    return (
+        stripped.select("event_type", F.explode("batch_logs").alias("s"))
+        .select("event_type", F.col("s.event_id").alias("event_id"),
+                F.col("s.props").alias("props"))
+    )

@@ -1,0 +1,72 @@
+"""SparkSession construction tuned for the engine.
+
+The reference has no engine of its own (single-threaded Python loops,
+``src/preprocessing/preprocessor.py:34``); everything here is Spark-native.
+Defaults are chosen for local[N] testing but the same knobs are what you
+would set on a 1000-executor cluster: AQE on (runtime re-plan, skew-join
+splitting), Arrow for the pandas_udf boundary, explicit shuffle
+parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Session-level confs that are safe (and required) to apply to an
+# externally provided session at runtime.
+RUNTIME_CONFS: dict[str, str] = {
+    # testdata events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects by default; read as long and normalize in sources.tables.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # mirror the reference's embedding batch-size knob (embedder.py:13) at the
+    # Arrow boundary; 10k is the right order for 64-384d vector batches.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply engine-required confs to an existing session (driver-owned)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # a conf may be non-modifiable on some builds; reads that need it
+            # will fail loudly later, which is the correct signal.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "ai-incident-analyst-spark",
+              cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a local session.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores; shuffle partitions
+    default to the same so small-SF local runs don't pay 200-partition
+    scheduling overhead. On a real cluster you would size
+    ``spark.sql.shuffle.partitions`` to ~2-3x total cores and let AQE
+    coalesce.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 4)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return apply_runtime_confs(spark)

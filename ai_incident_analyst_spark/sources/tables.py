@@ -1,0 +1,77 @@
+"""Table sources + schema normalization.
+
+Reference parity:
+  - S1 remote NRQL scan (``src/ingestion/new_relic_fetcher.py:82-113``) →
+    parquet scan with Catalyst predicate/projection/limit pushdown. The
+    WHERE/SELECT/LIMIT clauses the reference ships to New Relic are expressed
+    on the DataFrame and pushed into the parquet reader automatically.
+  - S4 multi-table scan (``FROM Log, Log_dev1``, ``new_relic_fetcher.py:61``)
+    → ``union_tables`` (unionByName, allowMissingColumns).
+  - Schema normalization (``preprocessor.py:17-25``: message coercion,
+    timestamp stringification) → explicit casts at ingest; we keep
+    TimestampType canonically instead of strings.
+
+Scale notes: at 100 TB the logs table is date-partitioned parquet/delta;
+time-window predicates then become partition pruning. All normalization
+here is a narrow projection (no shuffle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import apply_runtime_confs
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+#: testdata events.parquet stores ts as TIMESTAMP(NANOS); with
+#: spark.sql.legacy.parquet.nanosAsLong it scans as long nanos-since-epoch.
+_NANO_TS_TABLES = {"events": ["ts"]}
+
+
+def _normalize(name: str, df: DataFrame) -> DataFrame:
+    for col in _NANO_TS_TABLES.get(name, []):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            # integer-divide to micros (matches DuckDB/parquet µs truncation);
+            # float division would lose precision: epoch-ns ≈ 1.7e18 > 2^53
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+            )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with canonical types."""
+    apply_runtime_confs(spark)
+    return _normalize(name, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def union_tables(*dfs: DataFrame) -> DataFrame:
+    """S4/SO2: union several log tables by column name, tolerating drift.
+
+    Mirrors NRQL ``FROM Log, Log_dev1`` (new_relic_fetcher.py:61) — the
+    reference unions source tables whose schemas may not be identical.
+    """
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: list[str] | None = None) -> None:
+    """Register temp views so operators can also be driven via spark.sql."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)

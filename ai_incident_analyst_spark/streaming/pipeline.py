@@ -1,0 +1,60 @@
+"""Structured Streaming variants of the batch pipeline (SURVEY.md §2.9).
+
+The reference is a 24 h batch-polling loop (new_relic_fetcher.py:67,79;
+append-only history main.py:88-92) — exactly the incremental-batch shape
+Structured Streaming formalizes. These builders take a *streaming*
+DataFrame (readStream source) and return the transformed stream; sinks
+use foreachBatch so the batch operators are reused verbatim.
+
+Watermarks bound state: the reference silently accepts late data
+(history append + full recompute per request, app.py:16-27); we declare
+the lateness tolerance explicitly instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_dedup(stream: DataFrame, keys: list[str], ts_col: str = "ts",
+                    watermark: str = "1 hour") -> DataFrame:
+    """A2 as a stream: bounded-state dropDuplicates within the watermark
+    (preprocessor.py:30-42's run-scoped dedup, generalized)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def streaming_count_by_window(stream: DataFrame, ts_col: str = "ts",
+                              window: str = "1 day",
+                              watermark: str = "1 day",
+                              group_col: str | None = None) -> DataFrame:
+    """A4 as a stream: tumbling-window counts with late-data tolerance
+    (app.py:22-27's per-day counts)."""
+    keys = [F.window(F.col(ts_col), window).alias("win")]
+    if group_col:
+        keys.append(F.col(group_col))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .count()
+        .select(F.col("win.start").alias("window_start"),
+                *([group_col] if group_col else []),
+                "count")
+    )
+
+
+def streaming_history_sink(stream: DataFrame, path: str, checkpoint: str,
+                           trigger_once: bool = True):
+    """S6 as a stream: append-only history parquet via foreachBatch
+    (main.py:88-92's 'dashboard updates on refresh' loop)."""
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer
