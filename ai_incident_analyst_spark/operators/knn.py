@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, l2_sq
+from .util import spread
 
 _METRICS = ("l2_sq", "cosine")
 
@@ -128,7 +129,7 @@ def knn_join_blocked(queries: DataFrame, corpus: DataFrame, k: int = 5,
     # corpus rows sorted by id within partition → stable argsort breaks
     # ties by vec_id, matching knn_join's ordering
     cand = (
-        corpus.select(corpus_id, corpus_vec)
+        spread(corpus.select(corpus_id, corpus_vec), corpus_id)
         .sortWithinPartitions(corpus_id)
         .mapInPandas(part, schema=out_schema)
     )

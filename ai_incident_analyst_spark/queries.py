@@ -868,7 +868,7 @@ def q_minhash(spark, sf_dir):
        "votes not SQL-portable; self-oracle in tests)")
 def q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return simhash_neardup(docs, "doc_id", "text", max_hamming=12, band_bits=4)
+    return simhash_neardup(docs, "doc_id", "text", max_hamming=7, band_bits=8)
 
 
 @q("embed_text", None,

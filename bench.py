@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect overhead). Run `python bench.py --explain q` to dump a
+query's physical plan instead of timing it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ai_incident_analyst_spark.queries import REGISTRY
+from ai_incident_analyst_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_error_summary",
+    "dedup_keep_first",
+    "count_by_day",
+    "topk_per_group",
+    "keyword_search_json",
+    "pricing_summary",
+    "revenue_by_region",
+    "brand_volume",
+    "redact_pii",
+    "quality_score",
+    "fingerprint",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "knn_l2_blocked",
+    "embedding_neardup",
+    "embed_text",
+    "rag_prompt",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--explain":
+        REGISTRY[sys.argv[2]].fn(spark, sf_dir).explain("formatted")
+        return
+
+    names = sys.argv[1:] or HEADLINE
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}; available: {sorted(REGISTRY)}")
+    # warm the JVM/session so q1 doesn't pay startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]:.2f}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

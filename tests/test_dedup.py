@@ -1,0 +1,112 @@
+"""Dedup operator tests: reference-parity fixtures + fuzzy-dedup
+self-oracles (exact Jaccard / hamming computed in Python)."""
+
+import itertools
+
+from pyspark.sql import Row
+
+from ai_incident_analyst_spark.operators.dedup import (
+    dedup_exact,
+    dedup_keep_first,
+    minhash_lsh_neardup,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_neardup,
+)
+
+LOGS = [
+    # preprocessor.py:46-50 fixture shape: duplicate (message, timestamp)
+    Row(i=0, message="User john.doe@email.com logged in", timestamp="123456"),
+    Row(i=1, message="User john.doe@email.com logged in", timestamp="123456"),
+    Row(i=2, message="Payment with card 4111 1111 1111 1111", timestamp="123457"),
+    Row(i=3, message=None, timestamp="123458"),
+]
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(LOGS)
+    out = dedup_exact(df, ["message", "timestamp"])
+    assert out.count() == 3  # dup collapsed, None-message row kept
+
+
+def test_dedup_keep_first(spark):
+    df = spark.createDataFrame(LOGS)
+    out = dedup_keep_first(df, ["message", "timestamp"], "i")
+    rows = {r.i for r in out.collect()}
+    assert rows == {0, 2, 3}  # first occurrence survives
+
+
+DOCS = [
+    Row(doc_id=0, text="the quick brown fox jumps over the lazy dog today"),
+    Row(doc_id=1, text="the quick brown fox jumps over the lazy cat today"),
+    Row(doc_id=2, text="completely different words about spark query engines"),
+    Row(doc_id=3, text="the quick brown fox jumps over the lazy dog today"),
+]
+
+
+def _shingles(text, n=3):
+    toks = text.lower().split()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _jaccard(a, b):
+    sa, sb = _shingles(a), _shingles(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_matches_python(spark):
+    df = spark.createDataFrame(DOCS)
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0).collect()}
+    for a, b in itertools.combinations(range(4), 2):
+        expect = _jaccard(DOCS[a].text, DOCS[b].text)
+        if expect > 0:
+            assert abs(got[(a, b)] - expect) < 1e-9, (a, b)
+        else:
+            assert (a, b) not in got
+
+
+def test_minhash_identical_docs_equal_signatures(spark):
+    df = spark.createDataFrame(DOCS)
+    sigs = {r.doc: r.sig for r in minhash_signature(df, "doc_id", "text", 32).collect()}
+    assert sigs[0] == sigs[3]
+    assert sigs[0] != sigs[2]
+
+
+def test_minhash_lsh_finds_neardups(spark):
+    df = spark.createDataFrame(DOCS)
+    pairs = {(r.id_a, r.id_b): r.est_jaccard
+             for r in minhash_lsh_neardup(df, "doc_id", "text",
+                                          num_perm=64, bands=16,
+                                          threshold=0.5).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dups
+    assert (0, 1) in pairs  # one-word-changed near-dup (true jaccard ~0.6)
+    assert all(p != (0, 2) and p != (2, 3) for p in pairs)  # unrelated
+    # estimate within minhash error bounds of the true jaccard
+    true_j = _jaccard(DOCS[0].text, DOCS[1].text)
+    assert abs(pairs[(0, 1)] - true_j) < 0.25
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(DOCS)
+    fps = {r.doc: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    assert fps[0] == fps[3]  # identical docs → identical fingerprints
+    ham01 = bin((fps[0] ^ fps[1]) & (2**64 - 1)).count("1")
+    ham02 = bin((fps[0] ^ fps[2]) & (2**64 - 1)).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+
+
+def test_simhash_neardup_blocking_complete(spark):
+    """Pigeonhole blocking must not lose any pair within max_hamming."""
+    df = spark.createDataFrame(DOCS)
+    fps = {r.doc: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    for max_h, bits in [(3, 16), (7, 8)]:
+        got = {(r.id_a, r.id_b)
+               for r in simhash_neardup(df, "doc_id", "text",
+                                        max_hamming=max_h, band_bits=bits).collect()}
+        expect = set()
+        for a, b in itertools.combinations(sorted(fps), 2):
+            if bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1") <= max_h:
+                expect.add((a, b))
+        assert got == expect

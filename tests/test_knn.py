@@ -1,0 +1,89 @@
+"""k-NN join tests: numpy exact reference (SURVEY.md §5 self-oracle),
+blocked path equivalence, IVF recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from ai_incident_analyst_spark.operators.knn import (
+    ivf_knn_join,
+    knn_join,
+    knn_join_blocked,
+)
+from ai_incident_analyst_spark.sources.tables import load_table
+
+K = 5
+
+
+def _numpy_knn(qids, qmat, cids, cmat, k, metric):
+    out = {}
+    for qi, qv in zip(qids, qmat):
+        if metric == "l2_sq":
+            d = ((cmat - qv) ** 2).sum(axis=1)
+            order = np.lexsort((cids, d))
+        else:
+            d = (cmat @ qv) / (np.linalg.norm(cmat, axis=1) * np.linalg.norm(qv))
+            order = np.lexsort((cids, -d))
+        out[qi] = [(int(cids[i]), float(d[i])) for i in order[:k]]
+    return out
+
+
+@pytest.fixture(scope="module")
+def vec_data(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    qmask = ids < 5
+    q = spark.createDataFrame(
+        [Row(query_id=int(i), query_vec=[float(x) for x in v])
+         for i, v in zip(ids[qmask], mat[qmask])])
+    c = emb.filter("vec_id >= 5")
+    return q, c, ids[qmask], mat[qmask], ids[~qmask], mat[~qmask]
+
+
+@pytest.mark.parametrize("metric", ["l2_sq", "cosine"])
+def test_knn_matches_numpy(spark, vec_data, metric):
+    q, c, qids, qmat, cids, cmat = vec_data
+    got = {}
+    for r in knn_join(q, c, k=K, metric=metric).collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, r.distance))
+    expect = _numpy_knn(qids, qmat, cids, cmat, K, metric)
+    for qi in expect:
+        assert [g[0] for g in got[qi]] == [e[0] for e in expect[qi]]
+        for (gv, gd), (ev, ed) in zip(got[qi], expect[qi]):
+            assert abs(gd - ed) < 1e-9
+
+
+def test_blocked_equals_declarative(spark, vec_data):
+    q, c, *_ = vec_data
+    a = sorted(map(tuple, knn_join(q, c, k=K).collect()))
+    b = sorted(map(tuple, knn_join_blocked(q, c, k=K).collect()))
+    assert [(x[0], x[1]) for x in a] == [(x[0], x[1]) for x in b]
+    assert all(abs(x[2] - y[2]) < 1e-9 for x, y in zip(a, b))
+
+
+def test_ivf_recall(spark, sf_dir, vec_data):
+    """IVF with nprobe=2 over 10 label-centroids: recall vs exact should be
+    well above chance (exact recall depends on cluster structure)."""
+    from pyspark.sql import functions as F
+
+    q, c, *_ = vec_data
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>"))
+                   .alias("pos", "v"))
+        .groupBy("label", "pos").agg(F.avg("v").alias("v"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(F.col("label").alias("centroid_id"),
+                F.transform("pv", lambda s: s["v"]).alias("centroid"))
+    )
+    exact = {(r.query_id, r.vec_id) for r in knn_join(q, c, k=K).collect()}
+    approx4 = {(r.query_id, r.vec_id)
+               for r in ivf_knn_join(q, c, cents, k=K, nprobe=4).collect()}
+    approx_all = {(r.query_id, r.vec_id)
+                  for r in ivf_knn_join(q, c, cents, k=K, nprobe=100).collect()}
+    assert len(exact & approx4) / len(exact) >= 0.4
+    # probing every cell must degenerate to the exact result
+    assert approx_all == exact

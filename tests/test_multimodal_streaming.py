@@ -1,0 +1,94 @@
+"""Multimodal plumbing + Structured Streaming variant tests."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ai_incident_analyst_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    make_media_table,
+)
+from ai_incident_analyst_spark.sources.tables import load_table
+from ai_incident_analyst_spark.streaming.pipeline import (
+    streaming_count_by_window,
+    streaming_dedup,
+)
+
+
+def test_media_table_schema(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = make_media_table(docs, "doc_id", "text")
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "content", "meta", "content_sha256"]
+    assert media.schema["content"].dataType.typeName() == "binary"
+    row = media.first()
+    assert row.meta.media_type == "image"
+
+
+def test_extract_features_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = make_media_table(docs, "doc_id", "text")
+    a = {r.media_id: tuple(r.features)
+         for r in extract_features(media.repartition(1), dim=16).collect()}
+    b = {r.media_id: tuple(r.features)
+         for r in extract_features(media.repartition(4), dim=16).collect()}
+    assert a == b
+    assert all(len(v) == 16 for v in a.values())
+
+
+def test_extract_features_real_decode_is_stubbed(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    media = make_media_table(docs, "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        extract_features(media, fake=False)
+
+
+def test_frame_sample_fanout(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = make_media_table(docs, "doc_id", "text", media_type="video")
+    frames = frame_sample(media, every_ms=500).collect()
+    assert len(frames) >= 10
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    for rs in by_id.values():
+        assert [r.frame_idx for r in sorted(rs, key=lambda x: x.frame_idx)] \
+            == list(range(len(rs)))
+
+
+def _stream_fixture(spark, tmp):
+    df = spark.createDataFrame([
+        Row(ts="2024-01-01 10:00:00", k="a"),
+        Row(ts="2024-01-01 10:00:00", k="a"),   # dup
+        Row(ts="2024-01-01 11:00:00", k="b"),
+        Row(ts="2024-01-02 09:00:00", k="a"),
+    ]).select(F.to_timestamp("ts").alias("ts"), "k")
+    df.write.mode("overwrite").parquet(f"{tmp}/in")
+    return spark.readStream.schema(df.schema).parquet(f"{tmp}/in")
+
+
+def test_streaming_dedup(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = _stream_fixture(spark, tmp)
+        out = streaming_dedup(stream, ["k", "ts"], "ts", "2 days")
+        q = (out.writeStream.format("memory").queryName("sd")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        assert spark.sql("SELECT count(*) c FROM sd").first().c == 3
+
+
+def test_streaming_windowed_counts(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = _stream_fixture(spark, tmp)
+        out = streaming_count_by_window(stream, "ts", "1 day", "1 day")
+        # append mode only emits windows the watermark has closed; with a
+        # single availableNow batch nothing closes — complete mode shows all
+        q = (out.writeStream.format("memory").queryName("swc")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        rows = {str(r.window_start)[:10]: r["count"]
+                for r in spark.sql("SELECT * FROM swc").collect()}
+        assert rows == {"2024-01-01": 3, "2024-01-02": 1}
