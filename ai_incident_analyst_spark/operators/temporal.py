@@ -1,0 +1,88 @@
+"""Temporal operators Spark lacks as built-ins: as-of join, sessionization.
+
+Neither exists in the reference (its only temporal logic is the SINCE
+window, new_relic_fetcher.py:79), but both are table-stakes for a log/
+training-data engine at scale (SURVEY.md custom-operator mandate).
+
+``asof_join`` uses the scalable union + carry-forward formulation: tag both
+sides, union, ONE window over (key, ts) with ``last(..., ignorenulls)`` —
+a single shuffle on the key, no per-row subquery, no range cross-join.
+This is how you as-of join two 100 TB tables: both sides shuffle once on
+the join key and the window is a linear merge within each partition.
+
+``sessionize`` is the standard gap-based session assignment: lag + cumsum
+of session-start flags — two stacked windows over the same (key, ts)
+partitioning, so Catalyst plans ONE shuffle and sorts once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_cols: list[str] | None = None,
+              tiebreak: str | None = None,
+              suffix: str = "_matched") -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` on the same key (backward as-of, inclusive —
+    DuckDB/pandas ``merge_asof`` semantics). Left rows with no match keep
+    nulls.
+
+    ``tiebreak``: right-side column ordering the winner among equal
+    timestamps (largest wins); required for determinism when right has
+    duplicate (key, ts).
+    """
+    right_cols = right_cols or [c for c in right.columns
+                                if c not in (key, right_ts)]
+    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
+    r_tagged = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).alias("__ts"),
+            *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+            *([F.col(tiebreak).alias("__tb")] if tiebreak else []),
+        )
+        .withColumn("__is_left", F.lit(0))
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    order = [F.col("__ts").asc(), F.col("__is_left").asc()]
+    if tiebreak:
+        order.append(F.col("__tb").asc_nulls_first())
+    w = (Window.partitionBy(key).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    carried = unioned
+    for c in right_cols:
+        carried = carried.withColumn(
+            f"{c}{suffix}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("__is_left") == 1)
+        .drop("__ts", "__is_left", "__tb",
+              *[f"__r_{c}" for c in right_cols])
+    )
+
+
+def sessionize(df: DataFrame, key: str, ts_col: str = "ts",
+               gap_seconds: int = 1800,
+               order_tiebreak: str | None = None) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when the
+    time since the previous event exceeds ``gap_seconds`` (compared at
+    epoch-second resolution). Adds ``session_id`` (1-based per key, in
+    time order)."""
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = (
+        prev.isNull()
+        | ((F.col(ts_col).cast("long") - prev) > gap_seconds)
+    ).cast("long")
+    return df.withColumn("session_id",
+                         F.sum(is_new).over(
+                             w.rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)))

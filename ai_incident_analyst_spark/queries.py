@@ -925,6 +925,221 @@ def q_rag_prompt(spark, sf_dir):
     )
 
 
+@q("source_probe", """
+SELECT count(*) AS n FROM (SELECT * FROM events LIMIT 1)
+""", doc="S2: source validation probe — 'SELECT count(*) ... LIMIT 1' "
+         "(new_relic_fetcher.py:9-39)")
+def source_probe(spark, sf_dir):
+    return _t(spark, sf_dir, "events").limit(1).agg(F.count("*").alias("n"))
+
+
+@q("date_functions", """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_fmt,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(ts + INTERVAL 90 MINUTE AS TIMESTAMP) AS ts_plus,
+       EXTRACT(hour FROM ts) AS hour_of_day,
+       datediff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS days_since_epoch0
+FROM events WHERE event_id < 100
+""", doc="F13/F14/F15/F16: timestamp parse/format/arith/extract family")
+def date_functions(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_fmt"),
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus"),
+            F.hour("ts").cast("long").alias("hour_of_day"),
+            F.datediff(F.to_date("ts"),
+                       F.lit("2024-01-01").cast("date")).cast("long")
+             .alias("days_since_epoch0"),
+        )
+    )
+
+
+@q("positional_join", """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id >= 5
+), hits AS (
+  SELECT query_id, vec_id,
+         round(list_sum([ (x[1]-x[2])*(x[1]-x[2]) for x in list_zip(qv, cv) ]), 6) AS distance
+  FROM q CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY list_sum([ (x[1]-x[2])*(x[1]-x[2]) for x in list_zip(qv, cv) ]) ASC,
+             vec_id ASC) <= 5
+)
+SELECT h.query_id, h.vec_id, h.distance, e.label
+FROM hits h JOIN embeddings e USING (vec_id)
+""", doc="J1: hit-id → metadata join-back (faiss_db.py:56-58 positional "
+         "lookup as an equi-join on vec_id)")
+def positional_join(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q_, c_ = _qc_split(spark, sf_dir)
+    hits = knn_join(q_, c_, k=5).withColumn("distance", F.round("distance", 6))
+    meta = emb.select("vec_id", "label")
+    return hits.join(F.broadcast(meta), "vec_id") \
+        .select("query_id", "vec_id", "distance", "label")
+
+
+@q("asof_join", """
+SELECT e.event_id, e.user_id,
+       m.event_id AS purchase_event_id,
+       m.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN LATERAL (
+  SELECT p.event_id, p.value
+  FROM events p
+  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id AND p.ts <= e.ts
+  ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+) m ON true
+""", doc="as-of join (backward, inclusive): for each error, the user's most "
+         "recent purchase — union+carry-forward plan, ONE shuffle on the key; "
+         "oracle is the per-row LATERAL formulation")
+def q_asof_join(spark, sf_dir):
+    from .operators.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id", "value")
+    out = asof_join(errors, purchases, key="user_id",
+                    right_cols=["event_id", "value"], tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id",
+        F.col("event_id_matched").alias("purchase_event_id"),
+        F.col("value_matched").alias("purchase_value"),
+    )
+
+
+@q("sessionize", """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch(ts)::BIGINT) OVER w IS NULL
+                OR epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT) OVER w > 3600
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), t AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM s
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM t GROUP BY user_id, session_id
+""", doc="gap-based sessionization (1h gap): lag + cumsum windows, one "
+         "shuffle; per-session rollup")
+def q_sessionize(spark, sf_dir):
+    from .operators.temporal import sessionize
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=3600,
+                   order_tiebreak="event_id")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"),
+             F.min("event_id").alias("first_event"),
+             F.max("event_id").alias("last_event"))
+    )
+
+
+@q("pivot_counts", """
+SELECT CAST(ts AS DATE) AS day,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events GROUP BY day
+""", doc="pivot: day × event_type count matrix (metrics dashboards)")
+def pivot_counts(spark, sf_dir):
+    types = ["error", "click", "purchase", "signup", "view"]
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+@q("value_percentiles", """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+FROM events GROUP BY event_type
+""", doc="exact interpolated percentiles per group (Spark percentile ≡ "
+         "DuckDB quantile_cont)")
+def value_percentiles(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+             F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+             F.round(F.min("value"), 4).alias("min_v"),
+             F.round(F.max("value"), 4).alias("max_v"))
+    )
+
+
+@q("value_histogram", """
+SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
+FROM events GROUP BY bucket
+""", doc="fixed-width histogram bucketing")
+def value_histogram(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.floor(F.col("value") / 50).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q("top_terms", r"""
+SELECT t AS term, count(*) AS n
+FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      FROM documents)
+GROUP BY t
+ORDER BY n DESC, t ASC
+LIMIT 20
+""", doc="corpus term frequency top-k: explode + count + ordered limit")
+def top_terms(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+@q("dedup_docs_exact", r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'),
+                            '\s+', ' ', 'g')) AS fp
+  FROM documents
+)
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM fp GROUP BY fp
+""", doc="exact document dedup by normalized-text fingerprint, keep min id "
+         "(hash-groupBy — the 100 TB exact-dedup pattern)")
+def dedup_docs_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count("*").alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
+
+
 @q("nested_history_roundtrip", """
 SELECT event_type, event_id, props FROM events WHERE event_type IN ('error', 'signup')
 """, doc="F23/nested types: build array<struct> per group, strip a field via "
