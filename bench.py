@@ -54,8 +54,12 @@ def main():
     unknown = [n for n in names if n not in REGISTRY]
     if unknown:
         sys.exit(f"unknown queries: {unknown}; available: {sorted(REGISTRY)}")
-    # warm the JVM/session so q1 doesn't pay startup
+    # warm the JVM/session so q1 doesn't pay startup, and spin up the
+    # reusable Python UDF workers + Arrow path so the first pandas_udf
+    # query isn't charged the worker-pool cold start
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long").write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in names:
