@@ -1140,6 +1140,44 @@ def dedup_docs_exact(spark, sf_dir):
     )
 
 
+@q("window_functions", """
+WITH w AS (
+  SELECT user_id, event_id, event_type, value, ts,
+         row_number()  OVER ord AS rn,
+         rank()        OVER val AS rk,
+         dense_rank()  OVER val AS drk,
+         ntile(4)      OVER ord AS quartile,
+         round(value - lag(value)  OVER ord, 4) AS lag_delta,
+         lead(event_type) OVER ord AS next_type,
+         round(cume_dist() OVER val, 6) AS cd
+  FROM events
+  WINDOW ord AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+         val AS (PARTITION BY user_id ORDER BY round(value, 4) DESC)
+)
+SELECT user_id, event_id, rn, rk, drk, quartile, lag_delta, next_type, cd
+FROM w WHERE user_id < 50
+""", doc="W1-family breadth: row_number/rank/dense_rank/ntile/lag/lead/"
+         "cume_dist over the same two window specs — one shuffle per spec")
+def window_functions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ord_w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                                  F.col("event_id").asc())
+    val_w = Window.partitionBy("user_id").orderBy(F.round("value", 4).desc())
+    return (
+        ev.select(
+            "user_id", "event_id",
+            F.row_number().over(ord_w).alias("rn"),
+            F.rank().over(val_w).alias("rk"),
+            F.dense_rank().over(val_w).alias("drk"),
+            F.ntile(4).over(ord_w).alias("quartile"),
+            F.round(F.col("value") - F.lag("value").over(ord_w), 4).alias("lag_delta"),
+            F.lead("event_type").over(ord_w).alias("next_type"),
+            F.round(F.cume_dist().over(val_w), 6).alias("cd"),
+        )
+        .filter(F.col("user_id") < 50)
+    )
+
+
 @q("nested_history_roundtrip", """
 SELECT event_type, event_id, props FROM events WHERE event_type IN ('error', 'signup')
 """, doc="F23/nested types: build array<struct> per group, strip a field via "

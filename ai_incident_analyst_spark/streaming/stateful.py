@@ -1,0 +1,135 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference has no stateful streaming — its "state" is the append-only
+history file re-read per request (app.py:47-60) and the run-scoped dedup
+set (preprocessor.py:30-42). These operators are the mandated
+beyond-reference surface: per-key state that survives across micro-batches
+with explicit timeout semantics, the Structured Streaming analog of the
+batch ``operators.temporal.sessionize`` / incident-burst metrics.
+
+Scale design: state is partitioned by the grouping key across executors
+(one shuffle per micro-batch on the key), held in the state store with
+incremental checkpoints. Arrow batches cross the Python boundary once per
+(key, trigger). Keys that stay silent are reaped via ProcessingTimeTimeout
+so state size tracks the *active* key set, not the all-time key set.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def streaming_sessionize(stream: DataFrame, key: str = "user_id",
+                         ts_col: str = "ts",
+                         gap_seconds: int = 1800,
+                         state_timeout_ms: int = 0) -> DataFrame:
+    """Assign gap-based session ids to a stream, continuing across triggers.
+
+    Same semantics as the batch ``sessionize`` (new session when the gap
+    since the key's previous event exceeds ``gap_seconds``), but the
+    (last_ts, session counter) per key lives in the state store, so a
+    session spanning two micro-batches keeps one id. Events are ordered by
+    ``ts_col`` *within* each trigger; cross-trigger out-of-order events
+    older than the key's high-water mark start no new session (they join
+    the current one — the streaming relaxation of the batch total order).
+
+    Output: (key, ts, session_id) append stream.
+    """
+    out_schema = StructType([
+        StructField(key, LongType()),
+        StructField(ts_col, TimestampType()),
+        StructField("session_id", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("last_ts_epoch", LongType()),
+        StructField("sid", LongType()),
+    ])
+
+    def assign(key_tuple: Any, pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_ts, sid = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(ts_col)
+            epochs = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()
+            sids = []
+            for e in epochs:
+                if last_ts is None or e - last_ts > gap_seconds:
+                    sid += 1
+                if last_ts is None or e > last_ts:
+                    last_ts = int(e)
+                sids.append(sid)
+            yield pd.DataFrame({
+                key: [key_tuple[0]] * len(pdf),
+                ts_col: pdf[ts_col],
+                "session_id": sids,
+            })
+        state.update((last_ts, sid))
+        if state_timeout_ms > 0:
+            state.setTimeoutDuration(state_timeout_ms)
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if state_timeout_ms > 0
+               else GroupStateTimeout.NoTimeout)
+    return stream.groupBy(key).applyInPandasWithState(
+        assign, out_schema, state_schema, "append", timeout)
+
+
+def streaming_burst_monitor(stream: DataFrame, key: str = "container_name",
+                            ts_col: str = "ts",
+                            threshold: int = 10,
+                            state_timeout_ms: int = 0) -> DataFrame:
+    """Per-key cumulative event counter that flags bursts.
+
+    Emits one row per (key, trigger): the key's all-time event count so far
+    and whether THIS trigger alone crossed ``threshold`` events (the
+    incident-storm signal the reference approximates by re-counting the
+    whole history per dashboard request, app.py:22-33 — here it is O(new
+    events) per trigger with O(active keys) state).
+    """
+    out_schema = StructType([
+        StructField(key, LongType()),
+        StructField("events_total", LongType()),
+        StructField("events_this_trigger", LongType()),
+        StructField("burst", LongType()),
+    ])
+    state_schema = StructType([StructField("total", LongType())])
+
+    def monitor(key_tuple: Any, pdfs: Iterable[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (total,) = state.get if state.exists else (0,)
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        total += n
+        state.update((total,))
+        if state_timeout_ms > 0:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame({
+            key: [key_tuple[0]],
+            "events_total": [total],
+            "events_this_trigger": [n],
+            "burst": [1 if n >= threshold else 0],
+        })
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if state_timeout_ms > 0
+               else GroupStateTimeout.NoTimeout)
+    return stream.groupBy(key).applyInPandasWithState(
+        monitor, out_schema, state_schema, "update", timeout)
