@@ -1,0 +1,61 @@
+"""Physical-plan regression tests: the 100 TB properties, not just values.
+
+These assert the plan *shape* Catalyst picks for our declarative
+formulations — filter/projection pushdown into the parquet scan, broadcast
+(not shuffle) joins for dimension tables, map-side partial aggregation,
+whole-stage codegen in the hot path. If a refactor silently degrades one
+of these, correctness tests stay green while the 100 TB plan rots; this
+file is the tripwire.
+"""
+
+import pytest
+
+from ai_incident_analyst_spark.queries import REGISTRY
+
+
+def _plan(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filters_and_projection_reach_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scan_project_filter")
+    assert "PushedFilters: [IsNotNull(event_type)" in plan
+    assert "EqualTo(event_type,error)" in plan
+    # projection pruning: the scan must not read props/ts/user_id
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_star_join_broadcasts_all_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "revenue_by_region")
+    # customer, nation, region are all broadcast — zero shuffle joins
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2
+    # only the six needed columns are read from lineitem (of 16)
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_hot_path_stays_in_wholestage_codegen(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scan_project_filter")
+    assert "*(1)" in plan  # WholeStageCodegen span covers filter+scan
+
+
+def test_topk_per_group_is_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_per_group")
+    # rank-within-partition needs exactly one hash exchange on the group key
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_dedup_keep_first_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_keep_first")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
