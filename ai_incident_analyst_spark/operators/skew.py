@@ -1,0 +1,78 @@
+"""Skew mitigation: salted aggregation and salted broadcast-free joins.
+
+The reference never meets skew (1000-row batches, preprocessor.py:30-42),
+but at 100 TB one hot ``container_name`` or a null-heavy key melts a
+single reducer. Two standard remedies, both pure DataFrame ops:
+
+* ``salted_agg``: two-phase aggregation — group on (key, salt) first so
+  the hot key's rows spread over N reducers, then re-aggregate by key.
+  Works for any algebraic aggregate (sum/count/min/max and avg via
+  sum+count). AQE's skew handling only splits *join* partitions; skewed
+  aggregation still needs this.
+* ``salted_join``: explode the small-ish side N ways and salt the big
+  side's key randomly, turning one hot hash bucket into N. For dims that
+  fit in memory prefer ``F.broadcast`` — this is for the mid-size side
+  that is too big to broadcast but joins a skewed fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(df: DataFrame, key: str, aggs: dict[str, tuple[str, str]],
+               salt_buckets: int = 16) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column → (input column, fn) with fn in
+    {"sum", "count", "min", "max"}. Phase 1 groups by (key, salt) — the
+    map-side partial plus N-way spread of each hot key; phase 2 combines
+    partials by key (sum of counts/sums, min of mins, max of maxes).
+    """
+    partial_fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    combine_fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for name, (col, fn) in aggs.items():
+        if fn not in partial_fns:
+            raise ValueError(f"unsupported agg fn {fn!r}")
+
+    salted = df.withColumn("__salt",
+                           (F.rand(seed=7) * salt_buckets).cast("int"))
+    phase1 = salted.groupBy(key, "__salt").agg(*[
+        partial_fns[fn](col).alias(f"__p_{name}")
+        for name, (col, fn) in aggs.items()
+    ])
+    return phase1.groupBy(key).agg(*[
+        combine_fns[fn](f"__p_{name}").alias(name)
+        for name, (col, fn) in aggs.items()
+    ])
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                salt_buckets: int = 8, how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join without broadcast.
+
+    The big (skewed) side gets a random salt in [0, N); the small side is
+    exploded N ways so every (key, salt) combination exists. The join key
+    becomes (key, salt) — a hot key's rows now land in N buckets instead
+    of one. Costs N× duplication of the small side; choose N ≈ the skew
+    factor, not larger.
+    """
+    big_s = big.withColumn("__salt",
+                           (F.rand(seed=11) * salt_buckets).cast("int"))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
+    out = big_s.join(small_s, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def top_frequent_keys(df: DataFrame, key: str, n: int = 20) -> DataFrame:
+    """Diagnostic: the n heaviest keys and their share — what you run
+    first when a stage straggles, to size ``salt_buckets``."""
+    total = df.count()
+    return (
+        df.groupBy(key).count()
+        .withColumn("share", F.col("count") / F.lit(float(total)))
+        .orderBy(F.col("count").desc())
+        .limit(n)
+    )

@@ -1178,6 +1178,49 @@ def window_functions(spark, sf_dir):
     )
 
 
+@q("skew_salted_agg", """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       count(*) AS n,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+""", doc="skew-safe two-phase aggregation: group on (key, salt) then by key "
+         "— identical result to the plain groupBy (decimal sums make the "
+         "combine order-independent); the hot-key remedy AQE doesn't cover "
+         "for aggregations")
+def skew_salted_agg(spark, sf_dir):
+    from .operators.skew import salted_agg
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__v_dec", F.col("value").cast("decimal(18,2)"))
+    out = salted_agg(
+        ev, "event_type",
+        {"total_value": ("__v_dec", "sum"),
+         "n": ("event_id", "count"),
+         "max_value": ("value", "max")},
+        salt_buckets=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("total_value").cast("double").alias("total_value"),
+        "n",
+        F.round("max_value", 4).alias("max_value"),
+    )
+
+
+@q("approx_distinct_users", None,
+   doc="approximate aggregates for 100 TB interactive profiling: HLL++ "
+       "distinct users + t-digest-style approx p95 per event_type "
+       "(sketches are engine-specific → no SQL oracle; tolerance vs exact "
+       "asserted in tests/test_skew_bucketing.py)")
+def approx_distinct_users(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+             F.percentile_approx("value", 0.95, 10000).alias("approx_p95"))
+    )
+
+
 @q("nested_history_roundtrip", """
 SELECT event_type, event_id, props FROM events WHERE event_type IN ('error', 'signup')
 """, doc="F23/nested types: build array<struct> per group, strip a field via "

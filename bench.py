@@ -38,6 +38,10 @@ HEADLINE = [
     "embedding_neardup",
     "embed_text",
     "rag_prompt",
+    "asof_join",
+    "sessionize",
+    "window_functions",
+    "skew_salted_agg",
 ]
 
 
