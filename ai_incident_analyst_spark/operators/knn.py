@@ -187,3 +187,82 @@ def ivf_knn_join(queries: DataFrame, corpus: DataFrame,
         .filter(F.col("__rn") <= k)
         .select("query_id", F.col(corpus_id).alias("vec_id"), "distance")
     )
+
+
+def lsh_cosine_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                        n_planes: int = 12, n_tables: int = 4, seed: int = 42,
+                        query_id: str = "query_id", query_vec: str = "query_vec",
+                        corpus_id: str = "vec_id",
+                        corpus_vec: str = "embedding") -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH bucketing.
+
+    ``n_tables`` independent hash tables; in each, a vector's bucket is the
+    ``n_planes`` sign bits of its dot products with seeded Gaussian
+    hyperplanes (sign match probability = 1 − θ/π, the classic SimHash-for
+    -cosine bound). Candidates = corpus rows sharing a (table, bucket) with
+    the query in ANY table; exact cosine re-ranks the candidates.
+
+    Physical plan: one broadcast (the d×(tables·planes) plane matrix — a
+    few KB), one Arrow pass per side to bucket, an equi-join on
+    (table, bucket), then the usual window top-k. The corpus is never
+    cross-joined; bucket sizes are ~n/2^planes per table, so the join is
+    O(n·tables) candidate generation exactly like ``minhash_lsh_neardup``.
+    Recall grows with n_tables, precision (candidate sparsity) with
+    n_planes.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    d = len(corpus.select(corpus_vec).first()[0])
+    planes = rng.standard_normal((n_tables, n_planes, d))
+    sc = corpus.sparkSession.sparkContext
+    bp = sc.broadcast(planes)
+
+    def bucketize(id_name: str, vec_name: str, out_vec: str):
+        out_schema = (f"{id_name} long, __table int, __bucket long, "
+                      f"{out_vec} array<double>")
+
+        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np  # noqa: F811 — worker-side
+            pl = bp.value
+            n_t, n_p, _ = pl.shape
+            weights = (1 << np.arange(n_p)).astype(np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_name].to_numpy(dtype=np.int64)
+                mat = np.array(list(pdf[vec_name]), dtype=np.float64)
+                frames = []
+                for t in range(n_t):
+                    bits = (mat @ pl[t].T) > 0  # (n, planes)
+                    buckets = bits @ weights
+                    frames.append(pd.DataFrame({
+                        id_name: ids, "__table": t, "__bucket": buckets,
+                        out_vec: list(mat),
+                    }))
+                yield pd.concat(frames, ignore_index=True)
+
+        return part, out_schema
+
+    qpart, qschema = bucketize("query_id", "__qv", "__qvec")
+    cpart, cschema = bucketize("vec_id", "__cv", "__cvec")
+    qb = (queries.select(F.col(query_id).alias("query_id"),
+                         F.col(query_vec).cast("array<double>").alias("__qv"))
+          .mapInPandas(qpart, schema=qschema))
+    cb = (spread(corpus.select(F.col(corpus_id).alias("vec_id"),
+                               F.col(corpus_vec).cast("array<double>").alias("__cv")),
+                 corpus_id)
+          .mapInPandas(cpart, schema=cschema))
+
+    cand = (
+        F.broadcast(qb).join(cb, ["__table", "__bucket"])
+        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn("distance", cosine_similarity("__qvec", "__cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").desc(),
+                                               F.col("vec_id").asc())
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vec_id", "distance")
+    )

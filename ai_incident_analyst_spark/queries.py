@@ -1178,6 +1178,18 @@ def window_functions(spark, sf_dir):
     )
 
 
+@q("knn_lsh_cosine", None,
+   doc="approximate cosine top-k via random-hyperplane LSH (n_tables hash "
+       "tables of n_planes sign bits; candidates bucket-joined, exact "
+       "cosine re-rank) — probabilistic, no SQL oracle; recall vs exact "
+       "asserted in tests/test_knn.py")
+def knn_lsh_cosine(spark, sf_dir):
+    from .operators.knn import lsh_cosine_knn_join
+    q_, c_ = _qc_split(spark, sf_dir)
+    return lsh_cosine_knn_join(q_, c_, k=5, n_planes=4, n_tables=16) \
+        .withColumn("distance", F.round("distance", 6))
+
+
 @q("skew_salted_agg", """
 SELECT event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
