@@ -94,6 +94,69 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(c)
 
 
+#: GPT-2-style pretokenizer, simplified to the subset expressible in BOTH
+#: Java regex (Spark) and RE2 (DuckDB oracle): contraction suffixes, then
+#: space-prefixed letter runs / digit runs / punctuation runs, then
+#: whitespace runs. (The original's \s+(?!\S) lookahead is RE2-hostile and
+#: only affects trailing-space token boundaries, not counts.)
+BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Token count under a BPE-style pretokenizer regex — the estimator
+    LLM-data pipelines use for budget accounting (whitespace counts
+    undercount punctuation-heavy text). Pure ``regexp_count``: JVM-side,
+    scan-speed."""
+    c = F.trim(_c(col))
+    return F.when(F.length(c) == 0, F.lit(0)) \
+        .otherwise(F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN)))
+
+
+def kgram_hashes(col: Column | str, k: int = 9) -> Column:
+    """64-bit rolling-window hashes of all character k-grams of the
+    normalized text (array<long>, position-ordered). Normalization =
+    casefold + collapse whitespace, so formatting edits don't shift grams.
+    """
+    c = F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
+    n = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.xxhash64(F.substring(c, i, F.lit(k))))
+
+
+def winnow_fingerprints(col: Column | str, k: int = 9, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS algorithm): slide a window of ``w`` consecutive k-gram hashes and
+    keep each window's minimum; distinct minima are the fingerprint set.
+    Guarantees any shared substring of length ≥ k+w−1 contributes at least
+    one shared fingerprint — the local-similarity detector that a whole-doc
+    hash (``fingerprint``) cannot provide. All higher-order expressions;
+    no Python boundary.
+
+    Physical note: the window minima are computed by folding ``w`` shifted
+    copies of the hash array with ``zip_with(…, least)``, NOT by a
+    ``transform`` whose lambda slices the array — an array expression
+    referenced inside a HOF lambda is re-evaluated per element (measured:
+    the naive form is O(n²) array builds per row and ~100× slower on
+    300-char docs; the fold evaluates the k-gram array w times total).
+    ``zip_with`` pads the shorter side with nulls and ``least`` skips
+    nulls, so the tail holds partial-window minima — sliced off to keep
+    exactly the m = n−w+1 full windows.
+    """
+    hashes = kgram_hashes(col, k)
+    n = F.size(hashes)
+    m = F.greatest(n - F.lit(w - 1), F.lit(0))
+    mins = hashes
+    for j in range(1, w):
+        shifted = F.slice(hashes, j + 1, F.greatest(n - j, F.lit(0)))
+        mins = F.zip_with(mins, shifted, lambda a, b: F.least(a, b))
+    wins = F.slice(mins, 1, m)
+    # degenerate short texts (< k chars): fall back to hashing the whole text
+    return F.when(n == 0,
+                  F.array(F.xxhash64(F.trim(_c(col))))) \
+        .when(m == 0, F.array(F.array_min(hashes))) \
+        .otherwise(F.array_distinct(wins))
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach all text-analysis columns at once."""
     return (

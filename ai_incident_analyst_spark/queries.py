@@ -1178,6 +1178,40 @@ def window_functions(spark, sf_dir):
     )
 
 
+@q("bpe_token_count", r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_extract_all(trim(text),
+                 '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'))
+       END AS n_bpe_tokens
+FROM documents
+""", doc="BPE-style pretokenizer token count (regexp_count, scan-speed) — "
+         "the LLM token-budget estimator; oracle runs the same RE2-safe "
+         "pattern through DuckDB regexp_extract_all")
+def q_bpe_token_count(spark, sf_dir):
+    from .operators.text_analysis import bpe_token_count
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", bpe_token_count("text").cast("long")
+                    .alias("n_bpe_tokens")))
+
+
+@q("winnow_fingerprint", None,
+   doc="winnowing rolling-hash fingerprints (MOSS, Schleimer et al. "
+       "SIGMOD'03): k-gram xxhash64 + window-min selection, all "
+       "higher-order exprs; xxhash64 isn't SQL-portable → rows-only; "
+       "value-level self-oracle in tests/test_text_analysis.py")
+def q_winnow_fingerprint(spark, sf_dir):
+    from .operators.text_analysis import winnow_fingerprints
+    from .operators.util import spread
+    fp = winnow_fingerprints("text", k=9, w=4)
+    return (spread(_t(spark, sf_dir, "documents"), "doc_id")
+            .select("doc_id", fp.alias("fp"))
+            .select("doc_id",
+                    F.size("fp").alias("n_fp"),
+                    F.array_min("fp").alias("fp_min"),
+                    F.array_max("fp").alias("fp_max")))
+
+
 @q("knn_lsh_cosine", None,
    doc="approximate cosine top-k via random-hyperplane LSH (n_tables hash "
        "tables of n_planes sign bits; candidates bucket-joined, exact "

@@ -51,3 +51,59 @@ def test_analyze_attaches_all(spark, sf_dir):
     out = analyze(docs)
     assert {"token_count", "quality", "lang_pred", "fingerprint"} <= set(out.columns)
     assert out.count() == 5
+
+
+def test_bpe_token_count_examples(spark):
+    from ai_incident_analyst_spark.operators.text_analysis import bpe_token_count
+    rows = spark.createDataFrame(
+        [("Hello world, it's 42 tokens!",), ("",), ("   ",), ("a.b,c",)],
+        "t string",
+    ).select(bpe_token_count("t").alias("n")).collect()
+    # "Hello"," world",","," it","'s"," 42"," tokens","!" -> 8
+    assert [r.n for r in rows] == [8, 0, 0, 5]
+
+
+def test_winnow_fingerprints_match_python_reference(spark, sf_dir):
+    """Value-level self-oracle: engine winnowing == reference winnowing
+    applied in Python to the engine's own k-gram hash arrays."""
+    from ai_incident_analyst_spark.operators.text_analysis import (
+        kgram_hashes,
+        winnow_fingerprints,
+    )
+    from ai_incident_analyst_spark.sources.tables import load_table
+
+    k, w = 9, 4
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    got = docs.select(
+        "doc_id",
+        kgram_hashes("text", k).alias("h"),
+        winnow_fingerprints("text", k, w).alias("fp"),
+    ).collect()
+    assert len(got) == 50
+    for r in got:
+        hashes = r.h
+        m = len(hashes) - w + 1
+        assert m > 0  # corpus texts are long enough for real windows
+        expect, seen = [], set()
+        for i in range(m):
+            v = min(hashes[i:i + w])
+            if v not in seen:
+                seen.add(v)
+                expect.append(v)
+        assert list(r.fp) == expect, r.doc_id
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any shared run of >= k+w-1 chars must yield a shared fingerprint."""
+    from pyspark.sql import functions as F
+
+    from ai_incident_analyst_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, "AAAA " + shared + " BBBB"), (2, "xyzzy " + shared + " qqqq")],
+        "id long, t string",
+    ).select("id", winnow_fingerprints("t", 9, 4).alias("fp"))
+    a, b = [set(r.fp) for r in df.orderBy("id").collect()]
+    assert a & b, "no shared fingerprint despite long shared substring"
