@@ -108,7 +108,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     sh = (
         spread(df, id_col)
         .select(F.col(id_col).alias("doc"), shingle(text_col, n).alias("sh"))
-        .select("doc", F.explode("sh").alias("s"))
+        .select("doc", F.explode("sh").alias("s0"))
+        # join on the 64-bit shingle hash, not the string: fixed-width keys
+        # shuffle less and probe faster; a cross-doc collision would need
+        # ~2^32 distinct shingles (birthday bound) to become likely
+        .select("doc", F.xxhash64("s0").alias("s"))
     )
     counts = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
