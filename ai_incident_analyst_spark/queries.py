@@ -1178,6 +1178,26 @@ def window_functions(spark, sf_dir):
     )
 
 
+@q("nrql_frontend", """
+SELECT event_id, event_type, value FROM events
+WHERE event_type = 'error'
+  AND ts >= TIMESTAMP '2024-03-01 00:00:00'
+  AND ts <= TIMESTAMP '2024-03-10 00:00:00'
+""", doc="S1/S3 string surface: the reference's NRQL dialect parsed by "
+         "plans/nrql.py into the same declarative plan (select + equality "
+         "+ absolute SINCE..UNTIL window), full pushdown preserved")
+def q_nrql_frontend(spark, sf_dir):
+    from .plans.nrql import run_nrql
+    ev = _t(spark, sf_dir, "events")
+    return run_nrql(
+        spark,
+        "SELECT `event_id`,`event_type`,`value` FROM events "
+        "WHERE `event_type` = 'error' "
+        "SINCE '2024-03-01 00:00:00' UNTIL '2024-03-10 00:00:00'",
+        {"events": ev},
+    )
+
+
 @q("bpe_token_count", r"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0

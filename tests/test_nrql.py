@@ -1,0 +1,103 @@
+"""NRQL string frontend: the reference's own query strings must parse and
+execute with the right semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_incident_analyst_spark.plans.nrql import parse_nrql, run_nrql
+
+# the exact default query the reference composes
+# (src/ingestion/new_relic_fetcher.py:72-80, config defaults :61-68)
+REFERENCE_DEFAULT = (
+    "SELECT `level`,`container_name`,`message`,`event`,`namespace_name` "
+    "FROM Log, Log_dev1 "
+    "WHERE `namespace_name` = 'betterworks-rainforest' "
+    "AND `message` NOT LIKE '%/health%' "
+    "AND `message` NOT LIKE '%HTTP/1.1%' "
+    "AND `container_name` LIKE '%conversations%' "
+    "AND `message` LIKE '%error%' "
+    "SINCE 24 hours ago LIMIT 1000"
+)
+
+# the probe query (new_relic_fetcher.py:11)
+REFERENCE_PROBE = "SELECT count(*) FROM Log SINCE 1 day ago LIMIT 1"
+
+# the main.py:25 rewritten window form
+REFERENCE_WINDOWED = (
+    "SELECT `level`,`message` FROM Log "
+    "WHERE `level` = 'error' "
+    "SINCE '2024-01-01 00:00:00' UNTIL '2024-01-02 00:00:00' LIMIT 1000"
+)
+
+
+def test_parse_reference_default_query():
+    p = parse_nrql(REFERENCE_DEFAULT)
+    assert p.select == ["level", "container_name", "message", "event",
+                        "namespace_name"]
+    assert p.tables == ["Log", "Log_dev1"]
+    assert ("namespace_name", "=", "betterworks-rainforest") in p.conds
+    assert ("message", "NOT LIKE", "%/health%") in p.conds
+    assert ("container_name", "LIKE", "%conversations%") in p.conds
+    assert len(p.conds) == 5
+    assert p.since == "24 hours ago" and p.until is None and p.limit == 1000
+
+
+def test_parse_probe_and_windowed():
+    p = parse_nrql(REFERENCE_PROBE)
+    assert p.is_count and p.tables == ["Log"] and p.limit == 1
+    w = parse_nrql(REFERENCE_WINDOWED)
+    assert w.since == "2024-01-01 00:00:00"
+    assert w.until == "2024-01-02 00:00:00"
+
+
+def _log_fixture(spark):
+    rows = [
+        ("error", "conversations-api", "db error: conn refused",
+         "evt", "betterworks-rainforest", "2024-01-01 10:00:00"),
+        ("info", "conversations-api", "GET /health ok",
+         "evt", "betterworks-rainforest", "2024-01-01 10:01:00"),
+        ("error", "billing", "timeout error", "evt",
+         "betterworks-rainforest", "2024-01-01 10:02:00"),   # container miss
+        ("error", "conversations-api", "error again", "evt",
+         "other-ns", "2024-01-01 10:03:00"),                  # namespace miss
+    ]
+    df = spark.createDataFrame(
+        rows, "level string, container_name string, message string, "
+              "event string, namespace_name string, ts string")
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_run_reference_default_semantics(spark):
+    logs = _log_fixture(spark)
+    now = F.to_timestamp(F.lit("2024-01-01 12:00:00"))
+    out = run_nrql(spark, REFERENCE_DEFAULT,
+                   {"Log": logs, "Log_dev1": logs.limit(0)}, now=now)
+    got = out.collect()
+    assert len(got) == 1
+    assert got[0].message == "db error: conn refused"
+    assert out.columns == ["level", "container_name", "message", "event",
+                           "namespace_name"]
+
+
+def test_run_count_probe(spark):
+    logs = _log_fixture(spark)
+    now = F.to_timestamp(F.lit("2024-01-01 12:00:00"))
+    out = run_nrql(spark, REFERENCE_PROBE, {"Log": logs}, now=now)
+    assert out.first()["count"] == 1  # LIMIT 1 applies before the count
+
+
+def test_run_absolute_window(spark):
+    logs = _log_fixture(spark)
+    out = run_nrql(spark, REFERENCE_WINDOWED, {"Log": logs})
+    assert {r.message for r in out.collect()} == {
+        "db error: conn refused", "timeout error", "error again"}
+
+
+def test_unknown_table_and_bad_syntax_raise(spark):
+    logs = _log_fixture(spark)
+    with pytest.raises(KeyError):
+        run_nrql(spark, "SELECT * FROM Nope", {"Log": logs})
+    with pytest.raises(ValueError):
+        parse_nrql("TOTALLY NOT NRQL")
+    with pytest.raises(ValueError):
+        parse_nrql("SELECT * FROM Log WHERE `a` > '3'")  # unsupported op
