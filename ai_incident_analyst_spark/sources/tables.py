@@ -70,6 +70,44 @@ def union_tables(*dfs: DataFrame) -> DataFrame:
     return out
 
 
+def tolerant_timestamp(col) -> F.Column:
+    """F8/F13 tolerant parser for the reference's dynamic timestamp field,
+    which arrives as int epoch OR ISO-8601 string depending on the source
+    (``integration_tests/test_preprocessing_to_embedding.py:10`` vs
+    ``test_embedding_to_llm.py:13``). Strings parse via try_to_timestamp
+    (null, not error, on garbage); digit runs are interpreted by magnitude
+    as seconds / millis / micros since epoch.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.trim(c.cast("string"))
+    digits = s.rlike("^[0-9]+$")
+    num = s.cast("long")
+    return F.when(
+        digits,
+        F.when(F.length(s) >= 16, F.timestamp_micros(num))
+         .when(F.length(s) >= 13, F.timestamp_millis(num))
+         .otherwise(F.timestamp_seconds(num)),
+    ).otherwise(F.try_to_timestamp(s))
+
+
+def normalize_log_records(df: DataFrame, ts_col: str = "timestamp",
+                          message_col: str = "message") -> DataFrame:
+    """Ingest normalization with the reference preprocessor's semantics
+    (``preprocessor.py:17-25``): non-string/None messages coerced to
+    string/"" and the dynamic timestamp parsed to a real TimestampType
+    (the reference stringifies instead; canonical typing is the Spark-side
+    upgrade, SURVEY §1.3).
+    """
+    out = df
+    if message_col in df.columns:
+        out = out.withColumn(
+            message_col,
+            F.coalesce(F.col(message_col).cast("string"), F.lit("")))
+    if ts_col in df.columns:
+        out = out.withColumn(ts_col, tolerant_timestamp(ts_col))
+    return out
+
+
 def register_views(spark: SparkSession, sf_dir: str,
                    names: list[str] | None = None) -> None:
     """Register temp views so operators can also be driven via spark.sql."""

@@ -67,3 +67,28 @@ def test_events_ts_microsecond_exact(spark, sf_dir):
         f"SELECT max(ts) FROM '{sf_dir}/events.parquet'").fetchone()[0]
     got = ev.agg(F.max("ts")).first()[0]
     assert got == expect.replace(tzinfo=None)
+
+
+def test_tolerant_timestamp_mixed_formats(spark):
+    """The reference's own fixture shapes: int epoch seconds
+    (test_preprocessing_to_embedding.py) vs ISO strings
+    (test_embedding_to_llm.py), plus millis/micros and garbage."""
+    from ai_incident_analyst_spark.sources.tables import normalize_log_records
+
+    df = spark.createDataFrame(
+        [("1700000000", None),               # epoch seconds as string
+         ("1700000000123", "boom"),          # epoch millis
+         ("1700000000123456", 17),           # epoch micros; non-str message
+         ("2024-01-02 03:04:05", "ok"),      # ISO
+         ("not a time", "x")],               # garbage -> null, no error
+        "timestamp string, message string")
+    out = normalize_log_records(df).collect()
+    assert [str(r.timestamp) for r in out] == [
+        "2023-11-14 22:13:20",
+        "2023-11-14 22:13:20.123000",
+        "2023-11-14 22:13:20.123456",
+        "2024-01-02 03:04:05",
+        "None",
+    ]
+    # message coercion: None -> "", everything else stringified
+    assert [r.message for r in out] == ["", "boom", "17", "ok", "x"]
