@@ -59,3 +59,19 @@ def test_topk_per_group_is_single_shuffle(spark, sf_dir):
 def test_dedup_keep_first_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_keep_first")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_knn_is_broadcast_nested_loop_not_shuffled_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "knn_l2")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan  # shuffled cartesian = corpus shuffle
+
+
+def test_fuzzy_dedup_plans_never_cartesian(spark, sf_dir):
+    """LSH/banding exists precisely to avoid the all-pairs join; if a
+    refactor reintroduces a cartesian product these become O(n^2)."""
+    for name in ("minhash_lsh_neardup", "simhash_neardup",
+                 "ngram_jaccard_pairs"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
