@@ -1020,8 +1020,12 @@ def q_asof_join(spark, sf_dir):
 @q("sessionize", """
 WITH s AS (
   SELECT user_id, ts, event_id,
-         CASE WHEN lag(epoch(ts)::BIGINT) OVER w IS NULL
-                OR epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT) OVER w > 3600
+         -- floor, not ::BIGINT: DuckDB's double->bigint cast ROUNDS
+         -- fractional seconds while Spark's timestamp->long TRUNCATES;
+         -- boundary gaps flip sessions without the floor (seen at sf0.1)
+         CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 3600
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
