@@ -1182,6 +1182,83 @@ def window_functions(spark, sf_dir):
     )
 
 
+@q("funnel_conversion", """
+WITH u AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'signup')   AS first_signup,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) FILTER (WHERE first_signup IS NOT NULL) AS n_signed_up,
+       count(*) FILTER (WHERE first_signup IS NOT NULL
+                          AND first_purchase > first_signup) AS n_converted
+FROM u
+""", doc="funnel analysis: signup -> later purchase per user; one shuffle "
+         "(user groupBy with min-FILTER partials), then a global agg")
+def funnel_conversion(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+         .alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+         .alias("first_purchase"),
+    )
+    return u.agg(
+        F.count(F.when(F.col("first_signup").isNotNull(), 1))
+         .alias("n_signed_up"),
+        F.count(F.when(F.col("first_signup").isNotNull()
+                       & (F.col("first_purchase") > F.col("first_signup")), 1))
+         .alias("n_converted"),
+    )
+
+
+@q("cohort_retention", """
+WITH first_day AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+)
+SELECT f.cohort_day,
+       datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first_day f USING (user_id)
+WHERE datediff('day', f.cohort_day, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
+GROUP BY f.cohort_day, day_offset
+""", doc="cohort retention: users active N days after their first-seen day "
+         "— first-touch agg + broadcast-back join + distinct count")
+def cohort_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day"))
+    off = F.datediff(F.to_date("ts"), F.col("cohort_day"))
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .withColumn("day_offset", off.cast("long"))
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@q("rolling_range_window", """
+SELECT user_id, event_id,
+       count(*) OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS events_last_hour
+FROM events WHERE user_id < 100
+""", doc="RANGE-frame window (time-based trailing 1h count) — the frame "
+         "family rowsBetween can't express; both engines order by floored "
+         "epoch seconds (cast-vs-round parity, cf. sessionize oracle)")
+def rolling_range_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("long"))
+         .rangeBetween(-3600, Window.currentRow))
+    return ev.select(
+        "user_id", "event_id",
+        F.count("*").over(w).alias("events_last_hour"),
+    )
+
+
 @q("nrql_frontend", """
 SELECT event_id, event_type, value FROM events
 WHERE event_type = 'error'
