@@ -100,6 +100,45 @@ def extract_features(df: DataFrame, dim: int = 32, fake: bool = True) -> DataFra
     return df.select("media_id", "content").mapInPandas(part, schema=out_schema)
 
 
+def resize_media(df: DataFrame, width: int = 224, height: int = 224,
+                 fake: bool = True) -> DataFrame:
+    """Image resize stage: binary in → binary out with updated metadata.
+
+    Real implementation decodes with PIL per Arrow batch, resizes, and
+    re-encodes; the fake produces a deterministic pseudo-payload of the
+    target pixel-buffer size (sha256-keyed stream, so identical inputs
+    resize identically — content-hash dedup still works downstream).
+    Output schema mirrors the input media table: the stage is
+    composable before ``extract_features``.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; use fake=True")
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ])
+    target = width * height * 3  # RGB pixel-buffer size stand-in
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for blob in pdf["content"]:
+                h = hashlib.sha256(blob or b"").digest()
+                outs.append((h * (target // len(h) + 1))[:target])
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": outs,
+                "width": width,
+                "height": height,
+            })
+
+    return df.select("media_id", "content").mapInPandas(part, schema=out_schema)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
     """Video frame-sampling stage (UDTF-shaped: 1 row → N frame rows).
 

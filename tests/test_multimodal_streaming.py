@@ -92,3 +92,27 @@ def test_streaming_windowed_counts(spark):
         rows = {str(r.window_start)[:10]: r["count"]
                 for r in spark.sql("SELECT * FROM swc").collect()}
         assert rows == {"2024-01-01": 3, "2024-01-02": 1}
+
+
+def test_resize_media_shapes_and_determinism(spark, sf_dir):
+    from ai_incident_analyst_spark.operators.multimodal import (
+        make_media_table,
+        resize_media,
+    )
+    from ai_incident_analyst_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(8)
+    media = make_media_table(docs, "doc_id", "text")
+    out = resize_media(media, width=16, height=16).collect()
+    assert len(out) == 8
+    assert all(len(r.content) == 16 * 16 * 3 for r in out)
+    assert all((r.width, r.height) == (16, 16) for r in out)
+    # deterministic: same payload -> same resized bytes
+    again = resize_media(media, width=16, height=16).collect()
+    assert {r.media_id: bytes(r.content) for r in out} == \
+           {r.media_id: bytes(r.content) for r in again}
+    # composes with the feature extractor
+    from ai_incident_analyst_spark.operators.multimodal import extract_features
+    feats = extract_features(
+        resize_media(media, width=16, height=16), dim=8).collect()
+    assert all(len(r.features) == 8 for r in feats)
