@@ -353,3 +353,72 @@ def embedding_cosine_neardup(df: DataFrame, id_col: str, vec_col: str,
 
     base = spread(df.select(F.col(id_col).alias("id")), "id")
     return base.mapInPandas(part, schema="id_a long, id_b long, cosine double")
+
+
+def embedding_cosine_neardup_blocked(df: DataFrame, id_col: str, vec_col: str,
+                                     threshold: float = 0.9,
+                                     n_blocks: int = 4) -> DataFrame:
+    """Exact cosine near-dup pairs WITHOUT any driver collect/broadcast —
+    the 100 TB path when the corpus matrix exceeds driver memory.
+
+    Triangle block-join: rows hash into ``n_blocks`` blocks by id; each
+    unordered block pair (i ≤ j) becomes one group key, each row is
+    replicated to the ≤ n_blocks pairs that contain its block, and
+    ``applyInPandas`` computes the (i-side × j-side) BLAS cosine inside
+    each group, emitting id_a < id_b pairs above threshold. Shuffle volume
+    is n_blocks× the corpus (vs. the broadcast variant's 1× + driver
+    matrix); work is the same O(n²/2) flops spread over B(B+1)/2
+    independent groups — size n_blocks so one block pair fits an
+    executor. Identical results to ``embedding_cosine_neardup``.
+    """
+    from typing import Iterator  # noqa: F401
+
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    b = F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int")
+    tagged = rows.withColumn("__b", b)
+
+    # replicate: a row in block x participates in pairs (min(x,o), max(x,o))
+    # for every other block o — emitted once per pair
+    pairs = F.array(*[
+        F.struct(F.least(F.col("__b"), F.lit(o)).alias("pi"),
+                 F.greatest(F.col("__b"), F.lit(o)).alias("pj"))
+        for o in range(n_blocks)
+    ])
+    exploded = (
+        tagged.withColumn("__p", F.explode(F.array_distinct(pairs)))
+        .select("id", "v", "__b",
+                F.col("__p.pi").alias("pi"), F.col("__p.pj").alias("pj"))
+    )
+
+    def per_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        pi, pj = int(pdf["pi"].iloc[0]), int(pdf["pj"].iloc[0])
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        blocks = pdf["__b"].to_numpy()
+        if pi == pj:
+            sims = mat @ mat.T
+            mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+            ai, bi = np.nonzero(mask)
+            return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi],
+                                 "cosine": sims[ai, bi]})
+        li, ri = blocks == pi, blocks == pj
+        sims = mat[li] @ mat[ri].T
+        lids, rids = ids[li], ids[ri]
+        mask = sims >= threshold
+        ai, bi = np.nonzero(mask)
+        a, c = lids[ai], rids[bi]
+        lo, hi = np.minimum(a, c), np.maximum(a, c)
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "cosine": sims[ai, bi]})
+
+    return (
+        exploded.groupBy("pi", "pj")
+        .applyInPandas(per_pair, schema="id_a long, id_b long, cosine double")
+    )

@@ -79,7 +79,7 @@ def test_minhash_lsh_finds_neardups(spark):
     pairs = {(r.id_a, r.id_b): r.est_jaccard
              for r in minhash_lsh_neardup(df, "doc_id", "text",
                                           num_perm=64, bands=16,
-                                          threshold=0.5).collect()}
+                                          threshold=0.25).collect()}
     assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dups
     assert (0, 1) in pairs  # one-word-changed near-dup (true jaccard ~0.6)
     assert all(p != (0, 2) and p != (2, 3) for p in pairs)  # unrelated
@@ -110,3 +110,25 @@ def test_simhash_neardup_blocking_complete(spark):
             if bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1") <= max_h:
                 expect.add((a, b))
         assert got == expect
+
+
+def test_blocked_cosine_neardup_equals_broadcast_variant(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ai_incident_analyst_spark.operators.dedup import (
+        embedding_cosine_neardup,
+        embedding_cosine_neardup_blocked,
+    )
+    from ai_incident_analyst_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {(r.id_a, r.id_b): round(r.cosine, 9)
+         for r in embedding_cosine_neardup(emb, "vec_id", "embedding",
+                                           threshold=0.25).collect()}
+    b = {(r.id_a, r.id_b): round(r.cosine, 9)
+         for r in embedding_cosine_neardup_blocked(
+             emb, "vec_id", "embedding",
+             threshold=0.25, n_blocks=3).collect()}
+    assert a.keys() == b.keys() and len(a) > 0
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9
