@@ -1182,6 +1182,55 @@ def window_functions(spark, sf_dir):
     )
 
 
+@q("late_shipment_priority", """
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o.o_orderpriority
+""", doc="TPC-H Q4 shape: big-to-big LEFT SEMI join (orders ⋉ lineitem "
+         "with a cross-table predicate) + group-count — the fact-fact "
+         "join pattern that bucketing co-locates at scale")
+def late_shipment_priority(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@q("small_quantity_revenue", """
+WITH p AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE)
+         AS avg_yearly
+FROM lineitem l JOIN p ON l.l_partkey = p.l_partkey
+WHERE l.l_quantity < 0.4 * p.avg_qty
+""", doc="TPC-H Q17 shape: per-key aggregate joined back to the same fact "
+         "(self-referential big join); decimal sum for FP-order parity")
+def small_quantity_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(p, "l_partkey")
+        .filter(F.col("l_quantity") < 0.4 * F.col("avg_qty"))
+        .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / 7.0)
+             .cast("double").alias("avg_yearly"))
+    )
+
+
 @q("funnel_conversion", """
 WITH u AS (
   SELECT user_id,
