@@ -42,6 +42,15 @@ HEADLINE = [
     "sessionize",
     "window_functions",
     "skew_salted_agg",
+    "bpe_token_count",
+    "winnow_fingerprint",
+    "funnel_conversion",
+    "cohort_retention",
+    "rolling_range_window",
+    "late_shipment_priority",
+    "small_quantity_revenue",
+    "knn_lsh_cosine",
+    "nrql_frontend",
 ]
 
 
