@@ -66,6 +66,46 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     )
 
 
+def range_join(left: DataFrame, right: DataFrame,
+               left_ts: str, right_start: str, right_end: str,
+               key: str | None = None,
+               bucket_seconds: int = 600) -> DataFrame:
+    """Interval join: each left row (point ``left_ts``) matched to every
+    right row whose ``[right_start, right_end]`` interval contains it
+    (inclusive bounds), optionally also equi-keyed on ``key``.
+
+    A naive formulation is a non-equi (cross or key-only) join that
+    Spark plans as BroadcastNestedLoop/Cartesian — O(|L|·|R|) compares.
+    Here both sides are blocked onto a time grid: the point side lands in
+    one bucket, the interval side explodes into the buckets it overlaps,
+    and the join becomes a plain equi-join on (key, bucket) refined by the
+    exact containment predicate — shuffle-partitionable, AQE-skew-
+    splittable, no NL join. Each (left, interval) pair meets in exactly
+    one bucket (the point's), so no post-join dedup is needed.
+
+    Pick ``bucket_seconds`` near the median interval length: the explode
+    factor is ~(interval_len / bucket_seconds) + 1 per right row, while
+    larger buckets raise false-candidate compares. Both columns of the
+    trade-off are linear, so the choice is robust within ~10×.
+    """
+    bs = F.lit(bucket_seconds)
+    l = left.withColumn("__bkt",
+                        F.floor(F.col(left_ts).cast("long") / bs))
+    r = (
+        right.filter(F.col(right_end) >= F.col(right_start))
+        .withColumn("__bkt", F.explode(F.sequence(
+            F.floor(F.col(right_start).cast("long") / bs),
+            F.floor(F.col(right_end).cast("long") / bs))))
+    )
+    on = ["__bkt"] + ([key] if key else [])
+    return (
+        l.join(r, on)
+        .filter((F.col(left_ts) >= F.col(right_start))
+                & (F.col(left_ts) <= F.col(right_end)))
+        .drop("__bkt")
+    )
+
+
 def sessionize(df: DataFrame, key: str, ts_col: str = "ts",
                gap_seconds: int = 1800,
                order_tiebreak: str | None = None) -> DataFrame:

@@ -1438,3 +1438,166 @@ def nested_history_roundtrip(spark, sf_dir):
         .select("event_type", F.col("s.event_id").alias("event_id"),
                 F.col("s.props").alias("props"))
     )
+
+
+# ===========================================================================
+# TPC-H decorrelation shapes (Q13/Q15/Q18/Q22) + interval join
+# ===========================================================================
+
+@q("customer_order_distribution", """
+WITH c AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM c GROUP BY c_count
+""", doc="TPC-H Q13 shape: outer join with join-side predicate, two-level "
+         "aggregation (per-customer count, then distribution of counts)")
+def customer_order_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@q("top_supplier_revenue", """
+WITH r AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,4))) AS rev
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_rev
+FROM supplier JOIN r ON s_suppkey = l_suppkey
+WHERE rev = (SELECT max(rev) FROM r)
+""", doc="TPC-H Q15 shape: per-supplier revenue, then equality with the "
+         "global max (decorrelated scalar subquery -> broadcast 1-row join). "
+         "Decimal x decimal keeps the sum FP-order-independent so the max "
+         "equality is exact on both engines")
+def top_supplier_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+              * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+        .alias("rev"))
+    mx = rev.agg(F.max("rev").alias("__mx"))
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(mx))
+        .filter(F.col("rev") == F.col("__mx"))
+        .select("s_suppkey", "s_name",
+                F.col("rev").cast("double").alias("total_rev"))
+    )
+
+
+@q("large_orders", """
+WITH t AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT c.c_name, o.o_orderkey, o.o_orderpriority,
+       CAST(t.sum_qty AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN t ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE t.sum_qty > 150
+""", doc="TPC-H Q18 shape: HAVING-style threshold on a per-order aggregate "
+         "joined back to orders + customer (group-filter-join chain)")
+def large_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    t = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .join(t, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(_t(spark, sf_dir, "customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", "o_orderpriority",
+                F.col("sum_qty").cast("double").alias("sum_qty"))
+    )
+
+
+@q("idle_customer_balance", """
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name AS nation, COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c JOIN nation ON c_nationkey = n_nationkey, pos
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos.n > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY n_name
+""", doc="TPC-H Q22 shape: above-average filter + anti join + broadcast dim "
+         "rollup. The avg comparison is cross-multiplied (bal*n > sum) so no "
+         "division ever happens: decimal integer math, identical on both "
+         "engines, no FP boundary flips")
+def idle_customer_balance(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    pos = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("__s"),
+             F.count("*").alias("__n"))
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.join(F.broadcast(pos))
+        .filter(F.col("c_acctbal").cast("decimal(18,2)") * F.col("__n")
+                > F.col("__s"))
+        .join(urgent, "c_custkey", "left_anti")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_cust"),
+             F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+              .cast("double").alias("total_bal"))
+    )
+
+
+@q("interval_join_events", """
+SELECT l.event_id AS purchase_id, r.event_id AS error_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.event_type = 'error' AND l.event_type = 'purchase'
+ AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 60 MINUTE
+""", doc="interval/range join via operators.temporal.range_join: purchases "
+         "within 60 min after an error by the same user. Grid-bucketed "
+         "equi-join + exact refine instead of the O(L*R) nested-loop plan "
+         "a non-equi join would get")
+def interval_join_events(spark, sf_dir):
+    from .operators.temporal import range_join
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", "ts")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"), "user_id",
+                F.col("ts").alias("win_start"),
+                (F.col("ts") + F.expr("INTERVAL 60 MINUTES")).alias("win_end"))
+    )
+    return (
+        range_join(purchases, errors, "ts", "win_start", "win_end",
+                   key="user_id", bucket_seconds=600)
+        .select("purchase_id", "error_id")
+    )

@@ -51,6 +51,9 @@ HEADLINE = [
     "small_quantity_revenue",
     "knn_lsh_cosine",
     "nrql_frontend",
+    "customer_order_distribution",
+    "large_orders",
+    "interval_join_events",
 ]
 
 

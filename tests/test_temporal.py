@@ -3,7 +3,7 @@
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from ai_incident_analyst_spark.operators.temporal import asof_join, sessionize
+from ai_incident_analyst_spark.operators.temporal import asof_join, range_join, sessionize
 
 
 def _ts_df(spark, rows, cols):
@@ -68,3 +68,42 @@ def test_sessionize_boundary_exact_gap_is_same_session(spark):
            for r in sessionize(df, "u", "ts", gap_seconds=1800,
                                order_tiebreak="i").collect()}
     assert out == {1: 1, 2: 1, 3: 2}
+
+
+def test_range_join_matches_naive_nonequi(spark):
+    import random
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(i, rng.randint(1, 5), rng.randint(0, 100_000)) for i in range(300)],
+        "lid long, k long, pt long",
+    ).select("lid", "k", F.timestamp_seconds("pt").alias("ts"))
+    right_raw = [(i, rng.randint(1, 5), rng.randint(0, 100_000),
+                  rng.randint(0, 5000)) for i in range(120)]
+    right = spark.createDataFrame(
+        right_raw, "rid long, k long, s long, dur long",
+    ).select("rid", "k", F.timestamp_seconds("s").alias("win_start"),
+             F.timestamp_seconds(F.col("s") + F.col("dur")).alias("win_end"))
+
+    got = {(r.lid, r.rid)
+           for r in range_join(left, right, "ts", "win_start", "win_end",
+                               key="k", bucket_seconds=600).collect()}
+    naive = {(r.lid, r.rid)
+             for r in left.join(
+                 right,
+                 (left.k == right.k)
+                 & (left.ts >= right.win_start)
+                 & (left.ts <= right.win_end)).collect()}
+    assert got == naive and len(got) > 0
+
+
+def test_range_join_no_nested_loop_plan(spark):
+    left = spark.range(10).select(
+        F.col("id").alias("lid"), (F.col("id") % 3).alias("k"),
+        F.timestamp_seconds(F.col("id") * 100).alias("ts"))
+    right = spark.range(5).select(
+        F.col("id").alias("rid"), (F.col("id") % 3).alias("k"),
+        F.timestamp_seconds(F.col("id") * 100).alias("win_start"),
+        F.timestamp_seconds(F.col("id") * 100 + 500).alias("win_end"))
+    joined = range_join(left, right, "ts", "win_start", "win_end", key="k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
