@@ -422,3 +422,84 @@ def embedding_cosine_neardup_blocked(df: DataFrame, id_col: str, vec_col: str,
         exploded.groupBy("pi", "pj")
         .applyInPandas(per_pair, schema="id_a long, id_b long, cosine double")
     )
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Group near-dup *pairs* into clusters: hash-min label propagation
+    over the undirected edge list, returning ``(node, cluster_id)`` where
+    ``cluster_id`` is the smallest node id in the component (deterministic).
+    Nodes are exactly those appearing in an edge.
+
+    Each round is one equi-join (send every node's current label to its
+    neighbors) plus one min-aggregation — two keyed shuffles, no driver
+    data. ``localCheckpoint`` truncates lineage per round so the plan stays
+    O(1) instead of growing into an un-analyzable tree. Converges in
+    O(component diameter) rounds; near-dup graphs are bucket-clique-shaped
+    (diameter ≲ 4), so 3-5 rounds in practice. For adversarial long-chain
+    graphs the alternating large/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") drops this to
+    O(log² n); not needed for dedup workloads.
+
+    The reference dedups only on exact keys (src/preprocessing/
+    preprocessor.py:30-42); transitive near-dup clustering is the
+    training-pipeline extension.
+    """
+    sym = (
+        edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+        .union(edges.select(F.col(dst).cast("long").alias("u"),
+                            F.col(src).cast("long").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min(F.least(F.col("u"), F.col("v"))).alias("label"))
+    )
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .select("u", "label")
+        )
+        new = (
+            msgs.union(labels)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()  # eager: materialize + cut lineage
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "u")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"),
+                         F.col("label").alias("cluster_id"))
+
+
+def dedup_canonical(docs: DataFrame, clusters: DataFrame, id_col: str,
+                    order_col: str) -> DataFrame:
+    """Pick one survivor per near-dup cluster: the row with the largest
+    ``order_col`` (ties → smallest id, deterministic). Docs absent from
+    ``clusters`` are singletons and survive as their own cluster.
+
+    Plan: broadcast-or-shuffle left join docs→clusters (clusters is tiny
+    relative to the corpus — only docs that had a near-dup pair), then one
+    window top-1 per cluster. This is the standard "quality-max survivor"
+    rule of LLM-corpus dedup pipelines.
+    """
+    with_cluster = (
+        docs.join(clusters.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("cluster_id",
+                    F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc())
+    return (
+        with_cluster.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

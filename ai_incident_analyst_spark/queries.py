@@ -1347,19 +1347,17 @@ def q_bpe_token_count(spark, sf_dir):
 
 @q("winnow_fingerprint", None,
    doc="winnowing rolling-hash fingerprints (MOSS, Schleimer et al. "
-       "SIGMOD'03): k-gram xxhash64 + window-min selection, all "
-       "higher-order exprs; xxhash64 isn't SQL-portable → rows-only; "
-       "value-level self-oracle in tests/test_text_analysis.py")
+       "SIGMOD'03): k-gram xxhash64 + window-min. Relational plan "
+       "(posexplode + frame-min window, fully codegen'd) — 9x the "
+       "interpreted HOF-array form at sf0.1; xxhash64 isn't SQL-portable "
+       "→ rows-only; value-level self-oracle + HOF-equivalence test in "
+       "tests/test_text_analysis.py")
 def q_winnow_fingerprint(spark, sf_dir):
-    from .operators.text_analysis import winnow_fingerprints
+    from .operators.text_analysis import winnow_fingerprint_stats
     from .operators.util import spread
-    fp = winnow_fingerprints("text", k=9, w=4)
-    return (spread(_t(spark, sf_dir, "documents"), "doc_id")
-            .select("doc_id", fp.alias("fp"))
-            .select("doc_id",
-                    F.size("fp").alias("n_fp"),
-                    F.array_min("fp").alias("fp_min"),
-                    F.array_max("fp").alias("fp_max")))
+    return winnow_fingerprint_stats(
+        spread(_t(spark, sf_dir, "documents"), "doc_id"), "doc_id", "text",
+        k=9, w=4)
 
 
 @q("knn_lsh_cosine", None,
@@ -1600,4 +1598,71 @@ def interval_join_events(spark, sf_dir):
         range_join(purchases, errors, "ts", "win_start", "win_end",
                    key="user_id", bucket_seconds=600)
         .select("purchase_id", "error_id")
+    )
+
+
+_NGRAM_PAIRS_CTES = r"""
+sh AS (
+  SELECT doc_id AS doc, unnest(list_distinct([
+    array_to_string(toks[i:i+2], ' ')
+    for i in range(1, greatest(len(toks) - 2, 0) + 1)
+  ])) AS s
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents)
+), counts AS (
+  SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc
+), common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN counts ca ON ca.doc = id_a
+  JOIN counts cb ON cb.doc = id_b
+  WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.12
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), labels AS (
+  SELECT u, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)"""
+
+
+@q("neardup_clusters", f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES}
+SELECT u AS node, cluster_id FROM labels
+""", doc="transitive near-dup clustering: n-gram Jaccard pairs -> "
+         "connected components (hash-min label propagation, lineage-"
+         "truncated per round). Oracle is a DuckDB recursive-CTE "
+         "transitive closure — a genuinely iterative distributed "
+         "algorithm with an exact SQL twin")
+def q_neardup_clusters(spark, sf_dir):
+    from .operators.dedup import connected_components
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+    return connected_components(pairs, "id_a", "id_b")
+
+
+@q("dedup_survivors", f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES}
+SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.u
+QUALIFY row_number() OVER (
+  PARTITION BY coalesce(l.cluster_id, d.doc_id)
+  ORDER BY d.n_chars DESC, d.doc_id ASC) = 1
+""", doc="end-to-end corpus dedup: cluster near-dups, keep the longest "
+         "doc per cluster (ties -> smallest id); singletons survive as "
+         "their own cluster")
+def q_dedup_survivors(spark, sf_dir):
+    from .operators.dedup import connected_components, dedup_canonical
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+    clusters = connected_components(pairs, "id_a", "id_b")
+    return (
+        dedup_canonical(docs, clusters, "doc_id", "n_chars")
+        .select("doc_id", "cluster_id", "n_chars")
     )

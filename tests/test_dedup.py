@@ -132,3 +132,36 @@ def test_blocked_cosine_neardup_equals_broadcast_variant(spark, sf_dir):
     assert a.keys() == b.keys() and len(a) > 0
     for k in a:
         assert abs(a[k] - b[k]) < 1e-9
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Hash-min CC must traverse a long chain (worst-case diameter) and a
+    clique, labeling each component by its minimum node id."""
+    from ai_incident_analyst_spark.operators.dedup import connected_components
+    chain = [(i, i + 1) for i in range(10, 20)]          # component min=10
+    clique = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+    iso = [(100, 101)]
+    edges = spark.createDataFrame(chain + clique + iso, "id_a long, id_b long")
+    got = {r.node: r.cluster_id
+           for r in connected_components(edges).collect()}
+    assert all(got[i] == 10 for i in range(10, 21))
+    assert all(got[i] == 1 for i in (1, 2, 3))
+    assert got[100] == got[101] == 100
+    assert 50 not in got  # nodes not in any edge aren't emitted
+
+
+def test_dedup_canonical_survivor_rule(spark):
+    """Longest doc per cluster survives; ties break to smallest id;
+    unclustered docs survive as their own singleton cluster."""
+    from ai_incident_analyst_spark.operators.dedup import (
+        connected_components,
+        dedup_canonical,
+    )
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (9, 50)],
+        "doc_id long, n_chars long")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    clusters = connected_components(edges)
+    out = {r.doc_id: r.cluster_id
+           for r in dedup_canonical(docs, clusters, "doc_id", "n_chars").collect()}
+    assert out == {2: 1, 9: 9}  # 2 wins 300-tie over 3; 9 is a singleton

@@ -107,3 +107,35 @@ def test_winnow_shared_substring_guarantee(spark):
     ).select("id", winnow_fingerprints("t", 9, 4).alias("fp"))
     a, b = [set(r.fp) for r in df.orderBy("id").collect()]
     assert a & b, "no shared fingerprint despite long shared substring"
+
+
+def test_winnow_stats_matches_hof_form(spark):
+    """The relational (posexplode + window-min) fast path must produce
+    byte-identical stats to the HOF-array formulation, including the
+    normalization (casefold + whitespace collapse) and both degenerate
+    branches (text < k chars; fewer than w k-grams)."""
+    from pyspark.sql import functions as F
+
+    from ai_incident_analyst_spark.operators.text_analysis import (
+        winnow_fingerprint_stats,
+        winnow_fingerprints,
+    )
+    rows = [
+        (1, "The quick   Brown fox JUMPS over the lazy dog repeatedly."),
+        (2, "the quick brown fox jumps over the lazy dog repeatedly."),
+        (3, "short"),                       # < k chars -> whole-text hash
+        (4, "exactly9!"),                   # 1 k-gram, < w windows
+        (5, "twelve chars"),                # few k-grams, < w windows
+        (6, ""),                            # empty
+        (7, "  \t  "),                      # blank after trim
+        (8, "a much longer document " * 20),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints("text", k=9, w=4)
+    hof = df.select(
+        "doc_id", F.size(fp).alias("n_fp"),
+        F.array_min(fp).alias("fp_min"), F.array_max(fp).alias("fp_max"))
+    fast = winnow_fingerprint_stats(df, "doc_id", "text", k=9, w=4)
+    h = {r.doc_id: (r.n_fp, r.fp_min, r.fp_max) for r in hof.collect()}
+    f_ = {r.doc_id: (r.n_fp, r.fp_min, r.fp_max) for r in fast.collect()}
+    assert h == f_
