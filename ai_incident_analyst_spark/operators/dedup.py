@@ -30,19 +30,6 @@ from pyspark.sql import functions as F
 from .util import spread
 
 
-def _balanced(terms: list[Column], op) -> Column:
-    """Combine ``terms`` with ``op`` as a balanced tree.
-
-    A left-nested 64-deep chain makes Janino's whole-stage-codegen compile
-    take seconds (measured ~3 s at depth 64); depth-6 balanced trees compile
-    in milliseconds and produce the same value for associative ops.
-    """
-    while len(terms) > 1:
-        terms = [op(terms[j], terms[j + 1]) if j + 1 < len(terms) else terms[j]
-                 for j in range(0, len(terms), 2)]
-    return terms[0]
-
-
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -175,16 +162,18 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     the min-aggregation is map-side combinable, so the shuffle carries only
     num_perm longs per doc regardless of document size.
     """
-    # min over a multiset == min over the set: skip the distinct shuffle
+    # min over a multiset == min over the set: skip the distinct shuffle.
+    # Expressions built as SQL strings: one py4j parse call each instead
+    # of 3+ Column-API calls — fresh-plan construction cost for the 64
+    # aggregates drops from ~1 s of py4j chatter to ~50 ms.
     exploded = shingle_rows(df, id_col, text_col, n, distinct=False)
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
+    aggs = [F.expr(f"min(xxhash64({i}, s))").alias(f"h{i}")
+            for i in range(num_perm)]
     sig = exploded.groupBy("doc").agg(*aggs)
     return sig.select(
-        "doc", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
-    )
+        "doc",
+        F.expr("array(" + ", ".join(f"h{i}" for i in range(num_perm)) + ")")
+        .alias("sig"))
 
 
 def minhash_lsh_neardup(df: DataFrame, id_col: str, text_col: str,
@@ -207,10 +196,9 @@ def minhash_lsh_neardup(df: DataFrame, id_col: str, text_col: str,
     r = num_perm // bands
     sig = minhash_signature(df, id_col, text_col, num_perm, n)
 
-    band_arr = F.array(*[
-        F.xxhash64(F.lit(b), *[F.col("sig")[b * r + j] for j in range(r)])
-        for b in range(bands)
-    ])
+    band_arr = F.expr("array(" + ", ".join(
+        f"xxhash64({b}, " + ", ".join(f"sig[{b * r + j}]" for j in range(r)) + ")"
+        for b in range(bands)) + ")")
     # posexplode gives (band_idx, bucket_hash); pairs dedup'd across bands
     buckets = sig.select(
         "doc", "sig", F.posexplode(band_arr).alias("band_idx", "bucket")
@@ -267,24 +255,27 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
     ).withColumn("h", F.xxhash64("t"))
-    packs = []
-    for p in range(16):
-        terms = [
-            F.shiftleft(F.shiftright(F.col("h"), p + 16 * k).bitwiseAND(F.lit(1)),
-                        16 * k)
-            for k in range(4)
-        ]
-        packs.append(F.sum(_balanced(terms, lambda a, b: a + b)).alias(f"p{p}"))
+    # SQL-string expressions: one py4j parse per aggregate instead of ~12
+    # Column-API round-trips — fresh-plan build drops ~1 s (see minhash)
+    packs = [
+        F.expr("sum(" + " + ".join(
+            f"shiftleft(shiftright(h, {p + 16 * k}) & 1, {16 * k})"
+            for k in range(4)) + ")").alias(f"p{p}")
+        for p in range(16)
+    ]
     agg = toks.groupBy("doc").agg(F.count("*").alias("n"), *packs)
-    bits = []
-    for p in range(16):
-        for k in range(4):
-            cnt = F.shiftright(F.col(f"p{p}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
-            # bit is 1 iff 2*count(bit set) > n_tokens (votes sum positive)
-            bits.append(F.shiftleft((cnt * 2 > F.col("n")).cast("long"), p + 16 * k))
-    # disjoint bit positions: XOR == OR == +
-    fp = _balanced(bits, lambda a, b: a.bitwiseXOR(b))
-    return agg.select("doc", fp.alias("simhash"))
+    # bit is 1 iff 2*count(bit set) > n_tokens (votes sum positive);
+    # disjoint bit positions: XOR == OR == +. Balanced tree, not a
+    # 64-deep chain — Janino compile time explodes on deep left-nesting
+    bits = [
+        f"shiftleft(cast((shiftright(p{p}, {16 * k}) & 65535) * 2 > n"
+        f" as long), {p + 16 * k})"
+        for p in range(16) for k in range(4)
+    ]
+    while len(bits) > 1:
+        bits = [f"({bits[i]} ^ {bits[i + 1]})" if i + 1 < len(bits) else bits[i]
+                for i in range(0, len(bits), 2)]
+    return agg.select("doc", F.expr(bits[0]).alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
