@@ -1,0 +1,97 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+``df.sample()`` is seed-dependent per partition-split and not reproducible
+across cluster layouts or engines — useless for auditable corpus
+construction. Everything here derives the sampling decision from a hash of
+a stable row key, so the sample is (a) identical on every run, cluster
+size, and engine (md5 is bit-identical in Spark and DuckDB — each query
+has an exact SQL oracle), (b) a pure narrow filter: no shuffle, pushes
+down past column pruning, scan-speed at 100 TB, and (c) stable under
+incremental appends — a row's membership never changes when other rows
+arrive, which is what makes hash-sampling the standard for dataset
+versioning (cf. the fixed "holdout by hash of id" idiom in public ML
+pipelines).
+
+The uniformity argument: md5's hex digest is uniform over [0, 16^32); the
+first 8 hex chars compared lexicographically against the hex encoding of
+``fraction * 16^8`` is an exact Bernoulli(fraction) draw at 2^-32
+granularity.
+
+The reference has no sampling at all (its LIMIT 1000 is a head-slice,
+``new_relic_fetcher.py:79``); this is north-star pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Uniform [0, 1) bucket for a row key: first 8 md5 hex chars as a
+    fraction. ``salt`` decorrelates independent sampling decisions made
+    on the same key (e.g. sampling vs train/test split)."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(float(16 ** 8))
+
+
+def _hex_threshold(fraction: float) -> str:
+    """8-hex-char threshold t such that P(md5_prefix < t) == fraction
+    (at 2^-32 granularity), for lexicographic comparison."""
+    return format(max(0, min(int(fraction * 16 ** 8), 16 ** 8 - 1)), "08x")
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float,
+                salt: str = "") -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose salted md5 prefix
+    falls below the fraction threshold. Narrow filter, no shuffle."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return df.filter(F.substring(h, 1, 8) < _hex_threshold(fraction))
+
+
+def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
+                      fractions: dict[str, float], default: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Per-stratum deterministic sampling rates (e.g. downsample dominant
+    languages, keep all of rare ones) — the corpus-balancing primitive.
+    Still a pure narrow filter: the stratum→threshold map compiles into a
+    CASE expression, no join, no shuffle."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8)
+    thr = F.lit(_hex_threshold(default))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == stratum,
+                     F.lit(_hex_threshold(frac))).otherwise(thr)
+    return df.filter(h < thr)
+
+
+def train_test_split(df: DataFrame, key_col: str, test_fraction: float,
+                     salt: str = "split") -> DataFrame:
+    """Add a ``split`` column ('test' below the hash threshold, else
+    'train'). Membership is a function of the key alone: appending new
+    data never migrates an existing row across the split — the property
+    that makes hash splits safe for longitudinal evals."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8)
+    return df.withColumn(
+        "split",
+        F.when(h < _hex_threshold(test_fraction), F.lit("test"))
+        .otherwise(F.lit("train")))
+
+
+def weighted_interleave(sources: list[tuple[DataFrame, float]],
+                        key_col: str, salt: str = "mix") -> DataFrame:
+    """Mix corpora at given sampling weights (each in (0, 1]): per-source
+    deterministic downsample, then union. The standard "data mixture"
+    step (e.g. oversampled high-quality sources) expressed as filters +
+    unionByName — every branch stays a narrow scan; Spark unions are
+    metadata-only (no shuffle, no materialization).
+    """
+    parts = []
+    for i, (df, w) in enumerate(sources):
+        part = df if w >= 1.0 else hash_sample(df, key_col, w, f"{salt}{i}")
+        parts.append(part.withColumn("source_idx", F.lit(i)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

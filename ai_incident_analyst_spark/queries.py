@@ -1666,3 +1666,79 @@ def q_dedup_survivors(spark, sf_dir):
         dedup_canonical(docs, clusters, "doc_id", "n_chars")
         .select("doc_id", "cluster_id", "n_chars")
     )
+
+
+# ===========================================================================
+# deterministic sampling (training-data pipeline surface)
+# ===========================================================================
+
+@q("sample_by_hash", """
+SELECT lang, count(*) AS n_docs FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+GROUP BY lang
+""", doc="deterministic Bernoulli sample (md5 hex-prefix threshold): "
+         "reproducible across runs/engines/cluster layouts, pure narrow "
+         "filter — no shuffle, no seed state. Oracle-exact because md5 "
+         "is bit-identical in Spark and DuckDB")
+def q_sample_by_hash(spark, sf_dir):
+    from .operators.sampling import hash_sample
+    return (
+        hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.25)
+        .groupBy("lang").agg(F.count("*").alias("n_docs"))
+    )
+
+
+@q("stratified_sample", """
+SELECT lang, count(*) AS n_docs FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN lang = 'en' THEN '33333333'
+           WHEN lang = 'fr' THEN '80000000'
+           ELSE 'ffffffff' END
+GROUP BY lang
+""", doc="per-stratum deterministic sampling rates (downsample dominant "
+         "en to 20%, fr to 50%, keep the rest) — corpus rebalancing as a "
+         "CASE-threshold narrow filter, no join/shuffle")
+def q_stratified_sample(spark, sf_dir):
+    from .operators.sampling import stratified_sample
+    return (
+        stratified_sample(_t(spark, sf_dir, "documents"), "doc_id", "lang",
+                          {"en": 0.2, "fr": 0.5}, default=1.0)
+        .groupBy("lang").agg(F.count("*").alias("n_docs"))
+    )
+
+
+@q("train_test_split", """
+SELECT split, lang, count(*) AS n_docs FROM (
+  SELECT lang,
+         CASE WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '33333333'
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents) GROUP BY split, lang
+""", doc="hash-keyed train/test split: membership depends only on the "
+         "key, so appends never migrate rows across the split")
+def q_train_test_split(spark, sf_dir):
+    from .operators.sampling import train_test_split
+    return (
+        train_test_split(_t(spark, sf_dir, "documents"), "doc_id", 0.2)
+        .groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+    )
+
+
+@q("weighted_interleave", """
+SELECT source_idx, count(*) AS n_docs FROM (
+  SELECT 0 AS source_idx FROM documents WHERE source = 'src0'
+  UNION ALL
+  SELECT 1 FROM documents
+  WHERE lang = 'en'
+    AND substring(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc'
+) GROUP BY source_idx
+""", doc="corpus mixture: per-source deterministic downsample + "
+         "metadata-only unionByName (every branch a narrow scan)")
+def q_weighted_interleave(spark, sf_dir):
+    from .operators.sampling import weighted_interleave
+    docs = _t(spark, sf_dir, "documents")
+    mixed = weighted_interleave(
+        [(docs.filter(F.col("source") == "src0"), 1.0),
+         (docs.filter(F.col("lang") == "en"), 0.3)],
+        "doc_id")
+    return mixed.groupBy("source_idx").agg(F.count("*").alias("n_docs"))

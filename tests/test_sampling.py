@@ -1,0 +1,70 @@
+"""Deterministic sampling: reproducibility, append-stability, accuracy."""
+
+from pyspark.sql import functions as F
+
+from ai_incident_analyst_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+    train_test_split,
+    weighted_interleave,
+)
+
+
+def test_hash_sample_deterministic_and_accurate(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "k")
+    a = {r.k for r in hash_sample(df, "k", 0.3).collect()}
+    b = {r.k for r in hash_sample(df, "k", 0.3).collect()}
+    assert a == b  # bit-identical across runs
+    # binomial(20k, 0.3): 3-sigma ≈ 195
+    assert abs(len(a) - 6000) < 400
+
+
+def test_hash_sample_append_stable(spark):
+    """A row's membership never changes when the table grows."""
+    small = spark.range(1_000).withColumnRenamed("id", "k")
+    big = spark.range(5_000).withColumnRenamed("id", "k")
+    s_small = {r.k for r in hash_sample(small, "k", 0.5).collect()}
+    s_big = {r.k for r in hash_sample(big, "k", 0.5).collect()}
+    assert s_small == {k for k in s_big if k < 1_000}
+
+
+def test_hash_sample_salt_decorrelates(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    a = {r.k for r in hash_sample(df, "k", 0.5, salt="a").collect()}
+    b = {r.k for r in hash_sample(df, "k", 0.5, salt="b").collect()}
+    overlap = len(a & b) / 10_000
+    assert 0.2 < overlap < 0.3  # independent draws: E[overlap] = 0.25
+
+
+def test_stratified_rates(spark):
+    df = spark.range(30_000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g"))
+    out = stratified_sample(df, "k", "g", {"0": 0.1, "1": 0.9}, default=0.0)
+    counts = {r.g: r.n for r in
+              out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["0"] - 1000) < 200
+    assert abs(counts["1"] - 9000) < 300
+    assert "2" not in counts  # default 0.0 drops the stratum
+
+
+def test_train_test_split_partition(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    out = train_test_split(df, "k", 0.2)
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["test"] + counts["train"] == 10_000
+    assert abs(counts["test"] - 2000) < 250
+    # independent of the sampling decision for the same key (different salt)
+    sampled = {r.k for r in hash_sample(df, "k", 0.2).collect()}
+    test_keys = {r.k for r in out.filter("split = 'test'").collect()}
+    overlap = len(sampled & test_keys) / 10_000
+    assert 0.02 < overlap < 0.06  # ~0.04 if independent, 0.2 if correlated
+
+
+def test_weighted_interleave_no_shuffle(spark):
+    df = spark.range(1_000).withColumnRenamed("id", "k")
+    mixed = weighted_interleave([(df, 1.0), (df, 0.5)], "k")
+    n = mixed.count()
+    assert abs(n - 1500) < 100
+    plan = mixed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # mixture is scans + union only
