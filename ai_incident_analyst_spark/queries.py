@@ -1742,3 +1742,69 @@ def q_weighted_interleave(spark, sf_dir):
          (docs.filter(F.col("lang") == "en"), 0.3)],
         "doc_id")
     return mixed.groupBy("source_idx").agg(F.count("*").alias("n_docs"))
+
+
+@q("tfidf_top_terms", """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+)
+SELECT doc_id, term, tf.tf, df.df,
+       round(CAST(tf.tf AS DOUBLE) / df.df, 6) AS score
+FROM tf JOIN df USING (term)
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, term ASC) <= 3
+""", doc="tf-idf-style term salience: explode tokens, per-doc tf, corpus "
+         "df, top-3 per doc. Score is df-normalized tf (tf/df) rather "
+         "than tf*ln(N/df): same per-doc ordering as linear-idf, but "
+         "IEEE division is bit-identical across engines while libm ln "
+         "can differ in the last ulp and flip top-k boundary ranks. "
+         "Plan: one explode + two keyed aggs + broadcast-ish df join + "
+         "one window — the df side is tiny (vocab), so at 100 TB the "
+         "join broadcasts and the only big shuffles are the two aggs")
+def q_tfidf_top_terms(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.util import spread
+    toks = spread(docs, "doc_id").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("doc_id", "term", "tf", "df",
+                F.round(F.col("tf").cast("double") / F.col("df"), 6)
+                .alias("score"))
+    )
+
+
+@q("doc_quantile_bins", """
+SELECT bin, count(*) AS n_docs, min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM (SELECT ntile(4) OVER (ORDER BY n_chars, doc_id) AS bin, n_chars
+      FROM documents)
+GROUP BY bin
+""", doc="quantile binning (ntile) for length-balanced corpus batching; "
+         "tie-broken by doc_id so bin assignment is total-order "
+         "deterministic on both engines. NOTE an unpartitioned window is "
+         "a single-task sort — exact ntile is for report-sized outputs; "
+         "the 100 TB path is approx_percentile boundaries + a range "
+         "filter join (see value_percentiles / value_histogram)")
+def q_doc_quantile_bins(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        docs.select(F.ntile(4).over(w).alias("bin"), "n_chars")
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_docs"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"))
+    )

@@ -58,3 +58,41 @@ def streaming_history_sink(stream: DataFrame, path: str, checkpoint: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer
+
+
+def streaming_interval_join(left: DataFrame, right: DataFrame,
+                            key: str, left_ts: str = "ts",
+                            right_ts: str = "ts",
+                            within: str = "1 hour",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join: left events matched to right events on
+    ``key`` with ``right.ts <= left.ts <= right.ts + within`` — the
+    streaming analog of ``operators.temporal.range_join`` (e.g. purchases
+    within an hour after an error by the same user, correlated live).
+
+    Both sides carry watermarks and the join condition bounds the event-
+    time range in BOTH directions, which is what lets Spark evict join
+    state: each side's buffered rows are dropped once the other side's
+    watermark passes the range bound, so state is O(rate × within), not
+    unbounded. Without the range condition a stream-stream join must keep
+    every row forever — the canonical OOM-at-scale mistake.
+    """
+    lts, rts = f"__l_{left_ts}", f"__r_{right_ts}"
+    l = (left.withColumnRenamed(left_ts, lts)
+         .withColumnRenamed(key, "__l_key")
+         .withWatermark(lts, watermark))
+    r = (right.withColumnRenamed(right_ts, rts)
+         .withColumnRenamed(key, "__r_key")
+         .withWatermark(rts, watermark))
+    cond = (
+        (F.col("__l_key") == F.col("__r_key"))
+        & (F.col(lts) >= F.col(rts))
+        & (F.col(lts) <= F.col(rts) + F.expr(f"INTERVAL {within}"))
+    )
+    return (
+        l.join(r, cond, "inner")
+        .withColumnRenamed("__l_key", key)
+        .withColumnRenamed(lts, left_ts)
+        .withColumnRenamed(rts, f"right_{right_ts}")
+        .drop("__r_key")
+    )

@@ -116,3 +116,27 @@ def test_resize_media_shapes_and_determinism(spark, sf_dir):
     feats = extract_features(
         resize_media(media, width=16, height=16), dim=8).collect()
     assert all(len(r.features) == 8 for r in feats)
+
+
+def test_streaming_interval_join(spark):
+    from ai_incident_analyst_spark.streaming.pipeline import streaming_interval_join
+    with tempfile.TemporaryDirectory() as tmp:
+        errors = spark.createDataFrame([
+            Row(ts="2024-01-01 10:00:00", user="u1", eid=1),
+            Row(ts="2024-01-01 12:00:00", user="u2", eid=2),
+        ]).select(F.to_timestamp("ts").alias("ts"), "user", "eid")
+        purchases = spark.createDataFrame([
+            Row(ts="2024-01-01 10:30:00", user="u1", pid=10),  # within 1h of eid 1
+            Row(ts="2024-01-01 09:00:00", user="u1", pid=11),  # before error: no
+            Row(ts="2024-01-01 13:30:00", user="u2", pid=12),  # 1.5h after: no
+        ]).select(F.to_timestamp("ts").alias("ts"), "user", "pid")
+        errors.write.parquet(f"{tmp}/err")
+        purchases.write.parquet(f"{tmp}/pur")
+        es = spark.readStream.schema(errors.schema).parquet(f"{tmp}/err")
+        ps = spark.readStream.schema(purchases.schema).parquet(f"{tmp}/pur")
+        out = streaming_interval_join(ps, es, key="user", within="1 hour")
+        q = (out.writeStream.format("memory").queryName("sij")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        rows = [(r.pid, r.eid) for r in spark.sql("SELECT * FROM sij").collect()]
+        assert rows == [(10, 1)]
