@@ -15,6 +15,21 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     no-op, so no extra 100 TB shuffle is introduced.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    if key_cols:
+        # keyed spread: always repartition — the co-partitioning is the
+        # point (downstream groupBy/window on the key reuses it). A
+        # round-robin repartition already in the plan (load_table's
+        # single-file compensation) is collapsed away by Catalyst's
+        # CollapseRepartition, so this does not stack two shuffles.
+        return df.repartition(target, *key_cols)
+    try:
+        # cheap short-circuit: sources.tables.load_table already inserts a
+        # repartition for big single-file inputs; the df.rdd partition
+        # probe below costs ~0.2 s of plan analysis per query build
+        if "Repartition" in df._jdf.queryExecution().logical().toString():
+            return df
+    except Exception:
+        pass
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+        return df.repartition(target)
     return df

@@ -47,10 +47,39 @@ def _normalize(name: str, df: DataFrame) -> DataFrame:
     return df
 
 
+#: fact/corpus tables whose downstream stages are CPU-bound: a single-file
+#: single-row-group parquet gives them a one-core scan, so they're
+#: repartitioned right after load. Dimension tables (region/nation/
+#: customer/supplier/part) stay as-is — they broadcast, and an exchange
+#: before a BroadcastExchange is pure overhead. Checked with one os.stat;
+#: a partition-count probe via df.rdd costs ~0.2 s of plan analysis per
+#: query build. Real multi-split tables skip this entirely.
+_SPREAD_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+_SPREAD_MIN_BYTES = 128 << 10
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table with canonical types."""
+    """Load one testdata table with canonical types.
+
+    A big single-file input (testdata layout) is spread across the
+    session's default parallelism right after the scan: the narrow scan
+    itself can't parallelize past the file's one row group, and every
+    downstream CPU-bound stage would otherwise run single-threaded. On a
+    real date-partitioned 100 TB table the path has many files and no
+    repartition is added.
+    """
     apply_runtime_confs(spark)
-    return _normalize(name, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = _normalize(name, spark.read.parquet(path))
+    try:
+        single_big_file = (
+            name in _SPREAD_TABLES and os.path.isfile(path)
+            and os.path.getsize(path) >= _SPREAD_MIN_BYTES)
+    except OSError:
+        single_big_file = False
+    if single_big_file:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str,
