@@ -10,17 +10,28 @@ mapped declaratively — no string surgery downstream, and the time-window
 
 Dialect (the subset the reference emits, exactly):
 
-    SELECT `c1`,`c2` | count(*) | *
+    SELECT `c1`,`c2` | * | agg[, agg …]      -- agg: count(*) | count(c) |
+                                             --   sum(c) | average(c) |
+                                             --   min(c) | max(c) |
+                                             --   uniqueCount(c)
     FROM Table[, Table2 …]
     [WHERE `col` = 'v' [AND `col` != 'v'] [AND `col` LIKE '%x%']
                        [AND `col` NOT LIKE '%y%'] …]       -- AND-only
+    [FACET `c1`[, `c2` …]]
     [SINCE <n> <unit> ago | SINCE '<ts>']
     [UNTIL '<ts>']
     [LIMIT n]
+    [TIMESERIES <n> <unit>]
 
-Not supported (the reference never emits them): OR, grouping parens,
-FACET/TIMESERIES, quoted strings containing the literal words SINCE/UNTIL/
-LIMIT. Parsing is case-insensitive for keywords, preserving for values.
+The reference emits only the first three clause groups plus SINCE/UNTIL/
+LIMIT (``new_relic_fetcher.py:70-80``); FACET/TIMESERIES cover the
+dashboard's group-count metrics (``app.py:22-33``) in the same dialect a
+New Relic user would write them. ``sum``/``average`` aggregate through
+DECIMAL(27,4) and cast back to double: exact, order-insensitive results
+(a straight double sum varies with partition merge order). Not
+supported: OR, grouping parens, nested functions, quoted strings
+containing the literal clause keywords. Keywords are case-insensitive;
+values are preserved.
 """
 
 from __future__ import annotations
@@ -38,12 +49,21 @@ _CLAUSES = re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)"
     r"\s+FROM\s+(?P<tables>.+?)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
-    r"(?:\s+SINCE\s+(?P<since>(?:'[^']*')|(?:.+?(?=\s+UNTIL\s|\s+LIMIT\s|$))))?"
+    r"(?:\s+FACET\s+(?P<facet>.+?))?"
+    r"(?:\s+SINCE\s+(?P<since>(?:'[^']*')|(?:.+?(?=\s+UNTIL\s|\s+LIMIT\s|\s+TIMESERIES\s|$))))?"
     r"(?:\s+UNTIL\s+(?P<until>(?:'[^']*')|\S+))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
+    r"(?:\s+TIMESERIES\s+(?P<timeseries>\d+\s+\w+?))?"
     r"\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+#: NRQL aggregate → (spark builder, output column namer)
+_AGG_FNS = {
+    "count", "sum", "average", "min", "max", "uniquecount",
+}
+_AGG = re.compile(
+    r"^(?P<fn>\w+)\s*\(\s*(?P<arg>\*|`?\w+`?)\s*\)$")
 
 _COND = re.compile(
     r"^\s*`?(?P<col>\w+)`?\s+"
@@ -55,13 +75,16 @@ _COND = re.compile(
 
 @dataclass
 class ParsedNRQL:
-    select: list[str]          # [] means count(*) probe; ["*"] means all
+    select: list[str]          # [] means aggregate query; ["*"] means all
     tables: list[str]
     conds: list[tuple[str, str, str]]  # (col, OP, value), OP uppercased
     since: str | None
     until: str | None
     limit: int | None = None
     is_count: bool = field(default=False)
+    aggs: list[tuple[str, str]] = field(default_factory=list)  # (fn, arg)
+    facet: list[str] = field(default_factory=list)
+    timeseries: str | None = None   # "<n> <unit>" bucket width
 
 
 def parse_nrql(query: str) -> ParsedNRQL:
@@ -69,15 +92,28 @@ def parse_nrql(query: str) -> ParsedNRQL:
     if not m:
         raise ValueError(f"unparseable NRQL: {query!r}")
     sel_raw = m.group("select").strip()
-    is_count = bool(re.fullmatch(r"count\s*\(\s*\*\s*\)", sel_raw, re.I))
-    if is_count:
+    sel_parts = [c.strip() for c in sel_raw.split(",")]
+    aggs: list[tuple[str, str]] = []
+    if sel_raw != "*" and all(_AGG.match(p) for p in sel_parts):
+        for p in sel_parts:
+            am = _AGG.match(p)
+            fn = am.group("fn").lower()
+            if fn not in _AGG_FNS:
+                raise ValueError(f"unsupported NRQL function: {p!r}")
+            aggs.append((fn, am.group("arg").strip("`")))
+    is_count = aggs == [("count", "*")]
+    if aggs:
         select: list[str] = []
     elif sel_raw == "*":
         select = ["*"]
     else:
-        select = [c.strip().strip("`") for c in sel_raw.split(",")]
+        select = [c.strip().strip("`") for c in sel_parts]
 
     tables = [t.strip().strip("`") for t in m.group("tables").split(",")]
+    facet = ([c.strip().strip("`") for c in m.group("facet").split(",")]
+             if m.group("facet") else [])
+    if facet and not aggs:
+        raise ValueError("FACET requires an aggregate SELECT")
 
     conds: list[tuple[str, str, str]] = []
     if m.group("where"):
@@ -98,8 +134,35 @@ def parse_nrql(query: str) -> ParsedNRQL:
         select=select, tables=tables, conds=conds,
         since=_unquote(m.group("since")), until=_unquote(m.group("until")),
         limit=int(m.group("limit")) if m.group("limit") else None,
-        is_count=is_count,
+        is_count=is_count, aggs=aggs, facet=facet,
+        timeseries=(re.sub(r"\s+", " ", m.group("timeseries").strip())
+                    if m.group("timeseries") else None),
     )
+
+
+def _agg_expr(fn: str, arg: str) -> tuple[str, F.Column]:
+    if fn == "count":
+        name = "count" if arg == "*" else f"count_{arg}"
+        return name, (F.count("*") if arg == "*" else F.count(arg))
+    if fn == "uniquecount":
+        return f"uniquecount_{arg}", F.countDistinct(arg)
+    if fn == "sum":
+        # DECIMAL(27,4) accumulate: order-insensitive exact sum (a double
+        # sum's value depends on partition merge order), double on output
+        return f"sum_{arg}", (F.sum(F.col(arg).cast("decimal(27,4)"))
+                              .cast("double"))
+    if fn == "average":
+        # exact decimal sum, then ONE double division: IEEE division is
+        # bit-identical across engines, while decimal division rounds at
+        # an engine-chosen result scale (Spark picked 6 fractional digits
+        # here vs DuckDB's 10 — observed value drift at the 7th digit)
+        return f"average_{arg}", ((F.sum(F.col(arg).cast("decimal(27,4)"))
+                                   .cast("double")) / F.count(arg))
+    if fn == "min":
+        return f"min_{arg}", F.min(arg)
+    if fn == "max":
+        return f"max_{arg}", F.max(arg)
+    raise ValueError(f"unsupported NRQL function: {fn}")
 
 
 def run_nrql(spark: SparkSession, query: str,
@@ -134,9 +197,27 @@ def run_nrql(spark: SparkSession, query: str,
         lq = lq.until(p.until, now=now)
     if p.select and p.select != ["*"]:
         lq = lq.select(*p.select)
-    if p.limit is not None:
+    if p.limit is not None and not p.aggs:
         lq = lq.limit(p.limit)
     out = lq.df()
-    if p.is_count:
-        out = out.agg(F.count("*").alias("count"))
+    if p.aggs:
+        exprs = [_agg_expr(fn, arg) for fn, arg in p.aggs]
+        keys: list = [F.col(c) for c in p.facet]
+        if p.timeseries:
+            # epoch-aligned tumbling bucket (Spark window origin 1970-01-01)
+            keys.append(F.window(F.col(ts_col), p.timeseries).alias("__win"))
+        if keys:
+            out = out.groupBy(*keys).agg(
+                *[c.alias(n) for n, c in exprs])
+            head = [F.col(c) for c in p.facet]
+            if p.timeseries:
+                head.append(F.col("__win.start").alias("bucket_start"))
+            out = out.select(*head, *[F.col(n) for n, _ in exprs])
+        else:
+            out = out.agg(*[c.alias(n) for n, c in exprs])
+        # NRQL LIMIT on a faceted query caps the number of groups; without
+        # an ORDER the cap is arbitrary — callers wanting determinism sort
+        # the returned frame
+        if p.limit is not None:
+            out = out.limit(p.limit)
     return out

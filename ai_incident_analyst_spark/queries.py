@@ -1311,8 +1311,8 @@ def rolling_range_window(spark, sf_dir):
 @q("nrql_frontend", """
 SELECT event_id, event_type, value FROM events
 WHERE event_type = 'error'
-  AND ts >= TIMESTAMP '2024-03-01 00:00:00'
-  AND ts <= TIMESTAMP '2024-03-10 00:00:00'
+  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
 """, doc="S1/S3 string surface: the reference's NRQL dialect parsed by "
          "plans/nrql.py into the same declarative plan (select + equality "
          "+ absolute SINCE..UNTIL window), full pushdown preserved")
@@ -1323,7 +1323,7 @@ def q_nrql_frontend(spark, sf_dir):
         spark,
         "SELECT `event_id`,`event_type`,`value` FROM events "
         "WHERE `event_type` = 'error' "
-        "SINCE '2024-03-01 00:00:00' UNTIL '2024-03-10 00:00:00'",
+        "SINCE '2024-01-10 00:00:00' UNTIL '2024-01-20 00:00:00'",
         {"events": ev},
     )
 
@@ -1808,3 +1808,45 @@ def q_doc_quantile_bins(spark, sf_dir):
              F.min("n_chars").alias("min_chars"),
              F.max("n_chars").alias("max_chars"))
     )
+
+
+@q("nrql_facet", """
+SELECT event_type, count(*) AS count,
+       count(DISTINCT user_id) AS uniquecount_user_id
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+GROUP BY event_type
+""", doc="NRQL FACET surface: the dashboard's group-count metrics "
+         "(app.py:22-33) written as the NRQL a New Relic user would "
+         "run, parsed by plans/nrql.py into a groupBy plan")
+def q_nrql_facet(spark, sf_dir):
+    from .plans.nrql import run_nrql
+    ev = _t(spark, sf_dir, "events")
+    return run_nrql(
+        spark,
+        "SELECT count(*), uniqueCount(user_id) FROM events "
+        "FACET `event_type` SINCE '2024-01-05 00:00:00'",
+        {"events": ev})
+
+
+@q("nrql_timeseries", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+       count(*) AS count,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) / count(value)
+         AS average_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+""", doc="NRQL TIMESERIES surface: tumbling epoch-aligned day buckets "
+         "(Spark window origin 1970-01-01 == DuckDB date_trunc for whole "
+         "days); average = exact decimal sum then one IEEE double "
+         "division, so the value is partition-order-independent and "
+         "engine-exact")
+def q_nrql_timeseries(spark, sf_dir):
+    from .plans.nrql import run_nrql
+    ev = _t(spark, sf_dir, "events")
+    return run_nrql(
+        spark,
+        "SELECT count(*), average(value) FROM events "
+        "WHERE `event_type` = 'purchase' TIMESERIES 1 day",
+        {"events": ev})
