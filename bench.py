@@ -54,6 +54,12 @@ HEADLINE = [
     "customer_order_distribution",
     "large_orders",
     "interval_join_events",
+    "neardup_clusters",
+    "dedup_survivors",
+    "tfidf_top_terms",
+    "nrql_facet",
+    "nrql_timeseries",
+    "sample_by_hash",
 ]
 
 
