@@ -474,7 +474,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         sym.groupBy("u")
         .agg(F.min(F.least(F.col("u"), F.col("v"))).alias("label"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = (
             sym.join(labels.withColumnRenamed("u", "v"), "v")
             .select("u", "label")
@@ -485,6 +485,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             .agg(F.min("label").alias("label"))
             .localCheckpoint()  # eager: materialize + cut lineage
         )
+        if it == 0:
+            # round 1 always changes something when edges exist — skip
+            # the convergence probe (a join + count job) for that round
+            labels = new
+            continue
         changed = (
             new.join(labels.withColumnRenamed("label", "old"), "u")
             .filter(F.col("label") != F.col("old"))

@@ -1850,3 +1850,101 @@ def q_nrql_timeseries(spark, sf_dir):
         "SELECT count(*), average(value) FROM events "
         "WHERE `event_type` = 'purchase' TIMESERIES 1 day",
         {"events": ev})
+
+
+# ===========================================================================
+# end-to-end corpus-construction pipeline (operator composition)
+# ===========================================================================
+
+@q("corpus_pipeline", r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text, lang, n_chars FROM documents WHERE lang IN ('en', 'de')
+), qm AS (
+  SELECT doc_id, lower(trim(text)) AS c FROM base
+), qs AS (
+  SELECT doc_id,
+         round((
+           (CASE WHEN n_tok > 0 AND CAST(n_chars AS DOUBLE)/n_tok BETWEEN 3 AND 12
+                 THEN 1.0 ELSE 0.0 END)
+           + least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0, 1.0)
+           + CASE WHEN n_chars > 0 THEN CAST(n_alnum AS DOUBLE)/n_chars ELSE 0.0 END
+         ) / 3.0, 6) AS quality
+  FROM (
+    SELECT doc_id, length(c) AS n_chars,
+           CASE WHEN length(c) = 0 THEN 0
+                ELSE len(string_split_regex(c, '\s+')) END AS n_tok,
+           len(list_filter(string_split_regex(c, '\s+'),
+                           t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop,
+           length(regexp_replace(c, '[^a-z0-9]', '', 'g')) AS n_alnum
+    FROM qm)
+), keep AS (
+  SELECT b.doc_id, b.text, b.lang, b.n_chars
+  FROM base b JOIN qs ON b.doc_id = qs.doc_id WHERE qs.quality >= 0.5
+), sh AS (
+  SELECT doc_id AS doc, unnest(list_distinct([
+    array_to_string(toks[i:i+2], ' ')
+    for i in range(1, greatest(len(toks) - 2, 0) + 1)
+  ])) AS s
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM keep)
+), counts AS (
+  SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc
+), common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN counts ca ON ca.doc = id_a JOIN counts cb ON cb.doc = id_b
+  WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.12
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u
+), labels AS (
+  SELECT u, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+), surv AS (
+  SELECT k.doc_id, k.text, k.lang
+  FROM keep k LEFT JOIN labels l ON k.doc_id = l.u
+  QUALIFY row_number() OVER (
+    PARTITION BY coalesce(l.cluster_id, k.doc_id)
+    ORDER BY k.n_chars DESC, k.doc_id ASC) = 1
+)
+SELECT split, lang, count(*) AS n_docs, sum(n_bpe) AS total_tokens
+FROM (
+  SELECT lang,
+         CASE WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '33333333' THEN 'test' ELSE 'train' END AS split,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_extract_all(trim(text),
+                   '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'))
+         END AS n_bpe
+  FROM surv)
+GROUP BY split, lang
+""", doc="end-to-end corpus construction, every stage an engine operator: "
+         "language gate -> quality filter (rounded threshold so the FP "
+         "boundary can't flip between engines) -> near-dup clustering "
+         "(connected components) -> longest-survivor selection -> hash "
+         "train/test split -> per-split BPE token budget. The oracle "
+         "composes the same stages as one recursive-CTE SQL query")
+def q_corpus_pipeline(spark, sf_dir):
+    from .operators.dedup import connected_components, dedup_canonical
+    from .operators.sampling import train_test_split
+    from .operators.text_analysis import bpe_token_count, quality_score
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin("en", "de"))
+        .select("doc_id", "text", "lang", "n_chars")
+    )
+    keep = base.filter(F.round(quality_score("text"), 6) >= 0.5)
+    pairs = ngram_jaccard_pairs(keep, "doc_id", "text", n=3, threshold=0.12)
+    clusters = connected_components(pairs, "id_a", "id_b")
+    surv = dedup_canonical(keep, clusters, "doc_id", "n_chars")
+    split = train_test_split(surv, "doc_id", 0.2)
+    return (
+        split.groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(bpe_token_count("text")).alias("total_tokens"))
+    )
