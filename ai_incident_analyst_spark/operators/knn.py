@@ -193,7 +193,8 @@ def lsh_cosine_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
                         n_planes: int = 12, n_tables: int = 4, seed: int = 42,
                         query_id: str = "query_id", query_vec: str = "query_vec",
                         corpus_id: str = "vec_id",
-                        corpus_vec: str = "embedding") -> DataFrame:
+                        corpus_vec: str = "embedding",
+                        dim: int | None = None) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH bucketing.
 
     ``n_tables`` independent hash tables; in each, a vector's bucket is the
@@ -213,7 +214,9 @@ def lsh_cosine_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    d = len(corpus.select(corpus_vec).first()[0])
+    # pass dim when known: the probe below is a Spark job per plan build
+    # (and pays any upstream repartition before its limit-1 collect)
+    d = dim if dim is not None else len(corpus.select(corpus_vec).first()[0])
     planes = rng.standard_normal((n_tables, n_planes, d))
     sc = corpus.sparkSession.sparkContext
     bp = sc.broadcast(planes)

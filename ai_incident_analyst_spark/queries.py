@@ -814,6 +814,28 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+@q("embedding_neardup_blocked", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum([ x[1]*x[2] for x in list_zip(a.v, b.v) ])
+         / (sqrt(list_sum([ x*x for x in a.v ])) * sqrt(list_sum([ x*x for x in b.v ]))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_sum([ x[1]*x[2] for x in list_zip(a.v, b.v) ])
+      / (sqrt(list_sum([ x*x for x in a.v ])) * sqrt(list_sum([ x*x for x in b.v ]))) >= 0.4
+""", doc="exact cosine near-dup via triangle block-join: NO driver "
+         "collect/broadcast — the 100 TB path when the corpus matrix "
+         "exceeds driver memory; identical values to embedding_neardup "
+         "(same oracle), shuffle volume n_blocks x corpus")
+def q_embedding_neardup_blocked(spark, sf_dir):
+    from .operators.dedup import embedding_cosine_neardup_blocked
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        embedding_cosine_neardup_blocked(emb, "vec_id", "embedding",
+                                         threshold=0.4, n_blocks=4)
+        .withColumn("cosine", F.round("cosine", 6))
+    )
+
+
 @q("centroid_by_label", """
 SELECT label, i - 1 AS pos, round(AVG(v), 6) AS avg_val
 FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
@@ -1368,7 +1390,8 @@ def q_winnow_fingerprint(spark, sf_dir):
 def knn_lsh_cosine(spark, sf_dir):
     from .operators.knn import lsh_cosine_knn_join
     q_, c_ = _qc_split(spark, sf_dir)
-    return lsh_cosine_knn_join(q_, c_, k=5, n_planes=4, n_tables=16) \
+    return lsh_cosine_knn_join(q_, c_, k=5, n_planes=4, n_tables=16,
+                               dim=64) \
         .withColumn("distance", F.round("distance", 6))
 
 
