@@ -71,11 +71,17 @@ def shingle(text: Column | str, n: int = 3) -> Column:
     """
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.trim(F.lower(c)), r"\s+")
-    grams = F.transform(
-        # sequence over start positions 1..len-n+1 (1-based for slice)
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    # guard: sequence(1, 0) would produce a DESCENDING [1, 0] (Spark picks
+    # step=-1 when start > stop) and slice(toks, 0, n) then throws; docs
+    # shorter than n tokens must yield an empty array (shingle_rows parity)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            # sequence over start positions 1..len-n+1 (1-based for slice)
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -498,6 +504,15 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         labels = new
         if changed == 0:
             break
+    else:
+        # exhausted max_iter with labels still moving: the labels are
+        # PARTIAL (one true component would surface as several cluster_ids
+        # and dedup_canonical would keep extra survivors) — fail loudly
+        # rather than silently under-dedup
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — "
+            "component diameter exceeds the round budget")
     return labels.select(F.col("u").alias("node"),
                          F.col("label").alias("cluster_id"))
 

@@ -57,7 +57,16 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     becomes (key, salt) — a hot key's rows now land in N buckets instead
     of one. Costs N× duplication of the small side; choose N ≈ the skew
     factor, not larger.
+
+    Only ``inner`` and ``left`` are correct under this construction: with
+    ``right``/``full`` an unmatched small-side row surfaces once per salt
+    (N duplicates), and semi/anti joins change semantics entirely.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "the N-way small-side explode duplicates unmatched small rows "
+            "under right/full joins and breaks semi/anti semantics")
     big_s = big.withColumn("__salt",
                            (F.rand(seed=11) * salt_buckets).cast("int"))
     small_s = small.withColumn(

@@ -119,8 +119,14 @@ def kgram_hashes(col: Column | str, k: int = 9) -> Column:
     """
     c = F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
     n = F.length(c)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.xxhash64(F.substring(c, i, F.lit(k))))
+    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark (step defaults to
+    # -1 when start > stop), which would emit two bogus hashes of the
+    # clamped text for length < k; short texts must yield an empty array
+    return F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - F.lit(k - 1)),
+                    lambda i: F.xxhash64(F.substring(c, i, F.lit(k)))),
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def winnow_fingerprints(col: Column | str, k: int = 9, w: int = 4) -> Column:
@@ -150,9 +156,11 @@ def winnow_fingerprints(col: Column | str, k: int = 9, w: int = 4) -> Column:
         shifted = F.slice(hashes, j + 1, F.greatest(n - j, F.lit(0)))
         mins = F.zip_with(mins, shifted, lambda a, b: F.least(a, b))
     wins = F.slice(mins, 1, m)
-    # degenerate short texts (< k chars): fall back to hashing the whole text
-    return F.when(n == 0,
-                  F.array(F.xxhash64(F.trim(_c(col))))) \
+    # degenerate short texts (< k chars): fall back to hashing the whole
+    # NORMALIZED text (same normalization as kgram_hashes, so the
+    # relational fast path winnow_fingerprint_stats matches byte-for-byte)
+    norm = F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
+    return F.when(n == 0, F.array(F.xxhash64(norm))) \
         .when(m == 0, F.array(F.array_min(hashes))) \
         .otherwise(F.array_distinct(wins))
 

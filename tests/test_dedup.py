@@ -165,3 +165,28 @@ def test_dedup_canonical_survivor_rule(spark):
     out = {r.doc_id: r.cluster_id
            for r in dedup_canonical(docs, clusters, "doc_id", "n_chars").collect()}
     assert out == {2: 1, 9: 9}  # 2 wins 300-tie over 3; 9 is a singleton
+
+
+def test_shingle_short_doc_yields_empty_array(spark):
+    """ADVICE r1: shingle() must not crash on docs with fewer than n
+    tokens — sequence(1, 0) is descending in Spark and the ensuing
+    slice(toks, 0, n) used to abort the job. Short docs yield []."""
+    from ai_incident_analyst_spark.operators.dedup import shingle
+    df = spark.createDataFrame(
+        [(0, "one two"), (1, ""), (2, "a b c d")], "i long, text string")
+    rows = {r.i: r.s for r in
+            df.select("i", shingle("text", n=3).alias("s")).collect()}
+    assert rows[0] == []
+    assert rows[1] == []
+    assert rows[2] == ["a b c", "b c d"]
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """ADVICE r1: a component whose diameter exceeds max_iter must fail
+    loudly, not silently return split cluster labels."""
+    import pytest
+    from ai_incident_analyst_spark.operators.dedup import connected_components
+    chain = [(i, i + 1) for i in range(0, 12)]  # diameter 12 > max_iter 2
+    edges = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2).collect()

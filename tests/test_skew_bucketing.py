@@ -74,3 +74,16 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
         assert abs(approx[k][0] - exact[k][0]) <= max(2, 0.05 * exact[k][0])
         # tail quantiles on small SFs carry larger relative sketch error
         assert abs(approx[k][1] - exact[k][1]) <= max(0.5, 0.06 * abs(exact[k][1]))
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    """ADVICE r1: the explode-N-ways construction is only correct for
+    inner/left joins from the big side — other modes must be rejected."""
+    import pytest
+    from ai_incident_analyst_spark.operators.skew import salted_join
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    small = spark.createDataFrame([(1, "y")], "k long, w string")
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", how=how)
+    assert salted_join(big, small, "k", how="left").count() == 1

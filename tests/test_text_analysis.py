@@ -139,3 +139,28 @@ def test_winnow_stats_matches_hof_form(spark):
     h = {r.doc_id: (r.n_fp, r.fp_min, r.fp_max) for r in hof.collect()}
     f_ = {r.doc_id: (r.n_fp, r.fp_min, r.fp_max) for r in fast.collect()}
     assert h == f_
+
+
+def test_kgram_hashes_short_text(spark):
+    """ADVICE r1: text shorter than k (incl. empty) must yield an EMPTY
+    hash array, not two duplicate hashes of the clamped whole text."""
+    from ai_incident_analyst_spark.operators.text_analysis import kgram_hashes
+    df = spark.createDataFrame(
+        [(0, "tiny"), (1, ""), (2, "exactly9!")], "i long, text string")
+    rows = {r.i: r.h for r in
+            df.select("i", kgram_hashes("text", k=9).alias("h")).collect()}
+    assert rows[0] == []
+    assert rows[1] == []
+    assert len(rows[2]) == 1  # exactly k chars -> one gram
+
+
+def test_winnow_short_text_fallback(spark):
+    """Texts < k chars still get a non-empty winnow fingerprint via the
+    whole-text-hash fallback (n==0 branch, live after the kgram fix)."""
+    from ai_incident_analyst_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+    df = spark.createDataFrame([(0, "tiny"), (1, "")], "i long, text string")
+    rows = {r.i: r.f for r in
+            df.select("i", winnow_fingerprints("text").alias("f")).collect()}
+    assert len(rows[0]) == 1 and len(rows[1]) == 1
