@@ -133,7 +133,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # join on the 64-bit shingle hash, not the string: fixed-width keys
     # shuffle less and probe faster; a cross-doc collision would need
     # ~2^32 distinct shingles (birthday bound) to become likely
-    sh = shingle_rows(df, id_col, text_col, n, distinct=True)
+    #
+    # localCheckpoint: this subtree feeds FOUR consumers (join probe side,
+    # join build side, and both per-doc count joins) and the broadcast
+    # exchanges defeat ReuseExchange — without it the shingle scan+window
+    # runs 4x (measured: 4 parquet scans in the physical plan, ~2s of a
+    # 3.1s query at sf0.1). Materialize once, read 4x.
+    sh = shingle_rows(df, id_col, text_col, n, distinct=True) \
+        .localCheckpoint(eager=False)
     counts = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -200,7 +207,10 @@ def minhash_lsh_neardup(df: DataFrame, id_col: str, text_col: str,
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    sig = minhash_signature(df, id_col, text_col, num_perm, n)
+    # materialize once: both self-join sides consume the signature agg
+    # (broadcast exchange defeats ReuseExchange — see ngram_jaccard_pairs)
+    sig = minhash_signature(df, id_col, text_col, num_perm, n) \
+        .localCheckpoint(eager=False)
 
     band_arr = F.expr("array(" + ", ".join(
         f"xxhash64({b}, " + ", ".join(f"sig[{b * r + j}]" for j in range(r)) + ")"
@@ -300,7 +310,10 @@ def simhash_neardup(df: DataFrame, id_col: str, text_col: str,
     """
     chunks = 64 // band_bits
     assert max_hamming < chunks, "pigeonhole blocking needs d < #chunks"
-    sh = simhash(df, id_col, text_col)
+    # materialize once: both self-join sides consume the simhash
+    # aggregation, and the broadcast exchange defeats ReuseExchange —
+    # without this the token scan + 64-bit-vote agg runs twice
+    sh = simhash(df, id_col, text_col).localCheckpoint(eager=False)
     mask = (1 << band_bits) - 1
     chunk_arr = F.array(*[
         F.shiftright(F.col("simhash"), i * band_bits).bitwiseAND(F.lit(mask))
@@ -315,8 +328,10 @@ def simhash_neardup(df: DataFrame, id_col: str, text_col: str,
                & (F.col("a.doc") < F.col("b.doc")))
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"),
                 hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
+        # verify BEFORE the pair-dedup shuffle: the hamming filter is a
+        # per-row bit_count, so only true near-dups (tiny) pay the shuffle
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -478,10 +493,18 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                             F.col(src).cast("long").alias("v")))
         .localCheckpoint(eager=False)
     )
+    # eager checkpoint: each round references labels TWICE (message join +
+    # union) — materializing avoids recomputing the seed aggregation, and
+    # gives the convergence probe its baseline sum
     labels = (
         sym.groupBy("u")
         .agg(F.min(F.least(F.col("u"), F.col("v"))).alias("label"))
+        .localCheckpoint()
     )
+    _lsum = lambda d: d.agg(  # noqa: E731
+        F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    prev_sum = _lsum(labels)
+    changed = 1
     for _ in range(max_iter):
         msgs = (
             sym.join(labels.withColumnRenamed("u", "v"), "v")
@@ -493,14 +516,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             .agg(F.min("label").alias("label"))
             .localCheckpoint()  # eager: materialize + cut lineage
         )
-        # probe every round: dedup graphs are bucket-clique-shaped and
-        # usually converge in ONE round, so the ~0.3 s probe is cheaper
-        # than an always-on extra propagation round (~3x the cost)
-        changed = (
-            new.join(labels.withColumnRenamed("label", "old"), "u")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
+        # convergence probe every round: hash-min labels only DECREASE,
+        # so "no label changed" == "sum of labels unchanged" — a scan of
+        # the just-checkpointed partitions with map-side partials, far
+        # cheaper than the equi-join + count probe it replaces (decimal
+        # accumulator so huge ids can't wrap 64-bit)
+        cur_sum = _lsum(new)
+        changed = 0 if cur_sum == prev_sum else 1
+        prev_sum = cur_sum
         labels = new
         if changed == 0:
             break
