@@ -9,10 +9,14 @@ from .dedup import (
     simhash_neardup,
 )
 from .knn import knn_join, knn_join_blocked
+from .packing import global_cumsum, pack_sequences
+from .sampling import quota_sample
 from .text_analysis import (
     fingerprint,
     lang_id,
+    ngram_contamination,
     quality_score,
+    repetition_stats,
     token_count,
 )
 
@@ -21,5 +25,7 @@ __all__ = [
     "minhash_lsh_neardup", "ngram_jaccard_pairs", "shingle",
     "simhash", "simhash_neardup",
     "knn_join", "knn_join_blocked",
-    "fingerprint", "lang_id", "quality_score", "token_count",
+    "global_cumsum", "pack_sequences", "quota_sample",
+    "fingerprint", "lang_id", "ngram_contamination",
+    "quality_score", "repetition_stats", "token_count",
 ]

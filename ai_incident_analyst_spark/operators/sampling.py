@@ -23,7 +23,7 @@ The reference has no sampling at all (its LIMIT 1000 is a head-slice,
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -95,3 +95,26 @@ def weighted_interleave(sources: list[tuple[DataFrame, float]],
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def quota_sample(df: DataFrame, key_col: str, strata_col: str,
+                 quota: int, salt: str = "") -> DataFrame:
+    """Cap every stratum at ``quota`` rows, picking a deterministic
+    pseudo-random subset (ordered by salted md5 of the key, ties by key) —
+    the "domain balancing" primitive that stops a handful of giant domains
+    from dominating a training mix when per-stratum RATES (see
+    ``stratified_sample``) are unknown upfront.
+
+    One keyed shuffle (the per-stratum window). Skew note: a 100 TB hot
+    stratum funnels into one window partition; Spark 3.4+'s
+    WindowGroupLimit pushes the rank filter into the shuffle map side, so
+    only ~quota rows per partition survive to the reduce — the shuffle
+    carries O(partitions x quota), not the raw stratum.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+        .drop("__rk")
+    )

@@ -233,3 +233,127 @@ def winnow_fingerprint_stats(df: DataFrame, id_col: str,
         id_col, F.lit(1).alias("n_fp"),
         F.xxhash64("__t").alias("fp_min"), F.xxhash64("__t").alias("fp_max"))
     return main.unionByName(empty)
+
+
+# ---------------------------------------------------------------------------
+# repetition / contamination filters (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str = "text",
+                     n: int = 2) -> DataFrame:
+    """Per-document repetition signals — the Gopher-rule family of cheap
+    quality filters LLM pipelines run before training (cf. public
+    Gopher/MassiveText filtering rules; the reference has no text-quality
+    surface, this is the beyond-reference pipeline extension).
+
+    Returns ``(id, n_words, dup_word_frac, top_ngram_char_frac,
+    dup_ngram_char_frac)``:
+
+    * ``dup_word_frac`` — fraction of word OCCURRENCES whose word appears
+      more than once in the doc.
+    * ``top_ngram_char_frac`` — characters covered by the most frequent
+      word n-gram (count x gram length) over total n-gram characters
+      (ties break by longer gram, then lexicographically largest).
+    * ``dup_ngram_char_frac`` — characters in n-grams occurring >1 time
+      over total n-gram characters.
+
+    Docs with no tokens (or fewer than ``n``) get 0.0 for the undefined
+    fractions. All relational: posexplode + ``lead`` window + two keyed
+    aggregations — no Python, no data skew beyond the per-doc key.
+    """
+    from .util import spread
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tk = (
+        spread(df, id_col)
+        .select(F.col(id_col).alias("doc"), F.posexplode(toks).alias("pos", "tok"))
+        .filter(F.length("tok") > 0)
+    )
+    # word-level: one (doc, tok) count, then per-doc occurrence stats
+    wc = tk.groupBy("doc", "tok").agg(F.count("*").alias("c"))
+    words = wc.groupBy("doc").agg(
+        F.sum("c").alias("n_words"),
+        (F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+         .cast("double") / F.sum("c")).alias("dup_word_frac"),
+    )
+    # n-gram level (non-distinct grams with their char length)
+    w = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    grams = (
+        tk.select("doc", F.concat_ws(" ", *parts).alias("g"),
+                  F.lead("tok", n - 1).over(w).alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .select("doc", "g", F.length("g").alias("glen"))
+    )
+    gc = grams.groupBy("doc", "g").agg(
+        F.count("*").alias("c"), F.first("glen").alias("glen"))
+    gstats = gc.groupBy("doc").agg(
+        F.sum(F.col("c") * F.col("glen")).alias("__tot"),
+        F.max(F.struct(F.col("c"), F.col("glen"), F.col("g"))).alias("__top"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("glen"))
+              .otherwise(F.lit(0))).alias("__dup"),
+    ).select(
+        "doc",
+        F.round((F.col("__top.c") * F.col("__top.glen")).cast("double")
+                / F.col("__tot"), 6).alias("top_ngram_char_frac"),
+        F.round(F.col("__dup").cast("double") / F.col("__tot"), 6)
+        .alias("dup_ngram_char_frac"),
+    )
+    return (
+        words.join(gstats, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_words",
+            F.round("dup_word_frac", 6).alias("dup_word_frac"),
+            F.coalesce("top_ngram_char_frac", F.lit(0.0))
+            .alias("top_ngram_char_frac"),
+            F.coalesce("dup_ngram_char_frac", F.lit(0.0))
+            .alias("dup_ngram_char_frac"),
+        )
+    )
+
+
+def ngram_contamination(docs: DataFrame, bench: DataFrame,
+                        id_col: str, text_col: str = "text",
+                        n: int = 3) -> DataFrame:
+    """Benchmark-contamination screen: for each training document, the
+    fraction of its distinct word n-grams that also occur anywhere in the
+    benchmark set — the standard pre-training decontamination check.
+
+    Plan: distinct n-gram hashes on both sides (relational shingle path),
+    benchmark side collapsed to a distinct gram set and BROADCAST (a
+    benchmark is ~10^5-10^6 grams — KBs to MBs — vs a 100 TB corpus), then
+    a broadcast LEFT JOIN + per-doc aggregation. The corpus is never
+    shuffled by gram.
+
+    Returns ``(id, n_grams, n_contaminated, contamination_frac)`` — docs
+    with fewer than ``n`` tokens have 0 grams and fraction 0.0.
+    """
+    from .dedup import shingle_rows
+
+    doc_grams = shingle_rows(docs, id_col, text_col, n, distinct=True)
+    bench_grams = (
+        shingle_rows(bench, id_col, text_col, n, distinct=False)
+        .select("s").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "s", "left")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_grams"),
+             F.sum(F.coalesce("__hit", F.lit(0))).alias("n_contaminated"))
+    )
+    all_docs = docs.select(F.col(id_col).alias("doc"))
+    return (
+        all_docs.join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.when(F.coalesce("n_grams", F.lit(0)) > 0,
+                       F.col("n_contaminated").cast("double")
+                       / F.col("n_grams")).otherwise(F.lit(0.0)),
+                6).alias("contamination_frac"),
+        )
+    )

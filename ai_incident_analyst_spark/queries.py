@@ -1971,3 +1971,253 @@ def q_corpus_pipeline(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"),
              F.sum(bpe_token_count("text")).alias("total_tokens"))
     )
+
+
+# ===========================================================================
+# round 2: Gopher-style repetition filters, contamination screen, sequence
+# packing, domain quota sampling, wider TPC-H decorrelation shapes
+# ===========================================================================
+
+@q("repetition_stats", r"""
+WITH tl AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), tk AS (
+  SELECT doc_id AS doc, unnest(toks) AS tok FROM tl
+), wc AS (
+  SELECT doc, tok, count(*) AS c FROM tk WHERE length(tok) > 0 GROUP BY 1, 2
+), words AS (
+  SELECT doc, sum(c) AS n_words,
+         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 6)
+           AS dup_word_frac
+  FROM wc GROUP BY doc
+), grams AS (
+  SELECT doc_id AS doc,
+         unnest([array_to_string(toks[i:i+1], ' ')
+                 for i in range(1, greatest(len(toks) - 1, 0) + 1)]) AS g
+  FROM tl
+), gc AS (
+  SELECT doc, g, count(*) AS c, length(g) AS glen
+  FROM grams GROUP BY doc, g
+), ranked AS (
+  SELECT doc, c, glen,
+         row_number() OVER (PARTITION BY doc
+                            ORDER BY c DESC, glen DESC, g DESC) AS rk
+  FROM gc
+), gstats AS (
+  SELECT gc.doc,
+         round((SELECT (r.c * r.glen)::DOUBLE FROM ranked r
+                WHERE r.doc = gc.doc AND r.rk = 1)
+               / sum(gc.c * gc.glen), 6) AS top_ngram_char_frac,
+         round(sum(CASE WHEN gc.c > 1 THEN gc.c * gc.glen ELSE 0 END)::DOUBLE
+               / sum(gc.c * gc.glen), 6) AS dup_ngram_char_frac
+  FROM gc GROUP BY gc.doc
+)
+SELECT w.doc AS doc_id, w.n_words, w.dup_word_frac,
+       coalesce(g.top_ngram_char_frac, 0.0) AS top_ngram_char_frac,
+       coalesce(g.dup_ngram_char_frac, 0.0) AS dup_ngram_char_frac
+FROM words w LEFT JOIN gstats g ON w.doc = g.doc
+""", doc="Gopher-rule repetition signals: duplicate-word occurrence "
+         "fraction, top-bigram char coverage, duplicated-bigram char "
+         "fraction — posexplode + lead window + two keyed aggs, all "
+         "codegen'd (operators/text_analysis.py:repetition_stats)")
+def q_repetition_stats(spark, sf_dir):
+    from .operators.text_analysis import repetition_stats
+    return repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text", n=2)
+
+
+@q("ngram_contamination", r"""
+WITH tl AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), dg AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                 for i in range(1, greatest(len(toks) - 2, 0) + 1)])) AS s
+  FROM tl
+), bg AS (
+  SELECT DISTINCT s FROM dg WHERE doc % 20 = 0
+), hits AS (
+  SELECT doc, count(*) AS n_grams,
+         sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+  FROM dg LEFT JOIN bg b ON dg.s = b.s
+  GROUP BY doc
+)
+SELECT d.doc_id,
+       coalesce(h.n_grams, 0) AS n_grams,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       round(CASE WHEN coalesce(h.n_grams, 0) > 0
+                  THEN h.n_contaminated::DOUBLE / h.n_grams ELSE 0.0 END, 6)
+         AS contamination_frac
+FROM documents d LEFT JOIN hits h ON h.doc = d.doc_id
+""", doc="benchmark-decontamination screen: distinct 3-gram overlap of "
+         "each doc vs a broadcast benchmark gram set (docs with "
+         "doc_id%20==0 stand in for the benchmark). Corpus is never "
+         "shuffled by gram (operators/text_analysis.py:ngram_contamination)")
+def q_ngram_contamination(spark, sf_dir):
+    from .operators.text_analysis import ngram_contamination
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return ngram_contamination(docs, bench, "doc_id", "text", n=3)
+
+
+@q("pack_sequences", r"""
+WITH tc AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cs
+  FROM tc
+)
+SELECT doc_id, pack_id,
+       greatest(pack_id * 128, cs - n_tok) - (cs - n_tok) AS tok_start,
+       least((pack_id + 1) * 128, cs) - (cs - n_tok) AS tok_end
+FROM cum, LATERAL unnest(generate_series(
+         CAST((cs - n_tok) // 128 AS BIGINT),
+         CAST((cs - 1) // 128 AS BIGINT))) AS t(pack_id)
+WHERE n_tok > 0
+""", doc="GPT-style sequence packing: docs laid head-to-tail in id order, "
+         "cut every 128 tokens; one row per (doc, pack) overlap with the "
+         "doc-relative token slice. Global prefix sum is the two-phase "
+         "distributed scan (range shuffle + per-partition cumsum + "
+         "broadcast partition offsets), never a single-task window "
+         "(operators/packing.py)")
+def q_pack_sequences(spark, sf_dir):
+    from .operators.packing import pack_sequences
+    from .operators.text_analysis import token_count
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", token_count("text").alias("n_tok"))
+    return pack_sequences(docs, "doc_id", "n_tok", seq_len=128)
+
+
+@q("quota_sample", """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC) AS rk
+  FROM documents) WHERE rk <= 25
+""", doc="domain quota sampling: cap every source at 25 docs, chosen by "
+         "deterministic salted-hash order; WindowGroupLimit pushes the "
+         "rank filter map-side so a hot domain's shuffle carries "
+         "O(partitions x quota) (operators/sampling.py:quota_sample)")
+def q_quota_sample(spark, sf_dir):
+    from .operators.sampling import quota_sample
+    return quota_sample(_t(spark, sf_dir, "documents"), "doc_id",
+                        "source", quota=25).select("doc_id", "source")
+
+
+@q("promo_revenue", """
+SELECT CAST(round(
+         100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                    AS DECIMAL(18,4)) ELSE 0 END)
+         / SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4))), 6) AS DOUBLE) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+""", doc="TPC-H Q14 shape: conditional-aggregate ratio over a fact-dim "
+         "join (part broadcasts); decimal accumulation for FP-order "
+         "parity with the oracle")
+def q_promo_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                    .otherwise(F.lit(0).cast("decimal(18,4)")))
+            / F.sum(rev), 6).cast("double").alias("promo_pct"))
+    )
+
+
+@q("late_lines_by_priority", """
+SELECT l.l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+GROUP BY l.l_linestatus
+""", doc="TPC-H Q12 shape: fact-fact equi-join with a cross-table "
+         "predicate + priority bucketing into conditional counts")
+def q_late_lines_by_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate",
+                                           "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate",
+                                              "l_linestatus")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"))
+    )
+
+
+@q("supplier_cnt_by_brand_size", """
+SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_size
+""", doc="TPC-H Q16 shape: distinct-count over a fact-dim join with a "
+         "NOT IN anti-join exclusion (negative-balance suppliers stand "
+         "in for the complaints subquery)")
+def q_supplier_cnt_by_brand_size(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part") \
+        .filter((F.col("p_brand") != "Brand#1")
+                & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30,
+                                       35, 40, 45, 50)) \
+        .select("p_partkey", "p_brand", "p_size")
+    bad = _t(spark, sf_dir, "supplier") \
+        .filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q("disjunctive_part_revenue", """
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""", doc="TPC-H Q19 shape: disjunction of per-branch conjunctive "
+         "predicates across the join — Catalyst pushes the common "
+         "p_partkey equi-key and per-side implied filters; the OR is "
+         "evaluated post-join in one codegen stage")
+def q_disjunctive_part_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    br = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(br).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(18,4)")).cast("double").alias("revenue"))

@@ -60,6 +60,14 @@ HEADLINE = [
     "nrql_facet",
     "nrql_timeseries",
     "sample_by_hash",
+    "repetition_stats",
+    "ngram_contamination",
+    "pack_sequences",
+    "quota_sample",
+    "promo_revenue",
+    "late_lines_by_priority",
+    "supplier_cnt_by_brand_size",
+    "disjunctive_part_revenue",
 ]
 
 
