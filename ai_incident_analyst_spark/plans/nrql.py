@@ -13,7 +13,9 @@ Dialect (the subset the reference emits, exactly):
     SELECT `c1`,`c2` | * | agg[, agg …]      -- agg: count(*) | count(c) |
                                              --   sum(c) | average(c) |
                                              --   min(c) | max(c) |
-                                             --   uniqueCount(c)
+                                             --   uniqueCount(c) |
+                                             --   percentile(c, p) |
+                                             --   latest(c)
     FROM Table[, Table2 …]
     [WHERE `col` = 'v' [AND `col` != 'v'] [AND `col` LIKE '%x%']
                        [AND `col` NOT LIKE '%y%'] …]       -- AND-only
@@ -61,9 +63,11 @@ _CLAUSES = re.compile(
 #: NRQL aggregate → (spark builder, output column namer)
 _AGG_FNS = {
     "count", "sum", "average", "min", "max", "uniquecount",
+    "percentile", "latest",
 }
 _AGG = re.compile(
-    r"^(?P<fn>\w+)\s*\(\s*(?P<arg>\*|`?\w+`?)\s*\)$")
+    r"^(?P<fn>\w+)\s*\(\s*(?P<arg>\*|`?\w+`?)"
+    r"(?:\s*,\s*(?P<pct>\d+(?:\.\d+)?))?\s*\)$")
 
 _COND = re.compile(
     r"^\s*`?(?P<col>\w+)`?\s+"
@@ -82,7 +86,8 @@ class ParsedNRQL:
     until: str | None
     limit: int | None = None
     is_count: bool = field(default=False)
-    aggs: list[tuple[str, str]] = field(default_factory=list)  # (fn, arg)
+    aggs: list[tuple[str, str, str | None]] = field(
+        default_factory=list)  # (fn, arg, pct-or-None)
     facet: list[str] = field(default_factory=list)
     timeseries: str | None = None   # "<n> <unit>" bucket width
 
@@ -92,7 +97,9 @@ def parse_nrql(query: str) -> ParsedNRQL:
     if not m:
         raise ValueError(f"unparseable NRQL: {query!r}")
     sel_raw = m.group("select").strip()
-    sel_parts = [c.strip() for c in sel_raw.split(",")]
+    # split on TOP-LEVEL commas only: percentile(c, 95) keeps its second
+    # argument (a comma inside parens is followed by [^()]*')' — skip it)
+    sel_parts = [c.strip() for c in re.split(r",(?![^()]*\))", sel_raw)]
     aggs: list[tuple[str, str]] = []
     if sel_raw != "*" and all(_AGG.match(p) for p in sel_parts):
         for p in sel_parts:
@@ -100,8 +107,11 @@ def parse_nrql(query: str) -> ParsedNRQL:
             fn = am.group("fn").lower()
             if fn not in _AGG_FNS:
                 raise ValueError(f"unsupported NRQL function: {p!r}")
-            aggs.append((fn, am.group("arg").strip("`")))
-    is_count = aggs == [("count", "*")]
+            if (am.group("pct") is None) == (fn == "percentile"):
+                raise ValueError(
+                    f"percentile takes (attr, pct); others take one arg: {p!r}")
+            aggs.append((fn, am.group("arg").strip("`"), am.group("pct")))
+    is_count = aggs == [("count", "*", None)]
     if aggs:
         select: list[str] = []
     elif sel_raw == "*":
@@ -140,7 +150,8 @@ def parse_nrql(query: str) -> ParsedNRQL:
     )
 
 
-def _agg_expr(fn: str, arg: str) -> tuple[str, F.Column]:
+def _agg_expr(fn: str, arg: str, pct: str | None = None,
+              ts_col: str = "ts") -> tuple[str, F.Column]:
     if fn == "count":
         name = "count" if arg == "*" else f"count_{arg}"
         return name, (F.count("*") if arg == "*" else F.count(arg))
@@ -162,6 +173,23 @@ def _agg_expr(fn: str, arg: str) -> tuple[str, F.Column]:
         return f"min_{arg}", F.min(arg)
     if fn == "max":
         return f"max_{arg}", F.max(arg)
+    if fn == "percentile":
+        # NRQL's percentile is approximate server-side; we compute the
+        # EXACT interpolated quantile (Spark `percentile`, one extra
+        # shuffle of the grouped values) — a correctness superset with
+        # identical DuckDB twin (quantile_cont). Rounded to 6dp so the
+        # interpolation's last-bit FP noise can't flip a comparison.
+        name = f"percentile_{arg}_{pct.replace('.', '_')}"
+        return name, F.round(
+            F.percentile(F.col(arg).cast("double"), F.lit(float(pct) / 100.0)),
+            6)
+    if fn == "latest":
+        # value carried by the latest event; ties on the timestamp break
+        # by the largest value (deterministic across engines, unlike a
+        # bare max_by whose tie survivor is partition-order dependent)
+        return f"latest_{arg}", F.max(
+            F.struct(F.col(ts_col).alias("t"),
+                     F.col(arg).alias("v")))["v"]
     raise ValueError(f"unsupported NRQL function: {fn}")
 
 
@@ -201,7 +229,7 @@ def run_nrql(spark: SparkSession, query: str,
         lq = lq.limit(p.limit)
     out = lq.df()
     if p.aggs:
-        exprs = [_agg_expr(fn, arg) for fn, arg in p.aggs]
+        exprs = [_agg_expr(fn, arg, pct, ts_col) for fn, arg, pct in p.aggs]
         keys: list = [F.col(c) for c in p.facet]
         if p.timeseries:
             # epoch-aligned tumbling bucket (Spark window origin 1970-01-01)

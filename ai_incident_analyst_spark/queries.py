@@ -2221,3 +2221,24 @@ def q_disjunctive_part_revenue(spark, sf_dir):
     return j.filter(br).agg(
         F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
               .cast("decimal(18,4)")).cast("double").alias("revenue"))
+
+
+@q("nrql_percentile_latest", """
+SELECT event_type,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.95), 6)
+         AS percentile_value_95,
+       max(ROW(ts, value))[2] AS latest_value
+FROM events
+GROUP BY event_type
+""", doc="NRQL percentile()/latest() surface: exact interpolated p95 "
+         "(Spark `percentile` == DuckDB quantile_cont) and "
+         "latest-by-timestamp with a value tie-break so the survivor is "
+         "deterministic across engines (plans/nrql.py:_agg_expr)")
+def q_nrql_percentile_latest(spark, sf_dir):
+    from .plans.nrql import run_nrql
+    ev = _t(spark, sf_dir, "events")
+    return run_nrql(
+        spark,
+        "SELECT percentile(value, 95), latest(value) FROM events "
+        "FACET `event_type`",
+        {"events": ev})

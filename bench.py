@@ -68,6 +68,7 @@ HEADLINE = [
     "late_lines_by_priority",
     "supplier_cnt_by_brand_size",
     "disjunctive_part_revenue",
+    "nrql_percentile_latest",
 ]
 
 

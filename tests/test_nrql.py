@@ -113,8 +113,8 @@ def test_parse_facet_timeseries():
                    "FROM events WHERE `event_type` = 'error' "
                    "FACET `event_type` SINCE '2024-01-01 00:00:00' "
                    "TIMESERIES 1 day")
-    assert p.aggs == [("count", "*"), ("sum", "value"),
-                      ("uniquecount", "user_id")]
+    assert p.aggs == [("count", "*", None), ("sum", "value", None),
+                      ("uniquecount", "user_id", None)]
     assert p.facet == ["event_type"]
     assert p.timeseries == "1 day"
     assert p.conds == [("event_type", "=", "error")]
@@ -144,3 +144,36 @@ def test_run_timeseries_buckets(spark):
               logs.groupBy(F.date_trunc("day", "ts").alias("d"))
               .agg(F.count("*").alias("cnt")).collect()}
     assert rows == byhand
+
+
+def test_parse_percentile_latest():
+    p = parse_nrql("SELECT percentile(value, 99.9), latest(value) "
+                   "FROM events FACET `event_type`")
+    assert p.aggs == [("percentile", "value", "99.9"),
+                      ("latest", "value", None)]
+
+
+def test_percentile_arity_enforced():
+    with pytest.raises(ValueError):
+        parse_nrql("SELECT percentile(value) FROM events")
+    with pytest.raises(ValueError):
+        parse_nrql("SELECT sum(value, 95) FROM events")
+
+
+def test_percentile_latest_values(spark):
+    from ai_incident_analyst_spark.plans.nrql import run_nrql
+    import datetime as dt
+    rows = [(dt.datetime(2024, 1, 1, 0, 0, i), "a", float(v))
+            for i, v in enumerate([10, 20, 30, 40])]
+    # tie on max ts for type b: two rows at the same timestamp -> the
+    # LARGER value must win deterministically
+    t = dt.datetime(2024, 1, 2)
+    rows += [(t, "b", 5.0), (t, "b", 7.0), (dt.datetime(2024, 1, 1), "b", 9.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {r.event_type: r for r in run_nrql(
+        spark,
+        "SELECT percentile(value, 50), latest(value) FROM t FACET `event_type`",
+        {"t": df}).collect()}
+    assert abs(out["a"].percentile_value_50 - 25.0) < 1e-9  # interpolated
+    assert out["a"].latest_value == 40.0
+    assert out["b"].latest_value == 7.0  # tie broken by larger value
