@@ -2242,3 +2242,48 @@ def q_nrql_percentile_latest(spark, sf_dir):
         "SELECT percentile(value, 95), latest(value) FROM events "
         "FACET `event_type`",
         {"events": ev})
+
+
+@q("rollup_daily_metrics", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+       event_type,
+       count(*) AS n_rows,
+       count(value) AS n_values,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total,
+       min(value) AS vmin, max(value) AS vmax,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) / count(value)
+         AS vavg
+FROM events
+GROUP BY 1, 2
+""", doc="continuous-aggregate pattern (operators/rollup.py): daily "
+         "rollup with additive partials, answered THROUGH query_rollup "
+         "so the oracle proves rollup-derived answers match the raw "
+         "table exactly (decimal partials -> order-independent)")
+def q_rollup_daily_metrics(spark, sf_dir):
+    from .operators.rollup import build_rollup, query_rollup
+    ev = _t(spark, sf_dir, "events")
+    roll = build_rollup(ev, "ts", ["event_type"], "value", bucket="day")
+    return query_rollup(roll, ["bucket_start", "event_type"], "value")
+
+
+@q("rollup_monthly_from_daily", """
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket_start,
+       count(*) AS n_rows,
+       count(value) AS n_values,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total,
+       min(value) AS vmin, max(value) AS vmax,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) / count(value)
+         AS vavg
+FROM events
+GROUP BY 1
+""", doc="rollup algebra: a MONTHLY all-types answer computed only from "
+         "the daily rollup's partials (no raw reread) still hash-matches "
+         "the raw-table oracle — the property that makes rollups safe "
+         "to serve dashboards at 100 TB")
+def q_rollup_monthly_from_daily(spark, sf_dir):
+    from .operators.rollup import build_rollup, query_rollup
+    ev = _t(spark, sf_dir, "events")
+    daily = build_rollup(ev, "ts", ["event_type"], "value", bucket="day")
+    monthly = daily.withColumn("bucket_start",
+                               F.date_trunc("month", "bucket_start"))
+    return query_rollup(monthly, ["bucket_start"], "value")

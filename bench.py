@@ -69,6 +69,8 @@ HEADLINE = [
     "supplier_cnt_by_brand_size",
     "disjunctive_part_revenue",
     "nrql_percentile_latest",
+    "rollup_daily_metrics",
+    "rollup_monthly_from_daily",
 ]
 
 
