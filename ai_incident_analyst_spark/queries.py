@@ -2287,3 +2287,33 @@ def q_rollup_monthly_from_daily(spark, sf_dir):
     monthly = daily.withColumn("bucket_start",
                                F.date_trunc("month", "bucket_start"))
     return query_rollup(monthly, ["bucket_start"], "value")
+
+
+def _zorder_sql_expr(xcol: str, ycol: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@q("zorder_bucket_counts", f"""
+SELECT ({_zorder_sql_expr('(l_orderkey & 255)', '(l_partkey & 255)', 8)})
+         >> 10 AS z_bucket,
+       count(*) AS n
+FROM lineitem
+GROUP BY 1
+""", doc="Z-order (Morton) clustering key: interleave the low bits of two "
+         "columns so one sort key preserves locality in both dimensions "
+         "(sources/layout.py:zorder_key); bucketed counts oracle-check "
+         "the interleave bit-for-bit against an independently generated "
+         "SQL expression")
+def q_zorder_bucket_counts(spark, sf_dir):
+    from .sources.layout import zorder_key
+    li = _t(spark, sf_dir, "lineitem")
+    z = zorder_key(F.col("l_orderkey").bitwiseAND(F.lit(255)),
+                   F.col("l_partkey").bitwiseAND(F.lit(255)), bits=8)
+    return (
+        li.select(F.shiftright(z, 10).alias("z_bucket"))
+        .groupBy("z_bucket").agg(F.count("*").alias("n"))
+    )

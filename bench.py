@@ -71,6 +71,7 @@ HEADLINE = [
     "nrql_percentile_latest",
     "rollup_daily_metrics",
     "rollup_monthly_from_daily",
+    "zorder_bucket_counts",
 ]
 
 

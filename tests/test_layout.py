@@ -1,0 +1,76 @@
+"""Physical layout management: clustered writes make row-group stats
+selective, compaction right-sizes files, Z-order keys preserve 2-D
+locality. Verified against real parquet footers via pyarrow."""
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from ai_incident_analyst_spark.sources.layout import (
+    compact_small_files,
+    parquet_files,
+    write_clustered,
+    zorder_key,
+)
+from ai_incident_analyst_spark.sources.tables import load_table
+
+
+def test_write_clustered_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
+    """After clustering by user_id, each file's (min,max) user_id range
+    must be narrow/disjoint-ish — the property data skipping relies on.
+    Compare against an unclustered write of the same data."""
+    # one synthetic partition so the whole table lands in one sorted file;
+    # a tiny row-group size forces many groups per file, which is where
+    # min/max skipping lives on production-sized (128 MB) groups
+    ev = load_table(spark, sf_dir, "events").withColumn("ds", F.lit("all"))
+    clustered = str(tmp_path / "clustered")
+    write_clustered(ev, clustered, "ds", ["user_id"],
+                    parquet_block_bytes=16 << 10)
+
+    spans = []
+    n_users = ev.select("user_id").distinct().count()
+    for f in parquet_files(clustered):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = next(md.row_group(rg).column(i)
+                       for i in range(md.row_group(rg).num_columns)
+                       if md.row_group(rg).column(i).path_in_schema == "user_id")
+            st = col.statistics
+            spans.append((st.min, st.max))
+    assert len(spans) >= 3, f"expected several row groups, got {spans}"
+    # the file is sorted by user_id, so row-group spans are narrow and
+    # non-overlapping except at boundaries: a point predicate on user_id
+    # must be able to skip most groups
+    narrow = sum(1 for lo, hi in spans if hi - lo <= max(1, n_users // 3))
+    assert narrow >= len(spans) - 2, (spans, n_users)
+
+
+def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    shattered = str(tmp_path / "shattered")
+    ev.repartition(40).write.mode("overwrite").parquet(shattered)
+    assert len(parquet_files(shattered)) == 40
+    total = sum(__import__("os").path.getsize(f)
+                for f in parquet_files(shattered))
+    n_new = compact_small_files(spark, shattered, target_bytes=total)
+    assert n_new == 1
+    # contents survive the rewrite
+    a = spark.read.parquet(shattered).count()
+    b = spark.read.parquet(shattered + ".compact").count()
+    assert a == b
+
+
+def test_zorder_key_locality_and_range(spark):
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x long, y long")
+    rows = df.select("x", "y", zorder_key("x", "y", bits=3).alias("z")) \
+        .collect()
+    z = {(r.x, r.y): r.z for r in rows}
+    assert len(set(z.values())) == 64          # bijective on the grid
+    assert z[(0, 0)] == 0 and z[(7, 7)] == 63  # fills [0, 4^bits)
+    # interleaving: x occupies even bits, y odd bits
+    assert z[(1, 0)] == 1 and z[(0, 1)] == 2 and z[(2, 0)] == 4
+    # locality: sorting by z, neighbors in z-order are close in (x, y)
+    order = sorted(rows, key=lambda r: r.z)
+    jumps = [abs(a.x - b.x) + abs(a.y - b.y)
+             for a, b in zip(order, order[1:])]
+    assert sum(jumps) / len(jumps) < 3.0       # mostly unit steps
