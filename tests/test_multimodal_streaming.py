@@ -140,3 +140,41 @@ def test_streaming_interval_join(spark):
         q.awaitTermination(60)
         rows = [(r.pid, r.eid) for r in spark.sql("SELECT * FROM sij").collect()]
         assert rows == [(10, 1)]
+
+
+def test_streaming_rollup_sink_incremental(spark):
+    """The maintained rollup after two micro-batches equals a full batch
+    rebuild over all the data — the continuous-aggregate invariant."""
+    import datetime as dt
+
+    from ai_incident_analyst_spark.operators.rollup import build_rollup
+    from ai_incident_analyst_spark.streaming.pipeline import (
+        streaming_rollup_sink,
+    )
+
+    def mk(seed, n=60):
+        rows = [(dt.datetime(2024, 1, 1 + (i + seed) % 5, i % 24),
+                 f"t{i % 2}", float((i * 13 + seed) % 50))
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        rollup_path = f"{tmp}/rollup"
+        # batch 1 arrives, stream starts, then batch 2 arrives
+        mk(0).write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(mk(0).schema).parquet(f"{tmp}/in")
+        sink = streaming_rollup_sink(stream, rollup_path, f"{tmp}/ckpt",
+                                     "ts", ["event_type"], "value")
+        q = sink.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        mk(7).write.mode("append").parquet(f"{tmp}/in")
+        q = sink.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+        got = sorted(tuple(str(x) for x in r)
+                     for r in spark.read.parquet(rollup_path).collect())
+        full = build_rollup(mk(0).unionByName(mk(7)), "ts",
+                            ["event_type"], "value")
+        want = sorted(tuple(str(x) for x in r) for r in full.collect())
+        assert got == want
