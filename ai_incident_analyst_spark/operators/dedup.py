@@ -189,6 +189,38 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
         .alias("sig"))
 
 
+def hashed_shingles(text_col: Column | str, n: int = 3) -> Column:
+    """``array<long>`` of 64-bit shingle hashes of one row's text — the
+    per-row twin of ``shingle_rows`` (same ``xxhash64(gram)`` values).
+    Materialize this into a real column (one ``select``) before fanning
+    expressions out over it: an expression referenced by many consumers
+    is re-evaluated per consumer, a column attribute is computed once.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.transform(shingle(c, n), lambda g: F.xxhash64(g))
+
+
+def minhash_signature_cols(hs_col: Column | str,
+                           num_perm: int = 64) -> list[Column]:
+    """The MinHash signature as PER-ROW column expressions ``h0..h{k-1}``
+    over a (materialized) ``hashed_shingles`` column — value-identical to
+    ``minhash_signature`` (min over ``xxhash64(i, xxhash64(gram))``) but
+    with no aggregation, so it runs where a groupBy can't (append-mode
+    streams, generated columns). Empty shingle arrays yield null
+    signature elements; filter ``size(hs) > 0`` upstream.
+    """
+    hs = F.col(hs_col) if isinstance(hs_col, str) else hs_col
+
+    # NB: the closure must keep the lambda SINGLE-argument — Spark treats
+    # a two-arg lambda as (element, index) and would silently replace a
+    # default-arg ``i=i`` capture with the array index
+    def perm(i: int) -> Column:
+        return F.array_min(
+            F.transform(hs, lambda h: F.xxhash64(F.lit(i), h))).alias(f"h{i}")
+
+    return [perm(i) for i in range(num_perm)]
+
+
 def minhash_lsh_neardup(df: DataFrame, id_col: str, text_col: str,
                         num_perm: int = 64, bands: int = 16,
                         n: int = 3, threshold: float = 0.5,

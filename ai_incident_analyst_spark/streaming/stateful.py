@@ -133,3 +133,126 @@ def streaming_burst_monitor(stream: DataFrame, key: str = "container_name",
                else GroupStateTimeout.NoTimeout)
     return stream.groupBy(key).applyInPandasWithState(
         monitor, out_schema, state_schema, "update", timeout)
+
+
+def streaming_neardup_gate(stream: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           num_perm: int = 32, bands: int = 8,
+                           n: int = 3, threshold: float = 0.5,
+                           max_sigs_per_bucket: int = 64,
+                           state_timeout_ms: int = 0) -> DataFrame:
+    """Streaming MinHash-LSH near-dup gate: flag incoming documents whose
+    estimated Jaccard vs ANY previously-seen document in a shared LSH
+    bucket exceeds ``threshold`` — the corpus-ingestion filter that batch
+    ``minhash_lsh_neardup`` provides offline, continuously.
+
+    Plan per micro-batch: signatures are computed with the SAME banding
+    as the batch operator (xxhash64 permutations, JVM-side), exploded to
+    one row per (band bucket, doc), then ``applyInPandasWithState`` keyed
+    by bucket compares newcomers against the bucket's stored signatures
+    and appends them. A doc sharing several buckets is flagged if any
+    bucket matches; the caller dedups flags with a groupBy-max on doc id
+    (emitted per bucket, ``is_neardup`` = max).
+
+    State per bucket is capped at ``max_sigs_per_bucket`` signatures
+    (FIFO): LSH buckets are ~uniform under the band hash, so a bucket
+    accumulating beyond the cap means a pathological hot bucket — the cap
+    bounds state instead of letting one bucket absorb the stream. Idle
+    buckets are reaped by ProcessingTimeTimeout when
+    ``state_timeout_ms`` > 0.
+
+    Output: append stream (bucket, doc, is_neardup, est_jaccard) — one
+    row per (bucket, doc); aggregate per doc downstream.
+    """
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    assert num_perm % bands == 0
+    r = num_perm // bands
+
+    # The batch operator's explode + groupBy-min would be a STREAMING
+    # AGGREGATION (needs a watermark, breaks append mode); but a MinHash
+    # signature is a pure function of one row's text, so compute it as a
+    # per-row column expression instead: shingle (HOF), hash each gram
+    # once into a materialized array column, then each permutation is an
+    # array_min over a rehash. Values are IDENTICAL to the batch
+    # minhash_signature (min over xxhash64(i, xxhash64(gram))) — a
+    # streaming gate and an offline minhash_lsh_neardup sweep agree.
+    # Docs with fewer than n tokens have no shingles and pass untested.
+    from ..operators.dedup import hashed_shingles, minhash_signature_cols
+
+    hashed = stream.select(
+        F.col(id_col).alias("doc"),
+        hashed_shingles(F.col(text_col), n).alias("hs"),
+    ).filter(F.size("hs") > 0)
+    sig = hashed.select("doc", *minhash_signature_cols("hs", num_perm))
+    band_arr = F.expr("array(" + ", ".join(
+        f"xxhash64({b}, " + ", ".join(f"h{b * r + j}" for j in range(r)) + ")"
+        for b in range(bands)) + ")")
+    sig_arr = F.expr(
+        "array(" + ", ".join(f"h{i}" for i in range(num_perm)) + ")")
+    buckets = sig.select(
+        "doc", sig_arr.alias("sig"),
+        F.explode(band_arr).alias("bucket"))
+
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+    out_schema = StructType([
+        StructField("bucket", LongType()),
+        StructField("doc", LongType()),
+        StructField("is_neardup", BooleanType()),
+        StructField("est_jaccard", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("sigs", ArrayType(ArrayType(LongType()))),
+    ])
+
+    def gate(key_tuple: Any, pdfs: Iterable[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        stored: list[list[int]] = list(state.get[0]) if state.exists else []
+        bucket = key_tuple[0]
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("doc")
+            docs = pdf["doc"].to_numpy()
+            sigs = np.array(list(pdf["sig"]), dtype=np.int64)
+            flags, bests = [], []
+            for i in range(len(docs)):
+                best = 0.0
+                if stored:
+                    mat = np.asarray(stored, dtype=np.int64)
+                    best = float((mat == sigs[i]).mean(axis=1).max())
+                flags.append(best >= threshold)
+                bests.append(best)
+                stored.append([int(x) for x in sigs[i]])
+                if len(stored) > max_sigs_per_bucket:
+                    stored = stored[-max_sigs_per_bucket:]
+            yield pd.DataFrame({
+                "bucket": [bucket] * len(docs),
+                "doc": docs,
+                "is_neardup": flags,
+                "est_jaccard": [round(b, 6) for b in bests],
+            })
+        state.update((stored,))
+        if state_timeout_ms > 0:
+            state.setTimeoutDuration(state_timeout_ms)
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_timeout_ms > 0 else GroupStateTimeout.NoTimeout)
+    return (
+        buckets.groupBy("bucket")
+        .applyInPandasWithState(gate, outputStructType=out_schema,
+                                stateStructType=state_schema,
+                                outputMode="append",
+                                timeoutConf=timeout)
+    )

@@ -190,3 +190,28 @@ def test_connected_components_raises_on_nonconvergence(spark):
     edges = spark.createDataFrame(chain, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=2).collect()
+
+
+def test_rowwise_minhash_matches_agg_signature(spark):
+    """minhash_signature_cols (per-row, stream-safe) must produce the
+    exact signature the batch explode+groupBy-min operator produces."""
+    from pyspark.sql import functions as F
+
+    from ai_incident_analyst_spark.operators.dedup import (
+        hashed_shingles,
+        minhash_signature,
+        minhash_signature_cols,
+    )
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs today ok"),
+         (3, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    batch = {r.doc: list(r.sig)
+             for r in minhash_signature(df, "doc_id", "text",
+                                        num_perm=16, n=3).collect()}
+    roww = df.select(F.col("doc_id").alias("doc"),
+                     hashed_shingles("text", 3).alias("hs")) \
+        .select("doc", *minhash_signature_cols("hs", 16))
+    rw = {r.doc: [r[f"h{i}"] for i in range(16)] for r in roww.collect()}
+    assert batch == rw

@@ -87,3 +87,58 @@ def test_burst_monitor_accumulates_across_runs(spark, tmp_path):
     (r2,) = out2
     # total carries the 12 from run 1; this trigger's 3 is below threshold
     assert (r2.events_total, r2.events_this_trigger, r2.burst) == (15, 3, 0)
+
+
+def test_streaming_neardup_gate_cross_trigger(spark, tmp_path):
+    """A doc arriving in a LATER micro-batch that near-duplicates an
+    earlier doc must be flagged (bucket state survived the trigger);
+    novel docs must not be."""
+    from ai_incident_analyst_spark.streaming.stateful import (
+        streaming_neardup_gate,
+    )
+
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "docs_ckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string"
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest tonight")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def run_once():
+        collected = []
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_neardup_gate(stream, "doc_id", "text",
+                                     num_perm=32, bands=8, threshold=0.5)
+        q = (out.writeStream
+             .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return collected
+
+    write([(1, base), (2, "completely different words about spark engines "
+                          "and distributed query planning at scale")])
+    out1 = run_once()
+    flags1 = {}
+    for r in out1:
+        flags1[r.doc] = flags1.get(r.doc, False) or r.is_neardup
+    assert flags1 == {1: False, 2: False}  # first sighting of both
+
+    # batch 2: doc 3 is doc 1 with one word changed -> near-dup of stored
+    # state; doc 4 is novel
+    write([(3, base.replace("lazy", "sleepy")),
+           (4, "entirely novel content mentioning neither animals nor "
+               "forests just database internals and shuffle plans")])
+    out2 = run_once()
+    flags2 = {}
+    best2 = {}
+    for r in out2:
+        flags2[r.doc] = flags2.get(r.doc, False) or r.is_neardup
+        best2[r.doc] = max(best2.get(r.doc, 0.0), r.est_jaccard)
+    assert flags2[3] is True and best2[3] >= 0.5, (flags2, best2)
+    assert flags2[4] is False
