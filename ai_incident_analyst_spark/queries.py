@@ -2317,3 +2317,127 @@ def q_zorder_bucket_counts(spark, sf_dir):
         li.select(F.shiftright(z, 10).alias("z_bucket"))
         .groupBy("z_bucket").agg(F.count("*").alias("n"))
     )
+
+
+@q("shipping_priority_top10", """
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1998-01-01'
+  AND l.l_shipdate > DATE '1998-01-01'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""", doc="TPC-H Q3 shape: 3-way join (customer broadcast into the "
+         "orders-lineitem fact join) + grouped revenue + global top-10 "
+         "(TakeOrderedAndProject, no full sort); deterministic tiebreak "
+         "on orderkey")
+def q_shipping_priority_top10(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer") \
+        .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    li = _t(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("date"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .cast("decimal(18,4)")).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@q("forecast_revenue_change", """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""", doc="TPC-H Q6 shape: pure scan-filter-aggregate — every predicate "
+         "must reach the parquet scan as PushedFilters, zero joins, "
+         "zero Python")
+def q_forecast_revenue_change(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+                  & F.col("l_discount").between(0.05, 0.07)
+                  & (F.col("l_quantity") < 24))
+        .agg(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                   .cast("decimal(18,4)")).cast("double").alias("revenue"))
+    )
+
+
+@q("returned_item_losses", """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS lost_revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+""", doc="TPC-H Q10 shape: returned-item revenue per customer — fact-fact "
+         "join with dim broadcasts, grouped decimal agg, top-20 with "
+         "deterministic tiebreak")
+def q_returned_item_losses(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_returnflag") == "R") \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .cast("decimal(18,4)")).cast("double")
+             .alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@q("profit_by_nation_year", """
+SELECT n.n_name AS nation, year(l.l_shipdate) AS yr,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS amount
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_name LIKE '%a%'
+GROUP BY n.n_name, year(l.l_shipdate)
+""", doc="TPC-H Q9 shape: profit by supplier-nation and ship year — one "
+         "fact shuffle, three broadcast dims, LIKE-filtered part dim "
+         "pruned before the join")
+def q_profit_by_nation_year(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part") \
+        .filter(F.col("p_name").like("%a%")).select("p_partkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("l_shipdate").alias("yr"))
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .cast("decimal(18,4)")).cast("double").alias("amount"))
+    )

@@ -72,6 +72,10 @@ HEADLINE = [
     "rollup_daily_metrics",
     "rollup_monthly_from_daily",
     "zorder_bucket_counts",
+    "shipping_priority_top10",
+    "forecast_revenue_change",
+    "returned_item_losses",
+    "profit_by_nation_year",
 ]
 
 
