@@ -2441,3 +2441,38 @@ def q_profit_by_nation_year(spark, sf_dir):
         .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
                    .cast("decimal(18,4)")).cast("double").alias("amount"))
     )
+
+
+@q("cms_user_counts", """
+WITH rows4(row) AS (VALUES (0), (1), (2), (3)),
+cells AS (
+  SELECT r.row,
+         CAST(('0x' || substring(md5(CAST(r.row AS VARCHAR) || '|' ||
+                                     CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 256 AS col
+  FROM events, rows4 r
+), sketch AS (
+  SELECT row, col, count(*) AS cnt FROM cells GROUP BY 1, 2
+), probes AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id < 40
+), pc AS (
+  SELECT p.user_id, r.row,
+         CAST(('0x' || substring(md5(CAST(r.row AS VARCHAR) || '|' ||
+                                     CAST(p.user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 256 AS col
+  FROM probes p, rows4 r
+)
+SELECT pc.user_id, min(coalesce(s.cnt, 0)) AS est_count
+FROM pc LEFT JOIN sketch s ON pc.row = s.row AND pc.col = s.col
+GROUP BY pc.user_id
+""", doc="count-min sketch as a relational structure "
+         "(operators/sketch.py): d x w counter cells built with one "
+         "explode + groupBy, estimates via broadcast join + min. Hash "
+         "rows derive from md5 (bit-identical Spark<->DuckDB), so even "
+         "the APPROXIMATE estimates are value-hash oracle-checked")
+def q_cms_user_counts(spark, sf_dir):
+    from .operators.sketch import cms_build, cms_estimate
+    ev = _t(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", depth=4, width=256)
+    probes = ev.filter(F.col("user_id") < 40).select("user_id").distinct()
+    return cms_estimate(sketch, probes, "user_id", depth=4, width=256)

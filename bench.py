@@ -76,6 +76,7 @@ HEADLINE = [
     "forecast_revenue_change",
     "returned_item_losses",
     "profit_by_nation_year",
+    "cms_user_counts",
 ]
 
 
