@@ -269,3 +269,71 @@ def lsh_cosine_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
         .filter(F.col("__rn") <= k)
         .select("query_id", "vec_id", "distance")
     )
+
+
+def ivf_write_index(corpus: DataFrame, centroids: DataFrame, path: str,
+                    corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+                    centroid_id: str = "centroid_id",
+                    centroid_vec: str = "centroid") -> None:
+    """Materialize the IVF index: corpus rows assigned to their nearest
+    centroid and written ``partitionBy(__cell)`` — one directory per
+    inverted list.
+
+    This turns the per-query assignment pass of ``ivf_knn_join`` into a
+    one-time build (the FAISS ``index.add`` analog), and — the part that
+    matters at 100 TB — makes the probe side PARTITION-PRUNED: a query
+    batch that probes cells {3, 17} reads two directories, not the
+    corpus. The reference rebuilds its FAISS index in memory per run
+    (src/vector_db/faiss_db.py:24-43); a parquet inverted file persists
+    and co-locates each list's vectors.
+    """
+    assign = knn_join(
+        corpus.select(F.col(corpus_id).alias("query_id"),
+                      F.col(corpus_vec).alias("query_vec")),
+        centroids, k=1, metric="l2_sq",
+        corpus_id=centroid_id, corpus_vec=centroid_vec,
+    ).select(F.col("query_id").alias(corpus_id),
+             F.col("vec_id").alias("__cell"))
+    (corpus.join(assign, corpus_id)
+     .repartition(F.col("__cell"))
+     .write.partitionBy("__cell").mode("overwrite").parquet(path))
+
+
+def ivf_probe_index(spark, path: str, queries: DataFrame,
+                    centroids: DataFrame, k: int = 5, nprobe: int = 2,
+                    query_id: str = "query_id", query_vec: str = "query_vec",
+                    corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+                    centroid_id: str = "centroid_id",
+                    centroid_vec: str = "centroid") -> DataFrame:
+    """Probe a persisted IVF index: identical results to ``ivf_knn_join``
+    over the same centroids, but the corpus scan is restricted to the
+    probed cells with a STATIC ``IN`` predicate so parquet partition
+    pruning drops every other directory at planning time.
+
+    The probed-cell set is ≤ |queries|·nprobe ints — collected to the
+    driver (the only driver action, KB-scale) precisely because a static
+    literal list is what the file-index pruner can consume; a join
+    against a cells DataFrame would read all partitions.
+    """
+    probes = knn_join(
+        queries, centroids, k=nprobe, metric="l2_sq",
+        query_id=query_id, query_vec=query_vec,
+        corpus_id=centroid_id, corpus_vec=centroid_vec,
+    ).select("query_id", F.col("vec_id").alias("__cell"))
+    cells = [r["__cell"] for r in probes.select("__cell").distinct().collect()]
+    index = spark.read.parquet(path).filter(F.col("__cell").isin(cells))
+
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       F.col(query_vec).alias("__qv"))
+    scored = (
+        F.broadcast(q.join(probes, "query_id"))
+        .join(index, "__cell")
+        .withColumn("distance", l2_sq("__qv", corpus_vec))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(),
+                                               F.col(corpus_id).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", F.col(corpus_id).alias("vec_id"), "distance")
+    )

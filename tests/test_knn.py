@@ -116,3 +116,53 @@ def test_lsh_cosine_recall_vs_exact(spark, sf_dir):
              for r in lsh_cosine_knn_join(q, c, k=5, n_planes=4,
                                           n_tables=16).collect()}
     assert approx == again
+
+
+def test_ivf_persisted_index_prunes_and_matches(spark, sf_dir, vec_data,
+                                                tmp_path):
+    """ivf_write_index + ivf_probe_index must (a) return exactly what the
+    in-memory ivf_knn_join returns for the same centroids/nprobe, and
+    (b) scan ONLY the probed cells' directories (partition pruning)."""
+    from pyspark.sql import functions as F
+
+    from ai_incident_analyst_spark.operators.knn import (
+        ivf_probe_index,
+        ivf_write_index,
+    )
+
+    q, c, *_ = vec_data
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>"))
+                   .alias("pos", "v"))
+        .groupBy("label", "pos").agg(F.avg("v").alias("v"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(F.col("label").alias("centroid_id"),
+                F.transform("pv", lambda s: s["v"]).alias("centroid"))
+    )
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(c, cents, path)
+
+    probed = ivf_probe_index(spark, path, q, cents, k=K, nprobe=2)
+    inmem = ivf_knn_join(q, c, cents, k=K, nprobe=2)
+    a = sorted((r.query_id, r.vec_id, round(r.distance, 9))
+               for r in probed.collect())
+    b = sorted((r.query_id, r.vec_id, round(r.distance, 9))
+               for r in inmem.collect())
+    assert a == b
+
+    # pruning: the static IN predicate must reach the file index as a
+    # PartitionFilter (inputFiles() reports the unpruned relation, so
+    # check the executed plan like tests/test_partitioning.py does)
+    import re
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*__cell[^\]]*\]", plan)
+    assert m and (" IN " in m.group(0).upper()
+                  or "isnotnull" not in m.group(0)), plan[:2000]
+    probe_cells = {r.vec_id for r in knn_join(
+        q, cents, k=2, metric="l2_sq",
+        corpus_id="centroid_id", corpus_vec="centroid").collect()}
+    n_cells_total = spark.read.parquet(path) \
+        .select("__cell").distinct().count()
+    assert len(probe_cells) < n_cells_total  # pruning is non-trivial
