@@ -357,3 +357,40 @@ def ngram_contamination(docs: DataFrame, bench: DataFrame,
                 6).alias("contamination_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style boilerplate removal (line-level cleaning rules)
+# ---------------------------------------------------------------------------
+
+def c4_keep_line(line: Column) -> Column:
+    """The public C4 line-retention rules as one boolean expression:
+    keep a line iff it ends in terminal punctuation, has >= 5 words, and
+    does not mention javascript (case-insensitive)."""
+    t = F.trim(line)
+    return (
+        t.rlike(r'[.!?"”]$')
+        & (F.size(F.split(t, r"\s+")) >= 5)
+        & ~F.lower(t).contains("javascript")
+    )
+
+
+def c4_clean(col: Column | str) -> Column:
+    """C4 page cleaning as a pure column expression: filter lines by
+    ``c4_keep_line``, drop the whole page (null) if it contains
+    "lorem ipsum" or a curly brace, or fewer than 3 lines survive.
+
+    A per-row HOF ``filter`` is fine here (lines per page are dozens, not
+    the per-character arrays that hit the HOF re-eval trap); the result
+    stays JVM-side with no shuffle — a scan-speed cleaning pass at any
+    scale.
+    """
+    c = _c(col)
+    kept = F.filter(F.split(c, r"\n"), c4_keep_line)
+    page_bad = (
+        F.lower(c).contains("lorem ipsum")
+        | c.contains("{")
+        | (F.size(kept) < 3)
+    )
+    return F.when(page_bad, F.lit(None).cast("string")) \
+        .otherwise(F.array_join(kept, "\n"))

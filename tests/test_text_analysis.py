@@ -164,3 +164,29 @@ def test_winnow_short_text_fallback(spark):
     rows = {r.i: r.f for r in
             df.select("i", winnow_fingerprints("text").alias("f")).collect()}
     assert len(rows[0]) == 1 and len(rows[1]) == 1
+
+
+def test_c4_clean_rules(spark):
+    """Public C4 rules: terminal punctuation, >=5 words, no javascript
+    lines; pages with lorem ipsum / braces / <3 surviving lines die."""
+    from ai_incident_analyst_spark.operators.text_analysis import c4_clean
+    good = ("This is a perfectly fine sentence.\n"
+            "Short line\n"                          # no punct, <5 words
+            "Another good sentence with many words here.\n"
+            "Please enable javascript to continue browsing.\n"  # js
+            "And a third good sentence rounds the page out.")
+    rows = [
+        (1, good),
+        (2, "Too few surviving lines here honestly.\nOnly one more line."),
+        (3, good + "\nlorem ipsum dolor sit amet."),
+        (4, good.replace("many words", "many {braced} words")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.cleaned for r in
+           df.select("doc_id", c4_clean("text").alias("cleaned")).collect()}
+    assert out[1] == ("This is a perfectly fine sentence.\n"
+                      "Another good sentence with many words here.\n"
+                      "And a third good sentence rounds the page out.")
+    assert out[2] is None   # < 3 surviving lines
+    assert out[3] is None   # lorem ipsum page kill
+    assert out[4] is None   # brace page kill
