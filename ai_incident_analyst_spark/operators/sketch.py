@@ -73,3 +73,75 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, key_col: str,
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+# --- Bloom filter: relational build, scan-side prune ------------------------
+#
+# The 100 TB use-case is runtime semi-join pruning: build a Bloom filter
+# over a dimension's join keys (tiny), then drop non-matching fact rows AT
+# THE SCAN — before any shuffle — instead of shuffling 100 TB into a join
+# that discards most of it. This mirrors what Spark's AQE runtime filter
+# (InjectRuntimeFilter) does internally, but as an explicit, persistable,
+# mergeable operator: the filter IS a DataFrame of set bit positions, so
+# per-partition / per-day filters union together (`bloom_merge`) and can be
+# written to parquet alongside the data they summarize.
+#
+# Hashes reuse the md5 scheme of the CMS above (bit-identical in Spark and
+# DuckDB), so even the deterministic false-positive set is value-hash
+# oracle-checkable — the estimate itself is in the correctness gate, not
+# just eyeballed. Reference parity: generalizes the run-scoped `seen`-set
+# membership gate of preprocessor dedup (reference
+# src/preprocessing/preprocessor.py:30-38) to out-of-core scale.
+
+
+def _bloom_bit(key: Column, i: int, num_bits: int) -> Column:
+    """Hash-i bit position of ``key`` — same md5 derivation as the CMS."""
+    h = F.md5(F.concat(F.lit(str(i)), F.lit("|"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % num_bits)
+
+
+def bloom_build(df: DataFrame, key_col: str, num_bits: int = 1 << 16,
+                num_hashes: int = 4) -> DataFrame:
+    """Build the filter: a DataFrame of distinct set ``bit`` positions
+    (≤ num_bits rows). One explode + one distinct; map-side combinable."""
+    key = F.col(key_col)
+    bits = F.array(*[_bloom_bit(key, i, num_bits) for i in range(num_hashes)])
+    return df.select(F.explode(bits).alias("bit")).distinct()
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Filters over disjoint data union by unioning their bit sets."""
+    return a.unionByName(b).distinct()
+
+
+def bloom_prune(df: DataFrame, key_col: str, bits: DataFrame,
+                num_bits: int = 1 << 16, num_hashes: int = 4) -> DataFrame:
+    """Keep only rows of ``df`` whose key MIGHT be in the filter (no false
+    negatives; deterministic md5 false positives).
+
+    The bit table is materialized once into a packed long[] bitmap — at
+    most ``num_bits/64`` words (a filter sized for 1M keys at 1% FP is
+    ~1.2 MB), the same driver-side materialization Spark's own runtime
+    filter performs — and embedded as a literal array, so the check is a
+    pure column expression evaluated inside the scan's WholeStageCodegen:
+    no join, no shuffle, and Parquet row groups still benefit from any
+    stacked min/max pushdown. ``df`` itself is never collected.
+    """
+    n_words = (num_bits + 63) >> 6
+    words = [0] * n_words
+    for (b,) in bits.select("bit").collect():
+        words[b >> 6] |= 1 << (b & 63)
+    # two's-complement into signed 64-bit for LongType literals
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+
+    key = F.col(key_col)
+    out = df.withColumn("__bw", arr)
+    cond = F.lit(True)
+    for i in range(num_hashes):
+        out = out.withColumn(f"__bp{i}", _bloom_bit(key, i, num_bits))
+        cond = cond & F.expr(
+            f"(element_at(__bw, cast(__bp{i} div 64 as int) + 1) & "
+            f"shiftleft(1L, cast(__bp{i} % 64 as int))) != 0")
+    drop = ["__bw"] + [f"__bp{i}" for i in range(num_hashes)]
+    return out.filter(cond).drop(*drop)

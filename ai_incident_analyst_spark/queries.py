@@ -2776,3 +2776,49 @@ def q_waiting_suppliers(spark, sf_dir):
         .groupBy(F.col("s_name").alias("supplier"))
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@q("bloom_prune_orders", """
+WITH keys AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substring(md5(CAST(h.i AS VARCHAR) || '|' ||
+                                     CAST(k.c_custkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % 4096 AS bit
+  FROM keys k CROSS JOIN (VALUES (0), (1), (2)) h(i)),
+probe AS (
+  SELECT o.o_orderkey,
+         CAST(('0x' || substring(md5(CAST(h.i AS VARCHAR) || '|' ||
+                                     CAST(o.o_custkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % 4096 AS bit
+  FROM orders o CROSS JOIN (VALUES (0), (1), (2)) h(i)),
+hits AS (
+  SELECT p.o_orderkey, count(b.bit) AS nh
+  FROM probe p LEFT JOIN bits b ON b.bit = p.bit
+  GROUP BY 1),
+pass AS (SELECT count(*) AS bloom_pass FROM hits WHERE nh = 3),
+ex AS (SELECT count(*) AS exact_pass FROM orders o
+       WHERE o.o_custkey IN (SELECT c_custkey FROM keys))
+SELECT p.bloom_pass, e.exact_pass,
+       p.bloom_pass - e.exact_pass AS false_pos
+FROM pass p, ex e
+""", doc="Bloom-filter runtime semi-join pruning (operators/sketch.py): "
+         "dim keys -> md5 bit set -> packed-bitmap filter evaluated inside "
+         "the fact scan (no shuffle, no join). The deterministic "
+         "false-positive count is itself oracle-checked, proving the "
+         "filter math is bit-identical across engines")
+def q_bloom_prune_orders(spark, sf_dir):
+    from .operators.sketch import bloom_build, bloom_prune
+    keys = _t(spark, sf_dir, "customer") \
+        .filter(F.col("c_mktsegment") == "BUILDING") \
+        .select("c_custkey").distinct()
+    bits = bloom_build(keys, "c_custkey", num_bits=4096, num_hashes=3)
+    o = _t(spark, sf_dir, "orders")
+    passed = bloom_prune(o, "o_custkey", bits, num_bits=4096, num_hashes=3) \
+        .agg(F.count("*").alias("bloom_pass"))
+    exact = o.join(keys, o.o_custkey == keys.c_custkey, "left_semi") \
+        .agg(F.count("*").alias("exact_pass"))
+    return (passed.crossJoin(exact)
+            .withColumn("false_pos",
+                        F.col("bloom_pass") - F.col("exact_pass")))

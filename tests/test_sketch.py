@@ -41,3 +41,47 @@ def test_cms_absent_key_estimates_zero_when_sparse(spark):
     sk = cms_build(_df(spark, [1, 2, 3]), "k", depth=4, width=4096)
     est = cms_estimate(sk, _df(spark, [999]), "k", 4, 4096).first()
     assert est.est_count == 0
+
+
+# --- Bloom filter -----------------------------------------------------------
+
+from ai_incident_analyst_spark.operators.sketch import (  # noqa: E402
+    bloom_build,
+    bloom_merge,
+    bloom_prune,
+)
+
+
+def test_bloom_no_false_negatives(spark):
+    keys = _df(spark, range(0, 500, 3))
+    bits = bloom_build(keys, "k", num_bits=4096, num_hashes=3)
+    probe = _df(spark, range(0, 500))
+    kept = {r.k for r in
+            bloom_prune(probe, "k", bits, 4096, 3).collect()}
+    assert set(range(0, 500, 3)) <= kept  # every true key survives
+
+
+def test_bloom_prunes_most_absent_keys(spark):
+    keys = _df(spark, range(100))
+    bits = bloom_build(keys, "k", num_bits=1 << 14, num_hashes=4)
+    probe = _df(spark, range(100, 2100))
+    n_fp = bloom_prune(probe, "k", bits, 1 << 14, 4).count()
+    # 400/16384 bits set -> FP rate ~ (0.024)^4; generous bound
+    assert n_fp <= 5, n_fp
+
+
+def test_bloom_merge_equals_combined_build(spark):
+    a, b = _df(spark, [1, 2, 3]), _df(spark, [3, 4, 5])
+    merged = bloom_merge(bloom_build(a, "k", 512, 3),
+                         bloom_build(b, "k", 512, 3))
+    full = bloom_build(a.unionByName(b), "k", 512, 3)
+    assert sorted(r.bit for r in merged.collect()) == \
+        sorted(r.bit for r in full.collect())
+
+
+def test_bloom_prune_is_scan_side_no_shuffle(spark):
+    keys = _df(spark, range(50))
+    bits = bloom_build(keys, "k", 2048, 3)
+    plan = bloom_prune(_df(spark, range(500)), "k", bits, 2048, 3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure Filter over the scan
