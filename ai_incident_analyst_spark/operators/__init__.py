@@ -8,6 +8,12 @@ from .dedup import (
     simhash,
     simhash_neardup,
 )
+from .clustering import (
+    centroids_df,
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_inertia,
+)
 from .knn import knn_join, knn_join_blocked
 from .packing import global_cumsum, pack_sequences
 from .sampling import quota_sample
@@ -24,6 +30,7 @@ __all__ = [
     "dedup_exact", "dedup_keep_first", "embedding_cosine_neardup",
     "minhash_lsh_neardup", "ngram_jaccard_pairs", "shingle",
     "simhash", "simhash_neardup",
+    "centroids_df", "kmeans_assign", "kmeans_fit", "kmeans_inertia",
     "knn_join", "knn_join_blocked",
     "global_cumsum", "pack_sequences", "quota_sample",
     "fingerprint", "lang_id", "ngram_contamination",

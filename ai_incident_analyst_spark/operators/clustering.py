@@ -1,0 +1,187 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+The reference has no clustering operator — its vector side is a flat
+exact-L2 index (``src/vector_db/faiss_db.py:43``). k-means is the missing
+training step for our IVF scale path (``operators/knn.py:ivf_knn_join``
+probes centroid cells; something has to produce good centroids), and a
+first-class corpus-curation operator in its own right (topic bucketing,
+embedding-space stratified sampling, per-cluster quota sampling).
+
+Physical design — the classic scalable formulation (what Spark MLlib's
+KMeans does under the RDD API, restated on DataFrames):
+
+- Centroids are TINY (k × d doubles — 8 clusters × 384 dims = 24 KB) and
+  live on the driver between rounds; the corpus is never collected.
+- Each round is ONE Arrow pass over the corpus (``mapInPandas``): each
+  partition computes its points' nearest centroid with one BLAS matmul
+  and emits k partial rows ``(cluster, count, vector-sum)`` — map-side
+  combine, so the round's driver traffic is k × #partitions rows of
+  d-vectors, independent of corpus size.
+- The driver folds partials into new centroids and checks movement.
+  Empty clusters keep their previous centroid (standard Lloyd's fallback;
+  deterministic, no re-seeding randomness).
+- Init is deterministic and engine-portable: the k rows with the smallest
+  ``md5(id)`` — a hash-ordered sample, reproducible across runs, cluster
+  layouts, and appends of later rows (same trick as ``operators/
+  sampling.py``).
+
+Per-round cost at 100 TB: one corpus scan + a k×P-row collect — no
+shuffle at all. Rounds are the serial factor; cap with ``max_iter`` and
+``tol`` exactly like MLlib.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .util import spread
+
+
+def _init_centroids(df: DataFrame, id_col: str, vec_col: str,
+                    k: int) -> np.ndarray:
+    """Deterministic hash-ordered init: k rows with smallest md5(id)."""
+    rows = (
+        df.select(F.col(id_col).cast("string").alias("i"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("__h", F.md5(F.col("i")))
+        .orderBy("__h", "i")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"k={k} exceeds number of rows ({len(rows)})")
+    return np.array([r["v"] for r in rows], dtype=np.float64)
+
+
+def _partials_pass(df: DataFrame, vec_col: str,
+                   centroids: np.ndarray) -> np.ndarray:
+    """One assignment pass: returns folded (k, d+1) [count | sum] matrix."""
+    k, d = centroids.shape
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(centroids)
+    cn2 = (centroids * centroids).sum(axis=1)
+    bn2 = sc.broadcast(cn2)
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents, cnorm2 = bc.value, bn2.value
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, cents.shape[1]), dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            # argmin ||x-c||^2 = argmin ||c||^2 - 2 x.c  (||x||^2 constant)
+            scores = cnorm2[None, :] - 2.0 * (mat @ cents.T)
+            assign = scores.argmin(axis=1)
+            counts += np.bincount(assign, minlength=k)
+            np.add.at(sums, assign, mat)
+        nz = np.nonzero(counts)[0]
+        if len(nz) == 0:
+            # empty partition: a 0-row frame would give the vsum column a
+            # float64 dtype that Arrow can't cast to list<double>
+            return
+        yield pd.DataFrame({
+            "cluster": nz.astype("int64"),
+            "cnt": counts[nz],
+            "vsum": [s.tolist() for s in sums[nz]],
+        })
+
+    partials = (
+        df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+        .mapInPandas(part, schema="cluster long, cnt long, vsum array<double>")
+        .collect()
+    )
+    folded = np.zeros((k, d + 1), dtype=np.float64)
+    # fixed fold order → deterministic FP sums for a given partitioning
+    for r in sorted(partials, key=lambda r: (r["cluster"], r["cnt"])):
+        folded[r["cluster"], 0] += r["cnt"]
+        folded[r["cluster"], 1:] += np.asarray(r["vsum"])
+    return folded
+
+
+def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
+               max_iter: int = 10, tol: float = 1e-6,
+               init: Optional[np.ndarray] = None) -> tuple[np.ndarray, int]:
+    """Lloyd's k-means; returns ``(centroids (k,d) ndarray, n_iter)``.
+
+    Deterministic for a fixed input partitioning (hash-ordered init, fixed
+    partial fold order). Use ``centroids_df`` to get the Spark-side frame
+    that ``ivf_knn_join`` / ``ivf_write_index`` consume.
+    """
+    data = spread(df.select(id_col, vec_col), id_col)
+    cents = _init_centroids(data, id_col, vec_col, k) if init is None \
+        else np.asarray(init, dtype=np.float64)
+    if cents.shape[0] != k:
+        raise ValueError(f"init has {cents.shape[0]} rows, expected k={k}")
+    n_iter = 0
+    for n_iter in range(1, max_iter + 1):
+        folded = _partials_pass(data, vec_col, cents)
+        counts, sums = folded[:, 0], folded[:, 1:]
+        new = np.where(counts[:, None] > 0,
+                       sums / np.maximum(counts[:, None], 1), cents)
+        shift = float(np.max(np.linalg.norm(new - cents, axis=1)))
+        cents = new
+        if shift <= tol:
+            break
+    return cents, n_iter
+
+
+def centroids_df(spark, centroids: np.ndarray,
+                 centroid_id: str = "centroid_id",
+                 centroid_vec: str = "centroid") -> DataFrame:
+    """The (k,d) ndarray as the tiny DataFrame the IVF operators take."""
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    return spark.createDataFrame(
+        rows, schema=f"{centroid_id} long, {centroid_vec} array<double>")
+
+
+def kmeans_assign(df: DataFrame, vec_col: str, centroids: np.ndarray,
+                  out_col: str = "cluster",
+                  dist_col: Optional[str] = None) -> DataFrame:
+    """Annotate each row with its nearest centroid (and optionally the
+    squared-L2 distance). One Arrow pass, no shuffle; all original
+    columns pass through."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(cents)
+    cols = df.columns
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    schema = f"{fields}, {out_col} int" + \
+        (f", {dist_col} double" if dist_col else "")
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        cn2 = (c * c).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            scores = cn2[None, :] - 2.0 * (mat @ c.T)
+            assign = scores.argmin(axis=1)
+            out = pdf[cols].copy()
+            out[out_col] = assign.astype("int32")
+            if dist_col:
+                xn2 = (mat * mat).sum(axis=1)
+                out[dist_col] = xn2 + scores[np.arange(len(mat)), assign]
+            yield out
+
+    return df.mapInPandas(part, schema=schema)
+
+
+def kmeans_inertia(df: DataFrame, vec_col: str,
+                   centroids: np.ndarray) -> float:
+    """Sum of squared distances to assigned centroids (the Lloyd's
+    objective) — one pass, driver gets a single float."""
+    assigned = kmeans_assign(df.select(vec_col), vec_col, centroids,
+                             dist_col="__d2")
+    row = assigned.agg(F.sum(F.greatest(F.col("__d2"), F.lit(0.0)))
+                       .alias("s")).collect()[0]
+    return float(row["s"] or 0.0)

@@ -872,6 +872,39 @@ def q_knn_ivf(spark, sf_dir):
         .withColumn("distance", F.round("distance", 6))
 
 
+@q("kmeans_clusters", None,
+   doc="distributed Lloyd's k-means (operators/clustering.py): "
+       "deterministic hash-ordered init, one Arrow corpus pass per round "
+       "emitting k partial (count, vector-sum) rows per partition — no "
+       "shuffle, driver holds only k×d centroids (the IVF training step "
+       "the reference's flat index never needed). Iterative FP → no SQL "
+       "oracle; numpy-reference parity + Lloyd's invariants in tests")
+def q_kmeans_clusters(spark, sf_dir):
+    from .operators.clustering import kmeans_assign, kmeans_fit
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, _ = kmeans_fit(emb, "vec_id", "embedding", k=8, max_iter=5)
+    return (
+        kmeans_assign(emb, "embedding", cents, out_col="cluster")
+        .groupBy("cluster").agg(F.count("*").alias("n_vecs"))
+        .orderBy("cluster")
+    )
+
+
+@q("knn_ivf_kmeans", None,
+   doc="IVF k-NN probed over k-means-trained centroids (the full "
+       "train→index→probe path: kmeans_fit → centroids_df → ivf_knn_join)"
+       " — approximate, recall vs exact checked in tests")
+def q_knn_ivf_kmeans(spark, sf_dir):
+    from .operators.clustering import centroids_df, kmeans_fit
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_fit(emb.select("vec_id", "embedding"),
+                          "vec_id", "embedding", k=8, max_iter=5)
+    cdf = centroids_df(spark, cents)
+    q_, c_ = _qc_split(spark, sf_dir)
+    return ivf_knn_join(q_, c_, cdf, k=5, nprobe=3) \
+        .withColumn("distance", F.round("distance", 6))
+
+
 # ===========================================================================
 # fuzzy dedup, embedding, multimodal, RAG (rows-only or derived oracles)
 # ===========================================================================

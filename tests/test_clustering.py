@@ -1,0 +1,116 @@
+"""k-means: parity vs a pure-numpy reference, Lloyd's invariants, and the
+IVF-training integration (kmeans centroids -> ivf_knn_join recall)."""
+
+import numpy as np
+import pytest
+
+from ai_incident_analyst_spark.operators.clustering import (
+    centroids_df,
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_inertia,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _toy(spark, n=60, d=4, parts=1, seed=3):
+    rng = np.random.default_rng(seed)
+    # three well-separated blobs
+    blobs = np.concatenate([
+        rng.normal(loc=c, scale=0.1, size=(n // 3, d))
+        for c in (0.0, 5.0, 10.0)
+    ])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(blobs)]
+    return (spark.createDataFrame(rows, "id long, v array<double>")
+            .repartition(parts), blobs)
+
+
+def _numpy_lloyd(x, init, iters):
+    c = init.copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(len(c)):
+            if (a == j).any():
+                c[j] = x[a == j].mean(axis=0)
+    return c
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    df, x = _toy(spark, parts=1)
+    init = x[[0, 25, 50]]
+    cents, _ = kmeans_fit(df, "id", "v", k=3, max_iter=4, tol=0.0, init=init)
+    ref = _numpy_lloyd(x, init.astype(np.float64), 4)
+    # single partition -> identical assignment and fold order
+    assert np.allclose(np.sort(cents, axis=0), np.sort(ref, axis=0),
+                       atol=1e-9)
+
+
+def test_kmeans_deterministic_init_and_refit(spark):
+    df, _ = _toy(spark, parts=4)
+    c1, i1 = kmeans_fit(df, "id", "v", k=3, max_iter=5)
+    c2, i2 = kmeans_fit(df, "id", "v", k=3, max_iter=5)
+    assert i1 == i2 and np.array_equal(c1, c2)  # bitwise: same partitioning
+
+
+def test_inertia_non_increasing_over_rounds(spark):
+    df, x = _toy(spark, parts=2)
+    init = x[[1, 2, 3]]  # bad init, forces real movement
+    prev = np.inf
+    for iters in (1, 2, 3, 5):
+        c, _ = kmeans_fit(df, "id", "v", k=3, max_iter=iters, tol=0.0,
+                          init=init)
+        cur = kmeans_inertia(df, "v", c)
+        assert cur <= prev + 1e-9
+        prev = cur
+
+
+def test_kmeans_separates_blobs(spark):
+    df, x = _toy(spark, parts=4)
+    cents, _ = kmeans_fit(df, "id", "v", k=3, max_iter=10)
+    got = kmeans_assign(df, "v", cents, out_col="c", dist_col="d2")
+    rows = got.orderBy("id").collect()
+    # every blob lands in exactly one cluster
+    lab = np.array([r["c"] for r in rows])
+    for blk in (lab[:20], lab[20:40], lab[40:]):
+        assert len(set(blk.tolist())) == 1
+    assert len({lab[0], lab[20], lab[40]}) == 3
+    # assignment is argmin and d2 is the true squared distance
+    for r in rows[:10]:
+        v = np.array(r["v"])
+        d2 = ((cents - v) ** 2).sum(axis=1)
+        assert r["c"] == int(d2.argmin())
+        assert abs(r["d2"] - d2.min()) < 1e-9
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    rows = [(i, [float(i % 2), 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    # third centroid far away: never nearest, must survive unchanged
+    init = np.array([[0.0, 0.0], [1.0, 0.0], [99.0, 99.0]])
+    cents, _ = kmeans_fit(df, "id", "v", k=3, max_iter=3, tol=0.0, init=init)
+    assert np.array_equal(cents[2], init[2])
+
+
+def test_kmeans_centroids_drive_ivf(spark):
+    from ai_incident_analyst_spark.operators.knn import (
+        ivf_knn_join, knn_join_blocked)
+    from ai_incident_analyst_spark.sources.tables import load_table
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings") \
+        .select("vec_id", "embedding")
+    cents, _ = kmeans_fit(emb, "vec_id", "embedding", k=4, max_iter=3)
+    cdf = centroids_df(spark, cents)
+    qs = emb.filter("vec_id < 5") \
+        .select(F_alias(emb, "vec_id", "query_id"),
+                F_alias(emb, "embedding", "query_vec"))
+    approx = ivf_knn_join(qs, emb, cdf, k=5, nprobe=2)
+    exact = knn_join_blocked(qs, emb, k=5)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.6  # nprobe=2/4 cells, recall floor
+
+
+def F_alias(df, col, name):
+    from pyspark.sql import functions as F
+    return F.col(col).alias(name)
