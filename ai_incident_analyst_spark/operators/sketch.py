@@ -145,3 +145,93 @@ def bloom_prune(df: DataFrame, key_col: str, bits: DataFrame,
             f"shiftleft(1L, cast(__bp{i} % 64 as int))) != 0")
     drop = ["__bw"] + [f"__bp{i}" for i in range(num_hashes)]
     return out.filter(cond).drop(*drop)
+
+
+# --- HyperLogLog: relational registers, exact-arithmetic estimate ----------
+#
+# Distinct-count sketch (Flajolet et al., AMS/HLL lineage): m registers,
+# register j keeps the max leading-zero run (rho) of hashes landing in j.
+# Same two design points as the CMS above:
+#
+# * **The sketch IS a DataFrame** ``(reg, rho)`` (≤ m rows), built with one
+#   narrow projection + one groupBy-max — map-side combinable, mergeable
+#   across windows/partitions with groupBy-max (`hll_merge`), persistable
+#   next to the data it summarizes.
+# * **Every arithmetic step is cross-engine exact**, so the ESTIMATE is
+#   value-hash oracle-checkable, not just eyeballed:
+#   - the hash is md5 (bit-identical in Spark and DuckDB);
+#   - rho comes from the hex string itself (strip leading '0' chars + a
+#     16-way CASE on the first nonzero digit) — integer ops, no log2()
+#     whose libm rounding could differ by an ulp across engines;
+#   - the harmonic sum adds only exact powers of two 2^0..2^-49, whose
+#     partial sums all fit in 53 bits of mantissa → the sum is EXACT and
+#     therefore order-insensitive (safe under any shuffle/agg order).
+#
+# At 100 TB: build = one scan + a shuffle of ≤ m·partitions partial rows;
+# a cardinality estimate per (day, tenant, ...) group is the same groupBy
+# with `reg` folded into the key. Spark's own approx_count_distinct is the
+# black-box twin; this one is an auditable, mergeable, cross-engine table.
+
+#: CASE mapping of the first nonzero hex digit to its leading-zero count
+#: within the 4-bit nibble: '1'→3, '2'/'3'→2, '4'-'7'→1, '8'-'f'→0.
+_NIBBLE_NLZ = ("CASE WHEN __fd = '1' THEN 3 "
+               "WHEN __fd IN ('2','3') THEN 2 "
+               "WHEN __fd IN ('4','5','6','7') THEN 1 ELSE 0 END")
+
+
+def hll_build(df: DataFrame, key_col: str, m: int = 256) -> DataFrame:
+    """Build the sketch: ``(reg, rho)``, one row per non-empty register.
+
+    ``m`` must be 16 or 256 (1 or 2 hex chars of register addressing) so
+    the register index is an exact hex-prefix slice. rho is computed over
+    the next 12 hex chars (48 bits): 4·(leading zero chars) + nibble
+    zeros + 1, all-zero case → 49.
+    """
+    if m not in (16, 256):
+        raise ValueError("m must be 16 or 256 (hex-prefix addressing)")
+    rc = 1 if m == 16 else 2
+    h = F.md5(F.col(key_col).cast("string"))
+    tail = F.substring(h, rc + 1, 12)
+    stripped = F.regexp_replace(tail, r"^0+", "")
+    return (
+        df.select(
+            F.conv(F.substring(h, 1, rc), 16, 10).cast("int").alias("reg"),
+            tail.alias("__t"), stripped.alias("__s"),
+            F.substring(stripped, 1, 1).alias("__fd"))
+        .select(
+            "reg",
+            F.when(F.length("__s") == 0, F.lit(49)).otherwise(
+                (F.lit(12) - F.length("__s")) * 4
+                + F.expr(_NIBBLE_NLZ) + 1).alias("rho"))
+        .groupBy("reg").agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Sketches over any two datasets merge by register-wise max — HLL
+    merge is lossless (union semantics), unlike CMS's additive merge."""
+    return a.unionByName(b).groupBy("reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, m: int = 256) -> DataFrame:
+    """One-row DataFrame ``(est_distinct double)``.
+
+    Standard HLL estimator: alpha·m²/Σ 2^(-M_j) with empty registers
+    contributing 2^0, plus the small-range linear-counting correction
+    E ≤ 2.5m → m·ln(m/V). Rounded to 3 decimals (ln() is the single
+    libm call; rounding removes its cross-engine ulp)."""
+    alpha = {16: 0.673, 256: 0.7213 / (1 + 1.079 / 256)}[m]
+    agg = sketch.agg(
+        F.sum(F.pow(F.lit(0.5), F.col("rho"))).alias("s"),
+        F.count("*").alias("nz"))
+    return agg.select(
+        F.round(
+            F.when(
+                (F.lit(alpha * m * m)
+                 / (F.col("s") + (F.lit(m) - F.col("nz"))) <= 2.5 * m)
+                & (F.col("nz") < m),
+                F.lit(float(m)) * F.log(F.lit(float(m))
+                                        / (F.lit(m) - F.col("nz"))))
+            .otherwise(F.lit(alpha * m * m)
+                       / (F.col("s") + (F.lit(m) - F.col("nz")))),
+            3).alias("est_distinct"))

@@ -2511,6 +2511,47 @@ def q_cms_user_counts(spark, sf_dir):
     return cms_estimate(sketch, probes, "user_id", depth=4, width=256)
 
 
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)
+
+@q("hll_distinct_users", f"""
+WITH hx AS (
+  SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+rr AS (
+  SELECT CAST(('0x' || substring(h, 1, 2)) AS BIGINT) AS reg,
+         regexp_replace(substring(h, 3, 12), '^0+', '') AS s
+  FROM hx),
+rho AS (
+  SELECT reg,
+         CASE WHEN length(s) = 0 THEN 49
+              ELSE (12 - length(s)) * 4 +
+                   CASE WHEN substring(s, 1, 1) = '1' THEN 3
+                        WHEN substring(s, 1, 1) IN ('2','3') THEN 2
+                        WHEN substring(s, 1, 1) IN ('4','5','6','7') THEN 1
+                        ELSE 0 END + 1 END AS rho
+  FROM rr),
+regs AS (SELECT reg, MAX(rho) AS rho FROM rho GROUP BY reg),
+e AS (SELECT SUM(power(0.5, rho)) AS s, COUNT(*) AS nz FROM regs)
+SELECT round(CASE WHEN CAST({_HLL_ALPHA!r} AS DOUBLE) * 65536 / (s + (256 - nz)) <= 640
+                   AND nz < 256
+             THEN 256.0 * ln(256.0 / (256 - nz))
+             ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * 65536 / (s + (256 - nz)) END,
+             3) AS est_distinct,
+       (SELECT count(DISTINCT user_id) FROM events) AS exact_distinct
+FROM e
+""", doc="HyperLogLog distinct-count sketch (operators/sketch.py): "
+         "mergeable (reg, max-rho) register table; rho derived from md5 "
+         "hex by string ops (no libm), harmonic sum adds only exact "
+         "powers of two (order-insensitive) — so the ESTIMATE itself is "
+         "value-hash oracle-checked against DuckDB, alongside the exact "
+         "distinct for context")
+def q_hll_distinct_users(spark, sf_dir):
+    from .operators.sketch import hll_build, hll_estimate
+    ev = _t(spark, sf_dir, "events")
+    est = hll_estimate(hll_build(ev, "user_id", m=256), m=256)
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
 # --- TPC-H shape completion: Q2/Q5/Q7/Q8/Q11/Q20/Q21 adaptations ------------
 # The driver testdata has no partsupp table and lineitem lacks
 # commit/receipt dates (TESTDATA.md), so Q2/Q11/Q20/Q21 are re-expressed

@@ -85,3 +85,53 @@ def test_bloom_prune_is_scan_side_no_shuffle(spark):
     plan = bloom_prune(_df(spark, range(500)), "k", bits, 2048, 3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure Filter over the scan
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+from ai_incident_analyst_spark.operators.sketch import (  # noqa: E402
+    hll_build,
+    hll_estimate,
+    hll_merge,
+)
+
+
+def _est(spark, keys, m=256):
+    sk = hll_build(_df(spark, keys), "k", m=m)
+    return hll_estimate(sk, m=m).first()["est_distinct"]
+
+
+def test_hll_estimate_within_error_bound(spark):
+    for n in (50, 500, 5000):
+        est = _est(spark, range(n))
+        assert abs(est - n) / n < 0.25, (n, est)  # 3-4 sigma of 1.04/16
+
+
+def test_hll_duplicate_insensitive(spark):
+    once = _est(spark, range(300))
+    thrice = _est(spark, list(range(300)) * 3)
+    assert once == thrice
+
+
+def test_hll_merge_equals_combined_build(spark):
+    a, b = list(range(200)), list(range(100, 400))
+    merged = hll_merge(hll_build(_df(spark, a), "k"),
+                       hll_build(_df(spark, b), "k"))
+    full = hll_build(_df(spark, a + b), "k")
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, full.collect()))
+
+
+def test_hll_partitioning_invariant(spark):
+    """The estimate must not depend on data layout (exact-arithmetic sum)."""
+    df1 = _df(spark, range(1000)).coalesce(1)
+    df4 = _df(spark, range(1000)).repartition(7)
+    e1 = hll_estimate(hll_build(df1, "k")).first()["est_distinct"]
+    e4 = hll_estimate(hll_build(df4, "k")).first()["est_distinct"]
+    assert e1 == e4
+
+
+def test_hll_small_range_linear_counting(spark):
+    # tiny cardinality -> linear-counting branch; near-exact there
+    est = _est(spark, range(10))
+    assert abs(est - 10) <= 1.5, est
