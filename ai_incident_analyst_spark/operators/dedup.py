@@ -595,3 +595,68 @@ def dedup_canonical(docs: DataFrame, clusters: DataFrame, id_col: str,
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# global line-level exact dedup (C4-style corpus hygiene)
+# ---------------------------------------------------------------------------
+
+def dedup_lines_global(df: DataFrame, id_col: str, text_col: str,
+                       delim: str = "\n") -> DataFrame:
+    """Remove every repeated line across the WHOLE corpus, keeping only
+    its first occurrence (smallest ``(id, position)``), and reassemble the
+    surviving lines per document — the C4/RefinedWeb "dedup repeated
+    lines globally" rule, which kills cross-site boilerplate that
+    document-level dedup never sees.
+
+    Returns ``(id_col, text_dedup, n_lines_kept)`` for every input doc —
+    a doc whose every line was seen earlier elsewhere survives with
+    ``text_dedup=''`` and ``n_lines_kept=0`` (downstream quality filters
+    drop empties; this operator does not decide that).
+
+    Physical design for the 100 TB case — the naive formulation is a
+    ``row_number() OVER (PARTITION BY line)`` window, which SORTS each
+    line's occurrences and serializes exactly the worst key (a boilerplate
+    line occurring 10^8 times becomes one giant sorted partition).
+    Instead:
+
+    1. ``groupBy(line).agg(min(struct(id, pos)))`` — map-side combinable,
+       so a hot line collapses to one row per input partition before the
+       shuffle; skew never materializes.
+    2. The winners project to bare ``(id, pos)`` pairs, and the keep-join
+       runs on ``(id, pos)`` — a UNIFORM key, not the skewed line text.
+    3. Reassembly is one ``groupBy(id)`` with an order-restoring
+       ``array_sort(collect_list(struct(pos, line)))``.
+
+    Three keyed shuffles total, none skew-prone, nothing collected.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("__ln", "__line"),
+    )
+    winners = (
+        lines.groupBy("__line")
+        .agg(F.min(F.struct("__doc", "__ln")).alias("w"))
+        .select(F.col("w.__doc").alias("__doc"), F.col("w.__ln").alias("__ln"))
+    )
+    kept = lines.join(winners, ["__doc", "__ln"], "left_semi")
+    rebuilt = (
+        kept.groupBy("__doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__ln", "__line"))),
+                    lambda s: s["__line"]),
+                delim).alias("text_dedup"),
+            F.count("*").alias("n_lines_kept"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, F.col(id_col) == F.col("__doc"), "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        )
+    )

@@ -1688,6 +1688,53 @@ sh AS (
 )"""
 
 
+@q("dedup_lines_global", """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+lines AS (
+  SELECT doc_id, CAST(floor((pos - 1) / 10) AS INT) AS lineno,
+         string_agg(tok, ' ' ORDER BY pos) AS line
+  FROM toks GROUP BY 1, 2),
+keep AS (
+  SELECT doc_id, lineno, line,
+         row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id, lineno) AS rn
+  FROM lines),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY lineno) AS text_dedup,
+         count(*) AS n_lines_kept
+  FROM keep WHERE rn = 1 GROUP BY doc_id)
+SELECT d.doc_id, coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+       md5(coalesce(r.text_dedup, '')) AS text_hash
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+""", doc="C4-style GLOBAL line dedup (operators/dedup.py:"
+         "dedup_lines_global): every repeated 10-token line across the "
+         "corpus keeps only its first (doc, pos) occurrence; docs "
+         "reassembled order-preserving. Skew-proof plan: min-struct agg "
+         "(map-side combine) + uniform (id, pos) semi-join — never a "
+         "row_number window over the hot line key. The reassembled text "
+         "is value-checked via md5")
+def q_dedup_lines_global(spark, sf_dir):
+    from .operators.dedup import dedup_lines_global
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(10)).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - F.lit(1)),
+                lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " ")),
+            "\n").alias("text"))
+    return (
+        dedup_lines_global(chunked, "doc_id", "text", delim="\n")
+        .select("doc_id", "n_lines_kept",
+                F.md5(F.col("text_dedup")).alias("text_hash"))
+    )
+
+
 @q("neardup_clusters", f"""
 WITH RECURSIVE {_NGRAM_PAIRS_CTES}
 SELECT u AS node, cluster_id FROM labels

@@ -215,3 +215,48 @@ def test_rowwise_minhash_matches_agg_signature(spark):
         .select("doc", *minhash_signature_cols("hs", 16))
     rw = {r.doc: [r[f"h{i}"] for i in range(16)] for r in roww.collect()}
     assert batch == rw
+
+
+# --- global line-level dedup ------------------------------------------------
+
+from ai_incident_analyst_spark.operators.dedup import dedup_lines_global
+
+
+def _lines_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_lines_global_first_occurrence_wins(spark):
+    df = _lines_df(spark, [
+        (1, "alpha\nboiler\nbeta"),
+        (2, "boiler\ngamma"),
+        (3, "delta\nboiler"),
+    ])
+    got = {r["id"]: r for r in
+           dedup_lines_global(df, "id", "text").collect()}
+    assert got[1]["text_dedup"] == "alpha\nboiler\nbeta"
+    assert got[2]["text_dedup"] == "gamma"
+    assert got[3]["text_dedup"] == "delta"
+    assert [got[i]["n_lines_kept"] for i in (1, 2, 3)] == [3, 1, 1]
+
+
+def test_lines_global_in_doc_duplicates(spark):
+    df = _lines_df(spark, [(1, "x\ny\nx\nz\nx")])
+    r = dedup_lines_global(df, "id", "text").first()
+    assert r["text_dedup"] == "x\ny\nz"  # first kept, order preserved
+
+
+def test_lines_global_fully_deduped_doc_survives_empty(spark):
+    df = _lines_df(spark, [(1, "a\nb"), (2, "a\nb")])
+    got = {r["id"]: r for r in
+           dedup_lines_global(df, "id", "text").collect()}
+    assert got[2]["text_dedup"] == "" and got[2]["n_lines_kept"] == 0
+    assert got[1]["n_lines_kept"] == 2
+
+
+def test_lines_global_no_window_in_plan(spark):
+    """The skew-proof claim: no sort-window over the line key."""
+    df = _lines_df(spark, [(1, "a\nb"), (2, "b\nc")])
+    plan = dedup_lines_global(df, "id", "text") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
