@@ -187,24 +187,7 @@ def hll_build(df: DataFrame, key_col: str, m: int = 256) -> DataFrame:
     the next 12 hex chars (48 bits): 4·(leading zero chars) + nibble
     zeros + 1, all-zero case → 49.
     """
-    if m not in (16, 256):
-        raise ValueError("m must be 16 or 256 (hex-prefix addressing)")
-    rc = 1 if m == 16 else 2
-    h = F.md5(F.col(key_col).cast("string"))
-    tail = F.substring(h, rc + 1, 12)
-    stripped = F.regexp_replace(tail, r"^0+", "")
-    return (
-        df.select(
-            F.conv(F.substring(h, 1, rc), 16, 10).cast("int").alias("reg"),
-            tail.alias("__t"), stripped.alias("__s"),
-            F.substring(stripped, 1, 1).alias("__fd"))
-        .select(
-            "reg",
-            F.when(F.length("__s") == 0, F.lit(49)).otherwise(
-                (F.lit(12) - F.length("__s")) * 4
-                + F.expr(_NIBBLE_NLZ) + 1).alias("rho"))
-        .groupBy("reg").agg(F.max("rho").alias("rho"))
-    )
+    return hll_build_grouped(df, [], key_col, m=m)
 
 
 def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -220,18 +203,57 @@ def hll_estimate(sketch: DataFrame, m: int = 256) -> DataFrame:
     contributing 2^0, plus the small-range linear-counting correction
     E ≤ 2.5m → m·ln(m/V). Rounded to 3 decimals (ln() is the single
     libm call; rounding removes its cross-engine ulp)."""
+    return hll_estimate_grouped(sketch, [], m=m)
+
+
+def hll_build_grouped(df: DataFrame, group_cols: list[str], key_col: str,
+                      m: int = 256) -> DataFrame:
+    """Per-group register tables: ``(*group_cols, reg, rho)`` — the
+    rollup-able distinct-count primitive. Build once per (day, tenant, …)
+    cell; coarser cells (month, all-tenants) come from ``hll_merge_grouped``
+    over the FINE sketches, never from re-scanning the raw 100 TB — the
+    same partial-aggregate algebra as ``operators/rollup.py``, extended to
+    a non-additive measure (distinct) via the sketch."""
+    if m not in (16, 256):
+        raise ValueError("m must be 16 or 256 (hex-prefix addressing)")
+    rc = 1 if m == 16 else 2
+    h = F.md5(F.col(key_col).cast("string"))
+    tail = F.substring(h, rc + 1, 12)
+    stripped = F.regexp_replace(tail, r"^0+", "")
+    return (
+        df.select(
+            *group_cols,
+            F.conv(F.substring(h, 1, rc), 16, 10).cast("int").alias("reg"),
+            stripped.alias("__s"),
+            F.substring(stripped, 1, 1).alias("__fd"))
+        .select(
+            *group_cols, "reg",
+            F.when(F.length("__s") == 0, F.lit(49)).otherwise(
+                (F.lit(12) - F.length("__s")) * 4
+                + F.expr(_NIBBLE_NLZ) + 1).alias("rho"))
+        .groupBy(*group_cols, "reg").agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge_grouped(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Coarsen: re-group a finer sketch to ``group_cols`` (e.g. day→month,
+    or drop a dimension) by register-wise max."""
+    return sketch.groupBy(*group_cols, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate_grouped(sketch: DataFrame, group_cols: list[str],
+                         m: int = 256) -> DataFrame:
+    """Estimate per group: ``(*group_cols, est_distinct)`` — same
+    exact-arithmetic estimator as ``hll_estimate``, one row per group."""
     alpha = {16: 0.673, 256: 0.7213 / (1 + 1.079 / 256)}[m]
-    agg = sketch.agg(
+    agg = sketch.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(0.5), F.col("rho"))).alias("s"),
         F.count("*").alias("nz"))
+    raw = F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("nz")))
     return agg.select(
+        *group_cols,
         F.round(
-            F.when(
-                (F.lit(alpha * m * m)
-                 / (F.col("s") + (F.lit(m) - F.col("nz"))) <= 2.5 * m)
-                & (F.col("nz") < m),
-                F.lit(float(m)) * F.log(F.lit(float(m))
-                                        / (F.lit(m) - F.col("nz"))))
-            .otherwise(F.lit(alpha * m * m)
-                       / (F.col("s") + (F.lit(m) - F.col("nz")))),
-            3).alias("est_distinct"))
+            F.when((raw <= 2.5 * m) & (F.col("nz") < m),
+                   F.lit(float(m)) * F.log(F.lit(float(m))
+                                           / (F.lit(m) - F.col("nz"))))
+            .otherwise(raw), 3).alias("est_distinct"))

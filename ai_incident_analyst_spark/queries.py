@@ -2599,6 +2599,46 @@ def q_hll_distinct_users(spark, sf_dir):
     return est.crossJoin(exact)
 
 
+@q("hll_daily_users", f"""
+WITH hx AS (
+  SELECT CAST(ts AS DATE) AS day,
+         md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+rr AS (
+  SELECT day, CAST(('0x' || substring(h, 1, 2)) AS BIGINT) AS reg,
+         regexp_replace(substring(h, 3, 12), '^0+', '') AS s
+  FROM hx),
+rho AS (
+  SELECT day, reg,
+         CASE WHEN length(s) = 0 THEN 49
+              ELSE (12 - length(s)) * 4 +
+                   CASE WHEN substring(s, 1, 1) = '1' THEN 3
+                        WHEN substring(s, 1, 1) IN ('2','3') THEN 2
+                        WHEN substring(s, 1, 1) IN ('4','5','6','7') THEN 1
+                        ELSE 0 END + 1 END AS rho
+  FROM rr),
+regs AS (SELECT day, reg, MAX(rho) AS rho FROM rho GROUP BY 1, 2),
+e AS (SELECT day, SUM(power(0.5, rho)) AS s, COUNT(*) AS nz
+      FROM regs GROUP BY day)
+SELECT day,
+       round(CASE WHEN CAST({_HLL_ALPHA!r} AS DOUBLE) * 65536
+                       / (s + (256 - nz)) <= 640 AND nz < 256
+             THEN 256.0 * ln(256.0 / (256 - nz))
+             ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * 65536
+                  / (s + (256 - nz)) END, 3) AS est_distinct
+FROM e
+""", doc="per-day distinct users via GROUPED HLL sketches "
+         "(hll_build_grouped/hll_estimate_grouped) — the rollup-able "
+         "distinct-count primitive: month/all-time cells coarsen from "
+         "these daily registers by max (hll_merge_grouped), never by "
+         "re-scanning raw data. Estimates hash-checked vs DuckDB")
+def q_hll_daily_users(spark, sf_dir):
+    from .operators.sketch import hll_build_grouped, hll_estimate_grouped
+    ev = _t(spark, sf_dir, "events") \
+        .withColumn("day", F.to_date("ts"))
+    sk = hll_build_grouped(ev, ["day"], "user_id", m=256)
+    return hll_estimate_grouped(sk, ["day"], m=256)
+
+
 # --- TPC-H shape completion: Q2/Q5/Q7/Q8/Q11/Q20/Q21 adaptations ------------
 # The driver testdata has no partsupp table and lineitem lacks
 # commit/receipt dates (TESTDATA.md), so Q2/Q11/Q20/Q21 are re-expressed

@@ -135,3 +135,23 @@ def test_hll_small_range_linear_counting(spark):
     # tiny cardinality -> linear-counting branch; near-exact there
     est = _est(spark, range(10))
     assert abs(est - 10) <= 1.5, est
+
+
+def test_hll_grouped_coarsen_equals_direct_build(spark):
+    """month-from-daily == month-from-raw: the rollup algebra is lossless."""
+    from ai_incident_analyst_spark.operators.sketch import (
+        hll_build_grouped, hll_estimate_grouped, hll_merge_grouped)
+    import pyspark.sql.functions as F
+    rows = [(d % 3, d % 7, d * 13 % 50) for d in range(500)]
+    df = spark.createDataFrame(rows, "g long, day long, user long")
+    daily = hll_build_grouped(df, ["g", "day"], "user")
+    coarse = hll_merge_grouped(daily, ["g"])
+    direct = hll_build_grouped(df, ["g"], "user")
+    assert sorted(map(tuple, coarse.collect())) == \
+        sorted(map(tuple, direct.collect()))
+    est = {r["g"]: r["est_distinct"]
+           for r in hll_estimate_grouped(coarse, ["g"]).collect()}
+    exact = {r["g"]: r["n"] for r in
+             df.groupBy("g").agg(F.countDistinct("user").alias("n")).collect()}
+    for g in exact:
+        assert abs(est[g] - exact[g]) / exact[g] < 0.3
