@@ -525,35 +525,37 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                             F.col(src).cast("long").alias("v")))
         .localCheckpoint(eager=False)
     )
+    from pyspark.sql import Observation
+
     # eager checkpoint: each round references labels TWICE (message join +
-    # union) — materializing avoids recomputing the seed aggregation, and
-    # gives the convergence probe its baseline sum
-    labels = (
+    # union) — materializing avoids recomputing the seed aggregation. The
+    # convergence probe rides ON the checkpoint job via observe(): hash-min
+    # labels only DECREASE, so "no label changed" == "sum of labels
+    # unchanged", and CollectMetrics computes that sum DURING checkpoint
+    # materialization — one job per round, no separate probe scan (decimal
+    # accumulator so huge ids can't wrap 64-bit)
+    def _checkpoint_with_sum(d: DataFrame) -> tuple[DataFrame, object]:
+        obs = Observation()
+        cp = d.observe(
+            obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("ls")
+        ).localCheckpoint()
+        return cp, obs.get["ls"]
+
+    labels, prev_sum = _checkpoint_with_sum(
         sym.groupBy("u")
         .agg(F.min(F.least(F.col("u"), F.col("v"))).alias("label"))
-        .localCheckpoint()
     )
-    _lsum = lambda d: d.agg(  # noqa: E731
-        F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-    prev_sum = _lsum(labels)
     changed = 1
     for _ in range(max_iter):
         msgs = (
             sym.join(labels.withColumnRenamed("u", "v"), "v")
             .select("u", "label")
         )
-        new = (
+        new, cur_sum = _checkpoint_with_sum(
             msgs.union(labels)
             .groupBy("u")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()  # eager: materialize + cut lineage
         )
-        # convergence probe every round: hash-min labels only DECREASE,
-        # so "no label changed" == "sum of labels unchanged" — a scan of
-        # the just-checkpointed partitions with map-side partials, far
-        # cheaper than the equi-join + count probe it replaces (decimal
-        # accumulator so huge ids can't wrap 64-bit)
-        cur_sum = _lsum(new)
         changed = 0 if cur_sum == prev_sum else 1
         prev_sum = cur_sum
         labels = new

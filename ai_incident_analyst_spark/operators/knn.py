@@ -157,6 +157,13 @@ def ivf_knn_join(queries: DataFrame, corpus: DataFrame,
     governed by nprobe exactly as in FAISS IVF indexes; this is the
     in-engine analog of the external ANN hand-off (SURVEY.md §4).
     """
+    # centroids feed TWO consumers (corpus assignment + query probe), and
+    # each consumer broadcasts them — broadcast exchanges defeat
+    # ReuseExchange, so without this the centroid subtree (often an
+    # aggregation over the corpus, or a k-means fit result) is computed
+    # once per consumer
+    centroids = centroids.localCheckpoint(eager=False)
+
     # assign corpus to nearest centroid
     assign = knn_join(
         corpus.select(F.col(corpus_id).alias("query_id"),

@@ -77,6 +77,10 @@ HEADLINE = [
     "returned_item_losses",
     "profit_by_nation_year",
     "cms_user_counts",
+    "hll_daily_users",
+    "bloom_prune_orders",
+    "dedup_lines_global",
+    "kmeans_clusters",
 ]
 
 
