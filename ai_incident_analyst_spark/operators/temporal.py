@@ -126,3 +126,56 @@ def sessionize(df: DataFrame, key: str, ts_col: str = "ts",
                          F.sum(is_new).over(
                              w.rowsBetween(Window.unboundedPreceding,
                                            Window.currentRow)))
+
+
+def anomalous_buckets(df: DataFrame, key: str, ts_col: str = "ts",
+                      bucket: str = "hour", trailing: int = 24,
+                      z: int = 3, min_baseline: int = 8) -> DataFrame:
+    """Event-rate anomaly detection: bucket events per (key, time bucket)
+    and flag buckets whose count exceeds the trailing-window mean by more
+    than ``z`` population standard deviations — the batch analog of the
+    incident monitor the reference polls New Relic for (its 24h window,
+    src/ingestion/new_relic_fetcher.py:67,79) and of
+    ``streaming.stateful.streaming_burst_monitor``'s threshold flag.
+
+    The z-test is evaluated in INTEGER arithmetic only — no mean, no
+    stddev, no division:
+
+        cnt > mean + z*sigma
+        <=>  cnt*n - S > 0  AND  (cnt*n - S)^2 > z^2 * (n*SS - S^2)
+
+    with S = trailing sum, SS = trailing sum of squares, n = trailing
+    bucket count (population variance, multiplied through by n^2). Counts
+    are exact longs, so the flag is bit-reproducible across engines and
+    partitionings — it hash-matches a DuckDB oracle, which a float
+    z-score never reliably would. Overflow bound: |cnt*n - S| <= n*max_cnt
+    and n*SS <= n^2*max_cnt^2, so int64 is safe while max bucket count
+    stays under ~3e8 at trailing=24 — far beyond any per-key-per-hour
+    event rate; past that, cast the three window sums to decimal(38,0).
+
+    One aggregation shuffle (key, bucket) + one window over the SAME key
+    partitioning — AQE coalesces; the window input is pre-shrunk to
+    distinct-bucket cardinality, not raw events. Trailing window is ROWS
+    over observed buckets: silent gaps don't dilute the baseline (a
+    quiet-hours gap would otherwise pull the mean toward zero and
+    over-flag the morning ramp).
+    """
+    b = (
+        df.groupBy(F.col(key), F.date_trunc(bucket, F.col(ts_col)).alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy(key).orderBy("bucket")
+        .rowsBetween(-trailing, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ss = F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(w), F.lit(0))
+    dev = F.col("cnt") * n - s          # n * (cnt - mean)
+    var_n2 = n * ss - s * s             # n^2 * population variance
+    return b.select(
+        key, "bucket", "cnt",
+        n.alias("baseline_n"),
+        ((n >= min_baseline) & (dev > 0) & (dev * dev > z * z * var_n2))
+        .alias("is_anomaly"),
+    )

@@ -2983,3 +2983,59 @@ def q_bloom_prune_orders(spark, sf_dir):
     return (passed.crossJoin(exact)
             .withColumn("false_pos",
                         F.col("bloom_pass") - F.col("exact_pass")))
+
+
+# ===========================================================================
+# incident-analyst breadth: log template mining + event-rate anomalies
+# ===========================================================================
+
+from .operators.templates import mask_template_sql, mine_templates  # noqa: E402
+
+_TPL_MASK_SQL = mask_template_sql("props")
+
+@q("log_templates", """
+SELECT event_type,
+       """ + _TPL_MASK_SQL + """ AS template,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       min(props) AS example
+FROM events
+GROUP BY event_type, template
+""", doc="Log template mining (operators/templates.py): mask variable "
+         "fragments (UUID/IP/hex/number) with a Java-regex/RE2-common "
+         "regexp_replace chain, then profile each template — the exact, "
+         "scan-speed complement of the reference's embedding-cluster "
+         "grouping (faiss_db.py:49-61). Oracle replays the identical "
+         "mask chain via mask_template_sql")
+def q_log_templates(spark, sf_dir):
+    return mine_templates(_t(spark, sf_dir, "events"), "props",
+                          keys=["event_type"])
+
+
+@q("anomaly_hourly", """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT *,
+         count(*) OVER win AS baseline_n,
+         CAST(coalesce(sum(cnt) OVER win, 0) AS BIGINT) AS s,
+         CAST(coalesce(sum(cnt * cnt) OVER win, 0) AS BIGINT) AS ss
+  FROM b
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket, cnt, baseline_n,
+       (baseline_n >= 8 AND cnt * baseline_n - s > 0
+        AND (cnt * baseline_n - s) * (cnt * baseline_n - s)
+            > 9 * (baseline_n * ss - s * s)) AS is_anomaly
+FROM w
+""", doc="Event-rate anomaly flags (operators/temporal.py:anomalous_buckets): "
+         "per-(event_type, hour) counts vs trailing-24-bucket baseline; the "
+         "z>3 test is cross-multiplied into pure int64 arithmetic (no "
+         "mean/stddev/division) so the flags hash-match DuckDB exactly — "
+         "a float z-score never reliably would")
+def q_anomaly_hourly(spark, sf_dir):
+    from .operators.temporal import anomalous_buckets
+    return anomalous_buckets(_t(spark, sf_dir, "events"), key="event_type",
+                             ts_col="ts", bucket="hour", trailing=24)
