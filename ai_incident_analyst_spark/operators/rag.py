@@ -146,3 +146,41 @@ def run_rag_batch(batch: DataFrame, similar: DataFrame,
     if notify_fn is not None:
         notify_fn(llm_out)
     return build_history_entry(batch, similar, llm_out), llm_out
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", size: int = 200,
+                    stride: int = 150) -> DataFrame:
+    """Sliding-window character chunking — the standard RAG preprocessing
+    step between ingest and embedding (the reference embeds whole log
+    messages, src/embedding/embedder.py:23-30; real corpora need documents
+    cut to the embedder's context size first). Emits
+    ``(id, chunk_idx, chunk_text)`` with 0-based ``chunk_idx``; windows of
+    ``size`` chars start every ``stride`` chars (overlap = size - stride),
+    the final window may be shorter, empty/null docs yield no chunks. The
+    last start is the smallest one whose window reaches the end of the
+    doc — no trailing chunk that the previous window already fully
+    covers (start bound: max(len - size + stride, 1)).
+
+    Pure generator expression: ``posexplode(sequence(starts))`` then one
+    ``substring`` per chunk — codegen'd, zero shuffle, and the explode
+    multiplies rows AFTER the scan so parquet still reads one row per doc.
+    The start sequence is gated with when(): sequence(1, 0) flips to a
+    DESCENDING [1, 0] when a doc is empty (Spark defaults step to -1 when
+    start > stop) and would emit two bogus chunks.
+    """
+    if stride < 1 or size < 1:
+        raise ValueError("size and stride must be >= 1")
+    t = F.col(text_col)
+    last_start = F.greatest(F.length(t) - F.lit(size - stride), F.lit(1))
+    starts = F.when(
+        F.length(t) > 0,
+        F.sequence(F.lit(1), last_start, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(F.col(id_col), t.alias("__t"),
+                  F.posexplode(starts).alias("chunk_idx", "__start"))
+        .select(id_col, "chunk_idx",
+                F.expr(f"substring(__t, __start, {int(size)})")
+                .alias("chunk_text"))
+    )

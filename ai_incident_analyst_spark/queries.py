@@ -3039,3 +3039,70 @@ def q_anomaly_hourly(spark, sf_dir):
     from .operators.temporal import anomalous_buckets
     return anomalous_buckets(_t(spark, sf_dir, "events"), key="event_type",
                              ts_col="ts", bucket="hour", trailing=24)
+
+
+# ===========================================================================
+# RAG chunking + quantized vector search
+# ===========================================================================
+
+@q("chunk_docs", """
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(length(text) - 20, 1) + 1, 60)) AS g
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST((g - 1) // 60 AS INTEGER) AS chunk_idx,
+       substring(text, CAST(g AS INTEGER), 80) AS chunk_text
+FROM s
+""", doc="RAG sliding-window chunking (operators/rag.py:chunk_documents): "
+         "80-char windows every 60 chars (20 overlap), minimal covering "
+         "set, 0-based chunk_idx. posexplode(sequence) generator — "
+         "codegen'd, zero shuffle, explode after the scan")
+def q_chunk_docs(spark, sf_dir):
+    from .operators.rag import chunk_documents
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           size=80, stride=60)
+
+
+@q("knn_int8", """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         [CAST(round(greatest(-1.0, least(1.0, CAST(v AS DOUBLE))) * 127)
+               AS INTEGER) for v in embedding] AS qc
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id,
+         [CAST(round(greatest(-1.0, least(1.0, CAST(v AS DOUBLE))) * 127)
+               AS INTEGER) for v in embedding] AS cc
+  FROM embeddings WHERE vec_id >= 5
+)
+SELECT query_id, vec_id,
+       CAST(list_sum([ (x[1]-x[2])*(x[1]-x[2]) for x in list_zip(qc, cc) ])
+            AS BIGINT) AS distance
+FROM q CROSS JOIN c
+QUALIFY row_number() OVER (
+  PARTITION BY query_id
+  ORDER BY list_sum([ (x[1]-x[2])*(x[1]-x[2]) for x in list_zip(qc, cc) ]) ASC,
+           vec_id ASC) <= 5
+""", doc="int8-quantized top-5 kNN (functions/vectors.py:quantize_int8 + "
+         "int_l2_sq): clip/scale/round each component to [-127,127], rank "
+         "by exact INTEGER squared-L2 — 4x less scan bandwidth than "
+         "float32 at 100 TB, and the integer distances make the quantized "
+         "ranking itself oracle-checkable (float distance ties would not "
+         "hash stably)")
+def q_knn_int8(spark, sf_dir):
+    from .functions.vectors import int_l2_sq, quantize_int8
+    q_, c_ = _qc_split(spark, sf_dir)
+    qq = q_.select("query_id", quantize_int8("query_vec").alias("qc"))
+    cc = c_.select("vec_id", quantize_int8("embedding").alias("cc"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc())
+    return (
+        cc.join(F.broadcast(qq))
+        .select("query_id", "vec_id",
+                int_l2_sq("qc", "cc").alias("distance"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+    )
