@@ -24,6 +24,17 @@ from pyspark.sql import functions as F
 _REL = re.compile(r"^\s*(\d+)\s+(second|minute|hour|day|week)s?\s+ago\s*$", re.I)
 
 
+def time_point(when: str, now: Column | None = None) -> Column:
+    """An NRQL time point as a Column: relative "<n> <unit> ago" anchored
+    to ``now`` (or current_timestamp), else an absolute literal."""
+    m = _REL.match(when)
+    if m:
+        qty, unit = int(m.group(1)), m.group(2).upper()
+        anchor = now if now is not None else F.current_timestamp()
+        return anchor - F.expr(f"INTERVAL {qty} {unit}")
+    return F.to_timestamp(F.lit(when))
+
+
 class LogQuery:
     def __init__(self, df: DataFrame, ts_col: str = "ts"):
         self._df = df
@@ -70,12 +81,7 @@ class LogQuery:
 
     # -- evaluation ---------------------------------------------------------
     def _time_point(self, when: str, now: Column | None) -> Column:
-        m = _REL.match(when)
-        if m:
-            qty, unit = int(m.group(1)), m.group(2).upper()
-            anchor = now if now is not None else F.current_timestamp()
-            return anchor - F.expr(f"INTERVAL {qty} {unit}")
-        return F.to_timestamp(F.lit(when))
+        return time_point(when, now)
 
     def df(self) -> DataFrame:
         out = self._df

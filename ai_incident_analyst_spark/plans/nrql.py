@@ -22,6 +22,8 @@ Dialect (the subset the reference emits, exactly):
     [FACET `c1`[, `c2` …]]
     [SINCE <n> <unit> ago | SINCE '<ts>']
     [UNTIL '<ts>']
+    [COMPARE WITH <n> <unit> ago]            -- current vs shifted window,
+                                             --   tagged by a `period` col
     [LIMIT n]
     [TIMESERIES <n> <unit>]
 
@@ -45,15 +47,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import union_tables
-from .logquery import LogQuery
+from .logquery import _REL, LogQuery, time_point
 
 _CLAUSES = re.compile(
     r"^\s*SELECT\s+(?P<select>.+?)"
     r"\s+FROM\s+(?P<tables>.+?)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+FACET\s+(?P<facet>.+?))?"
-    r"(?:\s+SINCE\s+(?P<since>(?:'[^']*')|(?:.+?(?=\s+UNTIL\s|\s+LIMIT\s|\s+TIMESERIES\s|$))))?"
-    r"(?:\s+UNTIL\s+(?P<until>(?:'[^']*')|\S+))?"
+    r"(?:\s+SINCE\s+(?P<since>(?:'[^']*')|(?:.+?(?=\s+UNTIL\s|\s+COMPARE\s|\s+LIMIT\s|\s+TIMESERIES\s|$))))?"
+    r"(?:\s+UNTIL\s+(?P<until>(?:'[^']*')|(?:.+?(?=\s+COMPARE\s|\s+LIMIT\s|\s+TIMESERIES\s|$))))?"
+    r"(?:\s+COMPARE\s+WITH\s+(?P<compare>.+?(?=\s+LIMIT\s|\s+TIMESERIES\s|$)))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
     r"(?:\s+TIMESERIES\s+(?P<timeseries>\d+\s+\w+?))?"
     r"\s*$",
@@ -90,6 +93,7 @@ class ParsedNRQL:
         default_factory=list)  # (fn, arg, pct-or-None)
     facet: list[str] = field(default_factory=list)
     timeseries: str | None = None   # "<n> <unit>" bucket width
+    compare_with: str | None = None  # "<n> <unit> ago" period shift
 
 
 def parse_nrql(query: str) -> ParsedNRQL:
@@ -147,6 +151,8 @@ def parse_nrql(query: str) -> ParsedNRQL:
         is_count=is_count, aggs=aggs, facet=facet,
         timeseries=(re.sub(r"\s+", " ", m.group("timeseries").strip())
                     if m.group("timeseries") else None),
+        compare_with=(re.sub(r"\s+", " ", m.group("compare").strip())
+                      if m.group("compare") else None),
     )
 
 
@@ -219,25 +225,60 @@ def run_nrql(spark: SparkSession, query: str,
             lq = lq.like(col, val)
         elif op == "NOT LIKE":
             lq = lq.not_like(col, val)
-    if p.since:
-        lq = lq.since(p.since, now=now)
-    if p.until:
-        lq = lq.until(p.until, now=now)
-    if p.select and p.select != ["*"]:
-        lq = lq.select(*p.select)
-    if p.limit is not None and not p.aggs:
-        lq = lq.limit(p.limit)
-    out = lq.df()
+    facet = list(p.facet)
+    if p.compare_with:
+        # COMPARE WITH <n> <unit> ago: evaluate the aggregate over the
+        # current window AND the same-width window shifted back by the
+        # offset, tagged by a `period` column ('current'/'previous') that
+        # joins the facet keys — NRQL's two result sets as one relation.
+        # Two filtered subtrees of one scan (windows may overlap when the
+        # offset is smaller than the window width, so a single-pass
+        # when() tag would drop rows); each side gets its own pushed-down
+        # parquet predicate.
+        if not p.aggs:
+            raise ValueError("COMPARE WITH requires an aggregate SELECT")
+        if not p.since:
+            raise ValueError("COMPARE WITH requires SINCE")
+        mm = _REL.match(p.compare_with)
+        if not mm:
+            raise ValueError(
+                f"unparseable COMPARE WITH offset: {p.compare_with!r}")
+        delta = F.expr(
+            f"INTERVAL {int(mm.group(1))} {mm.group(2).upper()}")
+        anchor = now if now is not None else F.current_timestamp()
+        cur_start = time_point(p.since, now)
+        cur_end = time_point(p.until, now) if p.until else anchor
+        ts = F.col(ts_col)
+        base = lq.df()
+        out = (
+            base.filter((ts >= cur_start) & (ts <= cur_end))
+            .withColumn("period", F.lit("current"))
+            .unionByName(
+                base.filter((ts >= cur_start - delta)
+                            & (ts <= cur_end - delta))
+                .withColumn("period", F.lit("previous")))
+        )
+        facet = ["period"] + facet
+    else:
+        if p.since:
+            lq = lq.since(p.since, now=now)
+        if p.until:
+            lq = lq.until(p.until, now=now)
+        if p.select and p.select != ["*"]:
+            lq = lq.select(*p.select)
+        if p.limit is not None and not p.aggs:
+            lq = lq.limit(p.limit)
+        out = lq.df()
     if p.aggs:
         exprs = [_agg_expr(fn, arg, pct, ts_col) for fn, arg, pct in p.aggs]
-        keys: list = [F.col(c) for c in p.facet]
+        keys: list = [F.col(c) for c in facet]
         if p.timeseries:
             # epoch-aligned tumbling bucket (Spark window origin 1970-01-01)
             keys.append(F.window(F.col(ts_col), p.timeseries).alias("__win"))
         if keys:
             out = out.groupBy(*keys).agg(
                 *[c.alias(n) for n, c in exprs])
-            head = [F.col(c) for c in p.facet]
+            head = [F.col(c) for c in facet]
             if p.timeseries:
                 head.append(F.col("__win.start").alias("bucket_start"))
             out = out.select(*head, *[F.col(n) for n, _ in exprs])

@@ -3106,3 +3106,39 @@ def q_knn_int8(spark, sf_dir):
         .filter(F.col("__rn") <= 5)
         .drop("__rn")
     )
+
+
+@q("nrql_compare_with", """
+WITH cur AS (
+  SELECT 'current' AS period, event_type,
+         count(*) AS count,
+         CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) / count(value)
+           AS average_value
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+  GROUP BY event_type
+), prev AS (
+  SELECT 'previous' AS period, event_type,
+         count(*) AS count,
+         CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) / count(value)
+           AS average_value
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'
+    AND ts <= TIMESTAMP '2024-01-18 00:00:00'
+  GROUP BY event_type
+)
+SELECT * FROM cur UNION ALL SELECT * FROM prev
+""", doc="NRQL COMPARE WITH (plans/nrql.py): current window vs the same "
+         "window shifted back 1 week, per-facet counts + exact-decimal "
+         "averages, both periods in one relation tagged by `period`")
+def q_nrql_compare_with(spark, sf_dir):
+    from .plans.nrql import run_nrql
+    out = run_nrql(
+        spark,
+        "SELECT count(*), average(value) FROM events FACET event_type "
+        "SINCE '2024-01-20 00:00:00' UNTIL '2024-01-25 00:00:00' "
+        "COMPARE WITH 1 week ago",
+        {"events": _t(spark, sf_dir, "events")},
+    )
+    return out.select("period", "event_type", "count", "average_value")

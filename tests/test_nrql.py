@@ -177,3 +177,38 @@ def test_percentile_latest_values(spark):
     assert abs(out["a"].percentile_value_50 - 25.0) < 1e-9  # interpolated
     assert out["a"].latest_value == 40.0
     assert out["b"].latest_value == 7.0  # tie broken by larger value
+
+
+def test_parse_compare_with():
+    p = parse_nrql("SELECT count(*) FROM Log FACET level "
+                   "SINCE 1 day ago COMPARE WITH 1 week ago LIMIT 50")
+    assert p.compare_with == "1 week ago"
+    assert p.since == "1 day ago" and p.limit == 50
+
+
+def test_compare_with_requires_agg_and_since():
+    from ai_incident_analyst_spark.plans.nrql import run_nrql
+    with pytest.raises(ValueError):
+        run_nrql(None, "SELECT `a` FROM t SINCE 1 day ago "
+                 "COMPARE WITH 1 week ago", {"t": None})
+    with pytest.raises(ValueError):
+        run_nrql(None, "SELECT count(*) FROM t COMPARE WITH 1 week ago",
+                 {"t": None})
+
+
+def test_compare_with_periods_and_overlap(spark):
+    import datetime as dt
+    from ai_incident_analyst_spark.plans.nrql import run_nrql
+    base = dt.datetime(2024, 1, 10)
+    # one event per day, Jan 1..10
+    df = spark.createDataFrame(
+        [(base - dt.timedelta(days=i), "e") for i in range(10)],
+        "ts timestamp, event_type string")
+    now = F.lit(base)
+    # window = last 4 days [Jan 6..10] (5 events); previous = shifted 2
+    # days [Jan 4..8] (5 events) — windows OVERLAP on Jan 6-8: rows must
+    # appear in BOTH periods
+    out = {r.period: r["count"] for r in run_nrql(
+        spark, "SELECT count(*) FROM t SINCE 4 days ago "
+        "COMPARE WITH 2 days ago", {"t": df}, now=now).collect()}
+    assert out == {"current": 5, "previous": 5}
