@@ -3142,3 +3142,49 @@ def q_nrql_compare_with(spark, sf_dir):
         {"events": _t(spark, sf_dir, "events")},
     )
     return out.select("period", "event_type", "count", "average_value")
+
+
+def _hll_est_subquery(where: str) -> str:
+    """DuckDB scalar subquery: the HLL estimate over user_ids matching
+    ``where`` — same register/rho/estimator math as the hll_* oracles."""
+    return f"""(
+  WITH hx AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h
+              FROM events WHERE {where}),
+  rr AS (SELECT CAST(('0x' || substring(h, 1, 2)) AS BIGINT) AS reg,
+                regexp_replace(substring(h, 3, 12), '^0+', '') AS s
+         FROM hx),
+  rho AS (SELECT reg,
+                 CASE WHEN length(s) = 0 THEN 49
+                      ELSE (12 - length(s)) * 4 +
+                           CASE WHEN substring(s, 1, 1) = '1' THEN 3
+                                WHEN substring(s, 1, 1) IN ('2','3') THEN 2
+                                WHEN substring(s, 1, 1) IN ('4','5','6','7') THEN 1
+                                ELSE 0 END + 1 END AS rho
+          FROM rr),
+  regs AS (SELECT reg, MAX(rho) AS rho FROM rho GROUP BY reg),
+  e AS (SELECT SUM(power(0.5, rho)) AS sm, COUNT(*) AS nz FROM regs)
+  SELECT round(CASE WHEN CAST({_HLL_ALPHA!r} AS DOUBLE) * 65536 / (sm + (256 - nz)) <= 640
+                     AND nz < 256
+               THEN 256.0 * ln(256.0 / (256 - nz))
+               ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * 65536 / (sm + (256 - nz)) END,
+               3) FROM e)"""
+
+
+@q("hll_overlap_users", f"""
+SELECT a.v AS est_a, b.v AS est_b, u.v AS est_union,
+       round(a.v + b.v - u.v, 3) AS est_intersect
+FROM (SELECT {_hll_est_subquery("event_type = 'error'")} AS v) a,
+     (SELECT {_hll_est_subquery("event_type = 'click'")} AS v) b,
+     (SELECT {_hll_est_subquery(
+         "event_type = 'error' OR event_type = 'click'")} AS v) u
+""", doc="HLL set-overlap estimate (operators/sketch.py:"
+         "hll_intersect_estimate): |A∩B| ≈ est(A)+est(B)−est(A∪B) with "
+         "the union from lossless register-max merge — join/overlap "
+         "cardinality over 100 TB with no distinct shuffle; every term "
+         "AND the subtraction hash-match DuckDB")
+def q_hll_overlap_users(spark, sf_dir):
+    from .operators.sketch import hll_build, hll_intersect_estimate
+    ev = _t(spark, sf_dir, "events")
+    a = hll_build(ev.filter(F.col("event_type") == "error"), "user_id")
+    b = hll_build(ev.filter(F.col("event_type") == "click"), "user_id")
+    return hll_intersect_estimate(a, b)

@@ -155,3 +155,22 @@ def test_hll_grouped_coarsen_equals_direct_build(spark):
              df.groupBy("g").agg(F.countDistinct("user").alias("n")).collect()}
     for g in exact:
         assert abs(est[g] - exact[g]) / exact[g] < 0.3
+
+
+def test_hll_intersect_estimate_tracks_truth(spark):
+    from ai_incident_analyst_spark.operators.sketch import (
+        hll_intersect_estimate,
+    )
+    # |A|=600, |B|=500, true overlap 300
+    a = hll_build(_df(spark, range(0, 600)), "k")
+    b = hll_build(_df(spark, range(300, 800)), "k")
+    row = hll_intersect_estimate(a, b).first()
+    assert abs(row["est_a"] - 600) / 600 < 0.25
+    assert abs(row["est_b"] - 500) / 500 < 0.25
+    assert abs(row["est_union"] - 800) / 800 < 0.25
+    # intersection compounds three estimators' noise: loose bound
+    assert abs(row["est_intersect"] - 300) < 300 * 0.6
+    # identity: disjoint sets -> intersect estimate near zero
+    c = hll_build(_df(spark, range(10_000, 10_400)), "k")
+    d = hll_intersect_estimate(a, c).first()
+    assert abs(d["est_intersect"]) < 0.25 * 600
