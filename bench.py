@@ -81,6 +81,12 @@ HEADLINE = [
     "bloom_prune_orders",
     "dedup_lines_global",
     "kmeans_clusters",
+    "log_templates",
+    "anomaly_hourly",
+    "chunk_docs",
+    "knn_int8",
+    "nrql_compare_with",
+    "hll_overlap_users",
 ]
 
 
