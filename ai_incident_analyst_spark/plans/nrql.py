@@ -15,7 +15,10 @@ Dialect (the subset the reference emits, exactly):
                                              --   min(c) | max(c) |
                                              --   uniqueCount(c) |
                                              --   percentile(c, p) |
-                                             --   latest(c)
+                                             --   latest(c) |
+                                             --   filter(agg, WHERE conds) |
+                                             --   histogram(c, ceil, nbkt) |
+                                             --   rate(agg, <n> <unit>)
     FROM Table[, Table2 …]
     [WHERE `col` = 'v' [AND `col` != 'v'] [AND `col` LIKE '%x%']
                        [AND `col` NOT LIKE '%y%'] …]       -- AND-only
@@ -72,6 +75,24 @@ _AGG = re.compile(
     r"^(?P<fn>\w+)\s*\(\s*(?P<arg>\*|`?\w+`?)"
     r"(?:\s*,\s*(?P<pct>\d+(?:\.\d+)?))?\s*\)$")
 
+#: composite aggregates — NRQL's filter()/histogram()/rate() wrap a plain
+#: aggregate (or attribute) with a condition / bucketing / time scaling
+_FILTER = re.compile(
+    r"^filter\s*\(\s*(?P<inner>\w+\s*\([^()]*\))\s*,\s*WHERE\s+"
+    r"(?P<where>.+)\)$",
+    re.IGNORECASE | re.DOTALL)
+_HIST = re.compile(
+    r"^histogram\s*\(\s*`?(?P<arg>\w+)`?\s*,\s*"
+    r"(?P<ceil>\d+(?:\.\d+)?)\s*,\s*(?P<buckets>\d+)\s*\)$",
+    re.IGNORECASE)
+_RATE = re.compile(
+    r"^rate\s*\(\s*(?P<inner>\w+\s*\([^()]*\))\s*,\s*"
+    r"(?P<n>\d+)\s+(?P<unit>second|minute|hour|day|week)s?\s*\)$",
+    re.IGNORECASE)
+
+_UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600,
+                 "day": 86400, "week": 604800}
+
 _COND = re.compile(
     r"^\s*`?(?P<col>\w+)`?\s+"
     r"(?P<op>=|!=|NOT\s+LIKE|LIKE)\s+"
@@ -96,25 +117,102 @@ class ParsedNRQL:
     compare_with: str | None = None  # "<n> <unit> ago" period shift
 
 
+def _split_top(s: str) -> list[str]:
+    """Split on commas at paren depth 0, outside single-quoted strings —
+    ``percentile(c, 95)`` and ``filter(count(*), WHERE a = 'x,y')`` keep
+    their internal commas."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth, in_q = 0, False
+    for ch in s:
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+                continue
+        cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
+
+
+def _parse_conds(where: str) -> tuple[tuple[str, str, str], ...]:
+    conds: list[tuple[str, str, str]] = []
+    for part in re.split(r"\s+AND\s+", where, flags=re.I):
+        cm = _COND.match(part)
+        if not cm:
+            raise ValueError(f"unparseable condition: {part!r}")
+        op = re.sub(r"\s+", " ", cm.group("op").upper())
+        conds.append((cm.group("col"), op, cm.group("val")))
+    return tuple(conds)
+
+
+def _parse_plain_agg(p: str) -> tuple[str, str, str | None] | None:
+    am = _AGG.match(p)
+    if not am:
+        return None
+    fn = am.group("fn").lower()
+    if fn not in _AGG_FNS:
+        raise ValueError(f"unsupported NRQL function: {p!r}")
+    if (am.group("pct") is None) == (fn == "percentile"):
+        raise ValueError(
+            f"percentile takes (attr, pct); others take one arg: {p!r}")
+    return (fn, am.group("arg").strip("`"), am.group("pct"))
+
+
+def _parse_agg(p: str):
+    """One SELECT item as an agg tuple, or None if it isn't an aggregate.
+
+    Plain aggs are ``(fn, arg, pct)``; composites reuse the 3-slot shape:
+    ``("filter", inner_tuple, conds_tuple)``,
+    ``("histogram", attr, (ceiling, buckets))``,
+    ``("rate", inner_tuple, (n, unit))``.
+    """
+    fm = _FILTER.match(p)
+    if fm:
+        inner = _parse_plain_agg(fm.group("inner").strip())
+        if inner is None:
+            raise ValueError(f"filter() needs an aggregate: {p!r}")
+        return ("filter", inner, _parse_conds(fm.group("where").strip()))
+    hm = _HIST.match(p)
+    if hm:
+        buckets = int(hm.group("buckets"))
+        if buckets < 1:
+            raise ValueError(f"histogram needs >= 1 bucket: {p!r}")
+        return ("histogram", hm.group("arg"),
+                (float(hm.group("ceil")), buckets))
+    rm = _RATE.match(p)
+    if rm:
+        inner = _parse_plain_agg(rm.group("inner").strip())
+        if inner is None or inner[0] not in ("count", "sum", "uniquecount"):
+            raise ValueError(
+                f"rate() wraps count/sum/uniqueCount: {p!r}")
+        return ("rate", inner,
+                (int(rm.group("n")), rm.group("unit").lower()))
+    if re.match(r"^(filter|histogram|rate)\s*\(", p, re.I):
+        # a malformed composite must fail loudly, not degrade into a
+        # plain-select of a bizarre "column" that errors at run time
+        raise ValueError(f"unparseable composite aggregate: {p!r}")
+    return _parse_plain_agg(p)
+
+
 def parse_nrql(query: str) -> ParsedNRQL:
     m = _CLAUSES.match(query.strip())
     if not m:
         raise ValueError(f"unparseable NRQL: {query!r}")
     sel_raw = m.group("select").strip()
-    # split on TOP-LEVEL commas only: percentile(c, 95) keeps its second
-    # argument (a comma inside parens is followed by [^()]*')' — skip it)
-    sel_parts = [c.strip() for c in re.split(r",(?![^()]*\))", sel_raw)]
-    aggs: list[tuple[str, str]] = []
-    if sel_raw != "*" and all(_AGG.match(p) for p in sel_parts):
-        for p in sel_parts:
-            am = _AGG.match(p)
-            fn = am.group("fn").lower()
-            if fn not in _AGG_FNS:
-                raise ValueError(f"unsupported NRQL function: {p!r}")
-            if (am.group("pct") is None) == (fn == "percentile"):
-                raise ValueError(
-                    f"percentile takes (attr, pct); others take one arg: {p!r}")
-            aggs.append((fn, am.group("arg").strip("`"), am.group("pct")))
+    sel_parts = _split_top(sel_raw)
+    aggs: list[tuple] = []
+    looks_agg = re.compile(r"^\w+\s*\(")
+    if sel_raw != "*" and all(looks_agg.match(p) for p in sel_parts):
+        parsed = [_parse_agg(p) for p in sel_parts]
+        if all(a is not None for a in parsed):
+            aggs = parsed
     is_count = aggs == [("count", "*", None)]
     if aggs:
         select: list[str] = []
@@ -156,8 +254,112 @@ def parse_nrql(query: str) -> ParsedNRQL:
     )
 
 
+def _cond_pred(conds) -> F.Column:
+    """AND-composed predicate Column from (col, OP, val) triples."""
+    out = None
+    for col, op, val in conds:
+        if op == "=":
+            p = F.col(col) == F.lit(val)
+        elif op == "!=":
+            p = F.col(col) != F.lit(val)
+        elif op == "LIKE":
+            p = F.col(col).like(val)
+        elif op == "NOT LIKE":
+            p = ~F.col(col).like(val)
+        else:  # pragma: no cover - parser only emits the four ops
+            raise ValueError(f"unsupported op {op!r}")
+        out = p if out is None else out & p
+    return out
+
+
+def _filtered_agg(inner: tuple, conds, ts_col: str) -> tuple[str, F.Column]:
+    """NRQL ``filter(agg, WHERE …)``: the aggregate over only the rows
+    matching the condition — a conditional aggregate, NOT a row filter, so
+    several filter() aggs with different conditions share one scan/pass.
+    Guard via when(): non-matching rows contribute NULL (skipped by every
+    aggregate), matching DuckDB's ``agg(CASE WHEN cond THEN x END)``.
+    """
+    fn, arg, pct = inner
+    cond = _cond_pred(conds)
+    if fn == "count" and arg == "*":
+        # ELSE 0 so an all-null group yields 0, like SQL's SUM(CASE…ELSE 0)
+        return "filter_count", F.sum(
+            F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("long")
+    g = F.when(cond, F.col(arg))
+    if fn == "count":
+        return f"filter_count_{arg}", F.count(g)
+    if fn == "uniquecount":
+        return f"filter_uniquecount_{arg}", F.countDistinct(g)
+    if fn == "sum":
+        return f"filter_sum_{arg}", (
+            F.sum(F.when(cond, F.col(arg).cast("decimal(27,4)")))
+            .cast("double"))
+    if fn == "average":
+        return f"filter_average_{arg}", (
+            F.sum(F.when(cond, F.col(arg).cast("decimal(27,4)")))
+            .cast("double") / F.count(g))
+    if fn == "min":
+        return f"filter_min_{arg}", F.min(g)
+    if fn == "max":
+        return f"filter_max_{arg}", F.max(g)
+    if fn == "percentile":
+        name = f"filter_percentile_{arg}_{pct.replace('.', '_')}"
+        return name, F.round(
+            F.percentile(F.when(cond, F.col(arg).cast("double")),
+                         F.lit(float(pct) / 100.0)), 6)
+    if fn == "latest":
+        return f"filter_latest_{arg}", F.max(
+            F.when(cond, F.struct(F.col(ts_col).alias("t"),
+                                  F.col(arg).alias("v"))))["v"]
+    raise ValueError(f"unsupported NRQL function in filter(): {fn}")
+
+
+def _histogram_agg(arg: str, ceiling: float,
+                   buckets: int) -> tuple[str, F.Column]:
+    """NRQL ``histogram(attr, ceiling, buckets)``: equal-width buckets over
+    [0, ceiling); values below 0 clamp into the first bucket, above the
+    ceiling into the last (NRQL's behavior). One pass, ``buckets``
+    conditional counts recombined into an array — no explode, no extra
+    shuffle. The bucket index divides by an exact double width, which is
+    IEEE-identical in any engine.
+    """
+    width = ceiling / buckets
+    b = F.least(
+        F.greatest(
+            F.floor(F.col(arg).cast("double") / F.lit(width)).cast("long"),
+            F.lit(0)),
+        F.lit(buckets - 1))
+    cells = [F.sum(F.when(b == i, F.lit(1)).otherwise(F.lit(0))).cast("long")
+             for i in range(buckets)]
+    return f"histogram_{arg}", F.array(*cells)
+
+
+def _rate_agg(inner: tuple, n: int, unit: str,
+              window_secs: F.Column) -> tuple[str, F.Column]:
+    """NRQL ``rate(agg, n unit)``: the aggregate rescaled from the query
+    window (or TIMESERIES bucket) to a per-``n unit`` rate. One double
+    multiply/divide on the aggregate's output — bit-identical across
+    engines; the exact-decimal accumulation of the inner agg is preserved.
+    """
+    fn, arg, pct = inner
+    name, col = _agg_expr(fn, arg, pct)
+    per = float(n * _UNIT_SECONDS[unit])
+    return (f"rate_{name}",
+            col.cast("double") * F.lit(per) / window_secs.cast("double"))
+
+
 def _agg_expr(fn: str, arg: str, pct: str | None = None,
-              ts_col: str = "ts") -> tuple[str, F.Column]:
+              ts_col: str = "ts",
+              window_secs: F.Column | None = None) -> tuple[str, F.Column]:
+    if fn == "filter":
+        return _filtered_agg(arg, pct, ts_col)
+    if fn == "histogram":
+        return _histogram_agg(arg, pct[0], pct[1])
+    if fn == "rate":
+        if window_secs is None:
+            raise ValueError(
+                "rate() needs SINCE (or TIMESERIES) to define the window")
+        return _rate_agg(arg, pct[0], pct[1], window_secs)
     if fn == "count":
         name = "count" if arg == "*" else f"count_{arg}"
         return name, (F.count("*") if arg == "*" else F.count(arg))
@@ -270,7 +472,22 @@ def run_nrql(spark: SparkSession, query: str,
             lq = lq.limit(p.limit)
         out = lq.df()
     if p.aggs:
-        exprs = [_agg_expr(fn, arg, pct, ts_col) for fn, arg, pct in p.aggs]
+        wsec: F.Column | None = None
+        if any(fn == "rate" for fn, _, _ in p.aggs):
+            if p.timeseries:
+                # per-bucket rate: scale by the tumbling bucket width
+                tn, tu = p.timeseries.split()
+                wsec = F.lit(int(tn) * _UNIT_SECONDS[tu.lower().rstrip("s")])
+            elif p.since:
+                # whole-window rate: seconds between the window bounds —
+                # an expression of literals, constant-folded by Catalyst
+                end = (time_point(p.until, now) if p.until
+                       else (now if now is not None
+                             else F.current_timestamp()))
+                wsec = (F.unix_timestamp(end)
+                        - F.unix_timestamp(time_point(p.since, now)))
+        exprs = [_agg_expr(fn, arg, pct, ts_col, wsec)
+                 for fn, arg, pct in p.aggs]
         keys: list = [F.col(c) for c in facet]
         if p.timeseries:
             # epoch-aligned tumbling bucket (Spark window origin 1970-01-01)

@@ -3188,3 +3188,85 @@ def q_hll_overlap_users(spark, sf_dir):
     a = hll_build(ev.filter(F.col("event_type") == "error"), "user_id")
     b = hll_build(ev.filter(F.col("event_type") == "click"), "user_id")
     return hll_intersect_estimate(a, b)
+
+
+# ===========================================================================
+# NRQL composite aggregates: filter() / histogram() / rate()
+# ===========================================================================
+
+@q("nrql_filter", """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS filter_count,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(27,4)) END)
+            AS DOUBLE) AS filter_sum_value,
+       CAST(SUM(CASE WHEN event_type = 'click'
+                     THEN CAST(value AS DECIMAL(27,4)) END) AS DOUBLE)
+         / COUNT(CASE WHEN event_type = 'click' THEN value END)
+         AS filter_average_value,
+       MAX(CASE WHEN event_type != 'view' THEN value END)
+         AS filter_max_value,
+       count(*) AS count
+FROM events
+WHERE ts >= '2024-01-03 00:00:00' AND ts <= '2024-01-20 00:00:00'
+GROUP BY user_id
+""", doc="NRQL filter() conditional aggregates (plans/nrql.py:"
+         "_filtered_agg): four differently-conditioned aggregates share "
+         "ONE scan/shuffle pass via when() guards — at 100 TB this is one "
+         "pass where naive per-filter subqueries would be four; exact "
+         "decimal accumulation preserved inside the guard")
+def q_nrql_filter(spark, sf_dir):
+    from .plans.nrql import run_nrql
+    ev = _t(spark, sf_dir, "events")
+    return run_nrql(
+        spark,
+        "SELECT filter(count(*), WHERE event_type = 'error'), "
+        "filter(sum(value), WHERE event_type = 'purchase'), "
+        "filter(average(value), WHERE event_type = 'click'), "
+        "filter(max(value), WHERE event_type != 'view'), "
+        "count(*) FROM events FACET user_id "
+        "SINCE '2024-01-03 00:00:00' UNTIL '2024-01-20 00:00:00'",
+        {"events": ev})
+
+
+@q("nrql_histogram", """
+SELECT e.event_type, CAST(b.b AS INTEGER) AS bucket,
+       CAST(SUM(CASE WHEN least(greatest(CAST(floor(e.value / 10.0) AS BIGINT),
+                                         0), 9) = b.b
+                THEN 1 ELSE 0 END) AS BIGINT) AS n
+FROM events e CROSS JOIN (SELECT unnest(range(10)) AS b) b
+GROUP BY e.event_type, b.b
+""", doc="NRQL histogram(attr, ceiling, buckets) (plans/nrql.py:"
+         "_histogram_agg): 10 equal-width conditional counts in ONE "
+         "aggregation pass (no explode/extra shuffle), below-zero/"
+         "above-ceiling clamped to edge buckets; result array "
+         "posexploded to rows for the oracle hash")
+def q_nrql_histogram(spark, sf_dir):
+    from .plans.nrql import run_nrql
+    ev = _t(spark, sf_dir, "events")
+    out = run_nrql(spark,
+                   "SELECT histogram(value, 100, 10) FROM events "
+                   "FACET event_type", {"events": ev})
+    return out.select(
+        "event_type",
+        F.posexplode("histogram_value").alias("bucket", "n"))
+
+
+@q("nrql_rate", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+       CAST(count(*) AS DOUBLE) * 3600.0 / 86400.0 AS rate_count,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) * 86400.0 / 86400.0
+         AS rate_sum_value
+FROM events GROUP BY 1
+""", doc="NRQL rate(agg, n unit) (plans/nrql.py:_rate_agg): per-bucket "
+         "TIMESERIES rates — exact decimal inner aggregate, then one "
+         "IEEE double scale (bit-identical across engines); whole-window "
+         "SINCE/UNTIL form scales by constant-folded window seconds")
+def q_nrql_rate(spark, sf_dir):
+    from .plans.nrql import run_nrql
+    ev = _t(spark, sf_dir, "events")
+    return run_nrql(
+        spark,
+        "SELECT rate(count(*), 1 hour), rate(sum(value), 1 day) "
+        "FROM events TIMESERIES 1 day", {"events": ev})

@@ -212,3 +212,86 @@ def test_compare_with_periods_and_overlap(spark):
         spark, "SELECT count(*) FROM t SINCE 4 days ago "
         "COMPARE WITH 2 days ago", {"t": df}, now=now).collect()}
     assert out == {"current": 5, "previous": 5}
+
+
+# ---------------------------------------------------------------------------
+# filter() / histogram() / rate()
+# ---------------------------------------------------------------------------
+
+def test_parse_filter_histogram_rate():
+    p = parse_nrql(
+        "SELECT filter(count(*), WHERE `level` = 'error' AND "
+        "`message` NOT LIKE '%x,y%'), histogram(value, 10, 5), "
+        "rate(sum(value), 2 minutes) FROM t SINCE 1 day ago")
+    assert p.aggs[0] == ("filter", ("count", "*", None),
+                         (("level", "=", "error"),
+                          ("message", "NOT LIKE", "%x,y%")))
+    assert p.aggs[1] == ("histogram", "value", (10.0, 5))
+    assert p.aggs[2] == ("rate", ("sum", "value", None), (2, "minute"))
+
+
+def test_filter_needs_agg_rate_needs_window():
+    with pytest.raises(ValueError):
+        parse_nrql("SELECT filter(`a`, WHERE `b` = 'c') FROM t")
+    with pytest.raises(ValueError):
+        parse_nrql("SELECT rate(latest(v), 1 minute) FROM t")
+    with pytest.raises(ValueError):  # no SINCE and no TIMESERIES
+        run_nrql(None, "SELECT rate(count(*), 1 minute) FROM t",
+                 {"t": None})
+
+
+def test_filter_agg_values(spark):
+    import datetime as dt
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, i), ty, float(v))
+        for i, (ty, v) in enumerate(
+            [("error", 10.0), ("error", 20.0), ("click", 4.0),
+             ("view", 100.0), ("click", 6.0)])
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    r = run_nrql(
+        spark,
+        "SELECT filter(count(*), WHERE `event_type` = 'error'), "
+        "filter(sum(value), WHERE `event_type` = 'error'), "
+        "filter(average(value), WHERE `event_type` = 'click'), "
+        "filter(max(value), WHERE `event_type` != 'view'), "
+        "filter(uniqueCount(event_type), WHERE `event_type` != 'view') "
+        "FROM t", {"t": df}).first()
+    assert r.filter_count == 2
+    assert r.filter_sum_value == 30.0
+    assert r.filter_average_value == 5.0
+    assert r.filter_max_value == 20.0
+    assert r.filter_uniquecount_event_type == 2
+    # empty match: count -> 0, sum -> null (SQL CASE semantics)
+    r2 = run_nrql(spark,
+                  "SELECT filter(count(*), WHERE `event_type` = 'nope'), "
+                  "filter(sum(value), WHERE `event_type` = 'nope') "
+                  "FROM t", {"t": df}).first()
+    assert r2.filter_count == 0 and r2.filter_sum_value is None
+
+
+def test_histogram_clamps_edges(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.9,), (10.0,), (25.0,), (49.9,), (50.0,), (999.0,)],
+        "value double")
+    r = run_nrql(spark, "SELECT histogram(value, 50, 5) FROM t",
+                 {"t": df}).first()
+    # buckets of width 10 over [0,50): [-5,0,9.9] -> b0, 10 -> b1, 25 -> b2,
+    # 49.9 -> b4, [50, 999] clamp into b4
+    assert r.histogram_value == [3, 1, 1, 0, 3]
+
+
+def test_rate_window_and_timeseries(spark):
+    import datetime as dt
+    rows = [(dt.datetime(2024, 1, 1, h, 0, 0), 1.0) for h in range(12)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    # whole-window: 12 events over a 6-hour window = 2/hour
+    r = run_nrql(spark,
+                 "SELECT rate(count(*), 1 hour) FROM t "
+                 "SINCE '2024-01-01 00:00:00' UNTIL '2024-01-01 06:00:00'",
+                 {"t": df}).first()
+    assert r.rate_count == 7 * 3600.0 / 21600.0  # 7 events in [00:00,06:00]
+    # timeseries: per-day bucket, 12 events -> 12/24 per hour
+    r2 = run_nrql(spark, "SELECT rate(count(*), 1 hour) FROM t "
+                  "TIMESERIES 1 day", {"t": df}).first()
+    assert r2.rate_count == 0.5
