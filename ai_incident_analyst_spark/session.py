@@ -17,8 +17,10 @@ from pyspark.sql import SparkSession
 # Session-level confs that are safe (and required) to apply to an
 # externally provided session at runtime.
 RUNTIME_CONFS: dict[str, str] = {
-    # testdata events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    # reader rejects by default; read as long and normalize in sources.tables.
+    # older testdata generations carried TIMESTAMP(NANOS), which Spark's
+    # parquet reader rejects by default; with this conf it scans as long and
+    # sources.tables._normalize coerces it (current testdata is timestamp[us]
+    # → TIMESTAMP_NTZ, also normalized there; the conf is then a no-op).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

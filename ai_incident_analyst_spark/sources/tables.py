@@ -31,19 +31,29 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-#: testdata events.parquet stores ts as TIMESTAMP(NANOS); with
-#: spark.sql.legacy.parquet.nanosAsLong it scans as long nanos-since-epoch.
-_NANO_TS_TABLES = {"events": ["ts"]}
+#: testdata columns whose physical encoding has varied across driver
+#: generations: TIMESTAMP(NANOS) (scans as long nanos-since-epoch under
+#: spark.sql.legacy.parquet.nanosAsLong) or plain timestamp[us] with
+#: isAdjustedToUTC=false (scans as TIMESTAMP_NTZ under Spark 4). Both are
+#: coerced to canonical TimestampType here so downstream epoch math
+#: (``ts.cast("long")``) is always legal.
+_TS_TABLES = {"events": ["ts"]}
 
 
 def _normalize(name: str, df: DataFrame) -> DataFrame:
-    for col in _NANO_TS_TABLES.get(name, []):
-        if isinstance(df.schema[col].dataType, T.LongType):
+    for col in _TS_TABLES.get(name, []):
+        dt = df.schema[col].dataType
+        if isinstance(dt, T.LongType):
             # integer-divide to micros (matches DuckDB/parquet µs truncation);
             # float division would lose precision: epoch-ns ≈ 1.7e18 > 2^53
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
+        elif isinstance(dt, T.TimestampNTZType):
+            # session timezone is pinned to UTC (session.py), so reinterpreting
+            # the wall-clock NTZ value as an instant is value-preserving and
+            # NTZ-illegal ops (cast to BIGINT epoch) become legal downstream.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
