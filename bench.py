@@ -113,11 +113,13 @@ def main():
     # best-of-2 per query: the second run reuses compiled codegen, so run 1
     # bounds cold latency and run 2 steady-state; min() filters the
     # machine-level load spikes that otherwise dominate sub-second queries
+    # ($SPARK_GRAFT_BENCH_RUNS=1 for a faster smoke pass, e.g. tools/gate.sh)
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     times: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -130,7 +132,7 @@ def main():
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
-        "runs_per_query": 2,
+        "runs_per_query": runs,
         "sf": sf,
     }))
 
