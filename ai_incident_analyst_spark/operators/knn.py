@@ -142,6 +142,74 @@ def knn_join_blocked(queries: DataFrame, corpus: DataFrame, k: int = 5,
     )
 
 
+def _centroid_arrays(centroids: DataFrame, centroid_id: str,
+                     centroid_vec: str):
+    """Collect the centroid table to numpy ONCE (driver-side).
+
+    Centroids are small by contract — k×d doubles, the same object FAISS
+    holds in driver memory as the IVF coarse quantizer
+    (``src/vector_db/faiss_db.py:19-22``). Collecting here means a
+    centroid subtree that is itself a computed plan (a corpus aggregation,
+    a k-means fit) runs exactly once, instead of once per consumer: Spark
+    cannot reuse a subtree across two BroadcastExchanges, so the
+    declarative formulation recomputed it (13-shuffle/6-scan plan,
+    PLANS.md r2 audit).
+    """
+    import numpy as np
+
+    rows = (
+        centroids.select(F.col(centroid_id).cast("long").alias("i"),
+                         F.col(centroid_vec).cast("array<double>").alias("v"))
+        .orderBy("i").collect()
+    )
+    ids = np.array([r["i"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def assign_cells(df: DataFrame, vec_col: str, centroid_ids, centroid_mat,
+                 n: int = 1, cell_col: str = "__cell") -> DataFrame:
+    """Annotate every row with its ``n`` nearest centroids' ids (n>1
+    explodes to n rows per input row). One Arrow pass with the broadcast
+    (k,d) centroid matrix: per-batch BLAS matmul + argmin — zero shuffle,
+    all input columns pass through. This is the IVF assignment/probe
+    primitive; embarrassingly parallel at any corpus size.
+    """
+    import numpy as np
+
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((np.asarray(centroid_ids, dtype=np.int64),
+                      np.asarray(centroid_mat, dtype=np.float64)))
+    cols = df.columns
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    schema = f"{fields}, {cell_col} long"
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_, c = b.value
+        cn2 = (c * c).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            # argmin ‖x−c‖² = argmin ‖c‖² − 2x·c (‖x‖² constant per row);
+            # ids_ sorted ascending + stable argsort reproduce knn_join's
+            # (distance asc, centroid_id asc) tie-break
+            scores = cn2[None, :] - 2.0 * (x @ c.T)
+            kk = min(n, len(ids_))
+            if kk == 1:
+                sel = scores.argmin(axis=1)[:, None]
+            else:
+                sel = np.argsort(scores, axis=1, kind="stable")[:, :kk]
+            out = pdf[cols].iloc[np.repeat(np.arange(len(pdf)), kk)]
+            out = out.reset_index(drop=True)
+            out[cell_col] = ids_[sel.ravel()]
+            yield out
+
+    return df.mapInPandas(part, schema=schema)
+
+
 def ivf_knn_join(queries: DataFrame, corpus: DataFrame,
                  centroids: DataFrame, k: int = 5, nprobe: int = 2,
                  query_id: str = "query_id", query_vec: str = "query_vec",
@@ -150,49 +218,37 @@ def ivf_knn_join(queries: DataFrame, corpus: DataFrame,
                  centroid_vec: str = "centroid") -> DataFrame:
     """Approximate k-NN via inverted-file (IVF) partitioning.
 
-    Corpus rows are assigned to their nearest centroid (one broadcast-join
-    pass); each query probes only its ``nprobe`` nearest centroids' lists.
-    Both assignment and probe reuse ``knn_join`` with k=1 / k=nprobe, so the
-    whole plan is broadcast joins + windows — no all-pairs work. Recall is
-    governed by nprobe exactly as in FAISS IVF indexes; this is the
+    Corpus rows are assigned to their nearest centroid and each query
+    probes only its ``nprobe`` nearest centroids' lists; exact L2 re-ranks
+    the probed candidates. Recall is governed by nprobe exactly as in
+    FAISS IVF indexes (``src/vector_db/faiss_db.py``); this is the
     in-engine analog of the external ANN hand-off (SURVEY.md §4).
+
+    Physical plan: centroids collected once (k×d, driver — the FAISS
+    coarse-quantizer contract), then ONE zero-shuffle Arrow pass per side
+    (``assign_cells``), a broadcast join on the cell id, and the usual
+    top-k window. The corpus is scanned exactly once and never shuffled
+    before the (candidate-only) window — at 100 TB the whole cost is the
+    one corpus pass plus a window over ≤ |Q|·nprobe·|cell| candidates.
     """
-    # centroids feed TWO consumers (corpus assignment + query probe), and
-    # each consumer broadcasts them — broadcast exchanges defeat
-    # ReuseExchange, so without this the centroid subtree (often an
-    # aggregation over the corpus, or a k-means fit result) is computed
-    # once per consumer
-    centroids = centroids.localCheckpoint(eager=False)
-
-    # assign corpus to nearest centroid
-    assign = knn_join(
-        corpus.select(F.col(corpus_id).alias("query_id"),
-                      F.col(corpus_vec).alias("query_vec")),
-        centroids, k=1, metric="l2_sq",
-        corpus_id=centroid_id, corpus_vec=centroid_vec,
-    ).select(F.col("query_id").alias(corpus_id), F.col("vec_id").alias("__cell"))
-    corpus_cells = corpus.join(assign, corpus_id)
-
-    # each query probes nprobe cells
-    probes = knn_join(
-        queries, centroids, k=nprobe, metric="l2_sq",
-        query_id=query_id, query_vec=query_vec,
-        corpus_id=centroid_id, corpus_vec=centroid_vec,
-    ).select("query_id", F.col("vec_id").alias("__cell"))
-
+    ids, mat = _centroid_arrays(centroids, centroid_id, centroid_vec)
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(query_vec).alias("__qv"))
+    probed = assign_cells(q, "__qv", ids, mat, n=nprobe)
+    corpus_cells = assign_cells(
+        corpus.select(F.col(corpus_id).alias("vec_id"),
+                      F.col(corpus_vec).alias("__cv")),
+        "__cv", ids, mat, n=1)
     scored = (
-        F.broadcast(q.join(probes, "query_id"))
-        .join(corpus_cells, "__cell")
-        .withColumn("distance", l2_sq("__qv", corpus_vec))
+        F.broadcast(probed).join(corpus_cells, "__cell")
+        .withColumn("distance", l2_sq("__qv", "__cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(),
-                                               F.col(corpus_id).asc())
+                                               F.col("vec_id").asc())
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .select("query_id", F.col(corpus_id).alias("vec_id"), "distance")
+        .select("query_id", "vec_id", "distance")
     )
 
 
@@ -293,15 +349,13 @@ def ivf_write_index(corpus: DataFrame, centroids: DataFrame, path: str,
     corpus. The reference rebuilds its FAISS index in memory per run
     (src/vector_db/faiss_db.py:24-43); a parquet inverted file persists
     and co-locates each list's vectors.
+
+    Plan: one zero-shuffle assignment pass over the corpus
+    (``assign_cells``), then the single layout shuffle that
+    ``partitionBy`` needs anyway.
     """
-    assign = knn_join(
-        corpus.select(F.col(corpus_id).alias("query_id"),
-                      F.col(corpus_vec).alias("query_vec")),
-        centroids, k=1, metric="l2_sq",
-        corpus_id=centroid_id, corpus_vec=centroid_vec,
-    ).select(F.col("query_id").alias(corpus_id),
-             F.col("vec_id").alias("__cell"))
-    (corpus.join(assign, corpus_id)
+    ids, mat = _centroid_arrays(centroids, centroid_id, centroid_vec)
+    (assign_cells(corpus, corpus_vec, ids, mat, n=1)
      .repartition(F.col("__cell"))
      .write.partitionBy("__cell").mode("overwrite").parquet(path))
 
@@ -318,22 +372,22 @@ def ivf_probe_index(spark, path: str, queries: DataFrame,
     pruning drops every other directory at planning time.
 
     The probed-cell set is ≤ |queries|·nprobe ints — collected to the
-    driver (the only driver action, KB-scale) precisely because a static
-    literal list is what the file-index pruner can consume; a join
-    against a cells DataFrame would read all partitions.
+    driver (KB-scale) precisely because a static literal list is what the
+    file-index pruner can consume; a join against a cells DataFrame would
+    read all partitions. The probed-queries frame is localCheckpointed so
+    its Arrow pass runs once, not once for the cell collect and again in
+    the join.
     """
-    probes = knn_join(
-        queries, centroids, k=nprobe, metric="l2_sq",
-        query_id=query_id, query_vec=query_vec,
-        corpus_id=centroid_id, corpus_vec=centroid_vec,
-    ).select("query_id", F.col("vec_id").alias("__cell"))
-    cells = [r["__cell"] for r in probes.select("__cell").distinct().collect()]
-    index = spark.read.parquet(path).filter(F.col("__cell").isin(cells))
-
+    ids, mat = _centroid_arrays(centroids, centroid_id, centroid_vec)
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(query_vec).alias("__qv"))
+    probed = assign_cells(q, "__qv", ids, mat, n=nprobe) \
+        .localCheckpoint(eager=True)
+    cells = [r["__cell"] for r in probed.select("__cell").distinct().collect()]
+    index = spark.read.parquet(path).filter(F.col("__cell").isin(cells))
+
     scored = (
-        F.broadcast(q.join(probes, "query_id"))
+        F.broadcast(probed)
         .join(index, "__cell")
         .withColumn("distance", l2_sq("__qv", corpus_vec))
     )
