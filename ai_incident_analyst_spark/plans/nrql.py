@@ -20,8 +20,10 @@ Dialect (the subset the reference emits, exactly):
                                              --   histogram(c, ceil, nbkt) |
                                              --   rate(agg, <n> <unit>)
     FROM Table[, Table2 …]
-    [WHERE `col` = 'v' [AND `col` != 'v'] [AND `col` LIKE '%x%']
-                       [AND `col` NOT LIKE '%y%'] …]       -- AND-only
+    [WHERE <bool>]      -- conds `col` =|!=|LIKE|NOT LIKE 'v' composed with
+                        --   AND / OR and parentheses; AND binds tighter
+                        --   (expr := term (OR term)*, term := factor
+                        --   (AND factor)*, factor := '(' expr ')' | cond)
     [FACET `c1`[, `c2` …]]
     [SINCE <n> <unit> ago | SINCE '<ts>']
     [UNTIL '<ts>']
@@ -36,9 +38,12 @@ dashboard's group-count metrics (``app.py:22-33``) in the same dialect a
 New Relic user would write them. ``sum``/``average`` aggregate through
 DECIMAL(27,4) and cast back to double: exact, order-insensitive results
 (a straight double sum varies with partition merge order). Not
-supported: OR, grouping parens, nested functions, quoted strings
-containing the literal clause keywords. Keywords are case-insensitive;
-values are preserved.
+supported: nested functions, quoted strings containing the literal
+clause keywords. Keywords are case-insensitive; values are preserved.
+
+The reference itself only ever ANDs WHERE clauses
+(``new_relic_fetcher.py:74-78``); OR + parens are the Spark-side
+superset any real NRQL user hits immediately.
 """
 
 from __future__ import annotations
@@ -100,12 +105,26 @@ _COND = re.compile(
     re.IGNORECASE,
 )
 
+#: WHERE scanner: one token per step. ``\b`` after AND/OR keeps columns
+#: like `android` from matching the keyword; conditions are scanned whole
+#: so quoted values may contain parens/AND/OR freely.
+_WHERE_TOKEN = re.compile(
+    r"\s*(?:"
+    r"(?P<lpar>\()|"
+    r"(?P<rpar>\))|"
+    r"(?P<and>AND\b)|"
+    r"(?P<or>OR\b)|"
+    r"(?P<cond>`?\w+`?\s+(?:=|!=|NOT\s+LIKE|LIKE)\s+'[^']*')"
+    r")",
+    re.IGNORECASE,
+)
+
 
 @dataclass
 class ParsedNRQL:
     select: list[str]          # [] means aggregate query; ["*"] means all
     tables: list[str]
-    conds: list[tuple[str, str, str]]  # (col, OP, value), OP uppercased
+    conds: list[tuple[str, str, str]]  # pure-AND leaves ([] if WHERE has OR)
     since: str | None
     until: str | None
     limit: int | None = None
@@ -115,6 +134,9 @@ class ParsedNRQL:
     facet: list[str] = field(default_factory=list)
     timeseries: str | None = None   # "<n> <unit>" bucket width
     compare_with: str | None = None  # "<n> <unit> ago" period shift
+    #: WHERE boolean tree: ("cond", col, OP, val) | ("and", (nodes…)) |
+    #: ("or", (nodes…)); None when the query has no WHERE
+    where: tuple | None = None
 
 
 def _split_top(s: str) -> list[str]:
@@ -141,15 +163,86 @@ def _split_top(s: str) -> list[str]:
     return parts
 
 
-def _parse_conds(where: str) -> tuple[tuple[str, str, str], ...]:
-    conds: list[tuple[str, str, str]] = []
-    for part in re.split(r"\s+AND\s+", where, flags=re.I):
-        cm = _COND.match(part)
-        if not cm:
-            raise ValueError(f"unparseable condition: {part!r}")
-        op = re.sub(r"\s+", " ", cm.group("op").upper())
-        conds.append((cm.group("col"), op, cm.group("val")))
-    return tuple(conds)
+def _tokenize_where(s: str) -> list[tuple[str, str]]:
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(s):
+        m = _WHERE_TOKEN.match(s, pos)
+        if not m:
+            if s[pos:].strip():
+                raise ValueError(f"unparseable condition: {s[pos:].strip()!r}")
+            break
+        pos = m.end()
+        kind = m.lastgroup
+        toks.append((kind, m.group(kind)))
+    return toks
+
+
+def parse_where(s: str) -> tuple:
+    """Parse a WHERE boolean expression into a tree.
+
+    Grammar (AND binds tighter than OR, parens group):
+        expr   := term (OR term)*
+        term   := factor (AND factor)*
+        factor := '(' expr ')' | cond
+        cond   := col (=|!=|LIKE|NOT LIKE) 'value'
+    Nodes: ``("cond", col, OP, val)``, ``("and", (n…))``, ``("or", (n…))``.
+    """
+    toks = _tokenize_where(s)
+    i = 0
+
+    def peek():
+        return toks[i][0] if i < len(toks) else None
+
+    def expect_factor() -> tuple:
+        nonlocal i
+        kind = peek()
+        if kind == "lpar":
+            i += 1
+            node = expr()
+            if peek() != "rpar":
+                raise ValueError(f"unbalanced parens in WHERE: {s!r}")
+            i += 1
+            return node
+        if kind == "cond":
+            cm = _COND.match(toks[i][1])
+            i += 1
+            op = re.sub(r"\s+", " ", cm.group("op").upper())
+            return ("cond", cm.group("col"), op, cm.group("val"))
+        raise ValueError(f"unparseable condition: {s!r}")
+
+    def term() -> tuple:
+        nonlocal i
+        parts = [expect_factor()]
+        while peek() == "and":
+            i += 1
+            parts.append(expect_factor())
+        return parts[0] if len(parts) == 1 else ("and", tuple(parts))
+
+    def expr() -> tuple:
+        nonlocal i
+        parts = [term()]
+        while peek() == "or":
+            i += 1
+            parts.append(term())
+        return parts[0] if len(parts) == 1 else ("or", tuple(parts))
+
+    tree = expr()
+    if i != len(toks):
+        raise ValueError(f"trailing tokens in WHERE: {s!r}")
+    return tree
+
+
+def _flat_and_leaves(tree: tuple | None) -> list[tuple[str, str, str]]:
+    """The (col, OP, val) leaves when the tree is a pure AND chain of
+    conditions; [] otherwise (callers then must consult the tree)."""
+    if tree is None:
+        return []
+    if tree[0] == "cond":
+        return [tree[1:]]
+    if tree[0] == "and" and all(c[0] == "cond" for c in tree[1]):
+        return [c[1:] for c in tree[1]]
+    return []
 
 
 def _parse_plain_agg(p: str) -> tuple[str, str, str | None] | None:
@@ -178,7 +271,7 @@ def _parse_agg(p: str):
         inner = _parse_plain_agg(fm.group("inner").strip())
         if inner is None:
             raise ValueError(f"filter() needs an aggregate: {p!r}")
-        return ("filter", inner, _parse_conds(fm.group("where").strip()))
+        return ("filter", inner, parse_where(fm.group("where").strip()))
     hm = _HIST.match(p)
     if hm:
         buckets = int(hm.group("buckets"))
@@ -227,14 +320,8 @@ def parse_nrql(query: str) -> ParsedNRQL:
     if facet and not aggs:
         raise ValueError("FACET requires an aggregate SELECT")
 
-    conds: list[tuple[str, str, str]] = []
-    if m.group("where"):
-        for part in re.split(r"\s+AND\s+", m.group("where"), flags=re.I):
-            cm = _COND.match(part)
-            if not cm:
-                raise ValueError(f"unparseable condition: {part!r}")
-            op = re.sub(r"\s+", " ", cm.group("op").upper())
-            conds.append((cm.group("col"), op, cm.group("val")))
+    where = parse_where(m.group("where")) if m.group("where") else None
+    conds = _flat_and_leaves(where)
 
     def _unquote(s: str | None) -> str | None:
         if s is None:
@@ -251,28 +338,34 @@ def parse_nrql(query: str) -> ParsedNRQL:
                     if m.group("timeseries") else None),
         compare_with=(re.sub(r"\s+", " ", m.group("compare").strip())
                       if m.group("compare") else None),
+        where=where,
     )
 
 
-def _cond_pred(conds) -> F.Column:
-    """AND-composed predicate Column from (col, OP, val) triples."""
-    out = None
-    for col, op, val in conds:
+def _where_pred(tree: tuple) -> F.Column:
+    """Predicate Column from a ``parse_where`` tree. Top-level ANDs stay
+    separate conjuncts to Catalyst, so parquet pushdown splits them as
+    before; OR branches push down as a single disjunctive filter."""
+    kind = tree[0]
+    if kind == "cond":
+        _, col, op, val = tree
         if op == "=":
-            p = F.col(col) == F.lit(val)
-        elif op == "!=":
-            p = F.col(col) != F.lit(val)
-        elif op == "LIKE":
-            p = F.col(col).like(val)
-        elif op == "NOT LIKE":
-            p = ~F.col(col).like(val)
-        else:  # pragma: no cover - parser only emits the four ops
-            raise ValueError(f"unsupported op {op!r}")
-        out = p if out is None else out & p
+            return F.col(col) == F.lit(val)
+        if op == "!=":
+            return F.col(col) != F.lit(val)
+        if op == "LIKE":
+            return F.col(col).like(val)
+        if op == "NOT LIKE":
+            return ~F.col(col).like(val)
+        raise ValueError(f"unsupported op {op!r}")  # pragma: no cover
+    parts = [_where_pred(c) for c in tree[1]]
+    out = parts[0]
+    for p in parts[1:]:
+        out = (out & p) if kind == "and" else (out | p)
     return out
 
 
-def _filtered_agg(inner: tuple, conds, ts_col: str) -> tuple[str, F.Column]:
+def _filtered_agg(inner: tuple, tree, ts_col: str) -> tuple[str, F.Column]:
     """NRQL ``filter(agg, WHERE …)``: the aggregate over only the rows
     matching the condition — a conditional aggregate, NOT a row filter, so
     several filter() aggs with different conditions share one scan/pass.
@@ -280,7 +373,7 @@ def _filtered_agg(inner: tuple, conds, ts_col: str) -> tuple[str, F.Column]:
     aggregate), matching DuckDB's ``agg(CASE WHEN cond THEN x END)``.
     """
     fn, arg, pct = inner
-    cond = _cond_pred(conds)
+    cond = _where_pred(tree)
     if fn == "count" and arg == "*":
         # ELSE 0 so an all-null group yields 0, like SQL's SUM(CASE…ELSE 0)
         return "filter_count", F.sum(
@@ -418,15 +511,21 @@ def run_nrql(spark: SparkSession, query: str,
            else union_tables(*[tables[t] for t in p.tables]))
 
     lq = LogQuery(src, ts_col=ts_col)
-    for col, op, val in p.conds:
-        if op == "=":
-            lq = lq.where(col, val)
-        elif op == "!=":
-            lq = lq.where_expr(F.col(col) != F.lit(val))
-        elif op == "LIKE":
-            lq = lq.like(col, val)
-        elif op == "NOT LIKE":
-            lq = lq.not_like(col, val)
+    if p.where is not None:
+        # pure-AND trees are applied as separate conjuncts (unchanged
+        # pushdown shape); an OR tree becomes one disjunctive predicate
+        if p.conds:
+            for col, op, val in p.conds:
+                if op == "=":
+                    lq = lq.where(col, val)
+                elif op == "!=":
+                    lq = lq.where_expr(F.col(col) != F.lit(val))
+                elif op == "LIKE":
+                    lq = lq.like(col, val)
+                elif op == "NOT LIKE":
+                    lq = lq.not_like(col, val)
+        else:
+            lq = lq.where_expr(_where_pred(p.where))
     facet = list(p.facet)
     if p.compare_with:
         # COMPARE WITH <n> <unit> ago: evaluate the aggregate over the

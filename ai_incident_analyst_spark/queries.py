@@ -3253,6 +3253,25 @@ def q_nrql_histogram(spark, sf_dir):
         F.posexplode("histogram_value").alias("bucket", "n"))
 
 
+@q("nrql_boolean_where", """
+SELECT event_id, event_type, value FROM events
+WHERE (event_type = 'error' OR event_type = 'purchase')
+  AND props NOT LIKE '%9%'
+""", doc="NRQL boolean WHERE (plans/nrql.py:parse_where): OR + "
+         "parenthesized predicates parsed into a boolean tree (AND binds "
+         "tighter), applied as one disjunctive Catalyst filter — pushed "
+         "to the parquet scan as a single Or predicate")
+def q_nrql_boolean_where(spark, sf_dir):
+    from .plans.nrql import run_nrql
+    ev = _t(spark, sf_dir, "events")
+    return run_nrql(
+        spark,
+        "SELECT `event_id`,`event_type`,`value` FROM events "
+        "WHERE (`event_type` = 'error' OR `event_type` = 'purchase') "
+        "AND `props` NOT LIKE '%9%'",
+        {"events": ev})
+
+
 @q("nrql_rate", """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
        CAST(count(*) AS DOUBLE) * 3600.0 / 86400.0 AS rate_count,

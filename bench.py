@@ -87,6 +87,7 @@ HEADLINE = [
     "knn_int8",
     "nrql_compare_with",
     "hll_overlap_users",
+    "nrql_boolean_where",
 ]
 
 

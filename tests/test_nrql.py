@@ -224,8 +224,8 @@ def test_parse_filter_histogram_rate():
         "`message` NOT LIKE '%x,y%'), histogram(value, 10, 5), "
         "rate(sum(value), 2 minutes) FROM t SINCE 1 day ago")
     assert p.aggs[0] == ("filter", ("count", "*", None),
-                         (("level", "=", "error"),
-                          ("message", "NOT LIKE", "%x,y%")))
+                         ("and", (("cond", "level", "=", "error"),
+                                  ("cond", "message", "NOT LIKE", "%x,y%"))))
     assert p.aggs[1] == ("histogram", "value", (10.0, 5))
     assert p.aggs[2] == ("rate", ("sum", "value", None), (2, "minute"))
 
@@ -295,3 +295,72 @@ def test_rate_window_and_timeseries(spark):
     r2 = run_nrql(spark, "SELECT rate(count(*), 1 hour) FROM t "
                   "TIMESERIES 1 day", {"t": df}).first()
     assert r2.rate_count == 0.5
+
+
+# --- boolean WHERE: OR + parens (parse_where) ------------------------------
+
+def test_parse_where_precedence():
+    from ai_incident_analyst_spark.plans.nrql import parse_where
+    # AND binds tighter: a OR b AND c == a OR (b AND c)
+    t = parse_where("`a` = '1' OR `b` = '2' AND `c` = '3'")
+    assert t == ("or", (("cond", "a", "=", "1"),
+                        ("and", (("cond", "b", "=", "2"),
+                                 ("cond", "c", "=", "3")))))
+    # parens override: (a OR b) AND c
+    t2 = parse_where("(`a` = '1' OR `b` = '2') AND `c` = '3'")
+    assert t2 == ("and", (("or", (("cond", "a", "=", "1"),
+                                  ("cond", "b", "=", "2"))),
+                          ("cond", "c", "=", "3")))
+    # nesting + NOT LIKE leaf; quoted values may contain parens/keywords
+    t3 = parse_where("((`m` NOT LIKE '%x (AND y) OR z%'))")
+    assert t3 == ("cond", "m", "NOT LIKE", "%x (AND y) OR z%")
+
+
+def test_parse_where_errors():
+    from ai_incident_analyst_spark.plans.nrql import parse_where
+    for bad in ["(`a` = '1'", "`a` = '1')", "`a` = '1' OR", "AND `a` = '1'",
+                "`a` = '1' `b` = '2'", "`a` > '1'"]:
+        with pytest.raises(ValueError):
+            parse_where(bad)
+
+
+def test_parse_nrql_or_sets_tree_not_conds():
+    p = parse_nrql("SELECT * FROM Log WHERE `a` = '1' OR `b` = '2'")
+    assert p.conds == []          # flat list only for pure-AND chains
+    assert p.where == ("or", (("cond", "a", "=", "1"),
+                              ("cond", "b", "=", "2")))
+    # pure-AND back-compat: conds stays flat AND where tree agrees
+    q = parse_nrql("SELECT * FROM Log WHERE `a` = '1' AND `b` = '2'")
+    assert q.conds == [("a", "=", "1"), ("b", "=", "2")]
+    assert q.where == ("and", (("cond", "a", "=", "1"),
+                               ("cond", "b", "=", "2")))
+
+
+def test_run_boolean_where_semantics(spark):
+    logs = _log_fixture(spark)
+    out = run_nrql(
+        spark,
+        "SELECT `message` FROM Log "
+        "WHERE (`level` = 'info' OR `container_name` = 'billing') "
+        "AND `namespace_name` = 'betterworks-rainforest'",
+        {"Log": logs})
+    assert {r.message for r in out.collect()} == {
+        "GET /health ok", "timeout error"}
+    # precedence without parens: error-level OR (billing AND info) — the
+    # second branch matches nothing, so all error rows survive
+    out2 = run_nrql(
+        spark,
+        "SELECT `message` FROM Log WHERE `level` = 'error' "
+        "OR `container_name` = 'billing' AND `level` = 'info'",
+        {"Log": logs})
+    assert {r.message for r in out2.collect()} == {
+        "db error: conn refused", "timeout error", "error again"}
+
+
+def test_filter_agg_with_or_condition(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 4.0)], "k string, value double")
+    r = run_nrql(spark,
+                 "SELECT filter(sum(value), WHERE `k` = 'a' OR `k` = 'c') "
+                 "FROM t", {"t": df}).first()
+    assert r.filter_sum_value == 5.0
