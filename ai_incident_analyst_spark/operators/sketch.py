@@ -259,6 +259,62 @@ def hll_estimate_grouped(sketch: DataFrame, group_cols: list[str],
             .otherwise(raw), 3).alias("est_distinct"))
 
 
+def histogram_quantile_grouped(df: DataFrame, group_cols: list[str],
+                               value_col: str, q: float,
+                               buckets: int = 400,
+                               out_col: str = "est_quantile") -> DataFrame:
+    """Approximate per-group quantile via an equal-width histogram —
+    the cross-engine-reproducible stand-in for ``percentile_approx``
+    (whose Greenwald-Khanna sketch is engine-specific and can't be
+    value-hash oracle-checked).
+
+    Two passes: (1) per-group min/max/count, broadcast back; (2) bucket
+    counts + a cumulative window over ≤ ``buckets`` rows per group, then
+    linear interpolation inside the crossing bucket:
+    ``lo + width·(b + (q·n − cum_before)/count_b)``. Error is bounded by
+    one bucket width ((hi−lo)/buckets). Every step is plain double
+    arithmetic on identical expressions, so DuckDB reproduces the value
+    bit-for-bit (rounded to 6dp to shed last-ulp noise).
+
+    At 100 TB: pass 1 is a scan + tiny agg; pass 2 is a scan + a shuffle
+    of ≤ groups·buckets count rows — no per-group sort of raw values,
+    which is what an exact percentile would need.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    src = df.filter(v.isNotNull())
+    bounds = src.groupBy(*group_cols).agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi"),
+        F.count("*").alias("__n"))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(buckets))
+    degen = F.col("__hi") <= F.col("__lo")
+    b = F.when(degen, F.lit(0)).otherwise(
+        F.least(F.greatest(F.floor((v - F.col("__lo")) / width),
+                           F.lit(0)), F.lit(buckets - 1)))
+    hist = (
+        src.join(F.broadcast(bounds), group_cols)
+        .groupBy(*group_cols, "__lo", "__hi", "__n", b.alias("__b"))
+        .agg(F.count("*").alias("__c"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__b") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    target = F.lit(float(q)) * F.col("__n").cast("double")
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    crossing = (F.col("__cum").cast("double") >= target) & \
+        ((F.col("__cum") - F.col("__c")).cast("double") < target)
+    est = F.when(degen, F.col("__lo")).otherwise(
+        F.col("__lo") + ((F.col("__hi") - F.col("__lo"))
+                         / F.lit(float(buckets)))
+        * (F.col("__b").cast("double")
+           + (target - (F.col("__cum") - F.col("__c")).cast("double"))
+           / F.col("__c").cast("double")))
+    return (
+        cum.filter(crossing | (degen & (F.col("__b") == 0)))
+        .select(*group_cols, F.round(est, 6).alias(out_col))
+    )
+
+
 def hll_intersect_estimate(a: DataFrame, b: DataFrame,
                            m: int = 256) -> DataFrame:
     """Estimate set overlap from two HLL sketches by inclusion-exclusion:

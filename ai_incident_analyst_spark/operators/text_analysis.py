@@ -112,7 +112,23 @@ def bpe_token_count(col: Column | str) -> Column:
         .otherwise(F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN)))
 
 
-def kgram_hashes(col: Column | str, k: int = 9) -> Column:
+def _gram_hash(c: Column, hash_fn: str) -> Column:
+    """The k-gram hash under a named scheme.
+
+    ``xxhash64``: JVM-native, fastest — the default for production scans.
+    ``md5``: first 15 hex chars (60 bits) as a positive BIGINT — slower,
+    but bit-identical in DuckDB (``CAST(('0x' || substring(md5(x),1,15))
+    AS BIGINT)``), which puts the fingerprint VALUES in the oracle gate.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(c)
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
+def kgram_hashes(col: Column | str, k: int = 9,
+                 hash_fn: str = "xxhash64") -> Column:
     """64-bit rolling-window hashes of all character k-grams of the
     normalized text (array<long>, position-ordered). Normalization =
     casefold + collapse whitespace, so formatting edits don't shift grams.
@@ -125,11 +141,13 @@ def kgram_hashes(col: Column | str, k: int = 9) -> Column:
     return F.when(
         n >= k,
         F.transform(F.sequence(F.lit(1), n - F.lit(k - 1)),
-                    lambda i: F.xxhash64(F.substring(c, i, F.lit(k)))),
+                    lambda i: _gram_hash(F.substring(c, i, F.lit(k)),
+                                         hash_fn)),
     ).otherwise(F.array().cast("array<bigint>"))
 
 
-def winnow_fingerprints(col: Column | str, k: int = 9, w: int = 4) -> Column:
+def winnow_fingerprints(col: Column | str, k: int = 9, w: int = 4,
+                        hash_fn: str = "xxhash64") -> Column:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
     MOSS algorithm): slide a window of ``w`` consecutive k-gram hashes and
     keep each window's minimum; distinct minima are the fingerprint set.
@@ -148,7 +166,7 @@ def winnow_fingerprints(col: Column | str, k: int = 9, w: int = 4) -> Column:
     nulls, so the tail holds partial-window minima — sliced off to keep
     exactly the m = n−w+1 full windows.
     """
-    hashes = kgram_hashes(col, k)
+    hashes = kgram_hashes(col, k, hash_fn)
     n = F.size(hashes)
     m = F.greatest(n - F.lit(w - 1), F.lit(0))
     mins = hashes
@@ -160,7 +178,7 @@ def winnow_fingerprints(col: Column | str, k: int = 9, w: int = 4) -> Column:
     # NORMALIZED text (same normalization as kgram_hashes, so the
     # relational fast path winnow_fingerprint_stats matches byte-for-byte)
     norm = F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
-    return F.when(n == 0, F.array(F.xxhash64(norm))) \
+    return F.when(n == 0, F.array(_gram_hash(norm, hash_fn))) \
         .when(m == 0, F.array(F.array_min(hashes))) \
         .otherwise(F.array_distinct(wins))
 
@@ -177,7 +195,8 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def winnow_fingerprint_stats(df: DataFrame, id_col: str,
                              text_col: str = "text",
-                             k: int = 9, w: int = 4) -> DataFrame:
+                             k: int = 9, w: int = 4,
+                             hash_fn: str = "xxhash64") -> DataFrame:
     """Per-document winnowing fingerprint summary ``(id, n_fp, fp_min,
     fp_max)`` — same values as summarizing ``winnow_fingerprints`` but
     ~9× faster (measured at sf0.1: 0.6 s vs 5.7 s).
@@ -204,8 +223,8 @@ def winnow_fingerprint_stats(df: DataFrame, id_col: str,
         .select(id_col, "__n", "__t",
                 F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("__i"))
         .select(id_col, "__n", "__i",
-                F.xxhash64(F.substring(F.col("__t"), F.col("__i"),
-                                       F.lit(k))).alias("__h"))
+                _gram_hash(F.substring(F.col("__t"), F.col("__i"),
+                                       F.lit(k)), hash_fn).alias("__h"))
     )
     wmin = (Window.partitionBy(id_col).orderBy("__i")
             .rowsBetween(0, w - 1))
@@ -231,7 +250,8 @@ def winnow_fingerprint_stats(df: DataFrame, id_col: str,
     # branch (whose substring(c, i, k) clamps to the full string there)
     empty = base.filter(F.col("__n") < 1).select(
         id_col, F.lit(1).alias("n_fp"),
-        F.xxhash64("__t").alias("fp_min"), F.xxhash64("__t").alias("fp_max"))
+        _gram_hash(F.col("__t"), hash_fn).alias("fp_min"),
+        _gram_hash(F.col("__t"), hash_fn).alias("fp_max"))
     return main.unionByName(empty)
 
 

@@ -97,6 +97,10 @@ def flagship_error_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: HLL estimator bias constant for m=256 (shared by the hll_* and
+#: approx_distinct_users oracles)
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)
+
 # ===========================================================================
 # relational core: projections / filters / predicates (P1-P9)
 # ===========================================================================
@@ -1400,19 +1404,59 @@ def q_bpe_token_count(spark, sf_dir):
                     .alias("n_bpe_tokens")))
 
 
-@q("winnow_fingerprint", None,
-   doc="winnowing rolling-hash fingerprints (MOSS, Schleimer et al. "
-       "SIGMOD'03): k-gram xxhash64 + window-min. Relational plan "
-       "(posexplode + frame-min window, fully codegen'd) — 9x the "
-       "interpreted HOF-array form at sf0.1; xxhash64 isn't SQL-portable "
-       "→ rows-only; value-level self-oracle + HOF-equivalence test in "
-       "tests/test_text_analysis.py")
+@q("winnow_fingerprint", r"""
+WITH base AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents),
+b2 AS (SELECT doc_id, t, length(t) - 8 AS n FROM base),
+kg AS (
+  SELECT doc_id, n,
+         unnest(generate_series(1, n)) AS i,
+         t
+  FROM b2 WHERE n >= 1),
+kh AS (
+  SELECT doc_id, n, i,
+         CAST(('0x' || substring(md5(substring(t, CAST(i AS INTEGER), 9)),
+                                 1, 15)) AS BIGINT) AS h
+  FROM kg),
+wm AS (
+  SELECT doc_id, n, i, h,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM kh),
+agg AS (
+  SELECT doc_id,
+         COUNT(DISTINCT CASE WHEN i <= n - 3 THEN wmin END) AS nfp,
+         MIN(CASE WHEN i <= n - 3 THEN wmin END) AS mn,
+         MAX(CASE WHEN i <= n - 3 THEN wmin END) AS mx,
+         MIN(h) AS mnh, MAX(n) AS n
+  FROM wm GROUP BY doc_id),
+main AS (
+  SELECT doc_id,
+         CASE WHEN n - 3 <= 0 THEN 1 ELSE nfp END AS n_fp,
+         CASE WHEN n - 3 <= 0 THEN mnh ELSE mn END AS fp_min,
+         CASE WHEN n - 3 <= 0 THEN mnh ELSE mx END AS fp_max
+  FROM agg),
+short AS (
+  SELECT doc_id, 1 AS n_fp,
+         CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS fp_min,
+         CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS fp_max
+  FROM b2 WHERE n < 1)
+SELECT * FROM main UNION ALL SELECT * FROM short
+""", doc="winnowing rolling-hash fingerprints (MOSS, Schleimer et al. "
+         "SIGMOD'03): k-gram hash + window-min. Relational plan "
+         "(posexplode + frame-min window, fully codegen'd) — 9x the "
+         "interpreted HOF-array form at sf0.1. Registry entry uses the "
+         "md5 hash scheme so the fingerprint VALUES hash-check against "
+         "DuckDB (production default stays xxhash64 — same plan, "
+         "measured ~equal warm: substring cost dominates); "
+         "HOF-equivalence test in tests/test_text_analysis.py")
 def q_winnow_fingerprint(spark, sf_dir):
     from .operators.text_analysis import winnow_fingerprint_stats
     from .operators.util import spread
     return winnow_fingerprint_stats(
         spread(_t(spark, sf_dir, "documents"), "doc_id"), "doc_id", "text",
-        k=9, w=4)
+        k=9, w=4, hash_fn="md5")
 
 
 @q("knn_lsh_cosine", None,
@@ -1457,18 +1501,74 @@ def skew_salted_agg(spark, sf_dir):
     )
 
 
-@q("approx_distinct_users", None,
-   doc="approximate aggregates for 100 TB interactive profiling: HLL++ "
-       "distinct users + t-digest-style approx p95 per event_type "
-       "(sketches are engine-specific → no SQL oracle; tolerance vs exact "
-       "asserted in tests/test_skew_bucketing.py)")
+@q("approx_distinct_users", f"""
+WITH hx AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+rr AS (SELECT event_type, CAST(('0x' || substring(h,1,2)) AS BIGINT) AS reg,
+              regexp_replace(substring(h,3,12), '^0+', '') AS s FROM hx),
+rho AS (SELECT event_type, reg,
+               CASE WHEN length(s)=0 THEN 49 ELSE (12-length(s))*4 +
+                    CASE WHEN substring(s,1,1)='1' THEN 3
+                         WHEN substring(s,1,1) IN ('2','3') THEN 2
+                         WHEN substring(s,1,1) IN ('4','5','6','7') THEN 1
+                         ELSE 0 END + 1 END AS rho FROM rr),
+regs AS (SELECT event_type, reg, MAX(rho) AS rho FROM rho GROUP BY 1,2),
+e AS (SELECT event_type, SUM(power(0.5, rho)) AS s, COUNT(*) AS nz
+      FROM regs GROUP BY 1),
+hll AS (SELECT event_type,
+               round(CASE WHEN CAST({_HLL_ALPHA!r} AS DOUBLE)*65536
+                               /(s+(256-nz)) <= 640 AND nz < 256
+                     THEN 256.0*ln(256.0/(256-nz))
+                     ELSE CAST({_HLL_ALPHA!r} AS DOUBLE)*65536
+                          /(s+(256-nz)) END, 3) AS approx_users FROM e),
+bounds AS (SELECT event_type, min(value) AS lo, max(value) AS hi,
+                  count(*) AS n
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+hist AS (SELECT e.event_type, b.lo, b.hi, b.n,
+                CASE WHEN b.hi <= b.lo THEN 0
+                     ELSE least(greatest(CAST(floor((e.value - b.lo)
+                          / ((b.hi - b.lo) / 400.0)) AS BIGINT), 0), 399)
+                END AS bkt,
+                count(*) AS c
+         FROM events e JOIN bounds b USING (event_type)
+         WHERE e.value IS NOT NULL GROUP BY 1,2,3,4,5),
+cum AS (SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        FROM hist),
+p95 AS (SELECT event_type,
+               round(CASE WHEN hi <= lo THEN lo
+                     ELSE lo + ((hi - lo) / 400.0)
+                          * (CAST(bkt AS DOUBLE)
+                             + (0.95*CAST(n AS DOUBLE)
+                                - CAST(cm - c AS DOUBLE))
+                               / CAST(c AS DOUBLE)) END, 6) AS approx_p95
+        FROM cum
+        WHERE (CAST(cm AS DOUBLE) >= 0.95*CAST(n AS DOUBLE)
+               AND CAST(cm - c AS DOUBLE) < 0.95*CAST(n AS DOUBLE))
+           OR (hi <= lo AND bkt = 0))
+SELECT h.event_type, h.approx_users, p.approx_p95
+FROM hll h JOIN p95 p USING (event_type)
+""", doc="approximate profiling aggregates per event_type, with the "
+         "ESTIMATES themselves oracle-checked: distinct users via the md5 "
+         "HLL register table and p95 via the equal-width histogram "
+         "quantile (operators/sketch.py) — every arithmetic step "
+         "reproduces bit-for-bit in DuckDB. Spark-native "
+         "approx_count_distinct/percentile_approx are the black-box "
+         "one-liner twins; tolerance vs exact in "
+         "tests/test_skew_bucketing.py")
 def approx_distinct_users(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-             F.percentile_approx("value", 0.95, 10000).alias("approx_p95"))
+    from .operators.sketch import (
+        histogram_quantile_grouped,
+        hll_build_grouped,
+        hll_estimate_grouped,
     )
+    ev = _t(spark, sf_dir, "events")
+    users = hll_estimate_grouped(
+        hll_build_grouped(ev, ["event_type"], "user_id", m=256),
+        ["event_type"], m=256) \
+        .withColumnRenamed("est_distinct", "approx_users")
+    p95 = histogram_quantile_grouped(ev, ["event_type"], "value", 0.95,
+                                     buckets=400, out_col="approx_p95")
+    return users.join(p95, "event_type")
 
 
 @q("nested_history_roundtrip", """
@@ -2557,8 +2657,6 @@ def q_cms_user_counts(spark, sf_dir):
     probes = ev.filter(F.col("user_id") < 40).select("user_id").distinct()
     return cms_estimate(sketch, probes, "user_id", depth=4, width=256)
 
-
-_HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)
 
 @q("hll_distinct_users", f"""
 WITH hx AS (

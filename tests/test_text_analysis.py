@@ -140,6 +140,21 @@ def test_winnow_stats_matches_hof_form(spark):
     f_ = {r.doc_id: (r.n_fp, r.fp_min, r.fp_max) for r in fast.collect()}
     assert h == f_
 
+    # the md5 hash scheme (oracle-portable registry variant) must hold the
+    # same equivalence, and its values must be 60-bit non-negative ints
+    fp_md5 = winnow_fingerprints("text", k=9, w=4, hash_fn="md5")
+    hof_md5 = df.select(
+        "doc_id", F.size(fp_md5).alias("n_fp"),
+        F.array_min(fp_md5).alias("fp_min"),
+        F.array_max(fp_md5).alias("fp_max"))
+    fast_md5 = winnow_fingerprint_stats(df, "doc_id", "text", k=9, w=4,
+                                        hash_fn="md5")
+    h2 = {r.doc_id: (r.n_fp, r.fp_min, r.fp_max) for r in hof_md5.collect()}
+    f2 = {r.doc_id: (r.n_fp, r.fp_min, r.fp_max) for r in fast_md5.collect()}
+    assert h2 == f2
+    assert h2 != h  # genuinely different hash scheme
+    assert all(0 <= v[1] < (1 << 60) for v in h2.values())
+
 
 def test_kgram_hashes_short_text(spark):
     """ADVICE r1: text shorter than k (incl. empty) must yield an EMPTY
