@@ -123,6 +123,46 @@ def upsert_feedback(df: DataFrame, entry_ts: str, vote: str,
     return df.withColumn("feedback", F.when(hit, fb).otherwise(F.col("feedback")))
 
 
+def append_history_partitioned(entry: DataFrame, path: str,
+                               ts_col: str = "timestamp") -> None:
+    """S6 at scale: the history sink day-partitioned on the entry
+    timestamp, so point lookups and feedback updates prune to one
+    directory instead of scanning the table."""
+    (entry.withColumn("__day", F.to_date(F.col(ts_col)))
+     .write.partitionBy("__day").mode("append").parquet(path))
+
+
+def upsert_feedback_on_disk(spark, path: str, entry_ts: str, vote: str,
+                            comment: str,
+                            ts_col: str = "timestamp") -> None:
+    """F22 at 100 TB: merge-on-key point update of one history entry.
+
+    The reference point-updates one JSON entry in place (app.py:117-124);
+    ``upsert_feedback`` is the in-memory analog but — applied to a
+    persisted table — would rewrite every row. This variant is the
+    parquet equivalent of a Delta/Iceberg MERGE touching one file group:
+    partition pruning restricts the read to the single ``__day``
+    directory holding ``entry_ts``, the conditional struct rebuild runs
+    over just those rows, and dynamic partition overwrite replaces ONLY
+    that directory — the other N days of history are never read or
+    written.
+    """
+    day = F.to_date(F.lit(entry_ts))
+    part = spark.read.parquet(path).filter(F.col("__day") == day)
+    # materialize before overwriting: breaks the plan's dependency on the
+    # input files (Spark refuses to overwrite a path it is reading), and
+    # the partition is point-update-sized by construction
+    updated = upsert_feedback(part, entry_ts, vote, comment) \
+        .localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        updated.write.partitionBy("__day").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def strip_embedding_nested(df: DataFrame, arr_col: str = "batch_logs",
                            field: str = "embedding") -> DataFrame:
     """F23: drop one field from every struct in an array<struct> column

@@ -106,3 +106,51 @@ def test_pick_batch_deterministic(spark):
     df = spark.createDataFrame([Row(i=i, v=f"x{i}") for i in range(20)])
     out = pick_batch(df, 5, "i")
     assert [r.i for r in out.collect()] == [0, 1, 2, 3, 4]
+
+
+def test_upsert_feedback_on_disk_prunes_to_one_partition(spark, tmp_path):
+    """F22 scale path: the point update must read ONLY the target day's
+    partition and leave every other partition's files untouched on disk."""
+    import os
+
+    from ai_incident_analyst_spark.operators.rag import (
+        append_history_partitioned,
+        upsert_feedback_on_disk,
+    )
+
+    path = str(tmp_path / "history")
+    rows = [Row(timestamp=f"2025-07-{d:02d}T10:00:00Z", llm_output=f"rca{d}",
+                feedback=None) for d in (23, 24, 25)]
+    entry = spark.createDataFrame(
+        rows, "timestamp string, llm_output string, "
+              "feedback struct<vote:string,comment:string>")
+    append_history_partitioned(entry, path)
+
+    # snapshot untouched-partition files before the update
+    def part_files(day):
+        d = os.path.join(path, f"__day=2025-07-{day}")
+        return {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+    before_23, before_24 = part_files("23"), part_files("24")
+
+    upsert_feedback_on_disk(spark, path, "2025-07-25T10:00:00Z",
+                            "up", "helpful")
+
+    after = {r.timestamp: r.feedback for r in
+             spark.read.parquet(path).collect()}
+    assert after["2025-07-25T10:00:00Z"].vote == "up"
+    assert after["2025-07-25T10:00:00Z"].comment == "helpful"
+    assert after["2025-07-23T10:00:00Z"] is None
+    assert after["2025-07-24T10:00:00Z"] is None
+    # other day partitions: same files, same mtimes — never rewritten
+    assert part_files("23") == before_23
+    assert part_files("24") == before_24
+
+    # and the update's read side partition-prunes to one directory
+    # (inputFiles() reports the unpruned relation, so check the executed
+    # plan's PartitionFilters like tests/test_partitioning.py does)
+    pruned = spark.read.parquet(path).filter(
+        F.col("__day") == F.to_date(F.lit("2025-07-25T10:00:00Z")))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters:" in plan and \
+        "__day" in plan.split("PartitionFilters:")[1][:160], plan
