@@ -414,3 +414,70 @@ def c4_clean(col: Column | str) -> Column:
     )
     return F.when(page_bad, F.lit(None).cast("string")) \
         .otherwise(F.array_join(kept, "\n"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM perplexity scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+def ngram_lm_score(df: DataFrame, id_col: str, text_col: str = "text"
+                   ) -> DataFrame:
+    """Per-document bits-per-token under a bigram LM trained on the corpus
+    itself — the CCNet-style perplexity quality signal (cf. public CCNet:
+    docs are binned by LM perplexity; low = common/boilerplate-like, high
+    = rare/garbled). The reference has no quality surface; this extends
+    the pipeline family of ``quality_score``/``repetition_stats``.
+
+    Model: MLE bigram with a unigram start term —
+    ``p(w_1) = c(w_1)/T``, ``p(w_i|w_{i-1}) = c(w_{i-1} w_i)/c(w_{i-1})``.
+    Self-scoring means every evaluated n-gram exists in the counts, so no
+    smoothing/backoff branch is needed and the score is exactly derivable
+    relationally (DuckDB oracle). Returns
+    ``(id, n_tokens, bits_per_token)`` with
+    ``bits_per_token = round(avg(-log2 p), 6)``; empty docs emit no row.
+
+    Physical plan: tokenize (scan-speed projection + explode), ONE window
+    shuffle keyed by doc for ``lag``, two count aggregations (map-side
+    combined), then keyed equi-joins on the token/bigram — every shuffle
+    is a standard partial-aggregated key shuffle, nothing is collected,
+    and the counts tables are exactly the shape a distributed LM trainer
+    ships. At 100 TB the bigram-count join is the dominant exchange;
+    pre-bucketing the counts table by ``w_prev`` makes repeat scoring
+    runs co-located.
+    """
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   "[^a-z0-9]+", " "))
+    toks = (
+        df.select(F.col(id_col), F.posexplode(F.split(norm, " "))
+                  .alias("__p", "__w"))
+        .filter(F.col("__w") != "")
+    )
+    w = Window.partitionBy(id_col).orderBy("__p")
+    occ = toks.withColumn("__wp", F.lag("__w").over(w))
+
+    uni = toks.groupBy("__w").agg(F.count("*").alias("__cu"))
+    tot = toks.agg(F.count("*").alias("__T"))
+    bi = (occ.filter(F.col("__wp").isNotNull())
+          .groupBy("__wp", "__w").agg(F.count("*").alias("__cb")))
+
+    scored = (
+        occ.join(uni, "__w")
+        .join(uni.select(F.col("__w").alias("__wp"),
+                         F.col("__cu").alias("__cup")), "__wp", "left")
+        .join(bi, ["__wp", "__w"], "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__nlp",
+            -F.log2(F.when(F.col("__wp").isNull(),
+                           F.col("__cu").cast("double")
+                           / F.col("__T").cast("double"))
+                    .otherwise(F.col("__cb").cast("double")
+                               / F.col("__cup").cast("double"))))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"),
+             F.round(F.avg("__nlp"), 6).alias("bits_per_token"))
+    )

@@ -1459,6 +1459,48 @@ def q_winnow_fingerprint(spark, sf_dir):
         k=9, w=4, hash_fn="md5")
 
 
+@q("ngram_lm_bits", r"""
+WITH toks0 AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(t, ' ')) AS w,
+         generate_subscripts(string_split(t, ' '), 1) AS p
+  FROM toks0 WHERE length(t) > 0),
+occ AS (
+  SELECT doc_id, p, w,
+         lag(w) OVER (PARTITION BY doc_id ORDER BY p) AS wp
+  FROM toks),
+uni AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
+tot AS (SELECT count(*) AS T FROM toks),
+bi AS (SELECT wp, w, count(*) AS cb FROM occ WHERE wp IS NOT NULL
+       GROUP BY wp, w),
+sc AS (
+  SELECT o.doc_id,
+         -log2(CASE WHEN o.wp IS NULL
+               THEN CAST(u.cu AS DOUBLE) / CAST(t.T AS DOUBLE)
+               ELSE CAST(b.cb AS DOUBLE) / CAST(up.cu AS DOUBLE) END) AS nlp
+  FROM occ o
+  JOIN uni u ON o.w = u.w
+  LEFT JOIN uni up ON o.wp = up.w
+  LEFT JOIN bi b ON o.wp = b.wp AND o.w = b.w
+  CROSS JOIN tot t)
+SELECT doc_id, count(*) AS n_tokens, round(avg(nlp), 6) AS bits_per_token
+FROM sc GROUP BY doc_id
+""", doc="CCNet-style LM quality signal (operators/text_analysis.py:"
+         "ngram_lm_score): per-doc bits-per-token under a corpus-trained "
+         "MLE bigram model — tokenize, one lag window, two count "
+         "aggregations, keyed joins; self-scoring needs no smoothing so "
+         "the score derives exactly relationally and the VALUES "
+         "hash-check vs DuckDB")
+def q_ngram_lm_bits(spark, sf_dir):
+    from .operators.text_analysis import ngram_lm_score
+    from .operators.util import spread
+    return ngram_lm_score(
+        spread(_t(spark, sf_dir, "documents"), "doc_id"), "doc_id", "text")
+
+
 @q("knn_lsh_cosine", None,
    doc="approximate cosine top-k via random-hyperplane LSH (n_tables hash "
        "tables of n_planes sign bits; candidates bucket-joined, exact "

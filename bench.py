@@ -88,6 +88,7 @@ HEADLINE = [
     "nrql_compare_with",
     "hll_overlap_users",
     "nrql_boolean_where",
+    "ngram_lm_bits",
 ]
 
 

@@ -205,3 +205,22 @@ def test_c4_clean_rules(spark):
     assert out[2] is None   # < 3 surviving lines
     assert out[3] is None   # lorem ipsum page kill
     assert out[4] is None   # brace page kill
+
+
+def test_ngram_lm_score_matches_hand_computation(spark):
+    """Tiny corpus where the bigram LM is computable by hand: uni a:3 b:2,
+    T=5, bigrams (a,b):2 (b,a):1."""
+    import math
+
+    from ai_incident_analyst_spark.operators.text_analysis import (
+        ngram_lm_score,
+    )
+    df = spark.createDataFrame(
+        [(1, "A b, a!"), (2, "a B"), (3, "")], "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.bits_per_token)
+           for r in ngram_lm_score(df, "doc_id", "text").collect()}
+    d1 = -(math.log2(3 / 5) + math.log2(2 / 3) + math.log2(1 / 2)) / 3
+    d2 = -(math.log2(3 / 5) + math.log2(2 / 3)) / 2
+    assert got[1][0] == 3 and abs(got[1][1] - d1) < 1e-6
+    assert got[2][0] == 2 and abs(got[2][1] - d2) < 1e-6
+    assert 3 not in got  # empty docs emit no row
