@@ -86,7 +86,8 @@ def shingle(text: Column | str, n: int = 3) -> Column:
 
 
 def shingle_rows(df: DataFrame, id_col: str, text_col: str,
-                 n: int = 3, distinct: bool = True) -> DataFrame:
+                 n: int = 3, distinct: bool = True,
+                 hash_fn: str = "xxhash64") -> DataFrame:
     """Word n-gram shingles as rows ``(doc, s)`` with ``s`` the 64-bit
     shingle hash — the relational formulation of ``shingle`` + explode.
 
@@ -101,6 +102,8 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str,
     ``distinct=False`` skips the per-(doc, shingle) dedup shuffle — valid
     for consumers insensitive to duplicates (e.g. MinHash's min-agg).
     """
+    from .text_analysis import _gram_hash
+
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     tk = spread(df, id_col).select(F.col(id_col).alias("doc"),
                                    F.posexplode(toks).alias("pos", "tok"))
@@ -112,7 +115,7 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str,
         tk.select("doc", F.concat_ws(" ", *parts).alias("g"),
                   F.lead("tok", n - 1).over(w).alias("__last"))
         .filter(F.col("__last").isNotNull())
-        .select("doc", F.xxhash64("g").alias("s"))
+        .select("doc", _gram_hash(F.col("g"), hash_fn).alias("s"))
     )
     return out.distinct() if distinct else out
 
@@ -166,22 +169,57 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+#: Mersenne prime modulus for the portable affine permutation family
+_MINHASH_P = (1 << 31) - 1
+
+
+def minhash_affine_params(num_perm: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) for the portable permutation family
+    ``h_i(s) = (a_i·(s mod P) + b_i) mod P`` — LCG-derived constants, no
+    RNG state, so an oracle (or another engine) regenerates them exactly.
+    """
+    a = [max(1, (1103515245 * (i + 1) + 12345) % _MINHASH_P)
+         for i in range(num_perm)]
+    b = [(69069 * (i + 1) + 1) % _MINHASH_P for i in range(num_perm)]
+    return a, b
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
-                      num_perm: int = 64, n: int = 3) -> DataFrame:
+                      num_perm: int = 64, n: int = 3,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """MinHash signatures as (id, array<long> of length num_perm).
 
-    Permutation i is simulated by ``xxhash64(i, shingle)``; the signature
-    element is the min over the doc's shingles. One explode + one groupBy:
-    the min-aggregation is map-side combinable, so the shuffle carries only
-    num_perm longs per doc regardless of document size.
+    Two permutation families, same contract:
+
+    ``xxhash64`` (default): permutation i is ``xxhash64(i, shingle)`` —
+    fastest, JVM-native, engine-specific values.
+
+    ``md5``: the classic affine family over the 60-bit md5 shingle hash,
+    ``(a_i·(s mod P) + b_i) mod P`` with P = 2³¹−1 and LCG-derived
+    constants — every value reproduces bit-for-bit in DuckDB, putting the
+    SIGNATURES (and everything downstream: buckets, candidate pairs,
+    est_jaccard) in the oracle gate. Integer muls are cheaper than 64
+    xxhash64 calls, so the portable family costs one md5 per shingle extra.
+
+    The signature element is the min over the doc's shingles. One explode
+    + one groupBy: the min-aggregation is map-side combinable, so the
+    shuffle carries only num_perm longs per doc regardless of document
+    size.
     """
     # min over a multiset == min over the set: skip the distinct shuffle.
     # Expressions built as SQL strings: one py4j parse call each instead
     # of 3+ Column-API calls — fresh-plan construction cost for the 64
     # aggregates drops from ~1 s of py4j chatter to ~50 ms.
-    exploded = shingle_rows(df, id_col, text_col, n, distinct=False)
-    aggs = [F.expr(f"min(xxhash64({i}, s))").alias(f"h{i}")
-            for i in range(num_perm)]
+    exploded = shingle_rows(df, id_col, text_col, n, distinct=False,
+                            hash_fn=hash_fn)
+    if hash_fn == "xxhash64":
+        aggs = [F.expr(f"min(xxhash64({i}, s))").alias(f"h{i}")
+                for i in range(num_perm)]
+    else:
+        pa, pb = minhash_affine_params(num_perm)
+        exploded = exploded.withColumn("__s1", F.expr(f"s % {_MINHASH_P}L"))
+        aggs = [F.expr(f"min(({pa[i]}L * __s1 + {pb[i]}L) % {_MINHASH_P}L)")
+                .alias(f"h{i}") for i in range(num_perm)]
     sig = exploded.groupBy("doc").agg(*aggs)
     return sig.select(
         "doc",
@@ -224,7 +262,8 @@ def minhash_signature_cols(hs_col: Column | str,
 def minhash_lsh_neardup(df: DataFrame, id_col: str, text_col: str,
                         num_perm: int = 64, bands: int = 16,
                         n: int = 3, threshold: float = 0.5,
-                        verify: bool = True) -> DataFrame:
+                        verify: bool = True,
+                        hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH.
 
     Signature → split into ``bands`` bands of ``num_perm/bands`` rows →
@@ -232,6 +271,10 @@ def minhash_lsh_neardup(df: DataFrame, id_col: str, text_col: str,
     are candidates. With ``verify=True`` candidates are scored by the
     estimated Jaccard (fraction of agreeing minhashes) and filtered by
     ``threshold``. Returns (id_a, id_b, est_jaccard).
+
+    ``hash_fn="md5"`` selects the portable signature family
+    (``minhash_signature``) and an md5 band-bucket key, making the entire
+    output — pairs AND estimates — DuckDB-oracle-checkable.
 
     This replaces the O(n²) similarity join with O(n·bands) bucket
     grouping — the standard web-scale near-dup design (cf. public MinHash
@@ -241,12 +284,20 @@ def minhash_lsh_neardup(df: DataFrame, id_col: str, text_col: str,
     r = num_perm // bands
     # materialize once: both self-join sides consume the signature agg
     # (broadcast exchange defeats ReuseExchange — see ngram_jaccard_pairs)
-    sig = minhash_signature(df, id_col, text_col, num_perm, n) \
+    sig = minhash_signature(df, id_col, text_col, num_perm, n,
+                            hash_fn=hash_fn) \
         .localCheckpoint(eager=False)
 
-    band_arr = F.expr("array(" + ", ".join(
-        f"xxhash64({b}, " + ", ".join(f"sig[{b * r + j}]" for j in range(r)) + ")"
-        for b in range(bands)) + ")")
+    if hash_fn == "xxhash64":
+        band_arr = F.expr("array(" + ", ".join(
+            f"xxhash64({b}, " + ", ".join(f"sig[{b * r + j}]"
+                                          for j in range(r)) + ")"
+            for b in range(bands)) + ")")
+    else:
+        band_arr = F.expr("array(" + ", ".join(
+            "md5(concat_ws('|', " + ", ".join(f"sig[{b * r + j}]"
+                                              for j in range(r)) + "))"
+            for b in range(bands)) + ")")
     # posexplode gives (band_idx, bucket_hash); pairs dedup'd across bands
     buckets = sig.select(
         "doc", "sig", F.posexplode(band_arr).alias("band_idx", "bucket")

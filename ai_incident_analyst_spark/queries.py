@@ -913,13 +913,71 @@ def q_knn_ivf_kmeans(spark, sf_dir):
 # fuzzy dedup, embedding, multimodal, RAG (rows-only or derived oracles)
 # ===========================================================================
 
-@q("minhash_lsh_neardup", None,
-   doc="MinHash+LSH near-dup candidates (probabilistic signatures → no SQL "
-       "oracle; est_jaccard vs exact jaccard bounded in tests)")
+def _minhash_oracle_sql(num_perm: int = 64, bands: int = 16,
+                        threshold: float = 0.2) -> str:
+    """DuckDB twin of the PORTABLE MinHash+LSH pipeline: identical word
+    3-gram shingles, 60-bit md5 base hash, the same LCG-derived affine
+    permutation family mod P=2³¹−1, md5 band buckets, and the agree-count
+    Jaccard estimate — every value is bit-reproducible, so candidate
+    pairs AND estimates hash-match."""
+    from .operators.dedup import _MINHASH_P, minhash_affine_params
+    pa, pb = minhash_affine_params(num_perm)
+    r = num_perm // bands
+    mins = ",\n       ".join(
+        f"min(({pa[i]}*s1+{pb[i]})%{_MINHASH_P}) AS h{i}"
+        for i in range(num_perm))
+    bands_sql = "\n  UNION ALL ".join(
+        f"SELECT doc, {b} AS band_idx, md5(concat_ws('|', "
+        + ", ".join(f"h{b * r + j}" for j in range(r))
+        + ")) AS bucket FROM sig" for b in range(bands))
+    agree = " + ".join(f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+                       for i in range(num_perm))
+    return rf"""
+WITH tk AS (
+  SELECT doc_id AS doc,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+         generate_subscripts(
+           regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+  FROM documents),
+gr AS (
+  SELECT doc, tok,
+         lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2
+  FROM tk WINDOW w AS (PARTITION BY doc ORDER BY pos)),
+sh AS (
+  SELECT doc,
+         CAST(('0x' || substring(md5(concat_ws(' ', tok, t1, t2)), 1, 15))
+              AS BIGINT) % {_MINHASH_P} AS s1
+  FROM gr WHERE t2 IS NOT NULL),
+sig AS (
+  SELECT doc,
+       {mins}
+  FROM sh GROUP BY doc),
+bk AS (
+  {bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM bk a JOIN bk b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc < b.doc)
+SELECT c.id_a, c.id_b,
+       ({agree}) / {float(num_perm)!r} AS est_jaccard
+FROM cand c
+JOIN sig sa ON c.id_a = sa.doc
+JOIN sig sb ON c.id_b = sb.doc
+WHERE ({agree}) / {float(num_perm)!r} >= {threshold!r}
+"""
+
+
+@q("minhash_lsh_neardup", _minhash_oracle_sql(64, 16, 0.2),
+   doc="MinHash+LSH near-dup candidates over the PORTABLE signature "
+       "family (operators/dedup.py:minhash_signature, hash_fn='md5': "
+       "60-bit md5 shingle hash + LCG affine permutations mod 2^31-1, "
+       "md5 band buckets) — pairs and est_jaccard values hash-match the "
+       "DuckDB twin; est vs exact jaccard bounded in tests")
 def q_minhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_neardup(docs, "doc_id", "text",
-                               num_perm=64, bands=16, threshold=0.2)
+                               num_perm=64, bands=16, threshold=0.2,
+                               hash_fn="md5")
 
 
 @q("simhash_neardup", None,
