@@ -337,30 +337,40 @@ def minhash_lsh_neardup(df: DataFrame, id_col: str, text_col: str,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document as (id, simhash long).
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash fingerprint per document as (id, simhash long).
 
-    Per token hash=xxhash64(token); each of the 64 bits votes ±1; the
-    fingerprint bit is the vote sign. All 64 votes are computed in ONE
-    groupBy pass (map-side combinable) — no Python, no second shuffle.
+    Per token hash; each bit votes ±1; the fingerprint bit is the vote
+    sign. All votes are computed in ONE groupBy pass (map-side
+    combinable) — no Python, no second shuffle.
 
-    The 64 bit-vote counters are packed 4-per-long (16 bits each: pack p
-    holds bits p, p+16, p+32, p+48), so the aggregation carries 16 sum
-    buffers instead of 64 and the generated code is ~4× smaller — cold
-    codegen compile drops ~2 s. Safe while a document has < 65536 tokens;
-    callers chunk longer docs upstream.
+    ``hash_fn="xxhash64"`` (default): 64-bit fingerprints, JVM-native.
+    ``hash_fn="md5"``: 60-bit fingerprints over the positive md5 token
+    hash — every bit reproduces in DuckDB, so the fingerprints (and any
+    Hamming-join built on them) are oracle-checkable.
+
+    The bit-vote counters are packed 4-per-long (16 bits each: pack p
+    holds bits p, p+npacks·k), so the aggregation carries nbits/4 sum
+    buffers instead of nbits and the generated code is ~4× smaller —
+    cold codegen compile drops ~2 s. Safe while a document has < 65536
+    tokens; callers chunk longer docs upstream.
     """
+    from .text_analysis import _gram_hash
+
+    nbits = 64 if hash_fn == "xxhash64" else 60
+    npacks = nbits // 4
     toks = spread(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", _gram_hash(F.col("t"), hash_fn))
     # SQL-string expressions: one py4j parse per aggregate instead of ~12
     # Column-API round-trips — fresh-plan build drops ~1 s (see minhash)
     packs = [
         F.expr("sum(" + " + ".join(
-            f"shiftleft(shiftright(h, {p + 16 * k}) & 1, {16 * k})"
+            f"shiftleft(shiftright(h, {p + npacks * k}) & 1, {16 * k})"
             for k in range(4)) + ")").alias(f"p{p}")
-        for p in range(16)
+        for p in range(npacks)
     ]
     agg = toks.groupBy("doc").agg(F.count("*").alias("n"), *packs)
     # bit is 1 iff 2*count(bit set) > n_tokens (votes sum positive);
@@ -368,8 +378,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # 64-deep chain — Janino compile time explodes on deep left-nesting
     bits = [
         f"shiftleft(cast((shiftright(p{p}, {16 * k}) & 65535) * 2 > n"
-        f" as long), {p + 16 * k})"
-        for p in range(16) for k in range(4)
+        f" as long), {p + npacks * k})"
+        for p in range(npacks) for k in range(4)
     ]
     while len(bits) > 1:
         bits = [f"({bits[i]} ^ {bits[i + 1]})" if i + 1 < len(bits) else bits[i]
@@ -382,21 +392,26 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_neardup(df: DataFrame, id_col: str, text_col: str,
-                    max_hamming: int = 3, band_bits: int = 16) -> DataFrame:
+                    max_hamming: int = 3, band_bits: int = 16,
+                    hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ max_hamming on SimHash.
 
-    Blocking: split the 64-bit fingerprint into 64/band_bits chunks; by
+    Blocking: split the fingerprint into nbits/band_bits chunks; by
     pigeonhole, any pair within distance d < chunks shares at least one
     exact chunk → join on (chunk_idx, chunk) instead of cross join, then
     verify with bit_count. Same candidate-generation trick FAISS-less
-    systems use for web-scale simhash dedup.
+    systems use for web-scale simhash dedup. ``hash_fn="md5"`` selects
+    the 60-bit oracle-portable fingerprint (band_bits must divide 60).
     """
-    chunks = 64 // band_bits
+    nbits = 64 if hash_fn == "xxhash64" else 60
+    assert nbits % band_bits == 0, "band_bits must divide fingerprint bits"
+    chunks = nbits // band_bits
     assert max_hamming < chunks, "pigeonhole blocking needs d < #chunks"
     # materialize once: both self-join sides consume the simhash
     # aggregation, and the broadcast exchange defeats ReuseExchange —
     # without this the token scan + 64-bit-vote agg runs twice
-    sh = simhash(df, id_col, text_col).localCheckpoint(eager=False)
+    sh = simhash(df, id_col, text_col, hash_fn=hash_fn) \
+        .localCheckpoint(eager=False)
     mask = (1 << band_bits) - 1
     chunk_arr = F.array(*[
         F.shiftright(F.col("simhash"), i * band_bits).bitwiseAND(F.lit(mask))

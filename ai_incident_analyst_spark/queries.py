@@ -980,12 +980,51 @@ def q_minhash(spark, sf_dir):
                                hash_fn="md5")
 
 
-@q("simhash_neardup", None,
-   doc="SimHash near-dup pairs with pigeonhole chunk blocking (hash-sign "
-       "votes not SQL-portable; self-oracle in tests)")
+def _simhash_oracle_sql(max_hamming: int, band_bits: int) -> str:
+    """DuckDB twin of the portable 60-bit SimHash near-dup: md5 token
+    hash, per-bit majority votes, pigeonhole chunk blocking, bit_count
+    Hamming verify — bit-for-bit reproducible."""
+    chunks = 60 // band_bits
+    mask = (1 << band_bits) - 1
+    return rf"""
+WITH tk AS (
+  SELECT doc_id AS doc,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+  FROM documents),
+th AS (
+  SELECT doc, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
+  FROM tk),
+votes AS (
+  SELECT doc, b, SUM((h >> b) & 1) AS c, COUNT(*) AS n
+  FROM th, (SELECT unnest(range(60)) AS b) bb
+  GROUP BY doc, b),
+fp AS (
+  SELECT doc,
+         SUM(CASE WHEN 2*c > n THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+           AS simhash
+  FROM votes GROUP BY doc),
+bk AS (
+  SELECT doc, simhash, ci AS chunk_idx,
+         (simhash >> (ci*{band_bits})) & {mask} AS chunk
+  FROM fp, (SELECT unnest(range({chunks})) AS ci) cc)
+SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bk a JOIN bk b
+  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+@q("simhash_neardup", _simhash_oracle_sql(5, 10),
+   doc="SimHash near-dup pairs with pigeonhole chunk blocking, over the "
+       "PORTABLE 60-bit md5 fingerprint (operators/dedup.py:simhash, "
+       "hash_fn='md5') — fingerprints, candidate pairs and Hamming "
+       "distances hash-match the DuckDB twin; xxhash64 64-bit family "
+       "remains the production default")
 def q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return simhash_neardup(docs, "doc_id", "text", max_hamming=7, band_bits=8)
+    return simhash_neardup(docs, "doc_id", "text", max_hamming=5,
+                           band_bits=10, hash_fn="md5")
 
 
 @q("embed_text", None,
