@@ -103,3 +103,31 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
         )
     )
     return packs
+
+
+def shard_by_token_budget(df: DataFrame, id_col: str, tokens_col: str,
+                          budget: int,
+                          num_partitions: int | None = None) -> DataFrame:
+    """Assign every document to a contiguous output shard of ≈ ``budget``
+    tokens — the deterministic sharding step that turns a curated corpus
+    into training files of roughly equal token mass (docs are never split;
+    use ``pack_sequences`` when exact fixed-length spans are wanted).
+
+    A document is owned by the shard containing its START offset in the
+    global id-ordered layout: ``shard_id = floor(start / budget)``. Every
+    shard therefore holds ≥ budget − max_doc_tokens and < budget + 
+    max_doc_tokens tokens; assignment is append-stable for any suffix of
+    new ids. Same two-phase distributed prefix sum as ``pack_sequences``
+    — no single-task global window. Returns
+    ``(id, tokens_col, shard_id)``; zero-token docs keep their position
+    (they cost nothing and stay addressable).
+    """
+    cum = global_cumsum(df.select(id_col, tokens_col), id_col, tokens_col,
+                        "__cum", num_partitions)
+    t = F.col(tokens_col).cast("long")
+    return (
+        cum.withColumn(
+            "shard_id",
+            F.floor((F.col("__cum") - t) / F.lit(budget)).cast("long"))
+        .select(id_col, tokens_col, "shard_id")
+    )

@@ -2413,6 +2413,34 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, "doc_id", "n_tok", seq_len=128)
 
 
+@q("shard_by_budget", r"""
+WITH tc AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cs
+  FROM tc
+)
+SELECT doc_id, n_tok,
+       CAST((cs - n_tok) // 4000 AS BIGINT) AS shard_id
+FROM cum
+""", doc="token-budget output sharding (operators/packing.py:"
+         "shard_by_token_budget): docs assigned to contiguous ~4000-token "
+         "training shards by the shard containing their start offset — "
+         "append-stable, docs never split; the same two-phase distributed "
+         "prefix sum as pack_sequences (no single-task global window)")
+def q_shard_by_budget(spark, sf_dir):
+    from .operators.packing import shard_by_token_budget
+    from .operators.text_analysis import token_count
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", token_count("text").alias("n_tok"))
+    return shard_by_token_budget(docs, "doc_id", "n_tok", budget=4000)
+
+
 @q("quota_sample", """
 SELECT doc_id, source FROM (
   SELECT doc_id, source,
