@@ -46,7 +46,12 @@ def global_cumsum(df: DataFrame, order_col: str, value_col: str,
         .withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid").orderBy(order_col) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    local = ranged.withColumn("__local", F.sum(value_col).over(w))
+    # the local-cumsum subtree feeds TWO consumers (the totals agg and the
+    # final join) and the broadcast on the totals side defeats
+    # ReuseExchange — checkpoint so the range shuffle + window run once
+    # (r3 plan audit: 2 scans / 5 shuffles → 1 scan)
+    local = ranged.withColumn("__local", F.sum(value_col).over(w)) \
+        .localCheckpoint(eager=False)
     # one row per partition — tiny driver collect, then a broadcast join
     # (the totals table is KB-scale; Spark broadcasts it automatically)
     totals = (

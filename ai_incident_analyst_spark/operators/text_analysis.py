@@ -449,13 +449,18 @@ def ngram_lm_score(df: DataFrame, id_col: str, text_col: str = "text"
 
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
                                    "[^a-z0-9]+", " "))
+    # the token table feeds THREE consumers (uni, tot, occ) and occ feeds
+    # two more (bi, the scored join) — checkpoint both so the tokenize
+    # scan and the lag window each run once (r3 plan audit: 5 scans /
+    # 9 shuffles → 1 scan without them)
     toks = (
         df.select(F.col(id_col), F.posexplode(F.split(norm, " "))
                   .alias("__p", "__w"))
         .filter(F.col("__w") != "")
-    )
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy(id_col).orderBy("__p")
-    occ = toks.withColumn("__wp", F.lag("__w").over(w))
+    occ = toks.withColumn("__wp", F.lag("__w").over(w)) \
+        .localCheckpoint(eager=False)
 
     uni = toks.groupBy("__w").agg(F.count("*").alias("__cu"))
     tot = toks.agg(F.count("*").alias("__T"))

@@ -89,6 +89,8 @@ HEADLINE = [
     "hll_overlap_users",
     "nrql_boolean_where",
     "ngram_lm_bits",
+    "shard_by_budget",
+    "knn_ivf",
 ]
 
 
