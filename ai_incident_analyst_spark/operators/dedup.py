@@ -728,3 +728,51 @@ def dedup_lines_global(df: DataFrame, id_col: str, text_col: str,
             F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+def semantic_neardup(df: DataFrame, id_col: str, vec_col: str,
+                     threshold: float = 0.9,
+                     cluster_col: str | None = None,
+                     k: int = 8, max_iter: int = 5) -> DataFrame:
+    """Semantic near-dup pairs within embedding-space clusters — the
+    SemDeDup recipe (cf. public SemDeDup, Abbas et al. 2023): cluster
+    first, then compare ONLY within each cluster, dropping candidate
+    pairs from O(n²) to Σ|cluster|² — the property that makes embedding
+    dedup feasible at corpus scale (k grows with n so cluster sizes stay
+    bounded; a hot cluster is capped by quota-sampling upstream).
+
+    ``cluster_col`` uses an existing bucketing column (topic, label,
+    source shard) — fully relational and oracle-checkable. ``None`` fits
+    distributed k-means (operators/clustering.py) and assigns via the
+    zero-shuffle Arrow pass. Pairs join on the cluster key (equi-join,
+    never a cross join); cosine is the exact Catalyst HOF expression.
+    Returns (cluster, id_a, id_b, cosine) with cosine ≥ threshold.
+    """
+    from ..functions.vectors import cosine_similarity
+
+    if cluster_col is None:
+        from .clustering import kmeans_assign, kmeans_fit
+        cents, _ = kmeans_fit(df.select(id_col, vec_col), id_col, vec_col,
+                              k, max_iter)
+        src = kmeans_assign(df.select(id_col, vec_col), vec_col, cents,
+                            out_col="__cl")
+        cl = "__cl"
+    else:
+        src = df.select(id_col, vec_col, cluster_col)
+        cl = cluster_col
+    # materialize once: both self-join sides consume the assignment
+    src = src.localCheckpoint(eager=False)
+    a = src.select(F.col(cl).alias("cluster"),
+                   F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = src.select(F.col(cl).alias("cluster"),
+                   F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity("__va", "__vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("cluster", "id_a", "id_b", "cosine")
+    )

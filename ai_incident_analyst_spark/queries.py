@@ -801,6 +801,33 @@ def knn_cosine(spark, sf_dir):
     )
 
 
+@q("semantic_neardup", """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)
+SELECT a.label AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum([ x[1]*x[2] for x in list_zip(a.v, b.v) ])
+         / (sqrt(list_sum([ x*x for x in a.v ]))
+            * sqrt(list_sum([ x*x for x in b.v ]))), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_sum([ x[1]*x[2] for x in list_zip(a.v, b.v) ])
+      / (sqrt(list_sum([ x*x for x in a.v ]))
+         * sqrt(list_sum([ x*x for x in b.v ]))) >= 0.4
+""", doc="SemDeDup-style semantic dedup (operators/dedup.py:"
+         "semantic_neardup, cf. public SemDeDup Abbas et al. 2023): "
+         "near-dup pairs compared ONLY within embedding-space clusters — "
+         "candidate pairs drop O(n²)→Σ|cluster|². Registry uses the "
+         "label bucketing (fully relational, oracle-checked); the "
+         "k-means path is tested in tests/test_dedup.py")
+def q_semantic_neardup(spark, sf_dir):
+    from .operators.dedup import semantic_neardup
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        semantic_neardup(emb, "vec_id", "embedding", threshold=0.4,
+                         cluster_col="label")
+        .withColumn("cosine", F.round("cosine", 6))
+    )
+
+
 @q("embedding_neardup", """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -260,3 +260,31 @@ def test_lines_global_no_window_in_plan(spark):
     plan = dedup_lines_global(df, "id", "text") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_semantic_neardup_kmeans_k1_equals_bruteforce(spark, sf_dir):
+    """With one cluster the SemDeDup composition degenerates to the exact
+    brute-force pair set; with label clusters it's a subset."""
+    from pyspark.sql import functions as F
+
+    from ai_incident_analyst_spark.operators.dedup import (
+        embedding_cosine_neardup,
+        semantic_neardup,
+    )
+    from ai_incident_analyst_spark.sources.tables import load_table
+
+    # deterministic subset (limit() over a repartitioned table picks an
+    # arbitrary 120 rows per action)
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 120")
+    exact = {(r.id_a, r.id_b): round(r.cosine, 6)
+             for r in embedding_cosine_neardup(
+                 emb, "vec_id", "embedding", threshold=0.4).collect()}
+    one = {(r.id_a, r.id_b): round(r.cosine, 6)
+           for r in semantic_neardup(emb, "vec_id", "embedding",
+                                     threshold=0.4, k=1).collect()}
+    assert one == exact
+    lab = {(r.id_a, r.id_b)
+           for r in semantic_neardup(emb, "vec_id", "embedding",
+                                     threshold=0.4,
+                                     cluster_col="label").collect()}
+    assert lab <= set(exact)
