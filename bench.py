@@ -91,6 +91,7 @@ HEADLINE = [
     "ngram_lm_bits",
     "shard_by_budget",
     "knn_ivf",
+    "semantic_neardup",
 ]
 
 
