@@ -331,6 +331,12 @@ def hll_intersect_estimate(a: DataFrame, b: DataFrame,
     same exact-powers-of-two harmonic sums as ``hll_estimate`` — the final
     add/subtract of 3-dp-rounded doubles is bit-reproducible cross-engine.
     """
+    # each sketch feeds TWO consumers (its own estimate + the union merge)
+    # and the tiny register tables sit behind aggregations ReuseExchange
+    # can't share — checkpoint so each sketch build runs once (r3 plan
+    # audit: 11 shuffles / 4 scans without this)
+    a = a.localCheckpoint(eager=False)
+    b = b.localCheckpoint(eager=False)
     ea = hll_estimate(a, m=m).withColumnRenamed("est_distinct", "est_a")
     eb = hll_estimate(b, m=m).withColumnRenamed("est_distinct", "est_b")
     eu = hll_estimate(hll_merge(a, b), m=m) \
