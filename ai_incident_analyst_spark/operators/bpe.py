@@ -1,0 +1,157 @@
+"""BPE vocabulary training + encoding over a document corpus.
+
+Beyond-reference LLM-data-pipeline surface (BASELINE.json north star):
+``text_analysis.bpe_token_count`` estimates token budgets with a
+pretokenizer regex; this module TRAINS an actual byte-pair-encoding
+merge table from the corpus and encodes documents with it — the step
+that turns a curated corpus into a tokenizer + token-count ledger
+(cf. Sennrich et al. 2016, the public BPE algorithm; GPT-2-style
+word-level training).
+
+Scale design — the same bounded-driver contract as ``clustering.py``:
+
+* The 100 TB part is the WORD-COUNT extraction: one tokenize projection
+  + one map-side-combined groupBy. The distinct-word table is bounded by
+  the language, not the corpus (≈10⁵–10⁷ rows regardless of input size).
+* The merge loop runs driver-side over that bounded count table —
+  exactly where HuggingFace/SentencePiece trainers run it — with a
+  deterministic tie-break (max count, then lexicographically smallest
+  pair), so the merge list is reproducible across runs and partitionings.
+* Encoding broadcasts the merge-rank dict and applies the standard
+  greedy lowest-rank merge per word inside an Arrow ``mapInPandas``
+  pass: embarrassingly parallel, zero shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: end-of-word marker (keeps merges from crossing word boundaries and
+#: distinguishes "est</w>" from mid-word "est")
+EOW = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct lowercase whitespace-word counts — the only corpus-sized
+    pass of BPE training. Returns ``(w, c)``."""
+    return (
+        df.select(F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                    r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count("*").alias("c"))
+    )
+
+
+def _pair_counts(vocab: dict[tuple[str, ...], int]) -> dict:
+    pairs: dict[tuple[str, str], int] = {}
+    for sym, c in vocab.items():
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            pairs[p] = pairs.get(p, 0) + c
+    return pairs
+
+
+def _merge_vocab(vocab: dict[tuple[str, ...], int],
+                 pair: tuple[str, str]) -> dict:
+    a, b = pair
+    ab = a + b
+    out: dict[tuple[str, ...], int] = {}
+    for sym, c in vocab.items():
+        i, new = 0, []
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                new.append(ab)
+                i += 2
+            else:
+                new.append(sym[i])
+                i += 1
+        out[tuple(new)] = out.get(tuple(new), 0) + c
+    return out
+
+
+def bpe_train(df: DataFrame, text_col: str = "text",
+              num_merges: int = 100,
+              min_pair_count: int = 2) -> list[tuple[str, str]]:
+    """Train a BPE merge list from the corpus.
+
+    Distributed word-count pass, then the classic greedy loop over the
+    bounded count table on the driver. Deterministic: ties on pair count
+    break by the lexicographically smallest pair. Stops early when the
+    best pair's count falls below ``min_pair_count``.
+    """
+    rows = word_counts(df, text_col).collect()
+    vocab = {}
+    for r in rows:
+        sym = tuple(r["w"]) + (EOW,)
+        vocab[sym] = vocab.get(sym, 0) + int(r["c"])
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs = _pair_counts(vocab)
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < min_pair_count:
+            break
+        merges.append(best)
+        vocab = _merge_vocab(vocab, best)
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE encode of one word: repeatedly merge the lowest-rank
+    adjacent pair — the standard published algorithm."""
+    sym = list(word) + [EOW]
+    while len(sym) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_encode_counts(df: DataFrame, id_col: str, text_col: str,
+                      merges: list[tuple[str, str]],
+                      out_col: str = "n_bpe_tokens") -> DataFrame:
+    """Per-document token count under a trained merge list.
+
+    Broadcasts the rank dict; one Arrow pass, zero shuffle, all input
+    columns pass through plus ``out_col``. Per-word encodings are
+    memoized per batch (Zipf makes the word set per batch tiny relative
+    to occurrences).
+    """
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    sc = df.sparkSession.sparkContext
+    br = sc.broadcast(ranks)
+    cols = df.columns
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    schema = f"{fields}, {out_col} long"
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rk = br.value
+        memo: dict[str, int] = {}
+
+        def count_tokens(text: str) -> int:
+            total = 0
+            for w in (text or "").lower().split():
+                n = memo.get(w)
+                if n is None:
+                    n = len(encode_word(w, rk))
+                    memo[w] = n
+                total += n
+            return total
+
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[out_col] = [count_tokens(t) for t in pdf[text_col]]
+            yield out
+
+    return df.mapInPandas(part, schema=schema)

@@ -2440,6 +2440,60 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, "doc_id", "n_tok", seq_len=128)
 
 
+@q("bpe_top_pairs", r"""
+WITH wc AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents) t
+  WHERE w <> '' GROUP BY w),
+inner_pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+         substr(w, CAST(i + 1 AS INTEGER), 1) AS b, c
+  FROM wc, LATERAL unnest(generate_series(1, length(w) - 1)) AS t(i)),
+eow AS (SELECT substr(w, length(w), 1) AS a, '</w>' AS b, c FROM wc)
+SELECT a, b, CAST(SUM(c) AS BIGINT) AS pair_count
+FROM (SELECT * FROM inner_pairs UNION ALL SELECT * FROM eow) u
+GROUP BY a, b ORDER BY pair_count DESC, a, b LIMIT 20
+""", doc="BPE training iteration 0 (operators/bpe.py): adjacent symbol "
+         "pair counts over the distinct-word count table (the corpus-"
+         "sized pass of the trainer), end-of-word marker included — "
+         "top-20 pairs hash-match DuckDB; the iterative merge loop is "
+         "covered by bpe_trained_tokens + hand-sequence tests")
+def q_bpe_top_pairs(spark, sf_dir):
+    from .operators.bpe import EOW, word_counts
+    wc = word_counts(_t(spark, sf_dir, "documents"), "text") \
+        .localCheckpoint(eager=False)
+    inner = (
+        wc.filter(F.length("w") >= 2)
+        .select("w", "c",
+                F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"))
+        .select(F.expr("substr(w, i, 1)").alias("a"),
+                F.expr("substr(w, i + 1, 1)").alias("b"), "c")
+    )
+    eow = wc.select(F.expr("substr(w, length(w), 1)").alias("a"),
+                    F.lit(EOW).alias("b"), "c")
+    return (
+        inner.unionByName(eow)
+        .groupBy("a", "b").agg(F.sum("c").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "a", "b").limit(20)
+    )
+
+
+@q("bpe_trained_tokens", None,
+   doc="per-doc token counts under a corpus-trained 30-merge BPE "
+       "vocabulary (operators/bpe.py: distributed word-count pass + "
+       "bounded driver merge loop + broadcast-rank Arrow encode) — "
+       "iterative greedy merges are not SQL-expressible → rows-only; "
+       "hand-computed merge sequence + pure-Python encode parity in "
+       "tests/test_bpe.py")
+def q_bpe_trained_tokens(spark, sf_dir):
+    from .operators.bpe import bpe_encode_counts, bpe_train
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, "text", num_merges=30)
+    return bpe_encode_counts(docs, "doc_id", "text", merges) \
+        .select("doc_id", "n_bpe_tokens")
+
+
 @q("shard_by_budget", r"""
 WITH tc AS (
   SELECT doc_id,

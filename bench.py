@@ -92,6 +92,8 @@ HEADLINE = [
     "shard_by_budget",
     "knn_ivf",
     "semantic_neardup",
+    "bpe_top_pairs",
+    "bpe_trained_tokens",
 ]
 
 

@@ -1,0 +1,77 @@
+"""BPE trainer/encoder (operators/bpe.py): hand-computed merge sequence
+on the classic example corpus, encode determinism, count parity with a
+pure-Python reference."""
+
+from pyspark.sql import functions as F
+
+from ai_incident_analyst_spark.operators.bpe import (
+    EOW,
+    bpe_encode_counts,
+    bpe_train,
+    encode_word,
+    word_counts,
+)
+
+
+def _corpus(spark):
+    # the classic BPE teaching corpus (Sennrich et al. example shape)
+    rows = [(1, "low low low low low"),
+            (2, "lower lower"),
+            (3, "newest newest newest newest newest newest"),
+            (4, "widest widest widest")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_counts(spark):
+    wc = {r.w: r.c for r in word_counts(_corpus(spark), "text").collect()}
+    assert wc == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_bpe_train_hand_sequence(spark):
+    """First merges on the classic corpus are derivable by hand:
+    'es' (9 = newest 6 + widest 3), then 'es'+'t' (9), then 'est'+EOW,
+    then 'l'+'o' (7 = low 5 + lower 2), then 'lo'+'w' (7)."""
+    merges = bpe_train(_corpus(spark), "text", num_merges=5)
+    assert merges == [("e", "s"), ("es", "t"), ("est", EOW),
+                      ("l", "o"), ("lo", "w")]
+
+
+def test_encode_word_greedy(spark):
+    merges = bpe_train(_corpus(spark), "text", num_merges=5)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    assert encode_word("lowest", ranks) == ["low", "est" + EOW]
+    assert encode_word("low", ranks) == ["low", EOW]  # no 'low</w>' merge yet
+    assert encode_word("zzz", ranks) == ["z", "z", "z", EOW]
+
+
+def test_bpe_encode_counts_matches_reference(spark):
+    df = _corpus(spark).repartition(3)
+    merges = bpe_train(df, "text", num_merges=5)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    out = {r.doc_id: r.n_bpe_tokens
+           for r in bpe_encode_counts(df, "doc_id", "text", merges).collect()}
+    expect = {}
+    for doc_id, text in [(r.doc_id, r.text) for r in _corpus(spark).collect()]:
+        expect[doc_id] = sum(len(encode_word(w, ranks))
+                             for w in text.lower().split())
+    assert out == expect
+    # determinism across partitionings
+    out1 = {r.doc_id: r.n_bpe_tokens
+            for r in bpe_encode_counts(_corpus(spark).repartition(1),
+                                       "doc_id", "text", merges).collect()}
+    assert out1 == out
+
+
+def test_bpe_train_on_testdata(spark, sf_dir):
+    """Trainer runs on the real documents table; merges are deterministic
+    across two runs and encoding compresses vs character count."""
+    from ai_incident_analyst_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    m1 = bpe_train(docs, "text", num_merges=30)
+    m2 = bpe_train(docs, "text", num_merges=30)
+    assert m1 == m2 and len(m1) == 30
+    enc = bpe_encode_counts(docs.select("doc_id", "text"), "doc_id", "text",
+                            m1)
+    row = enc.agg(F.sum("n_bpe_tokens").alias("tok"),
+                  F.sum(F.length("text")).alias("chars")).first()
+    assert 0 < row.tok < row.chars
