@@ -259,6 +259,36 @@ def minhash_signature_cols(hs_col: Column | str,
     return [perm(i) for i in range(num_perm)]
 
 
+def band_buckets(sig: DataFrame, num_perm: int, bands: int,
+                 hash_fn: str = "xxhash64") -> DataFrame:
+    """LSH band buckets of a (doc, sig) signature frame:
+    ``(doc, sig, band_idx, bucket)`` — one row per band. The bucket key
+    hashes the band's signature slice (xxhash64, or md5-of-concat for
+    the portable family)."""
+    r = num_perm // bands
+    if hash_fn == "xxhash64":
+        band_arr = F.expr("array(" + ", ".join(
+            f"xxhash64({b}, " + ", ".join(f"sig[{b * r + j}]"
+                                          for j in range(r)) + ")"
+            for b in range(bands)) + ")")
+    else:
+        band_arr = F.expr("array(" + ", ".join(
+            "md5(concat_ws('|', " + ", ".join(f"sig[{b * r + j}]"
+                                              for j in range(r)) + "))"
+            for b in range(bands)) + ")")
+    return sig.select("doc", "sig",
+                      F.posexplode(band_arr).alias("band_idx", "bucket"))
+
+
+def _est_jaccard(num_perm: int) -> Column:
+    """Fraction of agreeing signature elements between sig_a and sig_b."""
+    return F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(num_perm)
+
+
 def minhash_lsh_neardup(df: DataFrame, id_col: str, text_col: str,
                         num_perm: int = 64, bands: int = 16,
                         n: int = 3, threshold: float = 0.5,
@@ -281,27 +311,13 @@ def minhash_lsh_neardup(df: DataFrame, id_col: str, text_col: str,
     LSH literature, PAPERS.md).
     """
     assert num_perm % bands == 0
-    r = num_perm // bands
     # materialize once: both self-join sides consume the signature agg
     # (broadcast exchange defeats ReuseExchange — see ngram_jaccard_pairs)
     sig = minhash_signature(df, id_col, text_col, num_perm, n,
                             hash_fn=hash_fn) \
         .localCheckpoint(eager=False)
-
-    if hash_fn == "xxhash64":
-        band_arr = F.expr("array(" + ", ".join(
-            f"xxhash64({b}, " + ", ".join(f"sig[{b * r + j}]"
-                                          for j in range(r)) + ")"
-            for b in range(bands)) + ")")
-    else:
-        band_arr = F.expr("array(" + ", ".join(
-            "md5(concat_ws('|', " + ", ".join(f"sig[{b * r + j}]"
-                                              for j in range(r)) + "))"
-            for b in range(bands)) + ")")
     # posexplode gives (band_idx, bucket_hash); pairs dedup'd across bands
-    buckets = sig.select(
-        "doc", "sig", F.posexplode(band_arr).alias("band_idx", "bucket")
-    )
+    buckets = band_buckets(sig, num_perm, bands, hash_fn)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -321,15 +337,66 @@ def minhash_lsh_neardup(df: DataFrame, id_col: str, text_col: str,
     )
     if not verify:
         return cand.select("id_a", "id_b")
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.lit(num_perm)
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.withColumn("est_jaccard", _est_jaccard(num_perm))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_write_index(df: DataFrame, id_col: str, text_col: str,
+                        path: str, num_perm: int = 64, bands: int = 16,
+                        n: int = 3, hash_fn: str = "xxhash64") -> None:
+    """Persist the corpus's LSH band buckets + signatures as parquet —
+    the incremental-dedup index. A daily ingest then dedups against the
+    WHOLE corpus by probing this table (``minhash_probe_index``) instead
+    of re-shingling 100 TB. Rows are repartitioned by the join key
+    (band_idx, bucket) at write so probe-side joins start co-located and
+    AQE only re-plans the (small) new-batch side.
+    """
+    sig = minhash_signature(df, id_col, text_col, num_perm, n,
+                            hash_fn=hash_fn)
+    (band_buckets(sig, num_perm, bands, hash_fn)
+     .repartition(F.col("band_idx"), F.col("bucket"))
+     .write.mode("overwrite").parquet(path))
+
+
+def minhash_probe_index(spark, path: str, new_docs: DataFrame,
+                        id_col: str, text_col: str,
+                        num_perm: int = 64, bands: int = 16,
+                        n: int = 3, threshold: float = 0.5,
+                        hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs between a NEW batch and a persisted corpus index:
+    ``(new_id, corpus_id, est_jaccard)``.
+
+    The new batch is shingled/signed fresh (it's the small side); its
+    band buckets equi-join the stored buckets, then the agreeing-element
+    Jaccard estimate filters by ``threshold``. The corpus is never
+    re-shingled — the index read is a column-pruned parquet scan of
+    (band_idx, bucket, doc, sig). Same-id pairs are excluded so a batch
+    overlapping the corpus doesn't report itself.
+    """
+    assert num_perm % bands == 0
+    idx = spark.read.parquet(path)
+    nb = band_buckets(
+        minhash_signature(new_docs, id_col, text_col, num_perm, n,
+                          hash_fn=hash_fn).localCheckpoint(eager=False),
+        num_perm, bands, hash_fn)
+    a, b = nb.alias("a"), idx.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc") != F.col("b.doc")))
+        .select(F.col("a.doc").alias("new_id"),
+                F.col("b.doc").alias("corpus_id"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    return (
+        cand.withColumn("est_jaccard", _est_jaccard(num_perm))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "corpus_id", "est_jaccard")
     )
 
 

@@ -288,3 +288,39 @@ def test_semantic_neardup_kmeans_k1_equals_bruteforce(spark, sf_dir):
                                      threshold=0.4,
                                      cluster_col="label").collect()}
     assert lab <= set(exact)
+
+
+def test_minhash_index_probe_matches_batch(spark, sf_dir, tmp_path):
+    """Incremental dedup: probing a persisted index with a new batch must
+    return exactly the batch-mode pairs restricted to new x corpus, and
+    an overlapping doc must not report itself."""
+    from ai_incident_analyst_spark.operators.dedup import (
+        minhash_lsh_neardup,
+        minhash_probe_index,
+        minhash_write_index,
+    )
+    from ai_incident_analyst_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter("doc_id < 400")
+    new = docs.filter("doc_id >= 380")          # 20-doc overlap with corpus
+
+    path = str(tmp_path / "mh_index")
+    minhash_write_index(corpus, "doc_id", "text", path, num_perm=64,
+                        bands=16, hash_fn="md5")
+    probed = {(r.new_id, r.corpus_id): r.est_jaccard
+              for r in minhash_probe_index(
+                  spark, path, new, "doc_id", "text", num_perm=64,
+                  bands=16, threshold=0.2, hash_fn="md5").collect()}
+
+    batch = {}
+    for r in minhash_lsh_neardup(docs, "doc_id", "text", num_perm=64,
+                                 bands=16, threshold=0.2,
+                                 hash_fn="md5").collect():
+        # batch emits id_a < id_b; expand to both directions, keep only
+        # (new, corpus) pairs with distinct ids
+        for x, y in [(r.id_a, r.id_b), (r.id_b, r.id_a)]:
+            if x >= 380 and y < 400 and x != y:
+                batch[(x, y)] = r.est_jaccard
+    assert probed == batch
+    assert all(a != b for a, b in probed)
