@@ -114,22 +114,31 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
     partial fold order). Use ``centroids_df`` to get the Spark-side frame
     that ``ivf_knn_join`` / ``ivf_write_index`` consume.
     """
-    data = spread(df.select(id_col, vec_col), id_col)
-    cents = _init_centroids(data, id_col, vec_col, k) if init is None \
-        else np.asarray(init, dtype=np.float64)
-    if cents.shape[0] != k:
-        raise ValueError(f"init has {cents.shape[0]} rows, expected k={k}")
-    n_iter = 0
-    for n_iter in range(1, max_iter + 1):
-        folded = _partials_pass(data, vec_col, cents)
-        counts, sums = folded[:, 0], folded[:, 1:]
-        new = np.where(counts[:, None] > 0,
-                       sums / np.maximum(counts[:, None], 1), cents)
-        shift = float(np.max(np.linalg.norm(new - cents, axis=1)))
-        cents = new
-        if shift <= tol:
-            break
-    return cents, n_iter
+    # cache the prepared corpus across rounds (MLlib does the same): every
+    # Lloyd iteration is an action, and without this each round re-scans
+    # the source and re-runs the spread shuffle. Negligible at local test
+    # scale (tiny scan), decisive when the scan is the dominant cost.
+    # Default storage degrades to disk spill, not OOM; unpersisted on exit.
+    data = spread(df.select(id_col, vec_col), id_col).persist()
+    try:
+        cents = _init_centroids(data, id_col, vec_col, k) if init is None \
+            else np.asarray(init, dtype=np.float64)
+        if cents.shape[0] != k:
+            raise ValueError(
+                f"init has {cents.shape[0]} rows, expected k={k}")
+        n_iter = 0
+        for n_iter in range(1, max_iter + 1):
+            folded = _partials_pass(data, vec_col, cents)
+            counts, sums = folded[:, 0], folded[:, 1:]
+            new = np.where(counts[:, None] > 0,
+                           sums / np.maximum(counts[:, None], 1), cents)
+            shift = float(np.max(np.linalg.norm(new - cents, axis=1)))
+            cents = new
+            if shift <= tol:
+                break
+        return cents, n_iter
+    finally:
+        data.unpersist()
 
 
 def centroids_df(spark, centroids: np.ndarray,
