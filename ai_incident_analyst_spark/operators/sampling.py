@@ -118,3 +118,33 @@ def quota_sample(df: DataFrame, key_col: str, strata_col: str,
         .filter(F.col("__rk") <= quota)
         .drop("__rk")
     )
+
+
+def leakage_safe_split(df: DataFrame, id_col: str, clusters: DataFrame,
+                       test_fraction: float,
+                       salt: str = "split") -> DataFrame:
+    """Train/test split that can never leak near-duplicates across the
+    boundary: the hash key is the doc's near-dup CLUSTER id (from
+    ``dedup.connected_components``), so every member of a cluster lands
+    on the same side — the contamination control a per-doc hash split
+    cannot give (a test doc's near-identical twin in train is leakage).
+
+    ``clusters`` is ``(node, cluster_id)``; docs absent from it are
+    singletons and hash by their own id (coalesce). One keyed left join
+    against the (near-dup-sized, usually small) cluster table, then the
+    same narrow md5-threshold filter as ``train_test_split`` — membership
+    is append-stable for any new data whose cluster doesn't change.
+    """
+    lab = clusters.select(F.col("node").alias(id_col),
+                          F.col("cluster_id"))
+    j = df.join(lab, id_col, "left")
+    gkey = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), gkey.cast("string"))), 1, 8)
+    return (
+        j.withColumn(
+            "split",
+            F.when(h < _hex_threshold(test_fraction), F.lit("test"))
+            .otherwise(F.lit("train")))
+        .drop("cluster_id")
+    )

@@ -1954,6 +1954,36 @@ sh AS (
 )"""
 
 
+@q("leakage_safe_split", f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+gk AS (
+  SELECT d.doc_id, d.lang,
+         coalesce(l.cluster_id, d.doc_id) AS gkey
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.u)
+SELECT split, lang, count(*) AS n_docs FROM (
+  SELECT lang,
+         CASE WHEN substring(md5('split' || CAST(gkey AS VARCHAR)), 1, 8)
+                   < '33333333'
+              THEN 'test' ELSE 'train' END AS split
+  FROM gk) t GROUP BY split, lang
+""", doc="leakage-safe train/test split (operators/sampling.py:"
+         "leakage_safe_split): the hash key is the near-dup CLUSTER id "
+         "(connected components over n-gram Jaccard pairs), so a test "
+         "doc's near-identical twin can never land in train — the "
+         "contamination control a per-doc hash split lacks. Composed "
+         "iterative CC + split, still exactly reproduced by a DuckDB "
+         "recursive-CTE twin")
+def q_leakage_safe_split(spark, sf_dir):
+    from .operators.dedup import connected_components
+    from .operators.sampling import leakage_safe_split
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+    clusters = connected_components(pairs, "id_a", "id_b")
+    out = leakage_safe_split(docs.select("doc_id", "lang"), "doc_id",
+                             clusters, test_fraction=0.2)
+    return out.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+
+
 @q("dedup_lines_global", """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok,

@@ -94,6 +94,7 @@ HEADLINE = [
     "semantic_neardup",
     "bpe_top_pairs",
     "bpe_trained_tokens",
+    "leakage_safe_split",
 ]
 
 

@@ -68,3 +68,34 @@ def test_weighted_interleave_no_shuffle(spark):
     assert abs(n - 1500) < 100
     plan = mixed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # mixture is scans + union only
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every near-dup cluster must land whole on one side; singletons
+    split independently; appends never migrate existing rows."""
+    from pyspark.sql import functions as F
+
+    from ai_incident_analyst_spark.operators.dedup import (
+        connected_components,
+    )
+    from ai_incident_analyst_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(100)], "doc_id long, payload string")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)]        # 20 two-doc clusters
+        + [(50, 51), (51, 52), (52, 53)],            # one four-doc chain
+        "id_a long, id_b long")
+    clusters = connected_components(edges)
+    out = leakage_safe_split(docs, "doc_id", clusters, test_fraction=0.3)
+    side = {r.doc_id: r.split for r in out.collect()}
+    for a in range(0, 40, 2):
+        assert side[a] == side[a + 1], a
+    assert len({side[i] for i in (50, 51, 52, 53)}) == 1
+    assert {"train", "test"} == set(side.values())  # both sides populated
+    # append-stability: a prefix subset gets identical assignments
+    sub = leakage_safe_split(docs.filter("doc_id < 60"), "doc_id",
+                             clusters, test_fraction=0.3)
+    assert {r.doc_id: r.split for r in sub.collect()} == \
+        {i: side[i] for i in range(60)}
