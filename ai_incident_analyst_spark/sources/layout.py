@@ -107,3 +107,48 @@ def zorder_key(a: Column | str, b: Column | str, bits: int = 21) -> Column:
                  if i + 1 < len(terms) else terms[i]
                  for i in range(0, len(terms), 2)]
     return terms[0]
+
+
+def merge_upsert(spark, path: str, updates: DataFrame,
+                 key_cols: list[str], partition_col: str) -> None:
+    """Delta-style MERGE (whole-row upsert by key) over a
+    ``partitionBy(partition_col)`` parquet table — the lakehouse
+    primitive plain parquet lacks, built from partition pruning +
+    dynamic partition overwrite (same recipe as
+    ``operators/rag.py:upsert_feedback_on_disk``, generalized).
+
+    Only the partitions PRESENT IN ``updates`` are read and rewritten:
+    matched keys are replaced, unmatched keys inserted, every other
+    partition's files are untouched bytes on disk. The touched-partition
+    list is collected to the driver (bounded by the batch's distinct
+    partition values — KB-scale) precisely because a static ``isin`` is
+    what the file-index pruner consumes at planning time. Updates whose
+    partition is new simply create its directory.
+
+    ``updates`` must carry the full table schema including
+    ``partition_col``. At 100 TB a daily upsert batch touches days, not
+    the table — cost scales with the batch's partition footprint.
+    """
+    import os
+
+    parts = [r[0] for r in
+             updates.select(partition_col).distinct().collect()]
+    merged = updates
+    if os.path.exists(path):
+        existing = spark.read.parquet(path) \
+            .filter(F.col(partition_col).isin(parts))
+        merged = existing.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        ).unionByName(updates)
+    # materialize before overwriting: Spark refuses to overwrite a path
+    # its plan is still reading; the merged set is partition-footprint-
+    # sized by construction
+    merged = merged.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.partitionBy(partition_col).mode("overwrite") \
+            .parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

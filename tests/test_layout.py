@@ -74,3 +74,42 @@ def test_zorder_key_locality_and_range(spark):
     jumps = [abs(a.x - b.x) + abs(a.y - b.y)
              for a, b in zip(order, order[1:])]
     assert sum(jumps) / len(jumps) < 3.0       # mostly unit steps
+
+
+def test_merge_upsert_partition_pruned(spark, tmp_path):
+    """MERGE semantics: matched keys replaced, new keys inserted (incl. a
+    brand-new partition); untouched partitions keep identical files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ai_incident_analyst_spark.sources.layout import merge_upsert
+
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2"), (4, "d", "d3")],
+        "k long, v string, ds string")
+    base.write.partitionBy("ds").parquet(path)
+
+    def files(ds):
+        d = os.path.join(path, f"ds={ds}")
+        return {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+    before_d3 = files("d3")
+
+    updates = spark.createDataFrame(
+        [(2, "B2", "d1"),      # replace existing key in d1
+         (5, "e", "d2"),       # insert new key into existing d2
+         (6, "f", "d9")],      # insert into brand-new partition
+        "k long, v string, ds string")
+    merge_upsert(spark, path, updates, ["k"], "ds")
+
+    got = {(r.k): (r.v, r.ds) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", "d1"), 2: ("B2", "d1"), 3: ("c", "d2"),
+                   4: ("d", "d3"), 5: ("e", "d2"), 6: ("f", "d9")}
+    assert files("d3") == before_d3  # untouched partition: same bytes
+
+    # idempotence: replaying the same batch changes nothing
+    merge_upsert(spark, path, updates, ["k"], "ds")
+    again = {(r.k): (r.v, r.ds) for r in spark.read.parquet(path).collect()}
+    assert again == got
