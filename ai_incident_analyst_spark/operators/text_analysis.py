@@ -486,3 +486,46 @@ def ngram_lm_score(df: DataFrame, id_col: str, text_col: str = "text"
         .agg(F.count("*").alias("n_tokens"),
              F.round(F.avg("__nlp"), 6).alias("bits_per_token"))
     )
+
+
+# ---------------------------------------------------------------------------
+# table profiling (data-quality report)
+# ---------------------------------------------------------------------------
+
+def profile_table(df: DataFrame, columns: list[str] | None = None
+                  ) -> DataFrame:
+    """One-shot per-column profile — the data-quality report a pipeline
+    runs before/after every transform stage: ``(column, n_rows, n_nulls,
+    n_distinct, min_value, max_value)``, one row per profiled column.
+
+    All statistics compute in a single aggregation statement; Spark
+    expands the multi-column distinct into one shuffle (cost grows with
+    the column count — profile the columns you care about at 100 TB, or
+    swap ``countDistinct`` for ``approx_count_distinct`` when exactness
+    isn't needed; exact keeps this oracle-checkable). min/max are taken
+    in the column's native ordering and then cast to string for the
+    uniform report schema — note cross-engine float formatting differs,
+    so profile float columns via an explicit round/cast upstream.
+    """
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols)
+    return one.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {stack}) as "
+        "(column, __nn, n_distinct, min_value, max_value)"
+    ).select(
+        F.col("column"),
+        F.col("__n").alias("n_rows"),
+        (F.col("__n") - F.col("__nn")).alias("n_nulls"),
+        "n_distinct", "min_value", "max_value",
+    )

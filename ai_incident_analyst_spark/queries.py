@@ -1954,6 +1954,37 @@ sh AS (
 )"""
 
 
+@q("profile_documents", """
+SELECT 'doc_id' AS "column", count(*) AS n_rows,
+       count(*) - count(doc_id) AS n_nulls,
+       count(DISTINCT doc_id) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_value,
+       CAST(max(doc_id) AS VARCHAR) AS max_value FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+       CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'source', count(*), count(*) - count(source),
+       count(DISTINCT source),
+       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(*) - count(n_chars),
+       count(DISTINCT n_chars),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+FROM documents
+""", doc="one-pass table profiling (operators/text_analysis.py:"
+         "profile_table): per-column null/distinct/min/max data-quality "
+         "report in a single aggregation statement — the before/after "
+         "gate a pipeline runs around every transform stage; exact "
+         "counts keep it oracle-checkable")
+def q_profile_documents(spark, sf_dir):
+    from .operators.text_analysis import profile_table
+    return profile_table(_t(spark, sf_dir, "documents"),
+                         ["doc_id", "lang", "source", "n_chars"])
+
+
 @q("leakage_safe_split", f"""
 WITH RECURSIVE {_NGRAM_PAIRS_CTES},
 gk AS (

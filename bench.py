@@ -95,6 +95,7 @@ HEADLINE = [
     "bpe_top_pairs",
     "bpe_trained_tokens",
     "leakage_safe_split",
+    "profile_documents",
 ]
 
 

@@ -224,3 +224,18 @@ def test_ngram_lm_score_matches_hand_computation(spark):
     assert got[1][0] == 3 and abs(got[1][1] - d1) < 1e-6
     assert got[2][0] == 2 and abs(got[2][1] - d2) < 1e-6
     assert 3 not in got  # empty docs emit no row
+
+
+def test_profile_table_nulls_and_types(spark):
+    from ai_incident_analyst_spark.operators.text_analysis import (
+        profile_table,
+    )
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (None, "b")],
+        "k long, v string")
+    got = {r.column: r for r in profile_table(df).collect()}
+    assert got["k"].n_rows == 4 and got["k"].n_nulls == 1
+    assert got["k"].n_distinct == 3
+    assert (got["k"].min_value, got["k"].max_value) == ("1", "3")
+    assert got["v"].n_nulls == 1 and got["v"].n_distinct == 2
+    assert (got["v"].min_value, got["v"].max_value) == ("a", "b")
