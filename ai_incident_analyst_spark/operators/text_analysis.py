@@ -529,3 +529,45 @@ def profile_table(df: DataFrame, columns: list[str] | None = None
         (F.col("__n") - F.col("__nn")).alias("n_nulls"),
         "n_distinct", "min_value", "max_value",
     )
+
+
+def tag_keywords(df: DataFrame, id_col: str, text_col: str,
+                 vocab: DataFrame, term_col: str = "term",
+                 tag_col: str = "tag", max_ngram: int = 2) -> DataFrame:
+    """Dictionary-based topic tagging: which taxonomy terms (1..max_ngram
+    words, case-insensitive, word-boundary) appear in each document —
+    ``(id, tag, n_terms)`` with the count of DISTINCT matched terms.
+
+    Spark-first design: instead of a regex scan per (doc, term) — a
+    broadcast nested-loop whose cost is docs×terms — the document side
+    explodes to its distinct word n-grams ONCE and the (tiny) vocabulary
+    broadcast-equi-joins on the exact term string. Cost is O(tokens) +
+    a broadcast hash join, independent of vocabulary size; word
+    boundaries come free from tokenization.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    # NB: keep the transform lambda SINGLE-argument inside a real closure —
+    # a two-arg lambda is treated as (element, index) by Spark and a
+    # default-arg ``n=n`` capture is silently replaced by the array index
+    # (same trap as dedup.minhash_signature_cols)
+    def gram_expr(n: int):
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = [gram_expr(n) for n in range(1, max_ngram + 1)]
+    exploded = (
+        df.select(F.col(id_col),
+                  F.explode(F.array_distinct(F.concat(*grams))).alias("__g"))
+    )
+    v = vocab.select(F.lower(F.col(term_col)).alias("__g"),
+                     F.col(tag_col).alias("tag")).distinct()
+    return (
+        exploded.join(F.broadcast(v), "__g")
+        .groupBy(id_col, "tag")
+        .agg(F.countDistinct("__g").alias("n_terms"))
+    )

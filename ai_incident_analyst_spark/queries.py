@@ -1954,6 +1954,39 @@ sh AS (
 )"""
 
 
+@q("tag_keywords", r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(t[i:i], ' ') for i in range(1, len(t) + 1)] ||
+    [array_to_string(t[i:i+1], ' ')
+     for i in range(1, greatest(len(t) - 1, 0) + 1)])) AS g
+  FROM toks),
+vocab(g, tag) AS (VALUES
+  ('scan', 'exec'), ('join', 'exec'), ('window', 'exec'),
+  ('hash value', 'exec'), ('spark', 'engine'), ('vector', 'ml'),
+  ('stream', 'engine'))
+SELECT gr.doc_id, v.tag, count(DISTINCT gr.g) AS n_terms
+FROM grams gr JOIN vocab v ON gr.g = v.g
+GROUP BY 1, 2
+""", doc="dictionary keyword tagging (operators/text_analysis.py:"
+         "tag_keywords): documents explode to distinct word 1/2-grams "
+         "ONCE and the tiny taxonomy broadcast-equi-joins on the exact "
+         "term — O(tokens) + a hash join instead of a docs×terms regex "
+         "nested loop; word boundaries free from tokenization")
+def q_tag_keywords(spark, sf_dir):
+    from .operators.text_analysis import tag_keywords
+    vocab = spark.createDataFrame(
+        [("scan", "exec"), ("join", "exec"), ("window", "exec"),
+         ("hash value", "exec"), ("spark", "engine"), ("vector", "ml"),
+         ("stream", "engine")],
+        "term string, tag string")
+    return tag_keywords(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                        vocab)
+
+
 @q("profile_documents", """
 SELECT 'doc_id' AS "column", count(*) AS n_rows,
        count(*) - count(doc_id) AS n_nulls,

@@ -96,6 +96,7 @@ HEADLINE = [
     "bpe_trained_tokens",
     "leakage_safe_split",
     "profile_documents",
+    "tag_keywords",
 ]
 
 

@@ -239,3 +239,25 @@ def test_profile_table_nulls_and_types(spark):
     assert (got["k"].min_value, got["k"].max_value) == ("1", "3")
     assert got["v"].n_nulls == 1 and got["v"].n_distinct == 2
     assert (got["v"].min_value, got["v"].max_value) == ("a", "b")
+
+
+def test_tag_keywords_boundaries_and_bigrams(spark):
+    from ai_incident_analyst_spark.operators.text_analysis import (
+        tag_keywords,
+    )
+    docs = spark.createDataFrame(
+        [(1, "Broadcast HASH JOIN beats shuffle join here"),
+         (2, "scanning and rescan are not matched"),  # substrings only
+         (3, "hash value pairs and hash join")],
+        "doc_id long, text string")
+    vocab = spark.createDataFrame(
+        [("hash join", "exec"), ("join", "exec"), ("scan", "exec"),
+         ("hash value", "storage")], "term string, tag string")
+    got = {(r.doc_id, r.tag): r.n_terms
+           for r in tag_keywords(docs, "doc_id", "text", vocab).collect()}
+    # doc1: 'hash join' + 'join' (distinct terms, case-insensitive)
+    assert got[(1, "exec")] == 2
+    # doc2: 'scan' appears only as substring of 'scanning' -> no word match
+    assert (2, "exec") not in got
+    assert got[(3, "exec")] == 2          # 'hash join' + 'join'
+    assert got[(3, "storage")] == 1       # 'hash value'
