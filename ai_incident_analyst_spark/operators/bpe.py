@@ -24,6 +24,7 @@ Scale design — the same bounded-driver contract as ``clustering.py``:
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -33,6 +34,12 @@ from pyspark.sql import functions as F
 #: end-of-word marker (keeps merges from crossing word boundaries and
 #: distinguishes "est</w>" from mid-word "est")
 EOW = "</w>"
+
+#: Java-regex \s equivalent ([ \t\n\x0B\f\r]) — the encoder must split
+#: words exactly like word_counts' Spark-side split, or it would score
+#: tokens never present in the trained vocabulary (Python str.split()
+#: additionally breaks on Unicode spaces like NBSP)
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -141,7 +148,9 @@ def bpe_encode_counts(df: DataFrame, id_col: str, text_col: str,
 
         def count_tokens(text: str) -> int:
             total = 0
-            for w in (text or "").lower().split():
+            for w in _JAVA_WS.split((text or "").lower()):
+                if not w:
+                    continue
                 n = memo.get(w)
                 if n is None:
                     n = len(encode_word(w, rk))

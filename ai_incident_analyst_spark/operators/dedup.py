@@ -347,18 +347,22 @@ def minhash_lsh_neardup(df: DataFrame, id_col: str, text_col: str,
 def minhash_write_index(df: DataFrame, id_col: str, text_col: str,
                         path: str, num_perm: int = 64, bands: int = 16,
                         n: int = 3, hash_fn: str = "xxhash64") -> None:
-    """Persist the corpus's LSH band buckets + signatures as parquet —
-    the incremental-dedup index. A daily ingest then dedups against the
-    WHOLE corpus by probing this table (``minhash_probe_index``) instead
-    of re-shingling 100 TB. Rows are repartitioned by the join key
-    (band_idx, bucket) at write so probe-side joins start co-located and
-    AQE only re-plans the (small) new-batch side.
+    """Persist the corpus's LSH index as TWO parquet tables —
+    ``{path}/buckets`` (band_idx, bucket, doc — slim join keys,
+    repartitioned by the join key so probe joins start co-located) and
+    ``{path}/sigs`` (doc, sig — the num_perm-long signature ONCE per
+    doc, not once per band: storing it on every bucket row would inflate
+    the index by the band count). A daily ingest then dedups against the
+    WHOLE corpus by probing (``minhash_probe_index``) instead of
+    re-shingling 100 TB.
     """
     sig = minhash_signature(df, id_col, text_col, num_perm, n,
-                            hash_fn=hash_fn)
+                            hash_fn=hash_fn).localCheckpoint(eager=False)
     (band_buckets(sig, num_perm, bands, hash_fn)
+     .select("doc", "band_idx", "bucket")
      .repartition(F.col("band_idx"), F.col("bucket"))
-     .write.mode("overwrite").parquet(path))
+     .write.mode("overwrite").parquet(f"{path}/buckets"))
+    sig.write.mode("overwrite").parquet(f"{path}/sigs")
 
 
 def minhash_probe_index(spark, path: str, new_docs: DataFrame,
@@ -370,14 +374,16 @@ def minhash_probe_index(spark, path: str, new_docs: DataFrame,
     ``(new_id, corpus_id, est_jaccard)``.
 
     The new batch is shingled/signed fresh (it's the small side); its
-    band buckets equi-join the stored buckets, then the agreeing-element
-    Jaccard estimate filters by ``threshold``. The corpus is never
-    re-shingled — the index read is a column-pruned parquet scan of
-    (band_idx, bucket, doc, sig). Same-id pairs are excluded so a batch
-    overlapping the corpus doesn't report itself.
+    band buckets equi-join the stored bucket table, candidate pairs
+    dedup, and ONLY candidates fetch their corpus signature from the
+    sigs table for the agreeing-element Jaccard estimate filtered by
+    ``threshold``. The corpus is never re-shingled, and signature bytes
+    are read per candidate, not per bucket row. Same-id pairs are
+    excluded so a batch overlapping the corpus doesn't report itself.
     """
     assert num_perm % bands == 0
-    idx = spark.read.parquet(path)
+    idx = spark.read.parquet(f"{path}/buckets")
+    sigs = spark.read.parquet(f"{path}/sigs")
     nb = band_buckets(
         minhash_signature(new_docs, id_col, text_col, num_perm, n,
                           hash_fn=hash_fn).localCheckpoint(eager=False),
@@ -389,9 +395,10 @@ def minhash_probe_index(spark, path: str, new_docs: DataFrame,
                & (F.col("a.doc") != F.col("b.doc")))
         .select(F.col("a.doc").alias("new_id"),
                 F.col("b.doc").alias("corpus_id"),
-                F.col("a.sig").alias("sig_a"),
-                F.col("b.sig").alias("sig_b"))
+                F.col("a.sig").alias("sig_a"))
         .dropDuplicates(["new_id", "corpus_id"])
+        .join(sigs.select(F.col("doc").alias("corpus_id"),
+                          F.col("sig").alias("sig_b")), "corpus_id")
     )
     return (
         cand.withColumn("est_jaccard", _est_jaccard(num_perm))

@@ -158,39 +158,58 @@ def _centroid_arrays(centroids: DataFrame, centroid_id: str,
     import numpy as np
 
     rows = (
-        centroids.select(F.col(centroid_id).cast("long").alias("i"),
+        centroids.select(F.col(centroid_id).alias("i"),
                          F.col(centroid_vec).cast("array<double>").alias("v"))
         .orderBy("i").collect()
     )
-    ids = np.array([r["i"] for r in rows], dtype=np.int64)
+    if any(r["i"] is None or r["v"] is None for r in rows):
+        raise ValueError("centroids must have non-null ids and vectors")
+    # ids keep their native type (int ids → int64 array, string ids →
+    # object array); the cell column type follows the centroid id type
+    ids = np.asarray([r["i"] for r in rows])
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    return ids, mat
+    cell_type = centroids.schema[centroid_id].dataType.simpleString()
+    return ids, mat, cell_type
 
 
 def assign_cells(df: DataFrame, vec_col: str, centroid_ids, centroid_mat,
-                 n: int = 1, cell_col: str = "__cell") -> DataFrame:
+                 n: int = 1, cell_col: str = "__cell",
+                 cell_type: str = "long") -> DataFrame:
     """Annotate every row with its ``n`` nearest centroids' ids (n>1
     explodes to n rows per input row). One Arrow pass with the broadcast
     (k,d) centroid matrix: per-batch BLAS matmul + argmin — zero shuffle,
     all input columns pass through. This is the IVF assignment/probe
     primitive; embarrassingly parallel at any corpus size.
+
+    Rows whose vector is null or has the wrong dimensionality are DROPPED
+    (they have no meaningful cell; at 100 TB one malformed row must not
+    kill the job). ``clustering.kmeans_assign`` is the index-returning
+    sibling of this pass — a behavior fix here likely applies there too.
     """
     import numpy as np
 
     sc = df.sparkSession.sparkContext
-    b = sc.broadcast((np.asarray(centroid_ids, dtype=np.int64),
+    b = sc.broadcast((np.asarray(centroid_ids),
                       np.asarray(centroid_mat, dtype=np.float64)))
     cols = df.columns
     fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                        for f in df.schema.fields)
-    schema = f"{fields}, {cell_col} long"
+    schema = f"{fields}, {cell_col} {cell_type}"
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_, c = b.value
+        d = c.shape[1]
         cn2 = (c * c).sum(axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            valid = np.fromiter(
+                (v is not None and len(v) == d for v in pdf[vec_col]),
+                dtype=bool, count=len(pdf))
+            if not valid.all():
+                pdf = pdf[valid].reset_index(drop=True)
+                if len(pdf) == 0:
+                    continue
             x = np.array([np.asarray(v, dtype=np.float64)
                           for v in pdf[vec_col]])
             # argmin ‖x−c‖² = argmin ‖c‖² − 2x·c (‖x‖² constant per row);
@@ -231,14 +250,14 @@ def ivf_knn_join(queries: DataFrame, corpus: DataFrame,
     before the (candidate-only) window — at 100 TB the whole cost is the
     one corpus pass plus a window over ≤ |Q|·nprobe·|cell| candidates.
     """
-    ids, mat = _centroid_arrays(centroids, centroid_id, centroid_vec)
+    ids, mat, ctype = _centroid_arrays(centroids, centroid_id, centroid_vec)
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(query_vec).alias("__qv"))
-    probed = assign_cells(q, "__qv", ids, mat, n=nprobe)
+    probed = assign_cells(q, "__qv", ids, mat, n=nprobe, cell_type=ctype)
     corpus_cells = assign_cells(
         corpus.select(F.col(corpus_id).alias("vec_id"),
                       F.col(corpus_vec).alias("__cv")),
-        "__cv", ids, mat, n=1)
+        "__cv", ids, mat, n=1, cell_type=ctype)
     scored = (
         F.broadcast(probed).join(corpus_cells, "__cell")
         .withColumn("distance", l2_sq("__qv", "__cv"))
@@ -354,8 +373,8 @@ def ivf_write_index(corpus: DataFrame, centroids: DataFrame, path: str,
     (``assign_cells``), then the single layout shuffle that
     ``partitionBy`` needs anyway.
     """
-    ids, mat = _centroid_arrays(centroids, centroid_id, centroid_vec)
-    (assign_cells(corpus, corpus_vec, ids, mat, n=1)
+    ids, mat, ctype = _centroid_arrays(centroids, centroid_id, centroid_vec)
+    (assign_cells(corpus, corpus_vec, ids, mat, n=1, cell_type=ctype)
      .repartition(F.col("__cell"))
      .write.partitionBy("__cell").mode("overwrite").parquet(path))
 
@@ -378,10 +397,10 @@ def ivf_probe_index(spark, path: str, queries: DataFrame,
     its Arrow pass runs once, not once for the cell collect and again in
     the join.
     """
-    ids, mat = _centroid_arrays(centroids, centroid_id, centroid_vec)
+    ids, mat, ctype = _centroid_arrays(centroids, centroid_id, centroid_vec)
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(query_vec).alias("__qv"))
-    probed = assign_cells(q, "__qv", ids, mat, n=nprobe) \
+    probed = assign_cells(q, "__qv", ids, mat, n=nprobe, cell_type=ctype) \
         .localCheckpoint(eager=True)
     cells = [r["__cell"] for r in probed.select("__cell").distinct().collect()]
     index = spark.read.parquet(path).filter(F.col("__cell").isin(cells))

@@ -147,6 +147,8 @@ def upsert_feedback_on_disk(spark, path: str, entry_ts: str, vote: str,
     that directory — the other N days of history are never read or
     written.
     """
+    from ..sources.layout import dynamic_partition_overwrite
+
     day = F.to_date(F.lit(entry_ts))
     part = spark.read.parquet(path).filter(F.col("__day") == day)
     # materialize before overwriting: breaks the plan's dependency on the
@@ -154,13 +156,8 @@ def upsert_feedback_on_disk(spark, path: str, entry_ts: str, vote: str,
     # the partition is point-update-sized by construction
     updated = upsert_feedback(part, entry_ts, vote, comment) \
         .localCheckpoint(eager=True)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                          "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with dynamic_partition_overwrite(spark):
         updated.write.partitionBy("__day").mode("overwrite").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def strip_embedding_nested(df: DataFrame, arr_col: str = "batch_logs",

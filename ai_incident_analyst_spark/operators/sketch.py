@@ -282,6 +282,8 @@ def histogram_quantile_grouped(df: DataFrame, group_cols: list[str],
     """
     from pyspark.sql import Window
 
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
     v = F.col(value_col).cast("double")
     src = df.filter(v.isNotNull())
     bounds = src.groupBy(*group_cols).agg(
@@ -301,8 +303,12 @@ def histogram_quantile_grouped(df: DataFrame, group_cols: list[str],
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     target = F.lit(float(q)) * F.col("__n").cast("double")
     cum = hist.withColumn("__cum", F.sum("__c").over(w))
-    crossing = (F.col("__cum").cast("double") >= target) & \
+    # first bucket whose cumulative count reaches the target; the q=0
+    # disjunct keeps the first non-empty bucket (target 0 is reached
+    # before any bucket, so cum_before < target alone never fires)
+    crossing = (F.col("__cum").cast("double") >= target) & (
         ((F.col("__cum") - F.col("__c")).cast("double") < target)
+        | ((target <= F.lit(0.0)) & (F.col("__cum") == F.col("__c"))))
     est = F.when(degen, F.col("__lo")).otherwise(
         F.col("__lo") + ((F.col("__hi") - F.col("__lo"))
                          / F.lit(float(buckets)))

@@ -564,8 +564,13 @@ def tag_keywords(df: DataFrame, id_col: str, text_col: str,
         df.select(F.col(id_col),
                   F.explode(F.array_distinct(F.concat(*grams))).alias("__g"))
     )
-    v = vocab.select(F.lower(F.col(term_col)).alias("__g"),
-                     F.col(tag_col).alias("tag")).distinct()
+    # normalize terms with the SAME trim + whitespace-collapse as the doc
+    # side: a hand-curated taxonomy's stray double space must not make a
+    # term silently unmatched
+    v = vocab.select(
+        F.regexp_replace(F.trim(F.lower(F.col(term_col))), r"\s+", " ")
+        .alias("__g"),
+        F.col(tag_col).alias("tag")).distinct()
     return (
         exploded.join(F.broadcast(v), "__g")
         .groupBy(id_col, "tag")

@@ -21,9 +21,11 @@ that layout healthy:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 
 def write_clustered(df: DataFrame, path: str, partition_col: str,
@@ -109,6 +111,20 @@ def zorder_key(a: Column | str, b: Column | str, bits: int = 21) -> Column:
     return terms[0]
 
 
+@contextmanager
+def dynamic_partition_overwrite(spark):
+    """Scoped ``partitionOverwriteMode=dynamic``: only partitions present
+    in the written DataFrame are replaced; previous mode restored on exit.
+    Shared by ``merge_upsert`` and ``rag.upsert_feedback_on_disk``."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def merge_upsert(spark, path: str, updates: DataFrame,
                  key_cols: list[str], partition_col: str) -> None:
     """Delta-style MERGE (whole-row upsert by key) over a
@@ -125,18 +141,26 @@ def merge_upsert(spark, path: str, updates: DataFrame,
     what the file-index pruner consumes at planning time. Updates whose
     partition is new simply create its directory.
 
-    ``updates`` must carry the full table schema including
-    ``partition_col``. At 100 TB a daily upsert batch touches days, not
-    the table — cost scales with the batch's partition footprint.
+    CONTRACT: ``partition_col`` must be a stable function of the key
+    (the usual date-partitioned-fact invariant). An update that MOVES a
+    key to a different partition value is not a merge — the old
+    partition is never read here, so the stale row would survive; do an
+    explicit delete+insert for key moves. ``updates`` must carry the
+    full table schema including ``partition_col``. At 100 TB a daily
+    upsert batch touches days, not the table — cost scales with the
+    batch's partition footprint.
     """
-    import os
-
     parts = [r[0] for r in
              updates.select(partition_col).distinct().collect()]
     merged = updates
-    if os.path.exists(path):
+    try:
+        # existence probe through Spark's FS layer (os.path only sees the
+        # local filesystem — this table may live on HDFS/S3)
         existing = spark.read.parquet(path) \
             .filter(F.col(partition_col).isin(parts))
+    except AnalysisException:
+        existing = None  # first write: nothing to merge against
+    if existing is not None:
         merged = existing.join(
             updates.select(*key_cols).distinct(), key_cols, "left_anti"
         ).unionByName(updates)
@@ -144,11 +168,6 @@ def merge_upsert(spark, path: str, updates: DataFrame,
     # its plan is still reading; the merged set is partition-footprint-
     # sized by construction
     merged = merged.localCheckpoint(eager=True)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                          "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with dynamic_partition_overwrite(spark):
         merged.write.partitionBy(partition_col).mode("overwrite") \
             .parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

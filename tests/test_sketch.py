@@ -174,3 +174,24 @@ def test_hll_intersect_estimate_tracks_truth(spark):
     c = hll_build(_df(spark, range(10_000, 10_400)), "k")
     d = hll_intersect_estimate(a, c).first()
     assert abs(d["est_intersect"]) < 0.25 * 600
+
+
+def test_histogram_quantile_edges(spark):
+    """q=0 must return the first non-empty bucket's edge (the min), not an
+    empty frame; q=1 the max edge; out-of-range q raises."""
+    import pytest
+
+    from ai_incident_analyst_spark.operators.sketch import (
+        histogram_quantile_grouped,
+    )
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)] + [("b", 7.0), ("b", 7.0)],
+        "g string, v double")
+    q0 = {r.g: r.est_quantile for r in histogram_quantile_grouped(
+        df, ["g"], "v", 0.0, buckets=100).collect()}
+    assert q0["a"] == 1.0 and q0["b"] == 7.0   # degenerate group too
+    q1 = {r.g: r.est_quantile for r in histogram_quantile_grouped(
+        df, ["g"], "v", 1.0, buckets=100).collect()}
+    assert abs(q1["a"] - 100.0) < 1.0
+    with pytest.raises(ValueError):
+        histogram_quantile_grouped(df, ["g"], "v", 1.5)
