@@ -144,3 +144,41 @@ def streaming_rollup_sink(stream: DataFrame, path: str, checkpoint: str,
         .option("checkpointLocation", checkpoint)
         .foreachBatch(merge_batch)
     )
+
+
+def streaming_index_dedup_sink(stream: DataFrame, index_path: str,
+                               out_path: str, checkpoint: str,
+                               id_col: str, text_col: str,
+                               num_perm: int = 64, bands: int = 16,
+                               n: int = 3, threshold: float = 0.5,
+                               hash_fn: str = "xxhash64",
+                               trigger_once: bool = True):
+    """Streaming ingest deduplicated against the PERSISTED corpus MinHash
+    index: each micro-batch probes ``operators/dedup.minhash_probe_index``
+    and only docs with no near-dup in the corpus are appended to
+    ``out_path``. Unlike ``stateful.streaming_neardup_gate`` (whose LSH
+    state lives in the state store and guards within-stream dups), this
+    gate checks against the full historical corpus without re-shingling
+    it — the daily-ingest dedup shape, surviving restarts because the
+    index is on disk, not in stream state.
+    """
+    from ..operators.dedup import minhash_probe_index
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        hits = minhash_probe_index(
+            spark, index_path, batch_df, id_col, text_col,
+            num_perm=num_perm, bands=bands, n=n, threshold=threshold,
+            hash_fn=hash_fn).select(F.col("new_id").alias(id_col)).distinct()
+        batch_df.join(hits, id_col, "left_anti") \
+            .write.mode("append").parquet(out_path)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_once:
+        q = q.trigger(availableNow=True)
+    return q.start()

@@ -178,3 +178,46 @@ def test_streaming_rollup_sink_incremental(spark):
                             ["event_type"], "value")
         want = sorted(tuple(str(x) for x in r) for r in full.collect())
         assert got == want
+
+
+def test_streaming_index_dedup_sink(spark, sf_dir):
+    """Micro-batches probe the persisted corpus MinHash index; docs with a
+    corpus near-dup are gated out, novel docs append to the sink."""
+    import tempfile
+
+    from ai_incident_analyst_spark.operators.dedup import (
+        minhash_write_index,
+    )
+    from ai_incident_analyst_spark.sources.tables import load_table
+    from ai_incident_analyst_spark.streaming.pipeline import (
+        streaming_index_dedup_sink,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        corpus = docs.filter("doc_id < 400")
+        minhash_write_index(corpus, "doc_id", "text", f"{tmp}/idx",
+                            num_perm=64, bands=16, hash_fn="md5")
+
+        # incoming batch: 10 docs whose TEXT is already in the corpus
+        # (fresh ingest ids, duplicate content -> est_jaccard 1.0) + 10
+        # genuinely unseen docs; all re-keyed past the corpus id range
+        dup = docs.filter("doc_id < 10") \
+            .withColumn("doc_id", F.col("doc_id") + 20000)
+        novel = docs.filter("doc_id >= 400 AND doc_id < 410") \
+            .withColumn("doc_id", F.col("doc_id") + 10000)
+        dup.unionByName(novel).write.parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(dup.schema).parquet(f"{tmp}/in")
+
+        q = streaming_index_dedup_sink(
+            stream, f"{tmp}/idx", f"{tmp}/out", f"{tmp}/ck",
+            "doc_id", "text", threshold=0.9, hash_fn="md5")
+        q.awaitTermination(120)
+
+        kept = {r.doc_id for r in spark.read.parquet(f"{tmp}/out").collect()}
+        # every duplicate-content doc gated; only genuinely novel docs
+        # survive (a few novel docs may legitimately near-dup the corpus —
+        # the synthetic texts repeat phrases — so subset, not equality)
+        assert not kept & {20000 + i for i in range(10)}
+        assert kept <= {10400 + i for i in range(10)}
+        assert len(kept) >= 5, kept
