@@ -2616,6 +2616,37 @@ def q_shard_by_budget(spark, sf_dir):
     return shard_by_token_budget(docs, "doc_id", "n_tok", budget=4000)
 
 
+@q("shard_manifest", r"""
+WITH tc AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cs
+  FROM tc
+), sh AS (
+  SELECT doc_id, n_tok, CAST((cs - n_tok) // 4000 AS BIGINT) AS shard_id
+  FROM cum)
+SELECT shard_id, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY CAST(doc_id AS VARCHAR))) AS content_hash
+FROM sh GROUP BY shard_id
+""", doc="per-shard reproducibility manifest (operators/packing.py:"
+         "shard_manifest): n_docs/n_tokens/membership content-hash "
+         "(md5 over sorted ids — partitioning-independent) for the "
+         "token-budget shards; one keyed aggregation, hash-checked")
+def q_shard_manifest(spark, sf_dir):
+    from .operators.packing import shard_by_token_budget, shard_manifest
+    from .operators.text_analysis import token_count
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", token_count("text").alias("n_tok"))
+    shards = shard_by_token_budget(docs, "doc_id", "n_tok", budget=4000)
+    return shard_manifest(shards, "doc_id", "n_tok")
+
+
 @q("quota_sample", """
 SELECT doc_id, source FROM (
   SELECT doc_id, source,

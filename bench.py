@@ -97,6 +97,7 @@ HEADLINE = [
     "leakage_safe_split",
     "profile_documents",
     "tag_keywords",
+    "shard_manifest",
 ]
 
 
