@@ -321,6 +321,80 @@ def histogram_quantile_grouped(df: DataFrame, group_cols: list[str],
     )
 
 
+def histogram_sketch_build(df: DataFrame, group_cols: list[str],
+                           value_col: str, lo: float, hi: float,
+                           buckets: int = 400) -> DataFrame:
+    """MERGEABLE per-group quantile sketch: equal-width bucket counts
+    over the FIXED range [lo, hi) — ``(*group_cols, bucket, cnt)``.
+
+    Fixed bounds are what make the sketch mergeable (same bucket grid
+    everywhere): build per fine cell (day, tenant), coarsen with
+    ``histogram_sketch_merge`` by summing matching buckets — quantiles
+    over any time range then come from stored sketches, never from
+    re-scanning raw history. This extends the rollup partial-aggregate
+    algebra (operators/rollup.py) to quantiles, the non-additive measure
+    it couldn't cover. Values outside the range clamp to the edge
+    buckets (estimates there degrade to the range edge — size [lo, hi)
+    generously). ≤ ``buckets`` rows per group, one map-side-combinable
+    aggregation.
+    """
+    if hi <= lo:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / float(buckets)
+    b = F.least(F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)),
+                           F.lit(0)), F.lit(buckets - 1))
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, b.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_sketch_merge(sketch: DataFrame,
+                           group_cols: list[str]) -> DataFrame:
+    """Coarsen: re-group a finer sketch to ``group_cols`` (drop a
+    dimension, day→month) by summing matching buckets — exact, lossless
+    with respect to the bucket grid."""
+    return sketch.groupBy(*group_cols, "bucket") \
+        .agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_sketch_quantile(sketch: DataFrame, group_cols: list[str],
+                              q: float, lo: float, hi: float,
+                              buckets: int = 400,
+                              out_col: str = "est_quantile") -> DataFrame:
+    """Per-group quantile estimate from a (possibly merged) sketch:
+    cumulative window over ≤ ``buckets`` rows per group + linear
+    interpolation in the crossing bucket — same estimator and
+    cross-engine-exact arithmetic as ``histogram_quantile_grouped``,
+    minus the raw-data passes (the sketch IS the data here).
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    width = (hi - lo) / float(buckets)
+    wtot = Window.partitionBy(*group_cols)
+    w = Window.partitionBy(*group_cols).orderBy("bucket") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (sketch
+           .withColumn("__n", F.sum("cnt").over(wtot))
+           .withColumn("__cum", F.sum("cnt").over(w)))
+    target = F.lit(float(q)) * F.col("__n").cast("double")
+    crossing = (F.col("__cum").cast("double") >= target) & (
+        ((F.col("__cum") - F.col("cnt")).cast("double") < target)
+        | ((target <= F.lit(0.0)) & (F.col("__cum") == F.col("cnt"))))
+    est = (F.lit(lo) + F.lit(width)
+           * (F.col("bucket").cast("double")
+              + (target - (F.col("__cum") - F.col("cnt")).cast("double"))
+              / F.col("cnt").cast("double")))
+    return (
+        cum.filter(crossing)
+        .select(*group_cols, F.round(est, 6).alias(out_col))
+    )
+
+
 def hll_intersect_estimate(a: DataFrame, b: DataFrame,
                            m: int = 256) -> DataFrame:
     """Estimate set overlap from two HLL sketches by inclusion-exclusion:

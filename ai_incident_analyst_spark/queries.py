@@ -1987,6 +1987,46 @@ def q_tag_keywords(spark, sf_dir):
                         vocab)
 
 
+@q("histogram_rollup_quantiles", """
+WITH hist AS (
+  SELECT event_type,
+         least(greatest(CAST(floor((value - 0.0) / 0.25) AS BIGINT), 0),
+               399) AS bucket,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM hist)
+SELECT event_type,
+       round(0.0 + 0.25 * (CAST(bucket AS DOUBLE)
+             + (0.95*CAST(n AS DOUBLE) - CAST(cm - cnt AS DOUBLE))
+               / CAST(cnt AS DOUBLE)), 6) AS est_quantile
+FROM cum
+WHERE CAST(cm AS DOUBLE) >= 0.95*CAST(n AS DOUBLE)
+  AND CAST(cm - cnt AS DOUBLE) < 0.95*CAST(n AS DOUBLE)
+""", doc="rollup-able quantiles via the mergeable fixed-grid histogram "
+         "sketch (operators/sketch.py:histogram_sketch_*): daily "
+         "sketches merged upward (sum matching buckets), p95 per "
+         "event_type interpolated from the MERGED sketch — quantiles "
+         "over any range from stored partials, never re-scanning raw "
+         "history; estimates hash-match DuckDB")
+def q_histogram_rollup_quantiles(spark, sf_dir):
+    from .operators.sketch import (
+        histogram_sketch_build,
+        histogram_sketch_merge,
+        histogram_sketch_quantile,
+    )
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = histogram_sketch_build(ev, ["event_type", "day"], "value",
+                                   lo=0.0, hi=100.0, buckets=400)
+    merged = histogram_sketch_merge(daily, ["event_type"])
+    return histogram_sketch_quantile(merged, ["event_type"], 0.95,
+                                     lo=0.0, hi=100.0, buckets=400)
+
+
 @q("profile_documents", """
 SELECT 'doc_id' AS "column", count(*) AS n_rows,
        count(*) - count(doc_id) AS n_nulls,

@@ -98,6 +98,7 @@ HEADLINE = [
     "profile_documents",
     "tag_keywords",
     "shard_manifest",
+    "histogram_rollup_quantiles",
 ]
 
 

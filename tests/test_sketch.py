@@ -195,3 +195,35 @@ def test_histogram_quantile_edges(spark):
     assert abs(q1["a"] - 100.0) < 1.0
     with pytest.raises(ValueError):
         histogram_quantile_grouped(df, ["g"], "v", 1.5)
+
+
+def test_histogram_sketch_merge_equals_direct(spark):
+    """Merging fine-grained sketches must give byte-identical quantiles
+    to building one sketch directly over the union — the rollup
+    guarantee; range clamp and validation behave."""
+    import pytest
+
+    from ai_incident_analyst_spark.operators.sketch import (
+        histogram_sketch_build,
+        histogram_sketch_merge,
+        histogram_sketch_quantile,
+    )
+    rows = [("a", d, float((i * 13) % 97)) for d in ("d1", "d2", "d3")
+            for i in range(200)] + [("a", "d1", 250.0), ("a", "d2", -5.0)]
+    df = spark.createDataFrame(rows, "g string, day string, v double")
+
+    fine = histogram_sketch_build(df, ["g", "day"], "v", 0.0, 100.0, 200)
+    merged = histogram_sketch_merge(fine, ["g"])
+    direct = histogram_sketch_build(df, ["g"], "v", 0.0, 100.0, 200)
+    for q in (0.0, 0.5, 0.95, 1.0):
+        a = histogram_sketch_quantile(merged, ["g"], q, 0.0, 100.0, 200) \
+            .first().est_quantile
+        b = histogram_sketch_quantile(direct, ["g"], q, 0.0, 100.0, 200) \
+            .first().est_quantile
+        assert a == b, (q, a, b)
+    # median of 0..96-ish values within a bucket width of the true median
+    med = histogram_sketch_quantile(merged, ["g"], 0.5, 0.0, 100.0, 200) \
+        .first().est_quantile
+    assert abs(med - 48.0) < 2.0
+    with pytest.raises(ValueError):
+        histogram_sketch_build(df, ["g"], "v", 5.0, 5.0)
