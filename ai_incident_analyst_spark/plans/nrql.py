@@ -20,10 +20,14 @@ Dialect (the subset the reference emits, exactly):
                                              --   histogram(c, ceil, nbkt) |
                                              --   rate(agg, <n> <unit>)
     FROM Table[, Table2 …]
-    [WHERE <bool>]      -- conds `col` =|!=|LIKE|NOT LIKE 'v' composed with
-                        --   AND / OR and parentheses; AND binds tighter
-                        --   (expr := term (OR term)*, term := factor
-                        --   (AND factor)*, factor := '(' expr ')' | cond)
+    [WHERE <bool>]      -- conds composed with AND / OR and parentheses
+                        --   (AND binds tighter; expr := term (OR term)*,
+                        --   term := factor (AND factor)*, factor :=
+                        --   '(' expr ')' | cond); cond is one of
+                        --   `col` =|!=|<|<=|>|>= ('v' | number)
+                        --   `col` [NOT] LIKE 'v'
+                        --   `col` IN ('v1', 'v2', …)
+                        --   `col` IS [NOT] NULL
     [FACET `c1`[, `c2` …]]
     [SINCE <n> <unit> ago | SINCE '<ts>']
     [UNTIL '<ts>']
@@ -98,12 +102,19 @@ _RATE = re.compile(
 _UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600,
                  "day": 86400, "week": 604800}
 
+_NUM = r"-?\d+(?:\.\d+)?"
 _COND = re.compile(
     r"^\s*`?(?P<col>\w+)`?\s+"
-    r"(?P<op>=|!=|NOT\s+LIKE|LIKE)\s+"
-    r"'(?P<val>[^']*)'\s*$",
+    rf"(?P<op>=|!=|<=|>=|<|>|NOT\s+LIKE|LIKE)\s+"
+    rf"(?:'(?P<val>[^']*)'|(?P<num>{_NUM}))\s*$",
     re.IGNORECASE,
 )
+_COND_NULL = re.compile(
+    r"^\s*`?(?P<col>\w+)`?\s+IS\s+(?P<not>NOT\s+)?NULL\s*$", re.IGNORECASE)
+_COND_IN = re.compile(
+    r"^\s*`?(?P<col>\w+)`?\s+IN\s*\(\s*(?P<vals>'[^']*'"
+    r"(?:\s*,\s*'[^']*')*)\s*\)\s*$",
+    re.IGNORECASE)
 
 #: WHERE scanner: one token per step. ``\b`` after AND/OR keeps columns
 #: like `android` from matching the keyword; conditions are scanned whole
@@ -114,7 +125,12 @@ _WHERE_TOKEN = re.compile(
     r"(?P<rpar>\))|"
     r"(?P<and>AND\b)|"
     r"(?P<or>OR\b)|"
-    r"(?P<cond>`?\w+`?\s+(?:=|!=|NOT\s+LIKE|LIKE)\s+'[^']*')"
+    r"(?P<cond>`?\w+`?\s+(?:"
+    r"(?:NOT\s+)?LIKE\s+'[^']*'"
+    r"|IS\s+(?:NOT\s+)?NULL"
+    r"|IN\s*\(\s*'[^']*'(?:\s*,\s*'[^']*')*\s*\)"
+    rf"|(?:=|!=|<=|>=|<|>)\s+(?:'[^']*'|{_NUM})"
+    r"))"
     r")",
     re.IGNORECASE,
 )
@@ -178,6 +194,32 @@ def _tokenize_where(s: str) -> list[tuple[str, str]]:
     return toks
 
 
+def _parse_leaf(text: str) -> tuple:
+    """One WHERE condition as a ``("cond", col, OP, payload)`` node.
+
+    Payload by OP: quoted ops → str; numeric comparison → int/float;
+    ``IN`` → tuple of strs; ``IS [NOT] NULL`` → None.
+    """
+    m = _COND_NULL.match(text)
+    if m:
+        op = "IS NOT NULL" if m.group("not") else "IS NULL"
+        return ("cond", m.group("col"), op, None)
+    m = _COND_IN.match(text)
+    if m:
+        vals = tuple(v.strip()[1:-1] for v in _split_top(m.group("vals")))
+        return ("cond", m.group("col"), "IN", vals)
+    m = _COND.match(text)
+    if m:
+        op = re.sub(r"\s+", " ", m.group("op").upper())
+        if m.group("num") is not None:
+            raw = m.group("num")
+            val = int(raw) if re.fullmatch(r"-?\d+", raw) else float(raw)
+        else:
+            val = m.group("val")
+        return ("cond", m.group("col"), op, val)
+    raise ValueError(f"unparseable condition: {text!r}")
+
+
 def parse_where(s: str) -> tuple:
     """Parse a WHERE boolean expression into a tree.
 
@@ -185,7 +227,10 @@ def parse_where(s: str) -> tuple:
         expr   := term (OR term)*
         term   := factor (AND factor)*
         factor := '(' expr ')' | cond
-        cond   := col (=|!=|LIKE|NOT LIKE) 'value'
+        cond   := col (=|!=|<|<=|>|>=) ('v' | number)
+                | col [NOT] LIKE 'v'
+                | col IN ('v1', 'v2', …)
+                | col IS [NOT] NULL
     Nodes: ``("cond", col, OP, val)``, ``("and", (n…))``, ``("or", (n…))``.
     """
     toks = _tokenize_where(s)
@@ -205,10 +250,9 @@ def parse_where(s: str) -> tuple:
             i += 1
             return node
         if kind == "cond":
-            cm = _COND.match(toks[i][1])
+            leaf = _parse_leaf(toks[i][1])
             i += 1
-            op = re.sub(r"\s+", " ", cm.group("op").upper())
-            return ("cond", cm.group("col"), op, cm.group("val"))
+            return leaf
         raise ValueError(f"unparseable condition: {s!r}")
 
     def term() -> tuple:
@@ -233,14 +277,25 @@ def parse_where(s: str) -> tuple:
     return tree
 
 
+#: the classic four ops the reference itself emits — only these flatten
+#: into the ParsedNRQL.conds triple list (back-compat surface); any other
+#: leaf type forces callers through the tree
+_CLASSIC_OPS = {"=", "!=", "LIKE", "NOT LIKE"}
+
+
 def _flat_and_leaves(tree: tuple | None) -> list[tuple[str, str, str]]:
     """The (col, OP, val) leaves when the tree is a pure AND chain of
-    conditions; [] otherwise (callers then must consult the tree)."""
+    classic string conditions; [] otherwise (callers then must consult
+    the tree — a partial flat list would silently drop predicates)."""
+    def classic(c):
+        return (c[0] == "cond" and c[2] in _CLASSIC_OPS
+                and isinstance(c[3], str))
+
     if tree is None:
         return []
     if tree[0] == "cond":
-        return [tree[1:]]
-    if tree[0] == "and" and all(c[0] == "cond" for c in tree[1]):
+        return [tree[1:]] if classic(tree) else []
+    if tree[0] == "and" and all(classic(c) for c in tree[1]):
         return [c[1:] for c in tree[1]]
     return []
 
@@ -349,14 +404,29 @@ def _where_pred(tree: tuple) -> F.Column:
     kind = tree[0]
     if kind == "cond":
         _, col, op, val = tree
+        c = F.col(col)
         if op == "=":
-            return F.col(col) == F.lit(val)
+            return c == F.lit(val)
         if op == "!=":
-            return F.col(col) != F.lit(val)
+            return c != F.lit(val)
+        if op == "<":
+            return c < F.lit(val)
+        if op == "<=":
+            return c <= F.lit(val)
+        if op == ">":
+            return c > F.lit(val)
+        if op == ">=":
+            return c >= F.lit(val)
         if op == "LIKE":
-            return F.col(col).like(val)
+            return c.like(val)
         if op == "NOT LIKE":
-            return ~F.col(col).like(val)
+            return ~c.like(val)
+        if op == "IN":
+            return c.isin(list(val))
+        if op == "IS NULL":
+            return c.isNull()
+        if op == "IS NOT NULL":
+            return c.isNotNull()
         raise ValueError(f"unsupported op {op!r}")  # pragma: no cover
     parts = [_where_pred(c) for c in tree[1]]
     out = parts[0]

@@ -3783,6 +3783,26 @@ def q_nrql_boolean_where(spark, sf_dir):
         {"events": ev})
 
 
+@q("nrql_extended_where", """
+SELECT event_type, count(*) AS count
+FROM events
+WHERE value > 90 AND event_type IN ('error', 'purchase', 'click')
+  AND props IS NOT NULL
+GROUP BY event_type
+""", doc="NRQL extended condition leaves (plans/nrql.py:_parse_leaf): "
+         "numeric comparisons, IN lists, IS [NOT] NULL — parsed into "
+         "the same boolean tree as OR/parens and pushed to the scan")
+def q_nrql_extended_where(spark, sf_dir):
+    from .plans.nrql import run_nrql
+    ev = _t(spark, sf_dir, "events")
+    return run_nrql(
+        spark,
+        "SELECT count(*) FROM events "
+        "WHERE `value` > 90 AND `event_type` IN ('error', 'purchase', "
+        "'click') AND `props` IS NOT NULL FACET `event_type`",
+        {"events": ev})
+
+
 @q("nrql_rate", """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
        CAST(count(*) AS DOUBLE) * 3600.0 / 86400.0 AS rate_count,

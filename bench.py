@@ -99,6 +99,7 @@ HEADLINE = [
     "tag_keywords",
     "shard_manifest",
     "histogram_rollup_quantiles",
+    "nrql_extended_where",
 ]
 
 

@@ -105,7 +105,7 @@ def test_unknown_table_and_bad_syntax_raise(spark):
     with pytest.raises(ValueError):
         parse_nrql("TOTALLY NOT NRQL")
     with pytest.raises(ValueError):
-        parse_nrql("SELECT * FROM Log WHERE `a` > '3'")  # unsupported op
+        parse_nrql("SELECT * FROM Log WHERE `a` ~ '3'")  # unsupported op
 
 
 def test_parse_facet_timeseries():
@@ -319,7 +319,8 @@ def test_parse_where_precedence():
 def test_parse_where_errors():
     from ai_incident_analyst_spark.plans.nrql import parse_where
     for bad in ["(`a` = '1'", "`a` = '1')", "`a` = '1' OR", "AND `a` = '1'",
-                "`a` = '1' `b` = '2'", "`a` > '1'"]:
+                "`a` = '1' `b` = '2'", "`a` ~ '1'", "`a` IN ()",
+                "`a` IN (1, 2)"]:
         with pytest.raises(ValueError):
             parse_where(bad)
 
@@ -364,3 +365,40 @@ def test_filter_agg_with_or_condition(spark):
                  "SELECT filter(sum(value), WHERE `k` = 'a' OR `k` = 'c') "
                  "FROM t", {"t": df}).first()
     assert r.filter_sum_value == 5.0
+
+
+# --- extended condition leaves: comparisons, IN, IS NULL -------------------
+
+def test_parse_where_extended_leaves():
+    from ai_incident_analyst_spark.plans.nrql import parse_where
+    assert parse_where("`v` > 90") == ("cond", "v", ">", 90)
+    assert parse_where("`v` <= -1.5") == ("cond", "v", "<=", -1.5)
+    assert parse_where("`v` = 3") == ("cond", "v", "=", 3)
+    assert parse_where("`t` IN ('a', 'b,c')") == \
+        ("cond", "t", "IN", ("a", "b,c"))
+    assert parse_where("`t` IS NULL") == ("cond", "t", "IS NULL", None)
+    assert parse_where("`t` is not null") == \
+        ("cond", "t", "IS NOT NULL", None)
+    # numeric-only leaves never flatten into the classic conds list
+    p = parse_nrql("SELECT * FROM Log WHERE `a` = 'x' AND `v` > 9")
+    assert p.conds == [] and p.where[0] == "and"
+
+
+def test_run_extended_where_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "err", 95.0), (2, "err", 10.0), (3, "click", 99.0),
+         (4, None, 97.0)],
+        "id long, kind string, v double")
+    out = run_nrql(
+        spark,
+        "SELECT `id` FROM t WHERE `v` > 90 AND `kind` IN ('err', 'click')",
+        {"t": df})
+    assert {r.id for r in out.collect()} == {1, 3}
+    out2 = run_nrql(spark, "SELECT `id` FROM t WHERE `kind` IS NULL",
+                    {"t": df})
+    assert {r.id for r in out2.collect()} == {4}
+    out3 = run_nrql(
+        spark,
+        "SELECT `id` FROM t WHERE `kind` IS NOT NULL AND (`v` <= 10 "
+        "OR `v` >= 99)", {"t": df})
+    assert {r.id for r in out3.collect()} == {2, 3}
