@@ -146,6 +146,53 @@ def streaming_rollup_sink(stream: DataFrame, path: str, checkpoint: str,
     )
 
 
+def streaming_histogram_sink(stream: DataFrame, path: str, checkpoint: str,
+                             group_cols: list[str], value_col: str,
+                             lo: float, hi: float, buckets: int = 400):
+    """Streaming QUANTILES: maintain the mergeable fixed-grid histogram
+    sketch (``operators/sketch.histogram_sketch_*``) incrementally —
+    each micro-batch builds its own bucket counts and merges them into
+    the stored sketch by summing matching buckets. Readers interpolate
+    any quantile from ``path`` (``histogram_sketch_quantile``) without
+    touching the stream or raw history — the non-additive measure
+    ``streaming_rollup_sink`` couldn't maintain. Same staged atomic
+    swap; idempotent per batch retry for the same reason.
+    """
+    import os
+    import shutil
+
+    from ..operators.sketch import (
+        histogram_sketch_build,
+        histogram_sketch_merge,
+    )
+
+    spark = stream.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sk = histogram_sketch_build(batch_df, group_cols, value_col,
+                                          lo, hi, buckets)
+        if os.path.exists(path):
+            stored = spark.read.parquet(path)
+            merged = histogram_sketch_merge(
+                stored.unionByName(batch_sk), group_cols)
+        else:
+            merged = batch_sk
+        staged = path.rstrip("/") + f".stage-{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        old = path.rstrip("/") + ".old"
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(staged, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        stream.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(merge_batch)
+    )
+
+
 def streaming_index_dedup_sink(stream: DataFrame, index_path: str,
                                out_path: str, checkpoint: str,
                                id_col: str, text_col: str,

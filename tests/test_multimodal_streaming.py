@@ -221,3 +221,40 @@ def test_streaming_index_dedup_sink(spark, sf_dir):
         assert not kept & {20000 + i for i in range(10)}
         assert kept <= {10400 + i for i in range(10)}
         assert len(kept) >= 5, kept
+
+
+def test_streaming_histogram_sink_matches_batch(spark):
+    """Incrementally-merged streaming sketch must equal the batch-built
+    sketch over all data, and quantiles from it must match."""
+    import tempfile
+
+    from ai_incident_analyst_spark.operators.sketch import (
+        histogram_sketch_build,
+        histogram_sketch_quantile,
+    )
+    from ai_incident_analyst_spark.streaming.pipeline import (
+        streaming_histogram_sink,
+    )
+
+    rows = [("a", float((i * 13) % 97)) for i in range(500)] + \
+           [("b", float(i % 50)) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.repartition(4).write.parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(df.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in")
+        q = streaming_histogram_sink(
+            stream, f"{tmp}/sk", f"{tmp}/ck", ["g"], "v", 0.0, 100.0, 200) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+        stored = spark.read.parquet(f"{tmp}/sk")
+        direct = histogram_sketch_build(df, ["g"], "v", 0.0, 100.0, 200)
+        a = {(r.g, r.bucket): r.cnt for r in stored.collect()}
+        b = {(r.g, r.bucket): r.cnt for r in direct.collect()}
+        assert a == b
+        p95s = {r.g: r.est_quantile for r in histogram_sketch_quantile(
+            stored, ["g"], 0.95, 0.0, 100.0, 200).collect()}
+        p95d = {r.g: r.est_quantile for r in histogram_sketch_quantile(
+            direct, ["g"], 0.95, 0.0, 100.0, 200).collect()}
+        assert p95s == p95d
