@@ -148,3 +148,26 @@ def leakage_safe_split(df: DataFrame, id_col: str, clusters: DataFrame,
             .otherwise(F.lit("train")))
         .drop("cluster_id")
     )
+
+
+def score_weighted_sample(df: DataFrame, key_col: str, score_col,
+                          base_rate: float = 1.0,
+                          salt: str = "qws") -> DataFrame:
+    """Deterministic importance sampling by a per-row score: acceptance
+    probability = clamp(score, 0, 1) · base_rate — the quality-weighted
+    corpus downsample (keep most high-quality docs, thin the tail)
+    expressed as the same md5-threshold narrow filter as ``hash_sample``:
+    no shuffle, no RNG state, append-stable, reproducible.
+
+    The score is rounded to 6dp before thresholding so the acceptance
+    boundary is defined on exactly representable values (a raw FP score
+    one ulp apart across engines must not flip membership).
+    """
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    p = F.round(F.least(F.greatest(sc, F.lit(0.0)), F.lit(1.0)), 6) \
+        * F.lit(float(base_rate))
+    thr = F.floor(p * F.lit(float(16 ** 8))).cast("long")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        1, 8), 16, 10).cast("long")
+    return df.filter(h < thr)

@@ -2656,6 +2656,28 @@ def q_shard_by_budget(spark, sf_dir):
     return shard_by_token_budget(docs, "doc_id", "n_tok", budget=4000)
 
 
+@q("score_weighted_sample", """
+WITH sc AS (
+  SELECT doc_id, round(least(greatest(
+           CAST(n_chars AS DOUBLE) / 1000.0, 0.0), 1.0), 6) AS p
+  FROM documents)
+SELECT doc_id FROM sc
+WHERE CAST(('0x' || substring(md5('qws' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT)
+      < CAST(floor(p * 4294967296.0) AS BIGINT)
+""", doc="deterministic importance sampling by per-row score "
+         "(operators/sampling.py:score_weighted_sample): acceptance "
+         "probability = clamp(score,0,1)·rate via the md5-threshold "
+         "narrow filter — no shuffle, no RNG state, append-stable; "
+         "score rounded to 6dp so the boundary is engine-exact")
+def q_score_weighted_sample(spark, sf_dir):
+    from .operators.sampling import score_weighted_sample
+    docs = _t(spark, sf_dir, "documents")
+    return score_weighted_sample(
+        docs, "doc_id",
+        F.col("n_chars").cast("double") / F.lit(1000.0)).select("doc_id")
+
+
 @q("shard_manifest", r"""
 WITH tc AS (
   SELECT doc_id,

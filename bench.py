@@ -100,6 +100,7 @@ HEADLINE = [
     "shard_manifest",
     "histogram_rollup_quantiles",
     "nrql_extended_where",
+    "score_weighted_sample",
 ]
 
 

@@ -99,3 +99,31 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
                              clusters, test_fraction=0.3)
     assert {r.doc_id: r.split for r in sub.collect()} == \
         {i: side[i] for i in range(60)}
+
+
+def test_score_weighted_sample_properties(spark):
+    """Acceptance rate tracks the score; score 0 keeps nothing, score 1
+    with rate 1 keeps everything; membership is append-stable."""
+    from pyspark.sql import functions as F
+
+    from ai_incident_analyst_spark.operators.sampling import (
+        score_weighted_sample,
+    )
+    n = 4000
+    df = spark.createDataFrame(
+        [(i, 0.9 if i % 2 else 0.1) for i in range(n)],
+        "id long, q double")
+    kept = score_weighted_sample(df, "id", "q").collect()
+    hi = sum(1 for r in kept if r.q == 0.9) / (n / 2)
+    lo = sum(1 for r in kept if r.q == 0.1) / (n / 2)
+    assert abs(hi - 0.9) < 0.05 and abs(lo - 0.1) < 0.05
+    # extremes
+    all_zero = df.withColumn("q", F.lit(0.0))
+    assert score_weighted_sample(all_zero, "id", "q").count() == 0
+    all_one = df.withColumn("q", F.lit(1.0))
+    assert score_weighted_sample(all_one, "id", "q").count() == n
+    # append-stability: same ids survive from a prefix
+    a = {r.id for r in kept}
+    b = {r.id for r in score_weighted_sample(
+        df.filter("id < 2000"), "id", "q").collect()}
+    assert b == {i for i in a if i < 2000}
