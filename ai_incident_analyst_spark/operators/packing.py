@@ -143,16 +143,20 @@ def shard_manifest(df: DataFrame, id_col: str, tokens_col: str,
     """Deterministic per-shard manifest ``(shard_id, n_docs, n_tokens,
     content_hash)`` — the reproducibility artifact shipped next to
     training shards: a reader can verify a shard's membership without
-    rescanning it. ``content_hash`` is md5 over the comma-joined SORTED
-    doc ids, so it is independent of partitioning/arrival order and
-    cross-engine checkable. One keyed aggregation; collect_list is per
-    shard (≈ budget/avg_doc_tokens ids — bounded by construction).
+    rescanning it. ``content_hash`` is md5 over the SORTED concatenation
+    of each member id's own md5 — fixed-width tokens, so the encoding is
+    unambiguous for any id type (a delimiter join would collide
+    {"a,b","c"} with {"a","b,c"} on string ids), independent of
+    partitioning/arrival order, and cross-engine checkable. One keyed
+    aggregation; collect_list is per shard (≈ budget/avg_doc_tokens ids
+    — bounded by construction).
     """
     return (
         df.groupBy(shard_col)
         .agg(F.count("*").alias("n_docs"),
              F.sum(tokens_col).alias("n_tokens"),
              F.md5(F.array_join(
-                 F.sort_array(F.collect_list(F.col(id_col).cast("string"))),
-                 ",")).alias("content_hash"))
+                 F.sort_array(
+                     F.collect_list(F.md5(F.col(id_col).cast("string")))),
+                 "")).alias("content_hash"))
     )

@@ -161,10 +161,14 @@ def score_weighted_sample(df: DataFrame, key_col: str, score_col,
 
     The score is rounded to 6dp before thresholding so the acceptance
     boundary is defined on exactly representable values (a raw FP score
-    one ulp apart across engines must not flip membership).
+    one ulp apart across engines must not flip membership). NULL and NaN
+    scores DROP the row (NaN sorts above every number in Spark, so a
+    bare clamp would keep a corrupt score at full rate — an undefined
+    quality must not be sampled as top quality).
     """
     sc = F.col(score_col) if isinstance(score_col, str) else score_col
-    p = F.round(F.least(F.greatest(sc, F.lit(0.0)), F.lit(1.0)), 6) \
+    safe = F.when(F.isnan(sc) | sc.isNull(), F.lit(0.0)).otherwise(sc)
+    p = F.round(F.least(F.greatest(safe, F.lit(0.0)), F.lit(1.0)), 6) \
         * F.lit(float(base_rate))
     thr = F.floor(p * F.lit(float(16 ** 8))).cast("long")
     h = F.conv(F.substring(

@@ -285,7 +285,9 @@ def histogram_quantile_grouped(df: DataFrame, group_cols: list[str],
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1], got {q}")
     v = F.col(value_col).cast("double")
-    src = df.filter(v.isNotNull())
+    # NaN would floor-cast into bucket 0 and drag the estimate toward the
+    # minimum — exclude it like NULL (it carries no orderable value)
+    src = df.filter(v.isNotNull() & ~F.isnan(v))
     bounds = src.groupBy(*group_cols).agg(
         F.min(v).alias("__lo"), F.max(v).alias("__hi"),
         F.count("*").alias("__n"))
@@ -345,7 +347,9 @@ def histogram_sketch_build(df: DataFrame, group_cols: list[str],
     b = F.least(F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)),
                            F.lit(0)), F.lit(buckets - 1))
     return (
-        df.filter(v.isNotNull())
+        # NaN floor-casts to bucket 0 and would permanently poison the
+        # low end of a persisted sketch — excluded like NULL
+        df.filter(v.isNotNull() & ~F.isnan(v))
         .groupBy(*group_cols, b.alias("bucket"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -374,6 +378,8 @@ def histogram_sketch_quantile(sketch: DataFrame, group_cols: list[str],
 
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1], got {q}")
+    if hi <= lo:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
     width = (hi - lo) / float(buckets)
     wtot = Window.partitionBy(*group_cols)
     w = Window.partitionBy(*group_cols).orderBy("bucket") \

@@ -2693,8 +2693,8 @@ WITH tc AS (
   SELECT doc_id, n_tok, CAST((cs - n_tok) // 4000 AS BIGINT) AS shard_id
   FROM cum)
 SELECT shard_id, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-       md5(string_agg(CAST(doc_id AS VARCHAR), ','
-                      ORDER BY CAST(doc_id AS VARCHAR))) AS content_hash
+       md5(string_agg(md5(CAST(doc_id AS VARCHAR)), ''
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)))) AS content_hash
 FROM sh GROUP BY shard_id
 """, doc="per-shard reproducibility manifest (operators/packing.py:"
          "shard_manifest): n_docs/n_tokens/membership content-hash "

@@ -66,9 +66,23 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     The frame is cached first: Spark refuses corrupt-column-only queries
     straight off a raw file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the
     parser would have to re-run just to rebuild the raw line), and both
-    forks consume the same parse anyway.
+    forks consume the same parse anyway. The cache is session-scoped:
+    a loop ingesting many files should release it after consuming both
+    forks via ``release_split(clean_or_bad)`` (or it persists until
+    ``spark.catalog.clearCache()``).
     """
-    df = df.cache()
-    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    cached = df.cache()
+    clean = cached.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = cached.filter(F.col(CORRUPT_COL).isNotNull())
+    # let either fork release the shared parent cache
+    clean._split_corrupt_parent = cached  # type: ignore[attr-defined]
+    bad._split_corrupt_parent = cached    # type: ignore[attr-defined]
     return clean, bad
+
+
+def release_split(fork: DataFrame) -> None:
+    """Unpersist the cached parse behind a ``split_corrupt`` fork — call
+    once both forks have been consumed (idempotent)."""
+    parent = getattr(fork, "_split_corrupt_parent", None)
+    if parent is not None:
+        parent.unpersist()

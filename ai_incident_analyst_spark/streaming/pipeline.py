@@ -98,6 +98,62 @@ def streaming_interval_join(left: DataFrame, right: DataFrame,
     )
 
 
+def _merge_swap_sink(stream: DataFrame, path: str, checkpoint: str,
+                     build_batch, merge_with_stored):
+    """Shared incremental-merge sink protocol: per micro-batch, build a
+    batch-local partial, merge it with the stored table, write to a
+    staging dir, atomically swap. Used by ``streaming_rollup_sink`` and
+    ``streaming_histogram_sink`` — the swap/retry logic lives ONCE here.
+
+    At-least-once safety (foreachBatch may replay a batch):
+
+    * an ``_APPLIED_BATCH_<id>`` marker file is written INSIDE the staged
+      directory before the swap, so it travels atomically with the
+      rename — a replayed batch whose swap already landed sees its own
+      marker in ``path`` and skips, instead of double-merging;
+    * a crash between the two renames leaves ``path`` missing and the
+      previous store in ``.old`` — recovered at the next batch before
+      anything merges (without this, the next batch would silently
+      overwrite the store with just its own partial).
+
+    Local-FS renames; production object-store deployments want a
+    table format with transactional commit (Delta/Iceberg) here.
+    """
+    import os
+    import shutil
+
+    spark = stream.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        old = path.rstrip("/") + ".old"
+        # crash recovery: swap died between renames → restore the store
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+        # replay guard: this batch's swap already landed
+        if os.path.exists(os.path.join(path, f"_APPLIED_BATCH_{batch_id}")):
+            return
+        batch_part = build_batch(batch_df)
+        if os.path.exists(path):
+            merged = merge_with_stored(spark.read.parquet(path), batch_part)
+        else:
+            merged = batch_part
+        staged = path.rstrip("/") + f".stage-{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        open(os.path.join(staged, f"_APPLIED_BATCH_{batch_id}"), "w").close()
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(staged, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        stream.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(merge_batch)
+    )
+
+
 def streaming_rollup_sink(stream: DataFrame, path: str, checkpoint: str,
                           ts_col: str, dims: list[str], value_col: str,
                           bucket: str = "day"):
@@ -110,40 +166,14 @@ def streaming_rollup_sink(stream: DataFrame, path: str, checkpoint: str,
     raw history. This is how the reference's dashboard metrics
     (``app.py:15-44``, full recompute per request) stay O(rollup) at
     100 TB: readers hit ``path``; the raw stream is never re-scanned.
-
-    The rewrite goes to a staging dir then swaps, so readers never see a
-    half-written rollup. Exactly-once: foreachBatch may retry a batch —
-    the swap is idempotent per batch_id because the merge input is
-    recomputed from the stored pre-swap rollup each attempt.
+    Swap/retry protocol: ``_merge_swap_sink``.
     """
-    import os
-    import shutil
-
     from ..operators.rollup import build_rollup, merge_rollups
 
-    spark = stream.sparkSession
-
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_roll = build_rollup(batch_df, ts_col, dims, value_col, bucket)
-        if os.path.exists(path):
-            stored = spark.read.parquet(path)
-            merged = merge_rollups(stored, batch_roll, value_col)
-        else:
-            merged = batch_roll
-        staged = path.rstrip("/") + f".stage-{batch_id}"
-        merged.write.mode("overwrite").parquet(staged)
-        old = path.rstrip("/") + ".old"
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(staged, path)
-        shutil.rmtree(old, ignore_errors=True)
-
-    return (
-        stream.writeStream
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .foreachBatch(merge_batch)
-    )
+    return _merge_swap_sink(
+        stream, path, checkpoint,
+        lambda b: build_rollup(b, ts_col, dims, value_col, bucket),
+        lambda stored, part: merge_rollups(stored, part, value_col))
 
 
 def streaming_histogram_sink(stream: DataFrame, path: str, checkpoint: str,
@@ -155,42 +185,20 @@ def streaming_histogram_sink(stream: DataFrame, path: str, checkpoint: str,
     the stored sketch by summing matching buckets. Readers interpolate
     any quantile from ``path`` (``histogram_sketch_quantile``) without
     touching the stream or raw history — the non-additive measure
-    ``streaming_rollup_sink`` couldn't maintain. Same staged atomic
-    swap; idempotent per batch retry for the same reason.
+    ``streaming_rollup_sink`` couldn't maintain. Swap/retry protocol:
+    ``_merge_swap_sink``.
     """
-    import os
-    import shutil
-
     from ..operators.sketch import (
         histogram_sketch_build,
         histogram_sketch_merge,
     )
 
-    spark = stream.sparkSession
-
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_sk = histogram_sketch_build(batch_df, group_cols, value_col,
-                                          lo, hi, buckets)
-        if os.path.exists(path):
-            stored = spark.read.parquet(path)
-            merged = histogram_sketch_merge(
-                stored.unionByName(batch_sk), group_cols)
-        else:
-            merged = batch_sk
-        staged = path.rstrip("/") + f".stage-{batch_id}"
-        merged.write.mode("overwrite").parquet(staged)
-        old = path.rstrip("/") + ".old"
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(staged, path)
-        shutil.rmtree(old, ignore_errors=True)
-
-    return (
-        stream.writeStream
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .foreachBatch(merge_batch)
-    )
+    return _merge_swap_sink(
+        stream, path, checkpoint,
+        lambda b: histogram_sketch_build(b, group_cols, value_col,
+                                         lo, hi, buckets),
+        lambda stored, part: histogram_sketch_merge(
+            stored.unionByName(part), group_cols))
 
 
 def streaming_index_dedup_sink(stream: DataFrame, index_path: str,
@@ -201,26 +209,44 @@ def streaming_index_dedup_sink(stream: DataFrame, index_path: str,
                                hash_fn: str = "xxhash64",
                                trigger_once: bool = True):
     """Streaming ingest deduplicated against the PERSISTED corpus MinHash
-    index: each micro-batch probes ``operators/dedup.minhash_probe_index``
-    and only docs with no near-dup in the corpus are appended to
-    ``out_path``. Unlike ``stateful.streaming_neardup_gate`` (whose LSH
-    state lives in the state store and guards within-stream dups), this
-    gate checks against the full historical corpus without re-shingling
-    it — the daily-ingest dedup shape, surviving restarts because the
-    index is on disk, not in stream state.
+    index: each micro-batch (a) drops its own within-batch near-dups
+    (keep-smallest-id via ``minhash_lsh_neardup`` over the batch), then
+    (b) probes ``operators/dedup.minhash_probe_index`` and keeps only
+    docs with no near-dup in the corpus. Survivors land in a
+    per-batch-id subdirectory written with overwrite, so a replayed
+    batch rewrites the same directory instead of appending duplicates
+    (foreachBatch is at-least-once). Unlike
+    ``stateful.streaming_neardup_gate`` (state-store LSH, within-stream
+    dups), this gate checks the full historical corpus without
+    re-shingling it and survives restarts because the index is on disk.
+
+    The on-disk index is NOT updated per batch: duplicate content
+    arriving in two different micro-batches both passes until the
+    periodic index rebuild (``minhash_write_index`` over corpus +
+    accepted output — the compaction step this sink expects).
     """
-    from ..operators.dedup import minhash_probe_index
+    from ..operators.dedup import minhash_lsh_neardup, minhash_probe_index
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
+        batch_df = batch_df.localCheckpoint(eager=False)
+        # (a) within-batch self-dedup: for every near-dup pair keep the
+        # smaller id (pairs are emitted id_a < id_b, so drop every id_b)
+        self_pairs = minhash_lsh_neardup(
+            batch_df, id_col, text_col, num_perm=num_perm, bands=bands,
+            n=n, threshold=threshold, hash_fn=hash_fn) \
+            .select(F.col("id_b").alias(id_col)).distinct()
+        batch_df = batch_df.join(self_pairs, id_col, "left_anti")
+        # (b) corpus gate
         hits = minhash_probe_index(
             spark, index_path, batch_df, id_col, text_col,
             num_perm=num_perm, bands=bands, n=n, threshold=threshold,
             hash_fn=hash_fn).select(F.col("new_id").alias(id_col)).distinct()
         batch_df.join(hits, id_col, "left_anti") \
-            .write.mode("append").parquet(out_path)
+            .write.mode("overwrite") \
+            .parquet(f"{out_path}/batch_id={batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(write_batch)
