@@ -540,29 +540,39 @@ def tag_keywords(df: DataFrame, id_col: str, text_col: str,
 
     Spark-first design: instead of a regex scan per (doc, term) — a
     broadcast nested-loop whose cost is docs×terms — the document side
-    explodes to its distinct word n-grams ONCE and the (tiny) vocabulary
+    explodes to its word n-grams ONCE and the (tiny) vocabulary
     broadcast-equi-joins on the exact term string. Cost is O(tokens) +
     a broadcast hash join, independent of vocabulary size; word
     boundaries come free from tokenization.
+
+    Physical note: grams come from the posexplode + ``lead``-window form
+    (one codegen'd pass), not a per-doc HOF ``transform`` — an array
+    expression referenced inside a HOF lambda is re-evaluated per
+    element (the shingle_rows lesson: ~8× at corpus scale). Duplicate
+    grams per doc survive to the join; the final ``countDistinct``
+    collapses them, so no pre-join distinct shuffle is paid.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    from pyspark.sql import Window
 
-    # NB: keep the transform lambda SINGLE-argument inside a real closure —
-    # a two-arg lambda is treated as (element, index) by Spark and a
-    # default-arg ``n=n`` capture is silently replaced by the array index
-    # (same trap as dedup.minhash_signature_cols)
-    def gram_expr(n: int):
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " ")),
-        ).otherwise(F.array().cast("array<string>"))
-
-    grams = [gram_expr(n) for n in range(1, max_ngram + 1)]
+    tk = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        .alias("__p", "__t"))
+    w = Window.partitionBy(id_col).orderBy("__p")
+    # lead columns materialized in their own projection — a window
+    # expression cannot live inside the explode generator
+    leads = tk.select(
+        F.col(id_col), F.col("__t"),
+        *[F.lead("__t", j).over(w).alias(f"__l{j}")
+          for j in range(1, max_ngram)])
+    gram_cols = []
+    for n in range(1, max_ngram + 1):
+        parts = [F.col("__t")] + [F.col(f"__l{j}") for j in range(1, n)]
+        gram_cols.append(
+            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)))
     exploded = (
-        df.select(F.col(id_col),
-                  F.explode(F.array_distinct(F.concat(*grams))).alias("__g"))
+        leads.select(id_col, F.explode(F.array(*gram_cols)).alias("__g"))
+        .filter(F.col("__g").isNotNull())
     )
     # normalize terms with the SAME trim + whitespace-collapse as the doc
     # side: a hand-curated taxonomy's stray double space must not make a
