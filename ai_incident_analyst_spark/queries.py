@@ -8,6 +8,17 @@ association order). Entries with ``sql=None`` are genuinely
 non-SQL-expressible (pandas-UDF ML ops, approximate algorithms) and get
 the driver's weaker rows-only check; they carry pytest self-oracles
 instead (tests/).
+
+Broadcast-hint policy (100 TB rule): ``F.broadcast`` is forced ONLY on
+subtrees whose size is independent of corpus scale — 1-row scalar
+subqueries (global max/sum anchors), the fixed 25/5-row nation/region
+dims and frames derived from them alone, and fixed-cardinality kNN query
+sets. Every corpus-proportional side (customer/part/supplier at TPC-H
+scale factors, per-user aggregates, embedding metadata, term-frequency
+vocabularies, supplier-derived semi-join frames) is left unhinted: AQE
+(session.py enables spark.sql.adaptive) broadcasts them at runtime when
+they actually fit and falls back to shuffle join when they don't, so the
+same plan text survives a 1000x scale-up instead of OOMing the driver.
 """
 
 from __future__ import annotations
@@ -505,7 +516,7 @@ def revenue_by_segment(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(F.count("*").alias("n_orders"),
              F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
@@ -528,7 +539,7 @@ def revenue_by_region(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
@@ -581,7 +592,7 @@ def brand_volume(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
              F.count("*").alias("n_items"))
@@ -1166,7 +1177,7 @@ def positional_join(spark, sf_dir):
     q_, c_ = _qc_split(spark, sf_dir)
     hits = knn_join(q_, c_, k=5).withColumn("distance", F.round("distance", 6))
     meta = emb.select("vec_id", "label")
-    return hits.join(F.broadcast(meta), "vec_id") \
+    return hits.join(meta, "vec_id") \
         .select("query_id", "vec_id", "distance", "label")
 
 
@@ -1455,14 +1466,18 @@ FROM events e JOIN first_day f USING (user_id)
 WHERE datediff('day', f.cohort_day, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
 GROUP BY f.cohort_day, day_offset
 """, doc="cohort retention: users active N days after their first-seen day "
-         "— first-touch agg + broadcast-back join + distinct count")
+         "— first-touch via a partitionBy(user_id) window (no join, no "
+         "broadcast of a data-proportional side: the per-user aggregate "
+         "grows linearly with the corpus, so forcing it into a broadcast "
+         "would OOM at scale; the window form is one keyed shuffle) + "
+         "distinct count")
 def cohort_retention(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    first = ev.groupBy("user_id").agg(
-        F.to_date(F.min("ts")).alias("cohort_day"))
-    off = F.datediff(F.to_date("ts"), F.col("cohort_day"))
+    w = Window.partitionBy("user_id")
+    cohort_day = F.to_date(F.min("ts").over(w))
+    off = F.datediff(F.to_date("ts"), cohort_day)
     return (
-        ev.join(F.broadcast(first), "user_id")
+        ev.withColumn("cohort_day", cohort_day)
         .withColumn("day_offset", off.cast("long"))
         .filter(F.col("day_offset").between(0, 7))
         .groupBy("cohort_day", "day_offset")
@@ -2280,7 +2295,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     w = Window.partitionBy("doc_id").orderBy(
         (F.col("tf").cast("double") / F.col("df")).desc(), F.col("term").asc())
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 3)
         .select("doc_id", "term", "tf", "df",
@@ -2743,7 +2758,7 @@ def q_promo_revenue(spark, sf_dir):
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
         .cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(F.round(
             F.lit(100.0)
             * F.sum(F.when(F.col("p_type") == "PROMO", rev)
@@ -2801,7 +2816,7 @@ def q_supplier_cnt_by_brand_size(spark, sf_dir):
         .filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -2824,7 +2839,7 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
 def q_disjunctive_part_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     br = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 11))
@@ -2960,7 +2975,7 @@ def q_shipping_priority_top10(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem") \
         .filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("date"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -3017,7 +3032,7 @@ def q_returned_item_losses(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -3048,8 +3063,8 @@ def q_profit_by_nation_year(spark, sf_dir):
     p = _t(spark, sf_dir, "part") \
         .filter(F.col("p_name").like("%a%")).select("p_partkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("l_shipdate").alias("yr"))
@@ -3215,7 +3230,7 @@ def q_local_supplier_revenue(spark, sf_dir):
              .select("s_suppkey", "s_nationkey", "n_name"))
     oc = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_nationkey")
     return (
-        li.join(F.broadcast(s_rgn), li.l_suppkey == F.col("s_suppkey"))
+        li.join(s_rgn, li.l_suppkey == F.col("s_suppkey"))
         .join(oc, li.l_orderkey == oc.o_orderkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
@@ -3256,7 +3271,7 @@ def q_volume_shipping(spark, sf_dir):
         .cast("decimal(18,4)").alias("vol"))
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (
-        li.join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
+        li.join(s2, li.l_suppkey == s2.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c2, o.o_custkey == c2.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -3308,8 +3323,8 @@ def q_nation_market_share(spark, sf_dir):
         .cast("decimal(18,4)").alias("vol"))
     zero = F.lit(0).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("yr")
@@ -3340,13 +3355,13 @@ def q_min_cost_supplier(spark, sf_dir):
         .select("p_partkey")
     li = _t(spark, sf_dir, "lineitem") \
         .select("l_partkey", "l_suppkey", "l_extendedprice") \
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
     w = Window.partitionBy("l_partkey")
     s = _t(spark, sf_dir, "supplier")
     return (
         li.withColumn("minp", F.min("l_extendedprice").over(w))
         .filter(F.col("l_extendedprice") == F.col("minp"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select(F.col("p_partkey").alias("partkey"),
                 F.col("s_name").alias("supplier"),
                 F.col("s_acctbal").alias("acctbal"))
@@ -3379,7 +3394,7 @@ def q_important_part_values(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey",
         F.col("l_extendedprice").cast("decimal(18,4)").alias("px"))
-    v = (li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+    v = (li.join(sn, li.l_suppkey == sn.s_suppkey)
          .groupBy(F.col("l_partkey").alias("partkey"))
          .agg(F.sum("px").alias("val")))
     tot = v.agg((F.sum("val") * F.lit("0.002").cast("decimal(10,6)"))
@@ -3409,7 +3424,7 @@ def q_excess_qty_suppliers(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem") \
         .filter(F.year("l_shipdate") == 1997) \
         .select("l_partkey", "l_suppkey", "l_quantity")
-    keys = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    keys = (li.join(p, li.l_partkey == p.p_partkey)
             .groupBy("l_suppkey", "l_partkey")
             .agg(F.sum("l_quantity").alias("qty"))
             .filter(F.col("qty") > 40)
@@ -3466,7 +3481,7 @@ def q_waiting_suppliers(spark, sf_dir):
         .withColumn("nlate", F.sum("late").over(w))
         .filter((F.col("late") == 1) & (F.col("nsupp") >= 2)
                 & (F.col("nlate") == 1))
-        .join(F.broadcast(s), F.col("skey") == s.s_suppkey)
+        .join(s, F.col("skey") == s.s_suppkey)
         .groupBy(F.col("s_name").alias("supplier"))
         .agg(F.count("*").alias("numwait"))
     )
