@@ -11,8 +11,11 @@ word-level training).
 Scale design — the same bounded-driver contract as ``clustering.py``:
 
 * The 100 TB part is the WORD-COUNT extraction: one tokenize projection
-  + one map-side-combined groupBy. The distinct-word table is bounded by
-  the language, not the corpus (≈10⁵–10⁷ rows regardless of input size).
+  + one map-side-combined groupBy. On clean text the distinct-word table
+  is language-sized (≈10⁵–10⁷ rows); because web corpora also emit
+  unbounded junk "words" (URLs, hashes, base64), ``bpe_train``
+  additionally enforces ``min_word_count`` / ``max_vocab_rows`` so the
+  driver collect is capped no matter what the corpus contains.
 * The merge loop runs driver-side over that bounded count table —
   exactly where HuggingFace/SentencePiece trainers run it — with a
   deterministic tie-break (max count, then lexicographically smallest
@@ -24,6 +27,7 @@ Scale design — the same bounded-driver contract as ``clustering.py``:
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Iterator
 
@@ -82,15 +86,36 @@ def _merge_vocab(vocab: dict[tuple[str, ...], int],
 
 def bpe_train(df: DataFrame, text_col: str = "text",
               num_merges: int = 100,
-              min_pair_count: int = 2) -> list[tuple[str, str]]:
+              min_pair_count: int = 2,
+              min_word_count: int = 1,
+              max_vocab_rows: int = 500_000) -> list[tuple[str, str]]:
     """Train a BPE merge list from the corpus.
 
     Distributed word-count pass, then the classic greedy loop over the
     bounded count table on the driver. Deterministic: ties on pair count
     break by the lexicographically smallest pair. Stops early when the
     best pair's count falls below ``min_pair_count``.
+
+    The driver collect is BOUNDED: on clean natural text the distinct-word
+    table is language-sized, but a web corpus's "words" include URLs,
+    hashes, and base64 — unbounded in the corpus. ``min_word_count``
+    filters singletons before the collect and ``max_vocab_rows`` caps it
+    to the top-N words by ``(count desc, word asc)`` — a deterministic
+    total order, so truncation is reproducible across partitionings. The
+    same guard HF/SentencePiece trainers apply. The cap runs as Spark's
+    TakeOrderedAndProject (per-partition top-N, merged on the driver), so
+    no global sort shuffle is added. Truncation is logged at WARNING.
     """
-    rows = word_counts(df, text_col).collect()
+    wc = word_counts(df, text_col)
+    if min_word_count > 1:
+        wc = wc.filter(F.col("c") >= min_word_count)
+    rows = (wc.orderBy(F.col("c").desc(), F.col("w").asc())
+            .limit(max_vocab_rows).collect())
+    if len(rows) >= max_vocab_rows:
+        logging.getLogger(__name__).warning(
+            "bpe_train: distinct-word table truncated to top %d rows by "
+            "(count desc, word asc); raise max_vocab_rows or "
+            "min_word_count to change coverage", max_vocab_rows)
     vocab = {}
     for r in rows:
         sym = tuple(r["w"]) + (EOW,)

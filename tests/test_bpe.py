@@ -62,6 +62,29 @@ def test_bpe_encode_counts_matches_reference(spark):
     assert out1 == out
 
 
+def test_bpe_train_collect_is_capped(spark):
+    """Adversarial corpus: every doc contributes unique garbage tokens
+    (hashes/URL-ish junk), so distinct words grow with the corpus. The
+    max_vocab_rows cap must bound the driver collect to the top-N by
+    (count desc, word asc) — the frequent real words survive, the junk
+    tail is dropped, and the merge list equals training on the frequent
+    words alone."""
+    junk = [(i, f"low low newest xq{i:04d}h href{i:04d}z") for i in range(200)]
+    df = spark.createDataFrame(junk, "doc_id long, text string")
+    # 3 real words + 400 singleton junk words; cap keeps only the top 3
+    merges_capped = bpe_train(df, "text", num_merges=5, max_vocab_rows=3)
+    clean = spark.createDataFrame(
+        [(0, " ".join(["low low newest"] * 200))], "doc_id long, text string")
+    merges_clean = bpe_train(clean, "text", num_merges=5)
+    assert merges_capped == merges_clean
+    # min_word_count filters the singleton junk the same way
+    merges_minc = bpe_train(df, "text", num_merges=5, min_word_count=2)
+    assert merges_minc == merges_clean
+    # defaults (large cap) still see everything and stay deterministic
+    assert bpe_train(df, "text", num_merges=5) == \
+        bpe_train(df.repartition(7), "text", num_merges=5)
+
+
 def test_bpe_train_on_testdata(spark, sf_dir):
     """Trainer runs on the real documents table; merges are deterministic
     across two runs and encoding compresses vs character count."""
