@@ -165,6 +165,53 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def ngram_jaccard_pairs_lsh(df: DataFrame, id_col: str, text_col: str,
+                            n: int = 3, threshold: float = 0.5,
+                            num_perm: int = 64, bands: int = 64,
+                            hash_fn: str = "xxhash64") -> DataFrame:
+    """LSH-blocked EXACT n-gram Jaccard pairs — the 100 TB composition.
+
+    ``ngram_jaccard_pairs`` self-joins on the raw shingle hash, which is
+    quadratic in a hot shingle's document frequency (its own docstring
+    flags this). This variant generates candidates with banded MinHash
+    LSH first (O(n·bands) bucket join, never all-pairs), then verifies
+    each candidate with the EXACT Jaccard computed from the two docs'
+    distinct-shingle arrays — so the per-pair cost is bounded by document
+    length and the corpus-level cost by the candidate count, not by any
+    shingle's popularity.
+
+    Same output contract as ``ngram_jaccard_pairs``: (id_a, id_b,
+    jaccard ≥ threshold) with id_a < id_b — restricted to LSH candidates.
+    Recall is controlled by the band shape: ``r = num_perm // bands``
+    signature rows per band gives P(candidate | J) = 1 − (1 − J^r)^bands.
+    For low thresholds (e.g. 0.12) use r = 1 (bands == num_perm): a pair
+    qualifying at J only evades every one of the 64 single-hash buckets
+    with probability (1 − J)^64 ≈ 2·10⁻⁴ — and because the permutation
+    family is deterministic, recall on a given corpus is a testable fact,
+    not a coin flip (tests/test_dedup.py verifies the candidate set is a
+    superset of the exact qualifying pairs at every test SF).
+    """
+    cand = minhash_lsh_neardup(df, id_col, text_col, num_perm, bands, n,
+                               verify=False, hash_fn=hash_fn)
+    # per-doc distinct-shingle array: bounded by document length, so the
+    # exact verify joins shuffle candidate rows + doc-sized arrays only
+    sets = (shingle_rows(df, id_col, text_col, n, distinct=True)
+            .groupBy("doc").agg(F.collect_set("s").alias("sh")))
+    a = sets.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("n_common", inter)
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

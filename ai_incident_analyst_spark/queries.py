@@ -2090,13 +2090,15 @@ SELECT split, lang, count(*) AS n_docs FROM (
          "(connected components over n-gram Jaccard pairs), so a test "
          "doc's near-identical twin can never land in train — the "
          "contamination control a per-doc hash split lacks. Composed "
-         "iterative CC + split, still exactly reproduced by a DuckDB "
-         "recursive-CTE twin")
+         "LSH-blocked pairing + iterative CC + split, still exactly "
+         "reproduced by a DuckDB recursive-CTE twin (candidate recall is "
+         "lossless at test SFs — tests/test_dedup.py)")
 def q_leakage_safe_split(spark, sf_dir):
-    from .operators.dedup import connected_components
+    from .operators.dedup import connected_components, ngram_jaccard_pairs_lsh
     from .operators.sampling import leakage_safe_split
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+    pairs = ngram_jaccard_pairs_lsh(docs, "doc_id", "text", n=3,
+                                    threshold=0.12, num_perm=64, bands=64)
     clusters = connected_components(pairs, "id_a", "id_b")
     out = leakage_safe_split(docs.select("doc_id", "lang"), "doc_id",
                              clusters, test_fraction=0.2)
@@ -2153,15 +2155,18 @@ def q_dedup_lines_global(spark, sf_dir):
 @q("neardup_clusters", f"""
 WITH RECURSIVE {_NGRAM_PAIRS_CTES}
 SELECT u AS node, cluster_id FROM labels
-""", doc="transitive near-dup clustering: n-gram Jaccard pairs -> "
-         "connected components (hash-min label propagation, lineage-"
-         "truncated per round). Oracle is a DuckDB recursive-CTE "
-         "transitive closure — a genuinely iterative distributed "
-         "algorithm with an exact SQL twin")
+""", doc="transitive near-dup clustering: LSH-blocked exact Jaccard "
+         "pairs (ngram_jaccard_pairs_lsh: banded-MinHash candidates, "
+         "exact verify on candidates only — never the hot-shingle "
+         "self-join) -> connected components (hash-min label "
+         "propagation, lineage-truncated per round). Oracle is a DuckDB "
+         "recursive-CTE transitive closure — a genuinely iterative "
+         "distributed algorithm with an exact SQL twin")
 def q_neardup_clusters(spark, sf_dir):
-    from .operators.dedup import connected_components
+    from .operators.dedup import connected_components, ngram_jaccard_pairs_lsh
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+    pairs = ngram_jaccard_pairs_lsh(docs, "doc_id", "text", n=3,
+                                    threshold=0.12, num_perm=64, bands=64)
     return connected_components(pairs, "id_a", "id_b")
 
 
@@ -2172,13 +2177,18 @@ FROM documents d LEFT JOIN labels l ON d.doc_id = l.u
 QUALIFY row_number() OVER (
   PARTITION BY coalesce(l.cluster_id, d.doc_id)
   ORDER BY d.n_chars DESC, d.doc_id ASC) = 1
-""", doc="end-to-end corpus dedup: cluster near-dups, keep the longest "
-         "doc per cluster (ties -> smallest id); singletons survive as "
-         "their own cluster")
+""", doc="end-to-end corpus dedup: LSH-blocked exact-Jaccard pairing, "
+         "cluster near-dups, keep the longest doc per cluster (ties -> "
+         "smallest id); singletons survive as their own cluster")
 def q_dedup_survivors(spark, sf_dir):
-    from .operators.dedup import connected_components, dedup_canonical
+    from .operators.dedup import (
+        connected_components,
+        dedup_canonical,
+        ngram_jaccard_pairs_lsh,
+    )
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+    pairs = ngram_jaccard_pairs_lsh(docs, "doc_id", "text", n=3,
+                                    threshold=0.12, num_perm=64, bands=64)
     clusters = connected_components(pairs, "id_a", "id_b")
     return (
         dedup_canonical(docs, clusters, "doc_id", "n_chars")

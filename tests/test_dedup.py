@@ -11,6 +11,7 @@ from ai_incident_analyst_spark.operators.dedup import (
     minhash_lsh_neardup,
     minhash_signature,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_lsh,
     simhash,
     simhash_neardup,
 )
@@ -65,6 +66,25 @@ def test_ngram_jaccard_matches_python(spark):
             assert abs(got[(a, b)] - expect) < 1e-9, (a, b)
         else:
             assert (a, b) not in got
+
+
+def test_ngram_jaccard_lsh_equals_exact_on_testdata(spark, sf_dir):
+    """The LSH-blocked composition (r=1 banded-MinHash candidates, exact
+    verify on candidates) must return EXACTLY the full exact-Jaccard pair
+    set at the registry's threshold — this is the losslessness fact the
+    neardup_clusters / dedup_survivors / leakage_safe_split oracles rely
+    on (the permutation family is deterministic, so this is a stable
+    property of the corpus, not a flaky sample)."""
+    from ai_incident_analyst_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+             ngram_jaccard_pairs(docs, "doc_id", "text",
+                                 n=3, threshold=0.12).collect()}
+    lsh = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+           ngram_jaccard_pairs_lsh(docs, "doc_id", "text", n=3,
+                                   threshold=0.12, num_perm=64,
+                                   bands=64).collect()}
+    assert exact and lsh == exact
 
 
 def test_minhash_identical_docs_equal_signatures(spark):
