@@ -895,9 +895,54 @@ def centroid_by_label(spark, sf_dir):
     )
 
 
-@q("knn_ivf", None,
-   doc="approximate IVF k-NN (nprobe=2 over label centroids) — approximate "
-       "by design, no SQL oracle; recall checked in tests vs exact knn")
+@q("knn_ivf", """
+WITH cent AS (
+  SELECT label AS centroid_id, list(av ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(v) AS av
+        FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+        GROUP BY label, pos)
+  GROUP BY label
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id >= 5
+), qcell AS (
+  SELECT query_id, qv, centroid_id AS cell
+  FROM q CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY list_sum([ y*y for y in centroid ])
+             - 2*list_sum([ x[1]*x[2] for x in list_zip(qv, centroid) ]) ASC,
+             centroid_id ASC) <= 2
+), ccell AS (
+  SELECT vec_id, cv, centroid_id AS cell
+  FROM c CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY list_sum([ y*y for y in centroid ])
+             - 2*list_sum([ x[1]*x[2] for x in list_zip(cv, centroid) ]) ASC,
+             centroid_id ASC) = 1
+)
+SELECT query_id, vec_id,
+       round(list_sum([ (x[1]-x[2])*(x[1]-x[2])
+                        for x in list_zip(qv, cv) ]), 6) AS distance
+FROM qcell a JOIN ccell b ON a.cell = b.cell
+QUALIFY row_number() OVER (
+  PARTITION BY query_id
+  ORDER BY list_sum([ (x[1]-x[2])*(x[1]-x[2])
+                      for x in list_zip(qv, cv) ]) ASC, vec_id ASC) <= 5
+""",
+   doc="approximate IVF k-NN (nprobe=2 over label centroids). With FIXED "
+       "given centroids the whole pipeline is deterministic math, so it "
+       "HAS a DuckDB twin: assign = argmin_{centroid} ‖c‖²−2x·c with "
+       "(score, centroid_id) tie-break (exactly assign_cells' sorted-ids "
+       "+ stable-argsort rule), probe = nprobe smallest by the same "
+       "order, re-rank = exact squared-L2 with (distance, vec_id) "
+       "tie-break. Recall vs exact knn additionally checked in tests")
 def q_knn_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cents = (
