@@ -6,11 +6,15 @@ feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so bytes never round-trip through Python row by
 row.
 
-The container has no image/audio codecs, so the actual decode kernels are
-STUBS: ``decode_image``/``decode_audio`` raise NotImplementedError unless
-``fake=True``, in which case a deterministic fake (seeded by content
-hash) produces fixed-shape features — the Spark-side plumbing (schema,
-batch shape, partitioning) is real and tested either way.
+Codec boundary: the IMAGE kernels have a real PIL branch, import-gated
+exactly like the embedding operator's sentence-transformers branch
+(``tests/test_embedding.py`` pattern) — ``fake=False`` works wherever
+Pillow is importable and raises NotImplementedError with the install
+hint where it isn't (this container has no codecs, so the PIL tests
+auto-skip here). The VIDEO kernel needs PyAV and remains gated the same
+way. ``fake=True`` (default) uses a deterministic stand-in seeded by
+content hash — the Spark-side plumbing (schema, batch shape,
+partitioning) is real and tested either way.
 
 Scale notes: media blobs dominate row size; keep them in their own table
 keyed by content hash (dedup for free), partition by size bucket so Arrow
@@ -63,6 +67,19 @@ def make_media_table(df: DataFrame, id_col: str, payload_col: str,
     )
 
 
+def _require(module: str, feature: str) -> None:
+    """Fail fast on the DRIVER with the install hint when the codec
+    library backing ``fake=False`` is missing; executors import it again
+    inside the Arrow stage (per-worker, like the embedding model init)."""
+    import importlib.util
+    if importlib.util.find_spec(module) is None:
+        raise NotImplementedError(
+            f"{feature} with fake=False needs the '{module}' package, "
+            f"which is not installed in this environment; install it "
+            f"(e.g. pip install {'Pillow' if module == 'PIL' else module}) "
+            f"or run with fake=True for the deterministic stand-in")
+
+
 def _fake_features(blob: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in for a decoded-media feature vector."""
     h = hashlib.sha256(blob or b"").digest()
@@ -73,14 +90,15 @@ def _fake_features(blob: bytes, dim: int) -> np.ndarray:
 def extract_features(df: DataFrame, dim: int = 32, fake: bool = True) -> DataFrame:
     """Decode + feature-extract stage over the media table.
 
-    Real implementation would open the codec per Arrow batch (PIL/librosa/
-    pyav — not in this container). ``fake=False`` raises to make the stub
-    boundary explicit.
+    ``fake=False`` decodes IMAGES with PIL (import-gated; raises with the
+    install hint when Pillow is absent): grayscale-resize to the smallest
+    g×g grid covering ``dim`` pixels, flatten, scale to [0, 1] — a real
+    downsampled-pixel feature vector, deterministic for a given Pillow.
+    Undecodable blobs yield an empty feature array instead of killing the
+    job (at 100 TB one corrupt file must not fail the stage).
     """
     if not fake:
-        raise NotImplementedError(
-            "media codecs unavailable in this environment; "
-            "run with fake=True for the deterministic stand-in")
+        _require("PIL", "extract_features")
 
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
@@ -89,11 +107,27 @@ def extract_features(df: DataFrame, dim: int = 32, fake: bool = True) -> DataFra
     ])
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            import io
+
+            from PIL import Image
+            g = int(np.ceil(np.sqrt(dim)))
+
+            def feats_of(blob: bytes) -> np.ndarray:
+                try:
+                    img = Image.open(io.BytesIO(blob or b""))
+                    px = np.asarray(
+                        img.convert("L").resize((g, g)), dtype=np.float32)
+                    return (px.ravel()[:dim] / 255.0).astype(np.float32)
+                except Exception:
+                    return np.zeros(0, dtype=np.float32)
+        else:
+            def feats_of(blob: bytes) -> np.ndarray:
+                return _fake_features(blob, dim)
         for pdf in batches:
-            feats = [_fake_features(b, dim) for b in pdf["content"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "features": feats,
+                "features": [feats_of(b) for b in pdf["content"]],
                 "n_bytes": [len(b or b"") for b in pdf["content"]],
             })
 
@@ -104,16 +138,16 @@ def resize_media(df: DataFrame, width: int = 224, height: int = 224,
                  fake: bool = True) -> DataFrame:
     """Image resize stage: binary in → binary out with updated metadata.
 
-    Real implementation decodes with PIL per Arrow batch, resizes, and
-    re-encodes; the fake produces a deterministic pseudo-payload of the
-    target pixel-buffer size (sha256-keyed stream, so identical inputs
-    resize identically — content-hash dedup still works downstream).
-    Output schema mirrors the input media table: the stage is
-    composable before ``extract_features``.
+    ``fake=False`` decodes with PIL per Arrow batch (import-gated),
+    resizes to (width, height) and re-encodes as PNG; undecodable blobs
+    pass through as null content. The fake produces a deterministic
+    pseudo-payload of the target pixel-buffer size (sha256-keyed stream,
+    so identical inputs resize identically — content-hash dedup still
+    works downstream). Output schema mirrors the input media table: the
+    stage is composable before ``extract_features``.
     """
     if not fake:
-        raise NotImplementedError(
-            "image codecs unavailable in this environment; use fake=True")
+        _require("PIL", "resize_media")
 
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
@@ -124,14 +158,28 @@ def resize_media(df: DataFrame, width: int = 224, height: int = 224,
     target = width * height * 3  # RGB pixel-buffer size stand-in
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            outs = []
-            for blob in pdf["content"]:
+        if not fake:
+            import io
+
+            from PIL import Image
+
+            def resized(blob: bytes) -> bytes | None:
+                try:
+                    img = Image.open(io.BytesIO(blob or b""))
+                    out = io.BytesIO()
+                    img.convert("RGB").resize((width, height)) \
+                       .save(out, format="PNG")
+                    return out.getvalue()
+                except Exception:
+                    return None
+        else:
+            def resized(blob: bytes) -> bytes:
                 h = hashlib.sha256(blob or b"").digest()
-                outs.append((h * (target // len(h) + 1))[:target])
+                return (h * (target // len(h) + 1))[:target]
+        for pdf in batches:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "content": outs,
+                "content": [resized(b) for b in pdf["content"]],
                 "width": width,
                 "height": height,
             })
@@ -142,13 +190,19 @@ def resize_media(df: DataFrame, width: int = 224, height: int = 224,
 def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
     """Video frame-sampling stage (UDTF-shaped: 1 row → N frame rows).
 
-    Fake variant derives a deterministic frame count from blob size; real
-    variant needs pyav. Output is one row per sampled frame, ready for the
-    image feature extractor — the fan-out happens inside mapInPandas so
-    the blob is decoded once per partition pass, not once per frame.
+    Fake variant derives a deterministic frame count from blob size; the
+    real variant is import-gated on PyAV (``pip install av``) the same
+    way the image kernels gate on PIL. Output is one row per sampled
+    frame, ready for the image feature extractor — the fan-out happens
+    inside mapInPandas so the blob is decoded once per partition pass,
+    not once per frame.
     """
     if not fake:
-        raise NotImplementedError("video codecs unavailable; use fake=True")
+        _require("av", "frame_sample")
+        raise NotImplementedError(
+            "frame_sample real branch pending a container with PyAV: the "
+            "decode loop (open container, demux every_ms keyframes) slots "
+            "into the same mapInPandas stage the fake uses")
 
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),

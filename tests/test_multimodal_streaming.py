@@ -39,11 +39,54 @@ def test_extract_features_deterministic(spark, sf_dir):
     assert all(len(v) == 16 for v in a.values())
 
 
-def test_extract_features_real_decode_is_stubbed(spark, sf_dir):
+def test_extract_features_real_decode_gated_without_pil(spark, sf_dir):
+    """Where Pillow is absent, fake=False must fail fast on the driver
+    with the install hint (not die inside an executor task)."""
+    import importlib.util
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("Pillow installed; the real-decode test covers this")
     docs = load_table(spark, sf_dir, "documents").limit(1)
     media = make_media_table(docs, "doc_id", "text")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="Pillow"):
         extract_features(media, fake=False)
+
+
+def test_extract_features_real_decode_with_pil(spark):
+    """Real PIL decode path (auto-skips without Pillow, mirroring the
+    sentence-transformers smoke in test_embedding.py): a synthetic PNG
+    round-trips through extract_features(fake=False) and resize_media
+    (fake=False) with correct shapes; a corrupt blob yields empty
+    features instead of failing the stage."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from ai_incident_analyst_spark.operators.multimodal import resize_media
+
+    def png_bytes(w, h, val):
+        img = Image.fromarray(
+            np.full((h, w, 3), val, dtype=np.uint8), mode="RGB")
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [Row(i=1, payload=bytearray(png_bytes(8, 6, 200))),
+            Row(i=2, payload=bytearray(png_bytes(16, 16, 10))),
+            Row(i=3, payload=bytearray(b"not a png"))]
+    media = make_media_table(spark.createDataFrame(rows), "i", "payload")
+    feats = {r.media_id: list(r.features)
+             for r in extract_features(media, dim=16, fake=False).collect()}
+    assert len(feats[1]) == 16 and len(feats[2]) == 16
+    # uniform-gray 200 image -> every grayscale pixel ~200/255
+    assert all(abs(v - 200 / 255) < 0.02 for v in feats[1])
+    assert feats[3] == []  # corrupt blob: empty features, job survives
+    out = {r.media_id: r for r in
+           resize_media(media, width=4, height=3, fake=False).collect()}
+    img = Image.open(io.BytesIO(out[1].content))
+    assert img.size == (4, 3) and (out[1].width, out[1].height) == (4, 3)
+    assert out[3].content is None  # corrupt blob passes through as null
 
 
 def test_frame_sample_fanout(spark, sf_dir):
