@@ -140,7 +140,6 @@ _WHERE_TOKEN = re.compile(
 class ParsedNRQL:
     select: list[str]          # [] means aggregate query; ["*"] means all
     tables: list[str]
-    conds: list[tuple[str, str, str]]  # pure-AND leaves ([] if WHERE has OR)
     since: str | None
     until: str | None
     limit: int | None = None
@@ -153,6 +152,22 @@ class ParsedNRQL:
     #: WHERE boolean tree: ("cond", col, OP, val) | ("and", (nodes…)) |
     #: ("or", (nodes…)); None when the query has no WHERE
     where: tuple | None = None
+
+    @property
+    def conds(self) -> list[tuple[str, str, str]]:
+        """Back-compat flat (col, OP, val) list — defined ONLY when the
+        WHERE is a pure AND chain of the four classic string ops the
+        reference emits. Any other shape (OR, parens, numeric, IN,
+        IS NULL) RAISES: a legacy consumer that reads only ``.conds``
+        must fail loudly rather than silently apply no filter and
+        process unfiltered data. New consumers use ``.where``."""
+        flat = _flat_and_leaves(self.where)
+        if self.where is not None and not flat:
+            raise ValueError(
+                "this query's WHERE contains OR/parens/numeric/IN/"
+                "IS NULL conditions that the flat .conds list cannot "
+                "represent; consume the .where tree instead")
+        return flat
 
 
 def _split_top(s: str) -> list[str]:
@@ -376,7 +391,6 @@ def parse_nrql(query: str) -> ParsedNRQL:
         raise ValueError("FACET requires an aggregate SELECT")
 
     where = parse_where(m.group("where")) if m.group("where") else None
-    conds = _flat_and_leaves(where)
 
     def _unquote(s: str | None) -> str | None:
         if s is None:
@@ -385,7 +399,7 @@ def parse_nrql(query: str) -> ParsedNRQL:
         return s[1:-1] if s.startswith("'") and s.endswith("'") else s
 
     return ParsedNRQL(
-        select=select, tables=tables, conds=conds,
+        select=select, tables=tables,
         since=_unquote(m.group("since")), until=_unquote(m.group("until")),
         limit=int(m.group("limit")) if m.group("limit") else None,
         is_count=is_count, aggs=aggs, facet=facet,
@@ -583,9 +597,12 @@ def run_nrql(spark: SparkSession, query: str,
     lq = LogQuery(src, ts_col=ts_col)
     if p.where is not None:
         # pure-AND trees are applied as separate conjuncts (unchanged
-        # pushdown shape); an OR tree becomes one disjunctive predicate
-        if p.conds:
-            for col, op, val in p.conds:
+        # pushdown shape); an OR tree becomes one disjunctive predicate.
+        # NB: probe with the helper, not p.conds — the property raises on
+        # non-classic trees by design (fail-loud back-compat surface)
+        flat = _flat_and_leaves(p.where)
+        if flat:
+            for col, op, val in flat:
                 if op == "=":
                     lq = lq.where(col, val)
                 elif op == "!=":

@@ -15,6 +15,8 @@ can land quarantine files alongside clean ones.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -66,10 +68,13 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     The frame is cached first: Spark refuses corrupt-column-only queries
     straight off a raw file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the
     parser would have to re-run just to rebuild the raw line), and both
-    forks consume the same parse anyway. The cache is session-scoped:
-    a loop ingesting many files should release it after consuming both
-    forks via ``release_split(clean_or_bad)`` (or it persists until
-    ``spark.catalog.clearCache()``).
+    forks consume the same parse anyway. The cache is session-scoped: a
+    loop ingesting many files should release it after consuming both
+    forks — use the ``corrupt_split`` context manager (releases on exit)
+    or pass a fork to ``release_split``. NB: the release marker rides on
+    the exact DataFrame objects returned here; derived frames
+    (``clean.select(...)`` etc.) don't carry it, and ``release_split``
+    RAISES on a frame without one rather than silently leaking the cache.
     """
     cached = df.cache()
     clean = cached.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
@@ -82,7 +87,32 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def release_split(fork: DataFrame) -> None:
     """Unpersist the cached parse behind a ``split_corrupt`` fork — call
-    once both forks have been consumed (idempotent)."""
+    once both forks have been consumed (idempotent on the parent cache).
+
+    Raises ``ValueError`` when given a frame that is not one of the two
+    objects ``split_corrupt`` returned: a derived frame (``.select``/
+    ``.filter``/``.withColumn`` fork) has no release marker, and a
+    silent no-op here would leak one cached parse per file in an ingest
+    loop — the failure mode this guard exists to surface.
+    """
     parent = getattr(fork, "_split_corrupt_parent", None)
-    if parent is not None:
-        parent.unpersist()
+    if parent is None:
+        raise ValueError(
+            "release_split needs one of the exact DataFrames returned by "
+            "split_corrupt (derived frames don't carry the cache marker); "
+            "keep a reference to the original fork, or use the "
+            "corrupt_split context manager")
+    parent.unpersist()
+
+
+@contextmanager
+def corrupt_split(df: DataFrame):
+    """``with corrupt_split(read_json_tolerant(...)) as (clean, bad):`` —
+    the loop-safe form of ``split_corrupt``: the shared cached parse is
+    unpersisted on exit no matter how the body leaves, so an ingest loop
+    over many files cannot accumulate session-lifetime caches."""
+    clean, bad = split_corrupt(df)
+    try:
+        yield clean, bad
+    finally:
+        release_split(clean)

@@ -98,53 +98,104 @@ def streaming_interval_join(left: DataFrame, right: DataFrame,
     )
 
 
+def _swap_pointer(p: str, target: str) -> None:
+    """Atomically repoint the constant store path ``p`` (a symlink) at
+    the versioned directory ``target`` (same parent dir): build the new
+    symlink under a temp name, then rename over ``p`` — rename of a
+    symlink onto a symlink is atomic on POSIX, so a reader never sees
+    ``p`` missing or dangling."""
+    import os
+
+    tmp = p + ".ptr-tmp"
+    if os.path.lexists(tmp):
+        os.remove(tmp)
+    os.symlink(os.path.basename(target), tmp)
+    os.rename(tmp, p)
+
+
+def _recover_store(path: str) -> None:
+    """Bring a merge-swap store to a clean state: migrate legacy layouts
+    (pre-pointer plain directory; a ``.old`` left by the retired
+    two-rename protocol) and drop versioned/staged directories the
+    pointer does not reference (a crash between pointer flip and
+    old-version cleanup, or a write that never flipped). Runs at SINK
+    CONSTRUCTION (stream start) as well as per batch, so a crashed store
+    heals as soon as the stream restarts — not only when the next batch
+    happens to arrive."""
+    import glob
+    import os
+    import shutil
+
+    p = path.rstrip("/")
+    old = p + ".old"
+    # legacy two-rename crash: store missing, previous version in .old
+    if not os.path.lexists(p) and os.path.exists(old):
+        os.rename(old, p)
+    # legacy plain-directory store → versioned dir + pointer
+    if os.path.exists(p) and not os.path.islink(p):
+        v0 = p + ".v-migrated"
+        shutil.rmtree(v0, ignore_errors=True)
+        os.rename(p, v0)
+        _swap_pointer(p, v0)
+    cur = os.path.realpath(p) if os.path.islink(p) else None
+    for d in glob.glob(p + ".v*") + glob.glob(p + ".stage-*") + [old]:
+        if os.path.exists(d) and os.path.realpath(d) != cur:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _merge_swap_sink(stream: DataFrame, path: str, checkpoint: str,
                      build_batch, merge_with_stored):
     """Shared incremental-merge sink protocol: per micro-batch, build a
-    batch-local partial, merge it with the stored table, write to a
-    staging dir, atomically swap. Used by ``streaming_rollup_sink`` and
+    batch-local partial, merge it with the stored table, write a NEW
+    VERSIONED directory, and atomically flip a constant symlink pointer
+    at ``path`` onto it. Used by ``streaming_rollup_sink`` and
     ``streaming_histogram_sink`` — the swap/retry logic lives ONCE here.
+
+    Readers always resolve ``path`` to a complete store: the pointer
+    flip is a single symlink rename, so there is NO window where the
+    path is missing mid-commit (the previous protocol's two-rename swap
+    had one, and a dashboard polling the rollup table would hit
+    file-not-found on every batch).
 
     At-least-once safety (foreachBatch may replay a batch):
 
-    * an ``_APPLIED_BATCH_<id>`` marker file is written INSIDE the staged
-      directory before the swap, so it travels atomically with the
-      rename — a replayed batch whose swap already landed sees its own
-      marker in ``path`` and skips, instead of double-merging;
-    * a crash between the two renames leaves ``path`` missing and the
-      previous store in ``.old`` — recovered at the next batch before
-      anything merges (without this, the next batch would silently
-      overwrite the store with just its own partial).
+    * an ``_APPLIED_BATCH_<id>`` marker file is written INSIDE the
+      versioned directory before the flip, so it travels with the
+      pointer — a replayed batch whose flip already landed sees its own
+      marker through ``path`` and skips, instead of double-merging;
+    * a crash at ANY point leaves the pointer on the last complete
+      version; ``_recover_store`` (at stream start and per batch) just
+      garbage-collects unreferenced version dirs.
 
-    Local-FS renames; production object-store deployments want a
-    table format with transactional commit (Delta/Iceberg) here.
+    Local-FS symlink semantics; production object-store deployments want
+    a table format with transactional commit (Delta/Iceberg) here.
     """
     import os
     import shutil
 
     spark = stream.sparkSession
+    p = path.rstrip("/")
+    # heal a crashed store as soon as the stream is (re)built, not only
+    # when the next micro-batch arrives
+    _recover_store(p)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        old = path.rstrip("/") + ".old"
-        # crash recovery: swap died between renames → restore the store
-        if not os.path.exists(path) and os.path.exists(old):
-            os.rename(old, path)
-        # replay guard: this batch's swap already landed
-        if os.path.exists(os.path.join(path, f"_APPLIED_BATCH_{batch_id}")):
+        _recover_store(p)
+        # replay guard: this batch's flip already landed
+        if os.path.exists(os.path.join(p, f"_APPLIED_BATCH_{batch_id}")):
             return
         batch_part = build_batch(batch_df)
-        if os.path.exists(path):
-            merged = merge_with_stored(spark.read.parquet(path), batch_part)
+        if os.path.exists(p):
+            merged = merge_with_stored(spark.read.parquet(p), batch_part)
         else:
             merged = batch_part
-        staged = path.rstrip("/") + f".stage-{batch_id}"
+        staged = p + f".v{batch_id}"
         merged.write.mode("overwrite").parquet(staged)
         open(os.path.join(staged, f"_APPLIED_BATCH_{batch_id}"), "w").close()
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(staged, path)
-        shutil.rmtree(old, ignore_errors=True)
+        prev = os.path.realpath(p) if os.path.islink(p) else None
+        _swap_pointer(p, staged)
+        if prev is not None and os.path.realpath(p) != prev:
+            shutil.rmtree(prev, ignore_errors=True)
 
     return (
         stream.writeStream

@@ -127,8 +127,15 @@ def main():
     # best-of-2 per query: the second run reuses compiled codegen, so run 1
     # bounds cold latency and run 2 steady-state; min() filters the
     # machine-level load spikes that otherwise dominate sub-second queries
-    # ($SPARK_GRAFT_BENCH_RUNS=1 for a faster smoke pass, e.g. tools/gate.sh)
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # ($SPARK_GRAFT_BENCH_RUNS=1 for a faster smoke pass, e.g. tools/gate.sh).
+    # Contention guard (r3 postmortem: a loaded machine inflated two
+    # queries 2.2x): when the 1-min loadavg at start is already high,
+    # take best-of-3 so at least one run likely lands in a quiet window,
+    # and always record the loadavg in the JSON so a slow-looking bench
+    # can be adjudicated without a rerun.
+    load1 = os.getloadavg()[0]
+    default_runs = "3" if load1 > 0.5 * (os.cpu_count() or 32) else "2"
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", default_runs)))
     times: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
@@ -147,6 +154,8 @@ def main():
         "unit": "sec",
         "queries": times,
         "runs_per_query": runs,
+        "loadavg_start": round(load1, 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
         "sf": sf,
     }))
 

@@ -1,11 +1,14 @@
 """Tolerant JSON/CSV sources: corrupt rows are captured, never fatal."""
 
+import pytest
 from pyspark.sql import types as T
 
 from ai_incident_analyst_spark.sources.formats import (
     CORRUPT_COL,
+    corrupt_split,
     read_csv_tolerant,
     read_json_tolerant,
+    release_split,
     split_corrupt,
 )
 
@@ -47,3 +50,21 @@ def test_json_all_clean_roundtrip(spark, tmp_path):
     src.write.json(p)
     clean, bad = split_corrupt(read_json_tolerant(spark, p, SCHEMA))
     assert clean.count() == 50 and bad.count() == 0
+
+
+def test_release_split_lifecycle(spark, tmp_path):
+    """corrupt_split unpersists the shared parse on exit; release_split
+    on a derived frame raises instead of silently leaking the cache."""
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, msg string")
+    p = str(tmp_path / "rt2")
+    src.write.json(p)
+    with corrupt_split(read_json_tolerant(spark, p, SCHEMA)) as (clean, bad):
+        assert clean.count() == 2 and bad.count() == 0
+        parent = clean._split_corrupt_parent
+        assert parent.storageLevel.useMemory  # cached inside the block
+    assert not parent.storageLevel.useMemory  # released on exit
+    clean2, _bad2 = split_corrupt(read_json_tolerant(spark, p, SCHEMA))
+    derived = clean2.select("id")  # fork without the release marker
+    with pytest.raises(ValueError, match="split_corrupt"):
+        release_split(derived)
+    release_split(clean2)  # the original fork still releases fine

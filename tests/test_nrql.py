@@ -326,8 +326,12 @@ def test_parse_where_errors():
 
 
 def test_parse_nrql_or_sets_tree_not_conds():
+    import pytest
     p = parse_nrql("SELECT * FROM Log WHERE `a` = '1' OR `b` = '2'")
-    assert p.conds == []          # flat list only for pure-AND chains
+    # the flat list cannot represent an OR: reading it must fail LOUDLY
+    # (a stale consumer must never silently apply no filter)
+    with pytest.raises(ValueError, match="cannot represent"):
+        p.conds
     assert p.where == ("or", (("cond", "a", "=", "1"),
                               ("cond", "b", "=", "2")))
     # pure-AND back-compat: conds stays flat AND where tree agrees
@@ -379,9 +383,13 @@ def test_parse_where_extended_leaves():
     assert parse_where("`t` IS NULL") == ("cond", "t", "IS NULL", None)
     assert parse_where("`t` is not null") == \
         ("cond", "t", "IS NOT NULL", None)
-    # numeric-only leaves never flatten into the classic conds list
+    # numeric-only leaves never flatten into the classic conds list:
+    # reading .conds raises, the tree is the consumable surface
+    import pytest
     p = parse_nrql("SELECT * FROM Log WHERE `a` = 'x' AND `v` > 9")
-    assert p.conds == [] and p.where[0] == "and"
+    with pytest.raises(ValueError, match="cannot represent"):
+        p.conds
+    assert p.where[0] == "and"
 
 
 def test_run_extended_where_semantics(spark):
