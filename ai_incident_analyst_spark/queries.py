@@ -3912,3 +3912,67 @@ def q_nrql_rate(spark, sf_dir):
         spark,
         "SELECT rate(count(*), 1 hour), rate(sum(value), 1 day) "
         "FROM events TIMESERIES 1 day", {"events": ev})
+
+
+# ===========================================================================
+# link analysis — PageRank over the session item-transition graph
+# ===========================================================================
+
+_PR_ITER = """
+SELECT n.node,
+       0.15 + 0.85 * coalesce(sum({prev}.rank * t.p), 0) AS rank
+FROM nodes n
+LEFT JOIN trans t ON t.dst = n.node
+LEFT JOIN {prev} ON {prev}.node = t.src
+GROUP BY n.node
+"""
+
+@q("pagerank_items", f"""
+WITH clicks AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         ts, event_id
+  FROM events WHERE event_type = 'click'
+), seq AS (
+  SELECT item,
+         lead(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM clicks
+), e AS (
+  SELECT item AS src, nxt AS dst, CAST(count(*) AS DOUBLE) AS w
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+), tw AS (SELECT src, sum(w) AS tw FROM e GROUP BY 1),
+trans AS (SELECT e.src, e.dst, e.w / tw.tw AS p FROM e JOIN tw USING (src)),
+nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+),
+r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+r1 AS ({_PR_ITER.format(prev="r0")}),
+r2 AS ({_PR_ITER.format(prev="r1")}),
+r3 AS ({_PR_ITER.format(prev="r2")})
+SELECT node, round(rank, 6) AS rank
+FROM r3 ORDER BY rank DESC, node LIMIT 20
+""", doc="weighted PageRank (operators/graph.py) over the item-transition "
+         "graph (consecutive clicks in a user's stream, lag-window edges); "
+         "3 fixed power-iteration rounds so the unrolled SQL twin "
+         "reproduces values exactly; per-round plan is one rank-side join "
+         "+ one groupBy(dst) — no driver data, AQE handles in-degree skew")
+def q_pagerank_items(spark, sf_dir):
+    from .operators.graph import pagerank
+    clicks = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id",
+                F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+                "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        clicks.withColumn("nxt", F.lead("item").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("item").alias("src"), F.col("nxt").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return (
+        pr.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node").limit(20)
+    )

@@ -1,0 +1,78 @@
+"""PageRank: parity vs a pure-numpy power iteration, plus structural
+invariants (dangling nodes, weighted multi-edges, determinism)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from ai_incident_analyst_spark.operators.graph import pagerank
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _numpy_pagerank(edges, iters=3, d=0.85, weights=None):
+    """Unnormalized Brin/Page convention: r = (1-d) + d * P^T r, r0 = 1."""
+    nodes = sorted({u for u, v in edges} | {v for u, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for k, (u, v) in enumerate(edges):
+        w[idx[u], idx[v]] += 1.0 if weights is None else weights[k]
+    out = w.sum(axis=1)
+    p = np.divide(w, out[:, None], out=np.zeros_like(w), where=out[:, None] > 0)
+    r = np.ones(n)
+    for _ in range(iters):
+        r = (1 - d) + d * (p.T @ r)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def _collect(df):
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_pagerank_numpy_parity(spark):
+    # ring + chord + a dangling sink (node 5 has no out-edges)
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = _collect(pagerank(df, iterations=3))
+    want = _numpy_pagerank(edges)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_pagerank_weighted_equals_multiedge(spark):
+    # an edge with weight 3 must equal three parallel unit edges
+    multi = [(1, 2), (1, 2), (1, 2), (1, 3), (2, 3)]
+    weighted = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 1.0)]
+    a = _collect(pagerank(
+        spark.createDataFrame(multi, "src long, dst long"), iterations=4))
+    b = _collect(pagerank(
+        spark.createDataFrame(weighted, "src long, dst long, w double"),
+        weight="w", iterations=4))
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-12)
+
+
+def test_pagerank_sink_gets_base_only_mass_flows(spark):
+    # 1 -> 2: node 1 has no in-edges so rank(1) = 0.15 after any round;
+    # node 2 receives all of 1's mass each round
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = _collect(pagerank(df, iterations=2))
+    assert got[1] == pytest.approx(0.15)
+    # round 1: r2 = 0.15 + 0.85*1.0 = 1.0; round 2: 0.15 + 0.85*0.15
+    assert got[2] == pytest.approx(0.15 + 0.85 * 0.15, rel=1e-12)
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    rng = np.random.default_rng(7)
+    edges = [(int(u), int(v)) for u, v in rng.integers(0, 40, size=(300, 2))
+             if u != v]
+    df1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    df2 = spark.createDataFrame(edges, "src long, dst long").repartition(13)
+    a, b = _collect(pagerank(df1)), _collect(pagerank(df2))
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-9)
