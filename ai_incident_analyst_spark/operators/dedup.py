@@ -897,3 +897,102 @@ def semantic_neardup(df: DataFrame, id_col: str, vec_col: str,
         .filter(F.col("cosine") >= threshold)
         .select("cluster", "id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-span removal (ExactSubstr-style corpus surgery)
+# ---------------------------------------------------------------------------
+
+def duplicate_span_removal(df: DataFrame, id_col: str, text_col: str,
+                           n: int = 10, min_count: int = 2,
+                           delim: str = " ") -> DataFrame:
+    """Remove every token span that is part of a word ``n``-gram occurring
+    at least ``min_count`` times corpus-wide, and reassemble the surviving
+    tokens per document — the word-granularity relational restatement of
+    ExactSubstr dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better"): their suffix-array finds byte spans repeated
+    verbatim anywhere in the corpus; here a token is dropped iff it is
+    covered by any repeated n-token window, which flags exactly the
+    maximal repeated spans of ≥ n tokens.
+
+    Returns ``(id_col, text_clean, n_tokens_kept, n_tokens_removed)`` for
+    every input doc (fully-duplicated docs survive with empty
+    ``text_clean``; docs shorter than ``n`` tokens pass through intact).
+
+    Physical design — no suffix array, no Python, four keyed shuffles:
+
+    1. posexplode tokens, ``lead``-window n-grams per (doc, pos) — the
+       same codegen'd formulation as ``shingle_rows``; the gram key is a
+       portable md5 (an engine-neutral oracle can reproduce it).
+    2. ``groupBy(gram)`` count — map-side combinable, so the classic hot
+       gram (boilerplate sentence repeated 10^7×) collapses to one row
+       per input partition before the shuffle; skew never materializes.
+    3. The repeated-gram key set (tiny relative to the corpus — only
+       grams with count ≥ min_count survive) joins back to the token
+       stream as a start-flag; AQE broadcasts it when it fits.
+    4. Coverage is a ``max(flag)`` window over the preceding ``n-1``
+       positions — one pass over the already (doc, pos)-partitioned
+       stream, never an n-way explode of covered positions.
+    5. Reassembly: order-restoring ``array_sort(collect_list(...))`` per
+       doc, same as ``dedup_lines_global``.
+    """
+    toks = (
+        spread(df, id_col).select(
+            F.col(id_col).alias("__doc"),
+            F.posexplode(F.split(F.col(text_col), delim))
+             .alias("__pos", "__tok"))
+    )
+    w = Window.partitionBy("__doc").orderBy("__pos")
+    parts = [F.col("__tok")] + [F.lead("__tok", j).over(w)
+                                for j in range(1, n)]
+    # gram + validity guard in the SAME projection (shingle_rows pattern):
+    # positions within n-1 of the doc tail have no full window and must
+    # carry a NULL key so they can never match a repeated gram
+    grams = toks.select(
+        "__doc", "__pos", "__tok",
+        F.when(F.lead("__tok", n - 1).over(w).isNotNull(),
+               F.md5(F.concat_ws(delim, *parts))).alias("__gk"),
+    )
+    dup = (
+        grams.groupBy("__gk").agg(F.count("*").alias("__c"))
+        .filter(F.col("__gk").isNotNull() & (F.col("__c") >= min_count))
+        .select("__gk", F.lit(1).alias("__dupflag"))
+    )
+    flagged = (
+        grams.join(dup, "__gk", "left")
+        .select("__doc", "__pos", "__tok",
+                F.coalesce("__dupflag", F.lit(0)).alias("__start"))
+    )
+    cover_w = (Window.partitionBy("__doc").orderBy("__pos")
+               .rowsBetween(-(n - 1), 0))
+    kept = (
+        flagged.withColumn("__covered", F.max("__start").over(cover_w))
+        .filter(F.col("__covered") == 0)
+    )
+    rebuilt = (
+        kept.groupBy("__doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                    lambda s: s["__tok"]),
+                delim).alias("text_clean"),
+            F.count("*").alias("n_tokens_kept"),
+        )
+    )
+    totals = toks.groupBy("__doc").agg(F.count("*").alias("__n_toks"))
+    return (
+        df.select(F.col(id_col))
+        .join(totals, F.col(id_col) == totals["__doc"], "left")
+        .drop("__doc")
+        .join(rebuilt, F.col(id_col) == rebuilt["__doc"], "left")
+        .drop("__doc")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+            (F.coalesce("__n_toks", F.lit(0))
+             - F.coalesce("n_tokens_kept", F.lit(0)))
+            .alias("n_tokens_removed"),
+        )
+    )

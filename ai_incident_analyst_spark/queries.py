@@ -3976,3 +3976,67 @@ def q_pagerank_items(spark, sf_dir):
         pr.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), "node").limit(20)
     )
+
+
+# ===========================================================================
+# exact duplicate-span removal (ExactSubstr-style)
+# ===========================================================================
+
+@q("dup_span_removal", """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+           AS pos
+  FROM documents),
+grams AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN lead(tok, 9) OVER w IS NOT NULL THEN
+           md5(concat_ws(' ', tok,
+               lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+               lead(tok, 3) OVER w, lead(tok, 4) OVER w,
+               lead(tok, 5) OVER w, lead(tok, 6) OVER w,
+               lead(tok, 7) OVER w, lead(tok, 8) OVER w,
+               lead(tok, 9) OVER w))
+         END AS gk
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+dup AS (
+  SELECT gk FROM grams WHERE gk IS NOT NULL
+  GROUP BY gk HAVING count(*) >= 2),
+flagged AS (
+  SELECT g.doc_id, g.pos, g.tok,
+         CASE WHEN d.gk IS NULL THEN 0 ELSE 1 END AS s
+  FROM grams g LEFT JOIN dup d ON g.gk = d.gk),
+kept AS (
+  SELECT * FROM (
+    SELECT doc_id, pos, tok,
+           max(s) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS cov
+    FROM flagged) WHERE cov = 0),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+         count(*) AS n_tokens_kept
+  FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       md5(coalesce(r.text_clean, '')) AS clean_hash,
+       coalesce(r.n_tokens_kept, 0) AS n_tokens_kept,
+       coalesce(t.n_toks, 0) - coalesce(r.n_tokens_kept, 0)
+         AS n_tokens_removed
+FROM documents d
+LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+""", doc="ExactSubstr-style duplicate-span removal (operators/dedup.py:"
+         "duplicate_span_removal): every token covered by a word 10-gram "
+         "repeated >=2x corpus-wide is cut, docs reassembled "
+         "order-preserving — the relational restatement of Lee et al. "
+         "2021 suffix-array dedup. Map-side-combined gram counts (hot "
+         "boilerplate never skews a shuffle), tiny repeated-key join "
+         "(AQE broadcasts), single coverage window. Reassembled text "
+         "value-checked via md5")
+def q_dup_span_removal(spark, sf_dir):
+    from .operators.dedup import duplicate_span_removal
+    docs = _t(spark, sf_dir, "documents")
+    out = duplicate_span_removal(docs, "doc_id", "text", n=10, min_count=2)
+    return out.select(
+        "doc_id", F.md5("text_clean").alias("clean_hash"),
+        "n_tokens_kept", "n_tokens_removed")
