@@ -417,3 +417,169 @@ def ivf_probe_index(spark, path: str, queries: DataFrame,
         .filter(F.col("__rn") <= k)
         .select("query_id", F.col(corpus_id).alias("vec_id"), "distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+def pq_train_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
+                       m: int = 4, kc: int = 16, sample_n: int = 2048,
+                       iters: int = 8):
+    """Train PQ codebooks (Jégou et al. 2011) on a bounded deterministic
+    sample: the ``sample_n`` rows with smallest ``md5(id)`` (the same
+    hash-ordered rule as k-means init / Bernoulli sampling — reproducible
+    across runs, cluster layouts, and appends) are collected to the
+    driver, split into ``m`` contiguous subspaces, and each subspace gets
+    its own numpy Lloyd's with hash-order-first-``kc`` init.
+
+    Returns ``(m, kc, d/m)`` float64 codebooks. Training on a driver
+    sample is the standard practice (FAISS trains PQ on ≤ a few 10^5
+    vectors regardless of corpus size); the collect is capped at
+    ``sample_n`` rows by construction.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).cast("string").alias("i"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("__h", F.md5(F.col("i")))
+        .orderBy("__h", "i")
+        .limit(sample_n)
+        .select("v")
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    if len(x) < kc:
+        raise ValueError(f"kc={kc} exceeds sample size {len(x)}")
+    books = np.empty((m, kc, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        c = sub[:kc].copy()  # hash-order-first init, deterministic
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)  # ties → lowest code, np semantics
+            for ci in range(kc):
+                pts = sub[a == ci]
+                if len(pts):
+                    c[ci] = pts.mean(axis=0)
+        books[j] = c
+    return books
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str, codebooks) -> DataFrame:
+    """Encode each vector as ``m`` small code ints (nearest codeword per
+    subspace, ties → lowest code): ``(id, code array<int>)``.
+
+    One Arrow pass, no shuffle; at 100 TB this is the compression step
+    that shrinks an 8-byte-per-dim corpus to ~1 byte per subspace, and it
+    runs embarrassingly parallel as a ``mapInPandas`` over whatever
+    partitioning the corpus already has.
+    """
+    import numpy as np
+
+    m, kc, dsub = codebooks.shape
+    sc = df.sparkSession.sparkContext
+    bb = sc.broadcast(codebooks)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bb.value
+        # ‖c‖² per codeword, precomputed once per task
+        cn2 = (books * books).sum(axis=2)  # (m, kc)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                sub = mat[:, j * dsub:(j + 1) * dsub]
+                d2 = cn2[j][None, :] - 2.0 * (sub @ books[j].T)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({"id": pdf[id_col],
+                                "code": list(codes)})
+
+    return (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .mapInPandas(enc, schema=f"id long, code array<int>")
+        .select(F.col("id").alias(id_col), "code")
+    )
+
+
+def pq_knn_join(queries: DataFrame, corpus: DataFrame, codebooks,
+                k: int = 5,
+                query_id: str = "query_id", query_vec: str = "query_vec",
+                corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> DataFrame:
+    """Approximate k-NN in the compressed domain via asymmetric distance
+    computation (ADC): the query stays exact, each corpus vector is its
+    PQ code, and ‖q−c‖² ≈ Σ_j lut[q][j][code_j] where the per-query
+    lookup table holds exact sub-distances to every codeword.
+
+    Physical plan: queries (fixed cardinality by contract, same as
+    ``knn_join_blocked``) collect to a LUT of shape (nq, m, kc) — a few
+    KB — broadcast; one Arrow pass over the ENCODED corpus does pure
+    integer gathers + sums and emits each partition's local top-k per
+    query; a final window keeps the global top-k of #partitions·k rows.
+    The corpus is never decoded, never shuffled; scan volume is the code
+    bytes, ~d·8/m× smaller than raw vectors — the reason PQ is the
+    standard RAM-resident billion-vector design.
+
+    Ties: encode ties → lowest code; top-k ties → lowest ``vec_id``
+    (the repo-wide kNN rule).
+    """
+    import numpy as np
+
+    m, kc, dsub = codebooks.shape
+    qrows = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).cast("array<double>").alias("qv")).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    # LUT[nq, m, kc]: exact squared-L2 between query subvector and codeword
+    lut = np.empty((len(qids), m, kc))
+    for j in range(m):
+        qsub = qmat[:, j * dsub:(j + 1) * dsub]           # (nq, dsub)
+        diff = qsub[:, None, :] - codebooks[j][None, :, :]  # (nq, kc, dsub)
+        lut[:, j, :] = (diff * diff).sum(axis=2)
+    sc = corpus.sparkSession.sparkContext
+    blut = sc.broadcast((qids, lut))
+
+    encoded = pq_encode(corpus, corpus_id, corpus_vec, codebooks)
+
+    out_schema = "query_id long, vec_id long, distance double"
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, lut_ = blut.value
+        nq = len(qids_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cid = pdf[corpus_id].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["code"]), dtype=np.int64)  # (nc, m)
+            # gather: dist[q, c] = Σ_j lut[q, j, codes[c, j]]
+            dist = np.zeros((nq, len(cid)))
+            for j in range(m):
+                dist += lut_[:, j, :][:, codes[:, j]]
+            kk = min(k, dist.shape[1])
+            idx = np.argsort(dist, axis=1, kind="stable")[:, :kk]
+            yield pd.DataFrame({
+                "query_id": np.repeat(qids_, kk),
+                "vec_id": cid[idx].ravel(),
+                "distance": np.take_along_axis(dist, idx, axis=1).ravel(),
+            })
+
+    cand = (
+        spread(encoded, corpus_id)
+        .sortWithinPartitions(corpus_id)
+        .mapInPandas(scan, schema=out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vec_id", "distance")
+    )

@@ -4040,3 +4040,67 @@ def q_dup_span_removal(spark, sf_dir):
     return out.select(
         "doc_id", F.md5("text_clean").alias("clean_hash"),
         "n_tokens_kept", "n_tokens_removed")
+
+
+# ===========================================================================
+# product-quantization ANN (ADC over label-centroid codebooks)
+# ===========================================================================
+
+@q("knn_pq", """
+WITH dims AS (
+  SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         CAST(generate_subscripts(embedding, 1) AS INT) AS pos
+  FROM embeddings),
+cent AS (
+  SELECT label, pos, avg(v) AS av FROM dims GROUP BY 1, 2),
+sd AS (
+  SELECT d.vec_id, CAST(floor((d.pos - 1) / 16) AS INT) AS ss, c.label,
+         sum((d.v - c.av) * (d.v - c.av)) AS sd
+  FROM dims d JOIN cent c ON d.pos = c.pos
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, ss, label FROM sd WHERE vec_id >= 5
+  QUALIFY row_number() OVER (PARTITION BY vec_id, ss
+                             ORDER BY sd ASC, label ASC) = 1),
+qsub AS (SELECT vec_id AS query_id, ss, label, sd FROM sd WHERE vec_id < 5),
+adc AS (
+  SELECT q.query_id, c.vec_id, sum(q.sd) AS dist
+  FROM codes c JOIN qsub q ON q.ss = c.ss AND q.label = c.label
+  GROUP BY 1, 2)
+SELECT query_id, vec_id, round(dist, 6) AS distance
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY dist ASC, vec_id ASC) <= 5
+""", doc="product-quantization ANN (operators/knn.py:pq_knn_join, Jégou "
+         "et al. 2011): corpus encoded to m=4 subspace codes, search via "
+         "asymmetric-distance lookup tables — compressed-domain scan, "
+         "corpus never decoded or shuffled. With FIXED label-centroid "
+         "codebooks the encode (argmin, (dist,code) tie-break) and ADC "
+         "sum are deterministic math, so like knn_ivf it HAS a DuckDB "
+         "twin; trained-codebook quality (recall vs exact) in tests")
+def q_knn_pq(spark, sf_dir):
+    import numpy as np
+
+    from .operators.knn import pq_knn_join
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = (
+        emb.select("label",
+                   F.posexplode(F.col("embedding").cast("array<double>"))
+                   .alias("pos", "v"))
+        .groupBy("label", "pos").agg(F.avg("v").alias("av"))
+        .collect()
+    )  # bounded: #labels × dim rows (the same tiny table knn_ivf builds)
+    labels = sorted({r["label"] for r in rows})
+    d = 1 + max(r["pos"] for r in rows)
+    li = {l: i for i, l in enumerate(labels)}
+    cents = np.zeros((len(labels), d))
+    for r in rows:
+        cents[li[r["label"]], r["pos"]] = r["av"]
+    m = 4
+    dsub = d // m
+    books = np.stack([cents[:, j * dsub:(j + 1) * dsub] for j in range(m)])
+    q_, c_ = _qc_split(spark, sf_dir)
+    return (
+        pq_knn_join(q_, c_, books, k=5)
+        .withColumn("distance", F.round("distance", 6))
+    )
