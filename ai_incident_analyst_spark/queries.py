@@ -4104,3 +4104,107 @@ def q_knn_pq(spark, sf_dir):
         pq_knn_join(q_, c_, books, k=5)
         .withColumn("distance", F.round("distance", 6))
     )
+
+
+# ===========================================================================
+# trained quality classifier — distributed logistic regression
+# ===========================================================================
+
+_LR_FEATS_SQL = """
+  SELECT 1.0 AS x0,
+         least(length(text), 2000) / 2000.0 AS x1,
+         ((length(text) - length(replace(text, ' the ', ''))) / 5.0)
+           * 100.0 / (length(text) + 1.0) AS x2,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+           / (length(text) + 1.0) AS x3,
+         (length(text) / (len(string_split(text, ' ')) + 1.0)) / 10.0 AS x4,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+"""
+
+_LR_GRAD = """
+SELECT
+  sum((1/(1+exp(-({z}))) - y) * x0) / (SELECT n FROM nn) AS g0,
+  sum((1/(1+exp(-({z}))) - y) * x1) / (SELECT n FROM nn) AS g1,
+  sum((1/(1+exp(-({z}))) - y) * x2) / (SELECT n FROM nn) AS g2,
+  sum((1/(1+exp(-({z}))) - y) * x3) / (SELECT n FROM nn) AS g3,
+  sum((1/(1+exp(-({z}))) - y) * x4) / (SELECT n FROM nn) AS g4
+FROM f{src}
+"""
+
+_Z_W = "w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3 + w.w4*x4"
+
+@q("quality_lr_train", f"""
+WITH f AS ({_LR_FEATS_SQL}),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+g1 AS ({_LR_GRAD.format(z="0.0*x0 + 0.0*x1 + 0.0*x2 + 0.0*x3 + 0.0*x4",
+                        src="")}),
+w1 AS (SELECT 0.0 - g0 AS w0, 0.0 - g1 AS w1, 0.0 - g2 AS w2,
+              0.0 - g3 AS w3, 0.0 - g4 AS w4 FROM g1),
+g2 AS ({_LR_GRAD.format(z=_Z_W, src=" CROSS JOIN w1 w")}),
+w2 AS (SELECT w.w0 - g0 AS w0, w.w1 - g1 AS w1, w.w2 - g2 AS w2,
+              w.w3 - g3 AS w3, w.w4 - g4 AS w4
+       FROM g2 CROSS JOIN w1 w),
+g3 AS ({_LR_GRAD.format(z=_Z_W, src=" CROSS JOIN w2 w")}),
+w3 AS (SELECT w.w0 - g0 AS w0, w.w1 - g1 AS w1, w.w2 - g2 AS w2,
+              w.w3 - g3 AS w3, w.w4 - g4 AS w4
+       FROM g3 CROSS JOIN w2 w)
+SELECT feature, round(weight, 6) AS weight FROM (
+  SELECT 'intercept' AS feature, w0 AS weight FROM w3
+  UNION ALL SELECT 'x_len', w1 FROM w3
+  UNION ALL SELECT 'x_the', w2 FROM w3
+  UNION ALL SELECT 'x_digit', w3 FROM w3
+  UNION ALL SELECT 'x_toklen', w4 FROM w3)
+""", doc="distributed logistic-regression trainer (operators/"
+         "classifier.py:lr_train): 3 full-batch GD rounds for an "
+         "is-English quality classifier; each round is ONE codegen'd "
+         "aggregation with the weights as literals — zero Python, zero "
+         "shuffle beyond the partial-agg reduce, driver holds d+1 "
+         "doubles. Zero-init + fixed rounds make training replayable by "
+         "an unrolled SQL twin (same contract as the fixed-centroid "
+         "IVF/PQ oracles)")
+def q_quality_lr_train(spark, sf_dir):
+    from .operators.classifier import doc_quality_features, lr_train
+    docs = _t(spark, sf_dir, "documents")
+    feats = doc_quality_features("text")
+    frame = docs.select(
+        F.lit(1.0).alias("x0"),
+        feats["x_len"].alias("x1"), feats["x_the"].alias("x2"),
+        feats["x_digit"].alias("x3"), feats["x_toklen"].alias("x4"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    ).cache()
+    w = lr_train(frame, ["x0", "x1", "x2", "x3", "x4"], "y",
+                 iterations=3, lr=1.0)
+    names = ["intercept", "x_len", "x_the", "x_digit", "x_toklen"]
+    return spark.createDataFrame(
+        [(nm, round(wi, 6)) for nm, wi in zip(names, w)],
+        "feature string, weight double")
+
+
+@q("quality_lr_score", """
+SELECT doc_id,
+       round(1/(1+exp(-(
+         -1.5*1.0 + 0.8*(least(length(text), 2000) / 2000.0)
+         + 2.5*(((length(text) - length(replace(text, ' the ', ''))) / 5.0)
+                * 100.0 / (length(text) + 1.0))
+         - 3.0*((length(text)
+                 - length(regexp_replace(text, '[0-9]', '', 'g')))
+                / (length(text) + 1.0))
+         + 0.6*((length(text) / (len(string_split(text, ' ')) + 1.0))
+                / 10.0)))), 6) AS score
+FROM documents
+""", doc="linear quality scoring at scan speed (operators/classifier.py:"
+         "lr_score): σ(w·x) as a pure column expression over the fixed "
+         "feature map — the deploy half of the trained classifier, "
+         "usable unchanged in a streaming select")
+def q_quality_lr_score(spark, sf_dir):
+    from .operators.classifier import doc_quality_features, lr_score
+    docs = _t(spark, sf_dir, "documents")
+    feats = doc_quality_features("text")
+    frame = docs.select(
+        "doc_id", F.lit(1.0).alias("x0"),
+        feats["x_len"].alias("x1"), feats["x_the"].alias("x2"),
+        feats["x_digit"].alias("x3"), feats["x_toklen"].alias("x4"))
+    scored = lr_score(frame, ["x0", "x1", "x2", "x3", "x4"],
+                      [-1.5, 0.8, 2.5, -3.0, 0.6])
+    return scored.select("doc_id", F.round("score", 6).alias("score"))

@@ -1,0 +1,91 @@
+"""Logistic-regression trainer: numpy parity, learning sanity, scoring."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from ai_incident_analyst_spark.operators.classifier import (
+    doc_quality_features,
+    lr_score,
+    lr_train,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _numpy_gd(x, y, iters, lr=1.0):
+    w = np.zeros(x.shape[1])
+    for _ in range(iters):
+        z = x @ w
+        err = 1.0 / (1.0 + np.exp(-z)) - y
+        w = w - lr * (x.T @ err) / len(y)
+    return w
+
+
+def _frame(spark, x, y):
+    rows = [tuple(float(v) for v in xi) + (float(yi),)
+            for xi, yi in zip(x, y)]
+    cols = [f"x{i}" for i in range(x.shape[1])]
+    return spark.createDataFrame(
+        rows, ", ".join(f"{c} double" for c in cols) + ", y double"), cols
+
+
+def test_lr_train_numpy_parity(spark):
+    rng = np.random.default_rng(17)
+    x = np.hstack([np.ones((200, 1)), rng.normal(size=(200, 3))])
+    true_w = np.array([0.3, 2.0, -1.5, 0.5])
+    y = (1 / (1 + np.exp(-(x @ true_w))) > 0.5).astype(float)
+    df, cols = _frame(spark, x, y)
+    got = lr_train(df, cols, "y", iterations=4, lr=1.0)
+    want = _numpy_gd(x, y, iters=4)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_lr_train_learns_separable_signal(spark):
+    rng = np.random.default_rng(5)
+    x1 = rng.normal(size=400)
+    y = (x1 > 0).astype(float)
+    x = np.hstack([np.ones((400, 1)), x1[:, None]])
+    df, cols = _frame(spark, x, y)
+    w = lr_train(df, cols, "y", iterations=20, lr=2.0)
+    assert w[1] > 1.0  # positive slope on the separating feature
+    scored = lr_score(df, cols, w)
+    got = scored.withColumn(
+        "hit", ((F.col("score") > 0.5).cast("double") == F.col("y"))
+        .cast("double")).agg(F.avg("hit")).first()[0]
+    assert got > 0.95
+
+
+def test_lr_train_deterministic_across_partitionings(spark):
+    rng = np.random.default_rng(9)
+    x = np.hstack([np.ones((150, 1)), rng.normal(size=(150, 2))])
+    y = rng.integers(0, 2, 150).astype(float)
+    df, cols = _frame(spark, x, y)
+    a = lr_train(df.repartition(1), cols, "y", iterations=3)
+    b = lr_train(df.repartition(11), cols, "y", iterations=3)
+    np.testing.assert_allclose(a, b, rtol=1e-9)
+
+
+def test_lr_score_validates_lengths(spark):
+    df = spark.createDataFrame([(1.0, 0.0)], "x0 double, y double")
+    with pytest.raises(ValueError):
+        lr_score(df, ["x0"], [1.0, 2.0])
+
+
+def test_lr_train_rejects_empty(spark):
+    df = spark.createDataFrame([], "x0 double, y double")
+    with pytest.raises(ValueError):
+        lr_train(df, ["x0"], "y")
+
+
+def test_doc_quality_features_bounded(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat 123"), (2, ""), (3, "xyz")],
+        "doc_id long, text string")
+    feats = doc_quality_features("text")
+    out = df.select(*[v.alias(k) for k, v in feats.items()]).collect()
+    for r in out:
+        for k in ("x_len", "x_digit"):
+            assert 0.0 <= r[k] <= 1.0
+        assert r["x_the"] >= 0.0 and r["x_toklen"] >= 0.0
