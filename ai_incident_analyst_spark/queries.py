@@ -4208,3 +4208,93 @@ def q_quality_lr_score(spark, sf_dir):
     scored = lr_score(frame, ["x0", "x1", "x2", "x3", "x4"],
                       [-1.5, 0.8, 2.5, -3.0, 0.6])
     return scored.select("doc_id", F.round("score", 6).alias("score"))
+
+
+# ===========================================================================
+# entity resolution — blocked fuzzy join
+# ===========================================================================
+
+@q("fuzzy_part_pairs", """
+WITH p AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS blk
+  FROM part),
+pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         levenshtein(a.p_name, b.p_name) AS dist
+  FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+SELECT dist, count(*) AS n_pairs,
+       count(DISTINCT id_a) AS n_left,
+       SUM(CAST(('0x' || substring(md5(md5(CAST(id_a AS VARCHAR))
+                                       || md5(CAST(id_b AS VARCHAR))), 1, 8))
+                AS BIGINT)) AS pair_hash_sum
+FROM pairs WHERE dist <= 2
+GROUP BY dist
+""", doc="entity resolution (operators/linkage.py:fuzzy_self_join): "
+         "blocked fuzzy self-join of product names — block on the noun "
+         "(last token), verify with JVM levenshtein <= 2. Blocking turns "
+         "O(n^2) all-pairs into sum-of-block^2 (the only 100 TB shape); "
+         "integer-exact distances make the pair set engine-portable, "
+         "value-checked via an order-insensitive 32-bit hash sum")
+def q_fuzzy_part_pairs(spark, sf_dir):
+    from .operators.linkage import fuzzy_self_join, last_token
+    part = _t(spark, sf_dir, "part")
+    pairs = fuzzy_self_join(part, "p_partkey", "p_name",
+                            last_token("p_name"), max_dist=2)
+    pk = F.md5(F.concat(F.md5(F.col("id_a").cast("string")),
+                        F.md5(F.col("id_b").cast("string"))))
+    return (
+        pairs.groupBy("dist")
+        .agg(F.count("*").alias("n_pairs"),
+             F.countDistinct("id_a").alias("n_left"),
+             F.sum(F.conv(F.substring(pk, 1, 8), 16, 10).cast("long"))
+              .alias("pair_hash_sum"))
+    )
+
+
+@q("triangle_items", """
+WITH clicks AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         ts, event_id
+  FROM events WHERE event_type = 'click'
+), seq AS (
+  SELECT item,
+         lead(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM clicks
+), canon AS (
+  SELECT DISTINCT least(item, nxt) AS u, greatest(item, nxt) AS v
+  FROM seq WHERE nxt IS NOT NULL AND least(item, nxt) < greatest(item, nxt)
+), tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM canon e1
+  JOIN canon e2 ON e2.u = e1.v
+  WHERE EXISTS (SELECT 1 FROM canon e3 WHERE e3.u = e1.u AND e3.v = e2.v)
+), corners AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris) GROUP BY node
+), nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT u AS node FROM canon UNION ALL SELECT v FROM canon))
+SELECT n.node, coalesce(c.n_triangles, 0) AS n_triangles
+FROM nodes n LEFT JOIN corners c ON c.node = n.node
+""", doc="per-node triangle counting (operators/graph.py:triangle_count) "
+         "over the undirected item-transition graph: canonical u<v "
+         "wedge join + closing-edge semi-join — each triangle found once, "
+         "integer-exact, hash-matched against a SQL twin")
+def q_triangle_items(spark, sf_dir):
+    from .operators.graph import triangle_count
+    clicks = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id",
+                F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+                "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        clicks.withColumn("nxt", F.lead("item").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("item").alias("src"), F.col("nxt").alias("dst"))
+    )
+    return triangle_count(edges)

@@ -101,6 +101,11 @@ HEADLINE = [
     "histogram_rollup_quantiles",
     "nrql_extended_where",
     "score_weighted_sample",
+    "pagerank_items",
+    "dup_span_removal",
+    "knn_pq",
+    "quality_lr_train",
+    "quality_lr_score",
 ]
 
 

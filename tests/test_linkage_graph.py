@@ -1,0 +1,73 @@
+"""fuzzy_self_join / fuzzy_join / triangle_count: hand-computed truths."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ai_incident_analyst_spark.operators.graph import triangle_count
+from ai_incident_analyst_spark.operators.linkage import (
+    fuzzy_join,
+    fuzzy_self_join,
+    last_token,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def test_fuzzy_self_join_blocks_and_verifies(spark):
+    df = spark.createDataFrame(
+        [(1, "cold widget"), (2, "bold widget"), (3, "cold gadget"),
+         (4, "warm widget"), (5, "cold widget")],
+        "id long, name string")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in fuzzy_self_join(df, "id", "name",
+                                    last_token("name"), max_dist=2).collect()}
+    # widget block: (1,2) dist 1; (1,4) dist 3 -> excluded; (2,4) dist 3
+    # -> excluded; (1,5) dist 0; (2,5) dist 1. gadget block: singleton.
+    assert got == {(1, 2): 1, (1, 5): 0, (2, 5): 1}
+
+
+def test_fuzzy_self_join_never_crosses_blocks(spark):
+    # identical names in different blocks are never compared
+    df = spark.createDataFrame(
+        [(1, "abc xx"), (2, "abc yy")], "id long, name string")
+    assert fuzzy_self_join(df, "id", "name", last_token("name"),
+                           max_dist=10).count() == 0
+
+
+def test_fuzzy_join_two_tables(spark):
+    left = spark.createDataFrame([(1, "acme corp"), (2, "zeta corp")],
+                                 "lid long, lname string")
+    right = spark.createDataFrame([(10, "acme corp"), (11, "acne corp"),
+                                   (12, "beta corp")],
+                                  "rid long, rname string")
+    got = {(r["lid"], r["rid"]): r["dist"]
+           for r in fuzzy_join(left, right, "lid", "rid", "lname", "rname",
+                               last_token("lname"), last_token("rname"),
+                               max_dist=1).collect()}
+    # zeta->beta is a single substitution, so (2, 12) matches too
+    assert got == {(1, 10): 0, (1, 11): 1, (2, 12): 1}
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["n_triangles"]
+            for r in triangle_count(df).collect()}
+
+
+def test_triangle_k4(spark):
+    # K4: 4 triangles, every node in exactly 3
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = _tri(spark, edges)
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_duplicates_directions_selfloops_ignored(spark):
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    got = _tri(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_free_graph_zeroes(spark):
+    got = _tri(spark, [(1, 2), (2, 3), (3, 4)])  # path: no triangles
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0}
