@@ -4298,3 +4298,45 @@ def q_triangle_items(spark, sf_dir):
         .select(F.col("item").alias("src"), F.col("nxt").alias("dst"))
     )
     return triangle_count(edges)
+
+
+# ===========================================================================
+# PCA — covariance accumulation + projection
+# ===========================================================================
+
+@q("pca_covariance", """
+WITH dims AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         CAST(unnest(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS v
+  FROM embeddings)
+SELECT a.pos AS i, b.pos AS j,
+       round(avg(a.v * b.v) - avg(a.v) * avg(b.v), 6) AS cov
+FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+GROUP BY 1, 2
+""", doc="one-pass distributed covariance (operators/pca.py:"
+         "covariance_stats): each partition emits (count, Σx, Σxxᵀ) — "
+         "one 1+d+d² row — driver folds and forms cov = E[xxᵀ] − μμᵀ. "
+         "Upper triangle hash-matched cell-by-cell against the SQL "
+         "identity avg(x_i·x_j) − avg(x_i)·avg(x_j); the eigen step on "
+         "top is pytest-verified (tests/test_pca.py)")
+def q_pca_covariance(spark, sf_dir):
+    from .operators.pca import covariance_stats
+    emb = _t(spark, sf_dir, "embeddings")
+    _, _, cov = covariance_stats(emb, "embedding")
+    d = cov.shape[0]
+    rows = [(i, j, round(float(cov[i, j]), 6))
+            for i in range(d) for j in range(i, d)]
+    return spark.createDataFrame(rows, "i int, j int, cov double")
+
+
+@q("pca_project", None,
+   doc="PCA projection to the top-4 components (operators/pca.py: "
+       "pca_fit + pca_project): broadcast (k,d) matrix + one Arrow pass, "
+       "no shuffle. Eigendecomposition is iterative FP → no SQL twin; "
+       "numpy parity, sign determinism, and variance ordering in "
+       "tests/test_pca.py")
+def q_pca_project(spark, sf_dir):
+    from .operators.pca import pca_fit, pca_project
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_fit(emb, "embedding", k=4)
+    return pca_project(emb, "vec_id", "embedding", mean, comps)

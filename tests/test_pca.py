@@ -1,0 +1,71 @@
+"""PCA: covariance parity vs numpy, eigen/projection invariants."""
+
+import numpy as np
+import pytest
+
+from ai_incident_analyst_spark.operators.pca import (
+    covariance_stats,
+    pca_fit,
+    pca_project,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _frame(spark, x, parts=4):
+    rows = [(i, [float(v) for v in xi]) for i, xi in enumerate(x)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(parts)
+
+
+def test_covariance_numpy_parity(spark):
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(120, 6)) @ rng.normal(size=(6, 6))
+    n, mean, cov = covariance_stats(_frame(spark, x), "embedding")
+    assert n == 120
+    np.testing.assert_allclose(mean, x.mean(axis=0), rtol=1e-12)
+    np.testing.assert_allclose(cov, np.cov(x.T, bias=True), rtol=1e-10)
+
+
+def test_covariance_partitioning_invariant(spark):
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(90, 5))
+    _, m1, c1 = covariance_stats(_frame(spark, x, parts=1), "embedding")
+    _, m2, c2 = covariance_stats(_frame(spark, x, parts=9), "embedding")
+    np.testing.assert_allclose(m1, m2, rtol=1e-12)
+    np.testing.assert_allclose(c1, c2, rtol=1e-10)
+
+
+def test_pca_recovers_dominant_axis(spark):
+    rng = np.random.default_rng(5)
+    # variance concentrated on a known direction
+    axis = np.array([3.0, 4.0, 0.0, 0.0]) / 5.0
+    x = (rng.normal(size=(300, 1)) * 10.0) @ axis[None, :] \
+        + rng.normal(size=(300, 4)) * 0.1
+    mean, comps, var = pca_fit(_frame(spark, x), "embedding", k=2)
+    # first component parallel to the planted axis
+    cosine = abs(float(comps[0] @ axis))
+    assert cosine > 0.999
+    assert var[0] > 50 * var[1]  # explained-variance ordering
+    # deterministic sign rule: largest-|coef| coordinate positive
+    for c in comps:
+        assert c[int(np.argmax(np.abs(c)))] > 0
+
+
+def test_pca_project_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(80, 6))
+    df = _frame(spark, x)
+    mean, comps, _ = pca_fit(df, "embedding", k=3)
+    got = {r["vec_id"]: np.array(r["pc"])
+           for r in pca_project(df, "vec_id", "embedding",
+                                mean, comps).collect()}
+    want = (x - mean) @ comps.T
+    for i in range(len(x)):
+        np.testing.assert_allclose(got[i], want[i], rtol=1e-10, atol=1e-12)
+
+
+def test_covariance_empty_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        covariance_stats(df, "embedding")
