@@ -106,6 +106,9 @@ HEADLINE = [
     "knn_pq",
     "quality_lr_train",
     "quality_lr_score",
+    "fuzzy_part_pairs",
+    "triangle_items",
+    "pca_covariance",
 ]
 
 
