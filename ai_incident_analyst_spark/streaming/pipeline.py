@@ -306,3 +306,22 @@ def streaming_index_dedup_sink(stream: DataFrame, index_path: str,
     if trigger_once:
         q = q.trigger(availableNow=True)
     return q.start()
+
+
+def streaming_cms_sink(stream: DataFrame, path: str, checkpoint: str,
+                       key_col: str, depth: int = 4, width: int = 1024):
+    """Streaming HEAVY HITTERS: maintain a Count-Min sketch
+    (``operators/sketch.cms_*``) incrementally — each micro-batch builds
+    its own ``(row, col, cnt)`` cells and merges them into the stored
+    sketch by summing matching cells. A dashboard answers "how many
+    times has key X occurred, ever" from ``path`` via ``cms_estimate``
+    in O(depth·width) regardless of stream volume — the per-key exact
+    counter table would be unbounded state; the sketch is a fixed
+    4 KB-ish table forever. Swap/retry protocol: ``_merge_swap_sink``.
+    """
+    from ..operators.sketch import cms_build, cms_merge
+
+    return _merge_swap_sink(
+        stream, path, checkpoint,
+        lambda b: cms_build(b, key_col, depth, width),
+        lambda stored, part: cms_merge(stored, part))

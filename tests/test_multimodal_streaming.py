@@ -301,3 +301,41 @@ def test_streaming_histogram_sink_matches_batch(spark):
         p95d = {r.g: r.est_quantile for r in histogram_sketch_quantile(
             direct, ["g"], 0.95, 0.0, 100.0, 200).collect()}
         assert p95s == p95d
+
+
+def test_streaming_cms_sink_matches_batch(spark):
+    """Incrementally-merged streaming CMS must equal the batch-built
+    sketch cell-for-cell, so point estimates match exactly."""
+    import tempfile
+
+    from ai_incident_analyst_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+    from ai_incident_analyst_spark.streaming.pipeline import streaming_cms_sink
+
+    rows = [(f"u{i % 37}",) for i in range(900)]
+    df = spark.createDataFrame(rows, "k string")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.repartition(3).write.parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(df.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in")
+        q = streaming_cms_sink(stream, f"{tmp}/sk", f"{tmp}/ck", "k",
+                               depth=4, width=256) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+        stored = spark.read.parquet(f"{tmp}/sk")
+        direct = cms_build(df, "k", depth=4, width=256)
+        a = {(r.row, r.col): r.cnt for r in stored.collect()}
+        b = {(r.row, r.col): r.cnt for r in direct.collect()}
+        assert a == b
+        probes = spark.createDataFrame([("u0",), ("u1",)], "k string")
+        est = {r.k: r.est_count for r in cms_estimate(
+            stored, probes, "k", depth=4, width=256).collect()}
+        # CMS never undercounts; with 37 keys in 256 columns collisions
+        # are unlikely, so the estimate equals the true count here
+        true = {k: sum(1 for (r,) in rows if r == k) for k in ("u0", "u1")}
+        for k in est:
+            assert est[k] >= true[k]
+            assert est[k] <= true[k] + 60
