@@ -175,3 +175,42 @@ def score_weighted_sample(df: DataFrame, key_col: str, score_col,
         F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
         1, 8), 16, 10).cast("long")
     return df.filter(h < thr)
+
+
+def weighted_sample_no_replacement(df: DataFrame, key_col: str,
+                                   weight_col, k: int,
+                                   strata_col: str | None = None,
+                                   salt: str = "wsk") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws an exponential jump
+    ``e = −ln(u)/w`` with ``u`` a hash-derived uniform in (0,1); the ``k``
+    smallest ``e`` per stratum (or globally) are the sample. Inclusion
+    probability is proportional to weight, no row can be drawn twice,
+    and — because ``u`` comes from ``md5(salt‖key)`` rather than an RNG —
+    the sample is reproducible, append-stable for surviving rows, and
+    partitioning-independent (the distributed form of the reservoir
+    variant: no sequential reservoir state, just a global/grouped top-k).
+
+    Rows with NULL/NaN/non-positive weights are excluded (a zero-weight
+    row must never be sampled; an undefined weight must not win by NaN
+    ordering). Ties (measure-zero on continuous keys) break by row key.
+
+    Plan shape: a narrow projection + one per-stratum window top-k —
+    WindowGroupLimit pushes the rank filter map-side, so a hot stratum
+    ships O(partitions·k), the same property as ``quota_sample``.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    wd = w.cast("double")
+    u = (F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+            1, 8), 16, 10).cast("double") + F.lit(1.0)) / F.lit(float(16 ** 8) + 1.0)
+    ekey = -F.log(u) / wd
+    part = [strata_col] if strata_col else [F.lit(1)]
+    win = Window.partitionBy(*part).orderBy(
+        ekey.asc(), F.col(key_col).asc())
+    return (
+        df.filter(wd.isNotNull() & ~F.isnan(wd) & (wd > 0))
+        .withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -4340,3 +4340,29 @@ def q_pca_project(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     mean, comps, _ = pca_fit(emb, "embedding", k=4)
     return pca_project(emb, "vec_id", "embedding", mean, comps)
+
+
+@q("weighted_sample_docs", """
+WITH keyed AS (
+  SELECT lang, doc_id,
+         -ln((CAST(('0x' || substring(md5('wsk' || CAST(doc_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) + 1.0)
+             / 4294967297.0) / n_chars AS ekey
+  FROM documents WHERE n_chars > 0)
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY ekey ASC, doc_id ASC) AS rk
+  FROM keyed) WHERE rk <= 50
+""", doc="weighted sampling WITHOUT replacement (operators/sampling.py:"
+         "weighted_sample_no_replacement, Efraimidis–Spirakis A-ES): "
+         "50 docs per language, inclusion odds ∝ n_chars, via "
+         "hash-derived exponential jumps −ln(u)/w — reproducible, "
+         "append-stable, no RNG state, one WindowGroupLimit-pushed "
+         "top-k; the distributed form of weighted reservoir sampling")
+def q_weighted_sample_docs(spark, sf_dir):
+    from .operators.sampling import weighted_sample_no_replacement
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return weighted_sample_no_replacement(
+        docs, "doc_id", "n_chars", k=50, strata_col="lang") \
+        .select("lang", "doc_id")

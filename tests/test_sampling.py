@@ -127,3 +127,47 @@ def test_score_weighted_sample_properties(spark):
     b = {r.id for r in score_weighted_sample(
         df.filter("id < 2000"), "id", "q").collect()}
     assert b == {i for i in a if i < 2000}
+
+
+# --- weighted sampling without replacement (A-ES) --------------------------
+
+def test_weighted_sample_proportional_and_stable(spark):
+    from ai_incident_analyst_spark.operators.sampling import (
+        weighted_sample_no_replacement,
+    )
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample_no_replacement(df, "id", "w", k=100)
+    ids = {r["id"] for r in got.collect()}
+    assert len(ids) == 100
+    # heavy rows (weight 100x) should be drawn near-completely
+    heavy = sum(1 for i in ids if i < 50)
+    assert heavy >= 40
+    # deterministic + partitioning-independent
+    again = {r["id"] for r in weighted_sample_no_replacement(
+        df.repartition(13), "id", "w", k=100).collect()}
+    assert ids == again
+
+
+def test_weighted_sample_excludes_bad_weights(spark):
+    from ai_incident_analyst_spark.operators.sampling import (
+        weighted_sample_no_replacement,
+    )
+    rows = [(1, 0.0), (2, -3.0), (3, None), (4, float("nan")), (5, 2.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {r["id"] for r in
+           weighted_sample_no_replacement(df, "id", "w", k=10).collect()}
+    assert got == {5}
+
+
+def test_weighted_sample_per_stratum_k(spark):
+    from ai_incident_analyst_spark.operators.sampling import (
+        weighted_sample_no_replacement,
+    )
+    rows = [(i, "a" if i % 2 else "b", 1.0 + i % 7) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    got = weighted_sample_no_replacement(df, "id", "w", k=30,
+                                         strata_col="g")
+    per = {r["g"]: r["n"] for r in
+           got.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert per == {"a": 30, "b": 30}
