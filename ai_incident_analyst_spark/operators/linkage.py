@@ -44,7 +44,7 @@ def fuzzy_self_join(df: DataFrame, id_col: str, text_col: str,
     ``(id_a, id_b, text_a, text_b, dist)``.
 
     Three result-preserving optimizations keep the verify stage cheap
-    (together 22× on 20k product names at sf0.1 — 51 s → 2.3 s):
+    (together 22× on 20k product names at sf0.1 — 51 s → 2.5 s):
 
     - **verify on DISTINCT texts, then expand**: edit distance is a
       function of the text pair, so the O(block²) Levenshtein work runs
@@ -83,7 +83,7 @@ def fuzzy_self_join(df: DataFrame, id_col: str, text_col: str,
     # matter which join side the planner builds: the checkpointed pair
     # table has unknown stats, so the planner streams it behind two
     # broadcasts and AQE coalesces it to ONE task otherwise (the whole
-    # 5.5M-row expansion ran serially; measured 11 s → 2.7 s at sf0.1)
+    # 5.5M-row expansion ran serially; measured 11 s → 2.5 s at sf0.1)
     tpairs = spread(tpairs, "txt_a")
     ma = side.select(F.col("id").alias("ia"), F.col("txt").alias("txt_a"))
     mb = side.select(F.col("id").alias("ib"), F.col("txt").alias("txt_b"))
