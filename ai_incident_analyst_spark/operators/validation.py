@@ -1,0 +1,144 @@
+"""Declarative data-quality validation (deequ/great-expectations style).
+
+A 100 TB ingest without automated expectation checks ships silent
+garbage; the reference validates its source exactly once by probing
+``SELECT count(*)`` (``src/ingestion/new_relic_fetcher.py:62-79``, the
+S2 probe) — this module is the grown-up version: a suite of typed
+expectations evaluated against a table, producing a machine-readable
+report frame a pipeline can gate on.
+
+Physical design: every row-local expectation (null-rate, range,
+accepted-values, uniqueness) compiles into ONE aggregation pass over the
+table — metrics are ``sum(when(...))``/``count``/``count_distinct``
+columns of a single ``agg()``, so the table is scanned once no matter
+how many checks run (the deequ "analyzer batching" idea restated in
+Catalyst). Referential-integrity checks need the other table and run as
+a LEFT ANTI join each — keyed shuffle, AQE-broadcast when the dimension
+fits. All metrics are exact counts/fractions of counts, so the report
+is engine-portable (an independent SQL twin hash-matches it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One expectation. ``kind`` ∈ {not_null, in_range, accepted_values,
+    unique, referential}; ``threshold`` is the max allowed violation
+    fraction (0.0 = hard expectation)."""
+    kind: str
+    column: str
+    threshold: float = 0.0
+    lo: Optional[float] = None
+    hi: Optional[float] = None
+    values: tuple = field(default_factory=tuple)
+    ref: Optional[DataFrame] = None
+    ref_column: Optional[str] = None
+
+
+def not_null(column: str, threshold: float = 0.0) -> Check:
+    return Check("not_null", column, threshold)
+
+
+def in_range(column: str, lo: float, hi: float,
+             threshold: float = 0.0) -> Check:
+    return Check("in_range", column, threshold, lo=lo, hi=hi)
+
+
+def accepted_values(column: str, values, threshold: float = 0.0) -> Check:
+    return Check("accepted_values", column, threshold,
+                 values=tuple(values))
+
+
+def unique(column: str) -> Check:
+    return Check("unique", column, 0.0)
+
+
+def referential(column: str, ref: DataFrame, ref_column: str,
+                threshold: float = 0.0) -> Check:
+    return Check("referential", column, threshold,
+                 ref=ref, ref_column=ref_column)
+
+
+def _frac(cond) -> F.Column:
+    # violation fraction among all rows; empty table -> 0.0 (vacuously ok)
+    n = F.count(F.lit(1))
+    return F.when(n == 0, F.lit(0.0)) \
+        .otherwise(F.sum(F.when(cond, 1).otherwise(0)) / n)
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate ``checks`` and return the report frame
+    ``(check, column, violation_frac, threshold, passed)``.
+
+    Row-local checks share one aggregation pass; each referential check
+    adds one anti-join job. ``violation_frac`` is rounded to 9 dp so the
+    report value is a stable function of exact integer counts.
+    """
+    spark = df.sparkSession
+    aggs = []
+    meta = []  # (kind, column, threshold) aligned with aggs
+    ref_checks = []
+    for c in checks:
+        col = F.col(c.column)
+        if c.kind == "not_null":
+            aggs.append(_frac(col.isNull()))
+        elif c.kind == "in_range":
+            aggs.append(_frac(col.isNull()
+                              | (col < F.lit(c.lo)) | (col > F.lit(c.hi))))
+        elif c.kind == "accepted_values":
+            vals = F.array(*[F.lit(v) for v in c.values])
+            aggs.append(_frac(col.isNull() | ~F.array_contains(vals, col)))
+        elif c.kind == "unique":
+            # duplicate fraction: rows beyond the first per value (NULLs
+            # count as violations — a unique key must be present)
+            n = F.count(F.lit(1))
+            dups = (n - F.count_distinct(col)
+                    + F.sum(F.when(col.isNull(), 1).otherwise(0)))
+            aggs.append(F.when(n == 0, F.lit(0.0)).otherwise(dups / n))
+        elif c.kind == "referential":
+            ref_checks.append(c)
+            continue
+        else:
+            raise ValueError(f"unknown check kind: {c.kind}")
+        meta.append((c.kind, c.column, c.threshold))
+    aggs = [a.alias(f"m{i}") for i, a in enumerate(aggs)]
+
+    rows = []
+    if aggs:
+        r = df.agg(*aggs).first()
+        for i, (kind, column, thr) in enumerate(meta):
+            v = float(r[f"m{i}"] or 0.0)
+            rows.append((kind, column, round(v, 9), thr, v <= thr))
+    for c in ref_checks:
+        n = df.count()
+        orphans = (
+            df.select(F.col(c.column).alias("__k"))
+            .filter(F.col("__k").isNotNull())
+            .join(c.ref.select(F.col(c.ref_column).alias("__k")),
+                  "__k", "left_anti")
+            .count()
+        )
+        v = (orphans / n) if n else 0.0
+        rows.append(("referential", c.column, round(v, 9), c.threshold,
+                     v <= c.threshold))
+    return spark.createDataFrame(
+        rows, "check string, column string, violation_frac double, "
+              "threshold double, passed boolean")
+
+
+def assert_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Gate form: raise with the failing report rows if any check fails;
+    return the report otherwise — the pattern for a pipeline stage
+    boundary (validate-then-proceed)."""
+    report = run_checks(df, checks)
+    failed = [r.asDict() for r in report.filter(~F.col("passed")).collect()]
+    if failed:
+        raise ValueError(f"data-quality checks failed: {failed}")
+    return report

@@ -4366,3 +4366,119 @@ def q_weighted_sample_docs(spark, sf_dir):
     return weighted_sample_no_replacement(
         docs, "doc_id", "n_chars", k=50, strata_col="lang") \
         .select("lang", "doc_id")
+
+
+# ===========================================================================
+# data-quality validation report (deequ-style expectations)
+# ===========================================================================
+
+@q("dq_report_orders", """
+WITH m AS (
+  SELECT
+    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      / count(*) AS nn_frac,
+    CAST(count(*) - count(DISTINCT o_orderkey)
+         + sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      / count(*) AS uq_frac,
+    CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 500
+                    OR o_totalprice > 600000 THEN 1 ELSE 0 END) AS DOUBLE)
+      / count(*) AS rg_frac,
+    CAST(sum(CASE WHEN o_orderstatus IS NULL
+                    OR o_orderstatus NOT IN ('O', 'F', 'P')
+             THEN 1 ELSE 0 END) AS DOUBLE)
+      / count(*) AS av_frac,
+    count(*) AS n
+  FROM orders),
+r AS (
+  SELECT CAST(count(*) AS DOUBLE) AS orphans
+  FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey))
+SELECT * FROM (
+  SELECT 'not_null' AS check, 'o_orderkey' AS column,
+         round(nn_frac, 9) AS violation_frac,
+         CAST(0.0 AS DOUBLE) AS threshold,
+         nn_frac <= 0.0 AS passed FROM m
+  UNION ALL
+  SELECT 'in_range', 'o_totalprice', round(rg_frac, 9),
+         CAST(0.0 AS DOUBLE), rg_frac <= 0.0 FROM m
+  UNION ALL
+  SELECT 'accepted_values', 'o_orderstatus', round(av_frac, 9),
+         CAST(0.0 AS DOUBLE), av_frac <= 0.0 FROM m
+  UNION ALL
+  SELECT 'unique', 'o_orderkey', round(uq_frac, 9),
+         CAST(0.0 AS DOUBLE), uq_frac <= 0.0 FROM m
+  UNION ALL
+  SELECT 'referential', 'o_custkey', round(r.orphans / m.n, 9),
+         CAST(0.0 AS DOUBLE), r.orphans / m.n <= 0.0 FROM r, m)
+""", doc="declarative data-quality expectations (operators/"
+         "validation.py:run_checks, the deequ analyzer-batching idea): "
+         "null-rate / range / accepted-values / uniqueness compile into "
+         "ONE aggregation pass regardless of check count; referential "
+         "integrity is one anti-join (AQE-broadcast when the dim fits). "
+         "Exact integer-count fractions — the report hash-matches an "
+         "independent SQL twin")
+def q_dq_report_orders(spark, sf_dir):
+    from .operators.validation import (
+        accepted_values,
+        in_range,
+        not_null,
+        referential,
+        run_checks,
+        unique,
+    )
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return run_checks(orders, [
+        not_null("o_orderkey"),
+        in_range("o_totalprice", 500, 600000),
+        accepted_values("o_orderstatus", ["O", "F", "P"]),
+        unique("o_orderkey"),
+        referential("o_custkey", customer, "c_custkey"),
+    ])
+
+
+@q("snapshot_diff_orders", """
+WITH old AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+new AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN round(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 83 = 0),
+o AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p FROM old),
+n AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p FROM new),
+d AS (
+  SELECT coalesce(o.k, n.k) AS k,
+         CASE WHEN o.k IS NULL THEN 'added'
+              WHEN n.k IS NULL THEN 'removed'
+              WHEN o.c IS DISTINCT FROM n.c
+                OR o.p IS DISTINCT FROM n.p THEN 'changed' END AS change
+  FROM o FULL OUTER JOIN n ON o.k = n.k)
+SELECT change, count(*) AS n FROM d WHERE change IS NOT NULL
+GROUP BY change
+""", doc="table snapshot diff (operators/diff.py:table_diff / "
+         "diff_summary): one full-outer join on the key + null-safe "
+         "struct comparison — the pipeline regression gate (diff the "
+         "candidate output against the blessed snapshot) and the "
+         "MERGE/compaction byte-identity audit. Exact counts, SQL twin")
+def q_snapshot_diff_orders(spark, sf_dir):
+    from .operators.diff import diff_summary
+    orders = _t(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    changed_price = F.when(
+        F.col("o_orderkey") % 89 == 0,
+        F.round(F.col("o_totalprice") * 1.1, 2)).otherwise(
+        F.col("o_totalprice"))
+    new = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn("o_totalprice", changed_price)
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 83 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 10000000))
+    )
+    return diff_summary(orders, new, ["o_orderkey"])

@@ -1,0 +1,85 @@
+"""Data-quality expectation suite: hand-computed violation fractions."""
+
+import pytest
+
+from ai_incident_analyst_spark.operators.validation import (
+    accepted_values,
+    assert_checks,
+    in_range,
+    not_null,
+    referential,
+    run_checks,
+    unique,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _report(df, checks):
+    return {(r["check"], r["column"]): (r["violation_frac"], r["passed"])
+            for r in run_checks(df, checks).collect()}
+
+
+def test_row_local_checks(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, 50.0, "b"), (None, -1.0, "c"), (2, None, "a")],
+        "id long, v double, s string")
+    got = _report(df, [
+        not_null("id"),
+        in_range("v", 0.0, 10.0),
+        accepted_values("s", ["a", "b"]),
+        unique("id"),
+    ])
+    assert got[("not_null", "id")] == (0.25, False)
+    # v violations: 50.0 out of range, -1.0 out of range, NULL -> 3/4
+    assert got[("in_range", "v")] == (0.75, False)
+    assert got[("accepted_values", "s")] == (0.25, False)
+    # ids: [1, 2, None, 2] -> 4 rows, 2 distinct non-null, 1 null
+    # dups = 4 - 2 + 1 = 3?? no: count_distinct ignores null -> 2;
+    # (4 - 2) counts the null row once as duplicate, +1 for the null
+    # violation -> 3/4
+    assert got[("unique", "id")] == (0.75, False)
+
+
+def test_passing_table(spark):
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    got = _report(df, [not_null("id"), unique("id"),
+                       in_range("v", 0.0, 5.0)])
+    assert all(p for _, p in got.values())
+    assert all(v == 0.0 for v, _ in got.values())
+
+
+def test_referential_orphans(spark):
+    fact = spark.createDataFrame([(1,), (2,), (3,), (None,)], "k long")
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    got = _report(fact, [referential("k", dim, "k", threshold=0.3)])
+    # one orphan (3) out of 4 rows; NULL fk is not an orphan here
+    assert got[("referential", "k")] == (0.25, True)
+
+
+def test_threshold_tolerance(spark):
+    df = spark.createDataFrame([(1,), (None,), (2,), (3,)], "id long")
+    got = _report(df, [not_null("id", threshold=0.5)])
+    assert got[("not_null", "id")] == (0.25, True)
+
+
+def test_assert_checks_raises_with_failures(spark):
+    df = spark.createDataFrame([(None,)], "id long")
+    with pytest.raises(ValueError, match="not_null"):
+        assert_checks(df, [not_null("id")])
+    ok = spark.createDataFrame([(1,)], "id long")
+    assert assert_checks(ok, [not_null("id")]).count() == 1
+
+
+def test_empty_table_vacuously_passes(spark):
+    df = spark.createDataFrame([], "id long, v double")
+    got = _report(df, [not_null("id"), unique("id"),
+                       in_range("v", 0.0, 1.0)])
+    assert all(p for _, p in got.values())
+
+
+def test_unknown_kind_rejected(spark):
+    from ai_incident_analyst_spark.operators.validation import Check
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="unknown check"):
+        run_checks(df, [Check("bogus", "id")])
