@@ -4482,3 +4482,53 @@ def q_snapshot_diff_orders(spark, sf_dir):
             .withColumn("o_orderkey", F.col("o_orderkey") + 10000000))
     )
     return diff_summary(orders, new, ["o_orderkey"])
+
+
+# ===========================================================================
+# retrieval evaluation — recall@k / MRR of ANN vs exact ground truth
+# ===========================================================================
+
+_ANN_EVAL_SQL = f"""
+WITH exact AS (SELECT * FROM ({{exact}})),
+approx AS (SELECT * FROM ({{approx}})),
+er AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY distance ASC, vec_id ASC) AS rk
+  FROM exact),
+ar AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY distance ASC, vec_id ASC) AS rk
+  FROM approx),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hit
+  FROM er e JOIN ar a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY 1),
+top1 AS (
+  SELECT e.query_id, a.rk AS rk1
+  FROM er e LEFT JOIN ar a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  WHERE e.rk = 1)
+SELECT q.query_id,
+       round(coalesce(h.n_hit, 0) / 5.0, 6) AS recall_at_k,
+       round(coalesce(1.0 / t.rk1, 0.0), 6) AS mrr
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+LEFT JOIN top1 t ON t.query_id = q.query_id
+"""
+
+@q("ann_recall_pq",
+   _ANN_EVAL_SQL.format(exact=REGISTRY["knn_l2"].sql,
+                        approx=REGISTRY["knn_pq"].sql),
+   doc="ANN quality as a query (operators/evaluation.py:"
+       "retrieval_metrics): per-query recall@5 and MRR of the PQ index "
+       "vs the exact scan — the nightly index-drift alert a production "
+       "ANN deployment runs. Pure joins+windows over the two top-k "
+       "frames; exact rationals, hash-matched by a twin that composes "
+       "the knn_l2 and knn_pq oracles verbatim")
+def q_ann_recall_pq(spark, sf_dir):
+    from .operators.evaluation import retrieval_metrics
+    exact = REGISTRY["knn_l2"].fn(spark, sf_dir)
+    approx = REGISTRY["knn_pq"].fn(spark, sf_dir)
+    return retrieval_metrics(approx, exact, k=5)

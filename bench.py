@@ -109,6 +109,10 @@ HEADLINE = [
     "fuzzy_part_pairs",
     "triangle_items",
     "pca_covariance",
+    "weighted_sample_docs",
+    "dq_report_orders",
+    "snapshot_diff_orders",
+    "ann_recall_pq",
 ]
 
 

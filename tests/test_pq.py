@@ -84,3 +84,24 @@ def test_encode_deterministic_across_partitionings(spark):
     assert a == b
     # zero-error corpus: every code must reproduce the picked codeword
     assert all(len(c) == M for c in a.values())
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    from ai_incident_analyst_spark.operators.evaluation import (
+        retrieval_metrics,
+    )
+    # exact top-3 for q1: items 1,2,3 (dist 1,2,3); approx returns 2,1,9
+    exact = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 2.0), (1, 3, 3.0),
+         (2, 7, 1.0), (2, 8, 2.0), (2, 9, 3.0)],
+        "query_id long, vec_id long, distance double")
+    approx = spark.createDataFrame(
+        [(1, 2, 1.5), (1, 1, 2.5), (1, 9, 3.5),
+         (2, 4, 1.0), (2, 5, 2.0), (2, 6, 3.0)],
+        "query_id long, vec_id long, distance double")
+    got = {r["query_id"]: (r["recall_at_k"], r["mrr"])
+           for r in retrieval_metrics(approx, exact, k=3).collect()}
+    # q1: hits {1,2} -> recall 2/3; true top-1 (item 1) at approx rank 2
+    assert got[1] == (round(2 / 3, 6), 0.5)
+    # q2: no overlap -> recall 0, mrr 0
+    assert got[2] == (0.0, 0.0)
