@@ -4532,3 +4532,35 @@ def q_ann_recall_pq(spark, sf_dir):
     exact = REGISTRY["knn_l2"].fn(spark, sf_dir)
     approx = REGISTRY["knn_pq"].fn(spark, sf_dir)
     return retrieval_metrics(approx, exact, k=5)
+
+
+@q("scd2_user_state", """
+WITH resolved AS (
+  SELECT user_id, ts, event_type FROM (
+    SELECT user_id, ts, event_type,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events) WHERE rn = 1),
+collapsed AS (
+  SELECT user_id, ts, event_type FROM (
+    SELECT user_id, ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    FROM resolved)
+  WHERE prev IS NULL OR prev IS DISTINCT FROM event_type)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         AS is_current
+FROM collapsed
+""", doc="SCD type-2 dimension assembly (operators/scd.py:scd2_apply): "
+         "per-user event-type state history as [valid_from, valid_to) "
+         "versions with no-op collapse and last-arrival-wins instant "
+         "ties — pure windows sharing one (key, ts) sort, one keyed "
+         "shuffle; the point-in-time join side of the reference's "
+         "append-only history sink (llm_processor.py:70-84)")
+def q_scd2_user_state(spark, sf_dir):
+    from .operators.scd import scd2_apply
+    ev = _t(spark, sf_dir, "events") \
+        .select("user_id", "ts", "event_type", "event_id")
+    return scd2_apply(ev, "user_id", "ts", ["event_type"],
+                      order_col="event_id")
