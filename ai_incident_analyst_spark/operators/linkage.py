@@ -24,7 +24,7 @@ Self-join mode emits each unordered pair once (``id_a < id_b``).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .util import spread
@@ -133,4 +133,48 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
         .filter(F.col("dist") >= 0)
         .select(F.col("lid").alias(left_id), F.col("rid").alias(right_id),
                 "dist")
+    )
+
+
+def soundex_blocker(col: Column | str) -> Column:
+    """Phonetic blocker (JVM ``soundex``): catches sound-alike spelling
+    variants ("Smyth"/"Smith") that token/prefix blockers miss. No
+    engine-portable SQL twin (DuckDB has no soundex) — pair results
+    using this blocker are pytest-verified instead."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.soundex(c)
+
+
+def sorted_neighborhood_pairs(df: DataFrame, id_col: str, text_col: str,
+                              sort_key: Column, window: int = 5,
+                              max_dist: int = 2) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández–Stolfo): order the corpus
+    by a sort key, compare each row only to the next ``window−1`` rows,
+    verify with banded Levenshtein. The classic alternative to key
+    blocking when near-matches share a prefix but no exact block value —
+    candidate volume is O(n·window) by construction, independent of
+    block-size skew.
+
+    The global rank is a two-phase range sort (Spark's SortExec handles
+    the distribution); the neighborhood expansion is ``lead`` columns
+    over the same sort — no self-join on rank. Returns
+    ``(id_a, id_b, dist)`` with the pair ordered by rank (a before b).
+    """
+    base = df.select(F.col(id_col).alias("ia"),
+                     F.col(text_col).alias("ta"),
+                     sort_key.alias("__sk"))
+    w = Window.orderBy(F.col("__sk").asc(), F.col("ia").asc())
+    neigh = F.array(*[
+        F.struct(F.lead("ia", j).over(w).alias("ib"),
+                 F.lead("ta", j).over(w).alias("tb"))
+        for j in range(1, window)
+    ])
+    lev = F.levenshtein(F.col("ta"), F.col("n.tb"), max_dist)
+    return (
+        base.withColumn("n", F.explode(neigh))
+        .filter(F.col("n.ib").isNotNull())
+        .filter(F.abs(F.length("ta") - F.length("n.tb")) <= max_dist)
+        .select(F.col("ia").alias("id_a"), F.col("n.ib").alias("id_b"),
+                lev.alias("dist"))
+        .filter(F.col("dist") >= 0)
     )

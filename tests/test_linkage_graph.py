@@ -71,3 +71,41 @@ def test_triangle_duplicates_directions_selfloops_ignored(spark):
 def test_triangle_free_graph_zeroes(spark):
     got = _tri(spark, [(1, 2), (2, 3), (3, 4)])  # path: no triangles
     assert got == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_soundex_blocker_pairs_soundalikes(spark):
+    from ai_incident_analyst_spark.operators.linkage import (
+        fuzzy_self_join,
+        soundex_blocker,
+    )
+    df = spark.createDataFrame(
+        [(1, "smith"), (2, "smyth"), (3, "jones")], "id long, name string")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in fuzzy_self_join(df, "id", "name",
+                                    soundex_blocker("name"),
+                                    max_dist=2).collect()}
+    assert got == {(1, 2): 1}
+
+
+def test_sorted_neighborhood_window(spark):
+    from pyspark.sql import functions as F
+    from ai_incident_analyst_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+    # sorted by name: abc1, abc2, abd9, xyz — window 2 compares only
+    # adjacent rows in sort order
+    df = spark.createDataFrame(
+        [(1, "abc1"), (2, "abc2"), (3, "abd9"), (4, "xyzq")],
+        "id long, name string")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in sorted_neighborhood_pairs(
+               df, "id", "name", F.col("name"), window=2,
+               max_dist=2).collect()}
+    # adjacent: (1,2) dist 1; (2,3) dist 2; (3,4) dist 4 -> out
+    assert got == {(1, 2): 1, (2, 3): 2}
+    # window 3 additionally compares (1,3): b->d and 1->9 = dist 2
+    got3 = {(r["id_a"], r["id_b"]): r["dist"]
+            for r in sorted_neighborhood_pairs(
+                df, "id", "name", F.col("name"), window=3,
+                max_dist=2).collect()}
+    assert got3 == {(1, 2): 1, (2, 3): 2, (1, 3): 2}
