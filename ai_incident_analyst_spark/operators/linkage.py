@@ -164,14 +164,23 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str, text_col: str,
                      F.col(text_col).alias("ta"),
                      sort_key.alias("__sk"))
     w = Window.orderBy(F.col("__sk").asc(), F.col("ia").asc())
+    # window exprs must sit at the top level of a projection; build the
+    # lead columns first, the neighbor array in a second select
+    leads = base.select(
+        "ia", "ta",
+        *[F.lead("ia", j).over(w).alias(f"__ib{j}")
+          for j in range(1, window)],
+        *[F.lead("ta", j).over(w).alias(f"__tb{j}")
+          for j in range(1, window)],
+    )
     neigh = F.array(*[
-        F.struct(F.lead("ia", j).over(w).alias("ib"),
-                 F.lead("ta", j).over(w).alias("tb"))
+        F.struct(F.col(f"__ib{j}").alias("ib"),
+                 F.col(f"__tb{j}").alias("tb"))
         for j in range(1, window)
     ])
     lev = F.levenshtein(F.col("ta"), F.col("n.tb"), max_dist)
     return (
-        base.withColumn("n", F.explode(neigh))
+        leads.withColumn("n", F.explode(neigh))
         .filter(F.col("n.ib").isNotNull())
         .filter(F.abs(F.length("ta") - F.length("n.tb")) <= max_dist)
         .select(F.col("ia").alias("id_a"), F.col("n.ib").alias("id_b"),
