@@ -155,35 +155,31 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str, text_col: str,
     candidate volume is O(n·window) by construction, independent of
     block-size skew.
 
-    The global rank is a two-phase range sort (Spark's SortExec handles
-    the distribution); the neighborhood expansion is ``lead`` columns
-    over the same sort — no self-join on rank. Returns
-    ``(id_a, id_b, dist)`` with the pair ordered by rank (a before b).
+    The global rank comes from ``packing.global_cumsum`` (range shuffle +
+    per-partition window + broadcast offsets — never a single-task
+    global sort); neighborhoods are one integer equi-join of each row
+    against its next ``window−1`` ranks. Returns ``(id_a, id_b, dist)``
+    with the pair ordered by rank (a before b).
     """
+    from .packing import global_cumsum
+
     base = df.select(F.col(id_col).alias("ia"),
                      F.col(text_col).alias("ta"),
-                     sort_key.alias("__sk"))
-    w = Window.orderBy(F.col("__sk").asc(), F.col("ia").asc())
-    # window exprs must sit at the top level of a projection; build the
-    # lead columns first, the neighbor array in a second select
-    leads = base.select(
+                     F.struct(sort_key, F.col(id_col)).alias("__sk"),
+                     F.lit(1).alias("__one"))
+    ranked = global_cumsum(base, "__sk", "__one", out_col="__rank") \
+        .drop("__sk", "__one").localCheckpoint(eager=False)
+    probes = ranked.select(
         "ia", "ta",
-        *[F.lead("ia", j).over(w).alias(f"__ib{j}")
-          for j in range(1, window)],
-        *[F.lead("ta", j).over(w).alias(f"__tb{j}")
-          for j in range(1, window)],
-    )
-    neigh = F.array(*[
-        F.struct(F.col(f"__ib{j}").alias("ib"),
-                 F.col(f"__tb{j}").alias("tb"))
-        for j in range(1, window)
-    ])
-    lev = F.levenshtein(F.col("ta"), F.col("n.tb"), max_dist)
+        F.explode(F.array(*[F.col("__rank") + F.lit(j)
+                            for j in range(1, window)])).alias("__tr"))
+    right = ranked.select(F.col("ia").alias("ib"), F.col("ta").alias("tb"),
+                          F.col("__rank").alias("__tr"))
+    lev = F.levenshtein(F.col("ta"), F.col("tb"), max_dist)
     return (
-        leads.withColumn("n", F.explode(neigh))
-        .filter(F.col("n.ib").isNotNull())
-        .filter(F.abs(F.length("ta") - F.length("n.tb")) <= max_dist)
-        .select(F.col("ia").alias("id_a"), F.col("n.ib").alias("id_b"),
+        probes.join(right, "__tr")
+        .filter(F.abs(F.length("ta") - F.length("tb")) <= max_dist)
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"),
                 lev.alias("dist"))
         .filter(F.col("dist") >= 0)
     )
