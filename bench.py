@@ -113,6 +113,7 @@ HEADLINE = [
     "dq_report_orders",
     "snapshot_diff_orders",
     "ann_recall_pq",
+    "scd2_user_state",
 ]
 
 
