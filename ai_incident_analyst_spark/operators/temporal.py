@@ -17,7 +17,7 @@ partitioning, so Catalyst plans ONE shuffle and sorts once.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -178,4 +178,30 @@ def anomalous_buckets(df: DataFrame, key: str, ts_col: str = "ts",
         n.alias("baseline_n"),
         ((n >= min_baseline) & (dev > 0) & (dev * dev > z * z * var_n2))
         .alias("is_anomaly"),
+    )
+
+
+def decayed_agg(df: DataFrame, key: str, ts_col: str, value_col: str,
+                half_life_seconds: float, ref_ts) -> DataFrame:
+    """Recency-weighted sum per key: ``Σ value · 0.5^(Δt / half_life)``
+    with Δt measured back from ``ref_ts`` (a literal timestamp or
+    column) — the standard exponential-decay score behind "recent
+    activity" rankings and decayed feature aggregations (the streaming-
+    friendly alternative to a sliding window: one scan, no window state,
+    and two stores decay-merge by aligning their reference times).
+
+    A pure aggregation: one keyed shuffle with map-side partial sums;
+    deterministic given a fixed ``ref_ts`` (pass the corpus max or a
+    checkpoint time, never wall-clock now()).
+    """
+    ref = F.lit(ref_ts).cast("timestamp") if not isinstance(ref_ts, Column) \
+        else ref_ts
+    # cast-to-double epoch keeps sub-second precision (unix_timestamp
+    # truncates to whole seconds and drifts the decay weight)
+    dt = ref.cast("double") - F.col(ts_col).cast("double")
+    w = F.pow(F.lit(0.5), dt / F.lit(float(half_life_seconds)))
+    return (
+        df.groupBy(key)
+        .agg(F.sum(F.col(value_col).cast("double") * w)
+             .alias("decayed_sum"))
     )

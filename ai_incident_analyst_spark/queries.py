@@ -4564,3 +4564,27 @@ def q_scd2_user_state(spark, sf_dir):
         .select("user_id", "ts", "event_type", "event_id")
     return scd2_apply(ev, "user_id", "ts", ["event_type"],
                       order_col="event_id")
+
+
+@q("decayed_user_value", """
+WITH ref AS (SELECT max(ts) AS r FROM events)
+SELECT user_id,
+       round(sum(value * power(0.5,
+             (epoch(ref.r) - epoch(ts)) / 604800.0)), 6) AS decayed_sum
+FROM events, ref
+WHERE event_type = 'purchase'
+GROUP BY user_id
+""", doc="exponential-decay recency aggregation (operators/temporal.py:"
+         "decayed_agg): per-user purchase value with a 7-day half-life "
+         "anchored at the corpus max ts — one keyed map-side-combined "
+         "aggregation, no window state; the decayed-feature primitive "
+         "recommendation/alerting pipelines maintain")
+def q_decayed_user_value(spark, sf_dir):
+    from .operators.temporal import decayed_agg
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts")).first()[0]
+    out = decayed_agg(ev.filter(F.col("event_type") == "purchase"),
+                      "user_id", "ts", "value",
+                      half_life_seconds=604800.0, ref_ts=ref)
+    return out.select("user_id", F.round("decayed_sum", 6)
+                      .alias("decayed_sum"))

@@ -1,5 +1,7 @@
 """As-of join + sessionization tests with hand-computed expectations."""
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -107,3 +109,22 @@ def test_range_join_no_nested_loop_plan(spark):
     joined = range_join(left, right, "ts", "win_start", "win_end", key="k")
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# --- exponential-decay recency aggregation ---------------------------------
+
+def test_decayed_agg_hand_computed(spark):
+    from datetime import datetime
+
+    from ai_incident_analyst_spark.operators.temporal import decayed_agg
+
+    rows = [(1, datetime(2024, 1, 8), 10.0),   # exactly one half-life back
+            (1, datetime(2024, 1, 15), 4.0),   # at the reference: weight 1
+            (2, datetime(2024, 1, 1), 8.0)]    # two half-lives back
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = {r["k"]: r["decayed_sum"]
+           for r in decayed_agg(df, "k", "ts", "v",
+                                half_life_seconds=7 * 86400.0,
+                                ref_ts=datetime(2024, 1, 15)).collect()}
+    assert out[1] == pytest.approx(10.0 * 0.5 + 4.0, rel=1e-12)
+    assert out[2] == pytest.approx(8.0 * 0.25, rel=1e-12)
