@@ -450,25 +450,7 @@ def pq_train_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
         .collect()
     )
     x = np.array([r["v"] for r in rows], dtype=np.float64)
-    d = x.shape[1]
-    if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    dsub = d // m
-    if len(x) < kc:
-        raise ValueError(f"kc={kc} exceeds sample size {len(x)}")
-    books = np.empty((m, kc, dsub))
-    for j in range(m):
-        sub = x[:, j * dsub:(j + 1) * dsub]
-        c = sub[:kc].copy()  # hash-order-first init, deterministic
-        for _ in range(iters):
-            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(d2, axis=1)  # ties → lowest code, np semantics
-            for ci in range(kc):
-                pts = sub[a == ci]
-                if len(pts):
-                    c[ci] = pts.mean(axis=0)
-        books[j] = c
-    return books
+    return _pq_lloyd(x, m, kc, iters)
 
 
 def pq_encode(df: DataFrame, id_col: str, vec_col: str, codebooks) -> DataFrame:
@@ -576,6 +558,171 @@ def pq_knn_join(queries: DataFrame, corpus: DataFrame, codebooks,
         .sortWithinPartitions(corpus_id)
         .mapInPandas(scan, schema=out_schema)
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vec_id", "distance")
+    )
+
+
+def _pq_lloyd(x, m: int, kc: int, iters: int):
+    """Driver-side Lloyd per subspace over a sample matrix — the shared
+    trainer behind ``pq_train_codebooks`` (raw corpus) and
+    ``ivfpq_knn_join`` (cell residuals)."""
+    import numpy as np
+
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    if len(x) < kc:
+        raise ValueError(f"kc={kc} exceeds sample size {len(x)}")
+    books = np.empty((m, kc, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        c = sub[:kc].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for ci in range(kc):
+                pts = sub[a == ci]
+                if len(pts):
+                    c[ci] = pts.mean(axis=0)
+        books[j] = c
+    return books
+
+
+def ivfpq_knn_join(queries: DataFrame, corpus: DataFrame,
+                   centroids: DataFrame, k: int = 5, nprobe: int = 2,
+                   m: int = 4, kc: int = 16, train_sample: int = 2048,
+                   train_iters: int = 8,
+                   query_id: str = "query_id", query_vec: str = "query_vec",
+                   corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+                   centroid_id: str = "centroid_id",
+                   centroid_vec: str = "centroid") -> DataFrame:
+    """IVF-PQ (the FAISS ``IVFADC`` composition): coarse cells prune the
+    corpus, PQ codes of the RESIDUAL ``x − centroid(x)`` compress what
+    remains, and queries score candidates in the compressed domain via
+    per-(query, probed-cell) lookup tables — ‖q−x‖² ≈ ‖(q−c) − pq(x−c)‖².
+
+    The billion-vector recipe end to end: scan volume is the code bytes,
+    the corpus is assigned+encoded in ONE Arrow pass and never shuffled
+    before the candidate-only top-k window; query LUTs are
+    |Q|·nprobe·m·kc doubles, broadcast. Codebooks train on a bounded
+    hash-ordered residual sample (the ``pq_train_codebooks`` contract).
+
+    The two halves are independently SQL-oracle-checked in the registry
+    (``knn_ivf``: assign/probe/re-rank; ``knn_pq``: encode/ADC); the
+    composition carries recall/exactness pytest proofs instead.
+    """
+    import numpy as np
+
+    ids, mat, ctype = _centroid_arrays(centroids, centroid_id, centroid_vec)
+
+    # --- train codebooks on a bounded residual sample -----------------
+    sample = (
+        corpus.select(F.col(corpus_id).cast("string").alias("i"),
+                      F.col(corpus_vec).cast("array<double>").alias("v"))
+        .withColumn("__h", F.md5(F.col("i")))
+        .orderBy("__h", "i")
+        .limit(train_sample)
+        .select("v")
+        .collect()
+    )
+    xs = np.array([r["v"] for r in sample], dtype=np.float64)
+    cmat = np.asarray(mat, dtype=np.float64)
+    cn2 = (cmat * cmat).sum(axis=1)
+    assign = np.argmin(cn2[None, :] - 2.0 * (xs @ cmat.T), axis=1)
+    books = _pq_lloyd(xs - cmat[assign], m, kc, train_iters)
+    dsub = books.shape[2]
+
+    sc = corpus.sparkSession.sparkContext
+    bb = sc.broadcast((ids, cmat, books))
+
+    # --- corpus: assign + residual-encode in one Arrow pass -----------
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_, c, bk = bb.value
+        cn2_ = (c * c).sum(axis=1)
+        bn2 = (bk * bk).sum(axis=2)  # (m, kc)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf["__cv"]), dtype=np.float64)
+            cell_rows = np.argmin(cn2_[None, :] - 2.0 * (x @ c.T), axis=1)
+            res = x - c[cell_rows]
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                sub = res[:, j * dsub:(j + 1) * dsub]
+                codes[:, j] = np.argmin(
+                    bn2[j][None, :] - 2.0 * (sub @ bk[j].T), axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "__cell": ids_[cell_rows],
+                                "code": list(codes)})
+
+    encoded = (
+        spread(corpus.select(F.col(corpus_id).alias("vec_id"),
+                             F.col(corpus_vec).cast("array<double>")
+                             .alias("__cv")), "vec_id")
+        .sortWithinPartitions("vec_id")
+        .mapInPandas(enc, schema=f"vec_id long, __cell {ctype}, "
+                                 "code array<int>")
+    )
+
+    # --- query LUTs: per (query, probed cell), sub-dists to codewords --
+    qrows = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).cast("array<double>").alias("qv")).collect()
+    luts = {}  # (qid, cell) -> (m, kc) float64
+    for r in qrows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        scores = cn2 - 2.0 * (cmat @ qv)
+        probe_rows = np.argsort(scores, kind="stable")[:nprobe]
+        for pr in probe_rows:
+            qres = qv - cmat[pr]
+            lut = np.empty((m, kc))
+            for j in range(m):
+                diff = qres[j * dsub:(j + 1) * dsub][None, :] - books[j]
+                lut[j] = (diff * diff).sum(axis=1)
+            luts[(int(r["qid"]), int(ids[pr]))] = lut
+    bl = sc.broadcast(luts)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        luts_ = bl.value
+        by_cell = {}
+        for (qid_, cell_), lut in luts_.items():
+            by_cell.setdefault(cell_, []).append((qid_, lut))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells = pdf["__cell"].to_numpy()
+            cid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["code"]), dtype=np.int64)
+            out_q, out_v, out_d = [], [], []
+            for cell_ in np.unique(cells):
+                plist = by_cell.get(int(cell_))
+                if not plist:
+                    continue
+                mask = cells == cell_
+                ccodes, cids = codes[mask], cid[mask]
+                for qid_, lut in plist:
+                    dist = np.zeros(len(cids))
+                    for j in range(m):
+                        dist += lut[j][ccodes[:, j]]
+                    kk = min(k, len(cids))
+                    idx = np.argsort(dist, kind="stable")[:kk]
+                    out_q.append(np.full(kk, qid_, dtype=np.int64))
+                    out_v.append(cids[idx])
+                    out_d.append(dist[idx])
+            if out_q:
+                yield pd.DataFrame({
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "distance": np.concatenate(out_d)})
+
+    cand = encoded.mapInPandas(
+        scan, schema="query_id long, vec_id long, distance double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("distance").asc(), F.col("vec_id").asc())
     return (

@@ -4588,3 +4588,28 @@ def q_decayed_user_value(spark, sf_dir):
                       half_life_seconds=604800.0, ref_ts=ref)
     return out.select("user_id", F.round("decayed_sum", 6)
                       .alias("decayed_sum"))
+
+
+@q("knn_ivfpq", None,
+   doc="IVF-PQ / FAISS-IVFADC composition (operators/knn.py:"
+       "ivfpq_knn_join): label-centroid coarse cells + PQ codes of cell "
+       "residuals, ADC scoring per probed cell — the billion-vector "
+       "recipe end to end; corpus assigned+encoded in one Arrow pass, "
+       "never shuffled before the candidate top-k. Both halves are "
+       "independently SQL-oracled (knn_ivf, knn_pq); the composition "
+       "carries zero-error-exactness and recall pytest proofs")
+def q_knn_ivfpq(spark, sf_dir):
+    from .operators.knn import ivfpq_knn_join
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>"))
+                   .alias("pos", "v"))
+        .groupBy("label", "pos").agg(F.avg("v").alias("v"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(F.col("label").alias("centroid_id"),
+                F.transform("pv", lambda s: s["v"]).alias("centroid"))
+    )
+    q_, c_ = _qc_split(spark, sf_dir)
+    return ivfpq_knn_join(q_, c_, cents, k=5, nprobe=2, m=4, kc=16) \
+        .withColumn("distance", F.round("distance", 6))

@@ -105,3 +105,65 @@ def test_retrieval_metrics_hand_computed(spark):
     assert got[1] == (round(2 / 3, 6), 0.5)
     # q2: no overlap -> recall 0, mrr 0
     assert got[2] == (0.0, 0.0)
+
+
+def _label_centroids(spark, corpus):
+    import pyspark.sql.functions as F
+    return (
+        corpus.select("label",
+                      F.posexplode(F.col("embedding").cast("array<double>"))
+                      .alias("pos", "v"))
+        .groupBy("label", "pos").agg(F.avg("v").alias("v"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(F.col("label").alias("centroid_id"),
+                F.transform("pv", lambda s: s["v"]).alias("centroid"))
+    )
+
+
+def test_ivfpq_recall_vs_exact(spark):
+    from ai_incident_analyst_spark.operators.knn import (
+        ivfpq_knn_join,
+        knn_join_blocked,
+    )
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(6, D)) * 6.0
+    lbl = rng.integers(0, 6, 240)
+    pts = centers[lbl] + rng.normal(size=(240, D)) * 0.4
+    rows = [(i, int(lbl[i]), [float(x) for x in pts[i]])
+            for i in range(240)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    queries = (corpus.filter("vec_id < 8")
+               .selectExpr("vec_id as query_id", "embedding as query_vec"))
+    corp = corpus.filter("vec_id >= 8")
+    cents = _label_centroids(spark, corp)
+    approx = ivfpq_knn_join(queries, corp, cents, k=30, nprobe=2,
+                            m=M, kc=16, train_sample=232)
+    exact = knn_join_blocked(queries, corp, k=5)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.7, f"recall@30 {recall}"
+
+
+def test_ivfpq_deterministic_across_partitionings(spark):
+    from ai_incident_analyst_spark.operators.knn import ivfpq_knn_join
+    rng = np.random.default_rng(41)
+    pts = rng.normal(size=(150, D)) * 2.0
+    rows = [(i, i % 4, [float(x) for x in pts[i]]) for i in range(150)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    queries = (corpus.filter("vec_id < 5")
+               .selectExpr("vec_id as query_id", "embedding as query_vec"))
+    corp = corpus.filter("vec_id >= 5")
+    cents = _label_centroids(spark, corp)
+    a = sorted((r["query_id"], r["vec_id"], round(r["distance"], 9))
+               for r in ivfpq_knn_join(queries, corp.repartition(1), cents,
+                                       k=5, m=M, kc=8,
+                                       train_sample=145).collect())
+    b = sorted((r["query_id"], r["vec_id"], round(r["distance"], 9))
+               for r in ivfpq_knn_join(queries, corp.repartition(9), cents,
+                                       k=5, m=M, kc=8,
+                                       train_sample=145).collect())
+    assert a == b
