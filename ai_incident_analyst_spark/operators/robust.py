@@ -1,0 +1,77 @@
+"""Robust statistics: per-group winsorization and MAD outlier flagging.
+
+The value-column hygiene pass of a metrics/training pipeline: clamp the
+tails so one corrupt sensor reading doesn't dominate a mean (winsorize),
+and flag rows that sit implausibly far from their group's center by the
+median-absolute-deviation rule — the robust z-score that, unlike the
+stddev z-test in ``operators/temporal.anomalous_buckets``, is itself
+immune to the outliers it hunts (breakdown point 50% vs 0%).
+
+All statistics are EXACT interpolated quantiles (Spark ``percentile``,
+one extra sort-based agg per group — identical semantics to DuckDB
+``quantile_cont``, the parity ``nrql_percentile_latest`` already
+proves), so both operators hash-match an independent SQL twin.
+
+Plan shape: one grouped quantile aggregation (map-side partial sort
+within Spark's ObjectHashAggregate), result is group-cardinality —
+joined back AQE-broadcast. MAD needs a second pass for the deviation
+median (it depends on the first median); two scans total, no window
+over the raw values, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_quantiles(df: DataFrame, key: str, value_col: str,
+                    probs: list[float]) -> DataFrame:
+    """Exact interpolated quantiles per group:
+    ``(key, q_<p> ...)`` — one aggregation pass for all probs."""
+    v = F.col(value_col).cast("double")
+    aggs = [F.percentile(v, F.lit(p)).alias(f"q_{str(p).replace('.', '_')}")
+            for p in probs]
+    return df.groupBy(key).agg(*aggs)
+
+
+def winsorize(df: DataFrame, key: str, value_col: str,
+              p_lo: float = 0.01, p_hi: float = 0.99,
+              out_col: str | None = None) -> DataFrame:
+    """Clamp ``value_col`` into its group's [p_lo, p_hi] quantile range
+    (appended as ``out_col``, default ``<value>_w``)."""
+    out = out_col or f"{value_col}_w"
+    qs = group_quantiles(df, key, value_col, [p_lo, p_hi])
+    lo = f"q_{str(p_lo).replace('.', '_')}"
+    hi = f"q_{str(p_hi).replace('.', '_')}"
+    return (
+        df.join(qs, key)
+        .withColumn(out, F.least(F.greatest(
+            F.col(value_col).cast("double"), F.col(lo)), F.col(hi)))
+        .drop(lo, hi)
+    )
+
+
+def mad_outliers(df: DataFrame, key: str, value_col: str,
+                 k: float = 3.0) -> DataFrame:
+    """Flag rows with ``|x − median| > k · MAD`` within their group
+    (appended columns ``group_median``, ``group_mad``, ``is_outlier``).
+    Zero-MAD groups (over half the values identical) flag any deviation
+    from the median — the conventional degenerate-case rule.
+    """
+    v = F.col(value_col).cast("double")
+    med = (
+        df.groupBy(key).agg(F.percentile(v, F.lit(0.5))
+                            .alias("group_median"))
+    )
+    with_med = df.join(med, key)
+    mad = (
+        with_med.groupBy(key)
+        .agg(F.percentile(F.abs(v - F.col("group_median")), F.lit(0.5))
+             .alias("group_mad"))
+    )
+    dev = F.abs(v - F.col("group_median"))
+    flag = F.when(F.col("group_mad") > 0,
+                  dev > F.lit(float(k)) * F.col("group_mad")) \
+        .otherwise(dev > 0)
+    return with_med.join(mad, key).withColumn("is_outlier", flag)

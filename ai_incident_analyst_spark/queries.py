@@ -4613,3 +4613,82 @@ def q_knn_ivfpq(spark, sf_dir):
     q_, c_ = _qc_split(spark, sf_dir)
     return ivfpq_knn_join(q_, c_, cents, k=5, nprobe=2, m=4, kc=16) \
         .withColumn("distance", F.round("distance", 6))
+
+
+# ===========================================================================
+# robust statistics — winsorization + MAD outliers
+# ===========================================================================
+
+@q("winsorized_order_totals", """
+WITH q AS (
+  SELECT o_orderpriority,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.05) AS lo,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS hi
+  FROM orders GROUP BY 1)
+SELECT o.o_orderpriority,
+       round(avg(least(greatest(CAST(o_totalprice AS DOUBLE), q.lo),
+                       q.hi)), 6) AS avg_winsorized,
+       round(avg(CAST(o_totalprice AS DOUBLE)), 6) AS avg_raw,
+       count(*) AS n
+FROM orders o JOIN q USING (o_orderpriority)
+GROUP BY 1
+""", doc="per-group winsorization (operators/robust.py:winsorize): "
+         "order totals clamped into the [p5, p95] quantile range per "
+         "priority — exact interpolated quantiles (Spark percentile == "
+         "DuckDB quantile_cont), group-cardinality stats frame joined "
+         "back AQE-broadcast")
+def q_winsorized_order_totals(spark, sf_dir):
+    from .operators.robust import winsorize
+    orders = _t(spark, sf_dir, "orders") \
+        .select("o_orderpriority", "o_totalprice")
+    w = winsorize(orders, "o_orderpriority", "o_totalprice",
+                  p_lo=0.05, p_hi=0.95)
+    return (
+        w.groupBy("o_orderpriority")
+        .agg(F.round(F.avg("o_totalprice_w"), 6).alias("avg_winsorized"),
+             F.round(F.avg(F.col("o_totalprice").cast("double")), 6)
+              .alias("avg_raw"),
+             F.count("*").alias("n"))
+    )
+
+
+@q("mad_outlier_events", """
+WITH med AS (
+  SELECT event_type,
+         quantile_cont(CAST(value AS DOUBLE), 0.5) AS group_median
+  FROM events GROUP BY 1),
+mad AS (
+  SELECT e.event_type,
+         quantile_cont(abs(CAST(e.value AS DOUBLE) - m.group_median), 0.5)
+           AS group_mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+SELECT e.event_type,
+       sum(CASE WHEN CASE WHEN d.group_mad > 0
+                 THEN abs(CAST(e.value AS DOUBLE) - m.group_median)
+                      > 3.0 * d.group_mad
+                 ELSE abs(CAST(e.value AS DOUBLE) - m.group_median) > 0
+                 END THEN 1 ELSE 0 END) AS n_outliers,
+       count(*) AS n,
+       round(m.group_median, 6) AS group_median,
+       round(d.group_mad, 6) AS group_mad
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+GROUP BY e.event_type, m.group_median, d.group_mad
+""", doc="MAD outlier flags (operators/robust.py:mad_outliers): "
+         "|x − median| > 3·MAD per event type — the robust z-score with "
+         "50% breakdown point (the stddev z-test anomaly detector's "
+         "outlier-immune sibling); two grouped exact-quantile passes, "
+         "flags aggregated and hash-matched")
+def q_mad_outlier_events(spark, sf_dir):
+    from .operators.robust import mad_outliers
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    out = mad_outliers(ev, "event_type", "value", k=3.0)
+    return (
+        out.groupBy("event_type", "group_median", "group_mad")
+        .agg(F.sum(F.col("is_outlier").cast("int")).alias("n_outliers"),
+             F.count("*").alias("n"))
+        .select("event_type", "n_outliers", "n",
+                F.round("group_median", 6).alias("group_median"),
+                F.round("group_mad", 6).alias("group_mad"))
+    )

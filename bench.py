@@ -114,6 +114,10 @@ HEADLINE = [
     "snapshot_diff_orders",
     "ann_recall_pq",
     "scd2_user_state",
+    "decayed_user_value",
+    "knn_ivfpq",
+    "winsorized_order_totals",
+    "mad_outlier_events",
 ]
 
 
