@@ -56,3 +56,27 @@ def diff_summary(old: DataFrame, new: DataFrame,
         table_diff(old, new, keys)
         .groupBy("change").agg(F.count("*").alias("n"))
     )
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Column-level drift report between two snapshots:
+    ``(column, change, old_type, new_type)`` with ``change`` ∈
+    {added, removed, type_changed}; empty when schemas agree. The
+    pre-flight companion to ``table_diff`` (which refuses to run across
+    drifted schemas) — a pipeline gates on THIS first, then row-diffs.
+    Driver-side only (schemas are metadata); no jobs run.
+    """
+    spark = old.sparkSession
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = []
+    for c in sorted(o.keys() - n.keys()):
+        rows.append((c, "removed", o[c], None))
+    for c in sorted(n.keys() - o.keys()):
+        rows.append((c, "added", None, n[c]))
+    for c in sorted(o.keys() & n.keys()):
+        if o[c] != n[c]:
+            rows.append((c, "type_changed", o[c], n[c]))
+    return spark.createDataFrame(
+        rows, "column string, change string, old_type string, "
+              "new_type string")

@@ -13,7 +13,7 @@ the lateness tolerance explicitly instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -325,3 +325,57 @@ def streaming_cms_sink(stream: DataFrame, path: str, checkpoint: str,
         stream, path, checkpoint,
         lambda b: cms_build(b, key_col, depth, width),
         lambda stored, part: cms_merge(stored, part))
+
+
+def streaming_decay_sink(stream: DataFrame, path: str, checkpoint: str,
+                         key: str, ts_col: str, value_col: str,
+                         half_life_seconds: float):
+    """Streaming RECENCY SCORES: maintain per-key exponential-decay sums
+    (``operators/temporal.decayed_agg``) incrementally. The store keeps
+    ``(key, decayed_sum, ref_ts)`` — each key's sum anchored at its own
+    latest event time; merging a new batch re-anchors both sides at the
+    later reference (``sum · 0.5^(Δref/half_life)``) and adds. This is
+    the decay algebra that makes the score maintainable without
+    reprocessing history — the recommendation-pipeline "recent user
+    activity" feature kept fresh forever in O(keys) state. Swap/retry
+    protocol: ``_merge_swap_sink``.
+    """
+    hl = float(half_life_seconds)
+
+    def build(b: DataFrame) -> DataFrame:
+        ref = F.max(F.col(ts_col)).over(Window.partitionBy(key))
+        return (
+            b.withColumn("__ref", ref)
+            .groupBy(key)
+            .agg(
+                F.sum(F.col(value_col).cast("double")
+                      * F.pow(F.lit(0.5),
+                              (F.col("__ref").cast("double")
+                               - F.col(ts_col).cast("double")) / F.lit(hl)))
+                .alias("decayed_sum"),
+                F.max(F.col(ts_col)).alias("ref_ts"),
+            )
+        )
+
+    def merge(stored: DataFrame, part: DataFrame) -> DataFrame:
+        s = stored.select(F.col(key), F.col("decayed_sum").alias("__s"),
+                          F.col("ref_ts").alias("__sr"))
+        p = part.select(F.col(key), F.col("decayed_sum").alias("__p"),
+                        F.col("ref_ts").alias("__pr"))
+        j = s.join(p, key, "full_outer")
+        new_ref = F.greatest(F.col("__sr"), F.col("__pr"))
+        def aligned(sum_c, ref_c):
+            return F.coalesce(
+                F.col(sum_c) * F.pow(
+                    F.lit(0.5),
+                    (new_ref.cast("double") - F.col(ref_c).cast("double"))
+                    / F.lit(hl)),
+                F.lit(0.0))
+        return j.select(
+            key,
+            (aligned("__s", "__sr") + aligned("__p", "__pr"))
+            .alias("decayed_sum"),
+            new_ref.alias("ref_ts"),
+        )
+
+    return _merge_swap_sink(stream, path, checkpoint, build, merge)

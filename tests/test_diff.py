@@ -49,3 +49,17 @@ def test_diff_schema_mismatch_raises(spark):
     b = spark.createDataFrame([(1, 2.0)], "k long, v double")
     with pytest.raises(ValueError, match="schemas differ"):
         table_diff(a, b, ["k"])
+
+
+def test_schema_diff_reports_drift(spark):
+    from ai_incident_analyst_spark.operators.diff import schema_diff
+    a = spark.createDataFrame([(1, "x", 2.0)], "k long, s string, v double")
+    b = spark.createDataFrame([(1, 3, True)], "k long, s int, b boolean")
+    got = {(r["column"], r["change"]): (r["old_type"], r["new_type"])
+           for r in schema_diff(a, b).collect()}
+    assert got == {
+        ("v", "removed"): ("double", None),
+        ("b", "added"): (None, "boolean"),
+        ("s", "type_changed"): ("string", "int"),
+    }
+    assert schema_diff(a, a).count() == 0

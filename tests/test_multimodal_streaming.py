@@ -339,3 +339,41 @@ def test_streaming_cms_sink_matches_batch(spark):
         for k in est:
             assert est[k] >= true[k]
             assert est[k] <= true[k] + 60
+
+
+def test_streaming_decay_sink_matches_batch(spark):
+    """Incrementally decay-merged store must match the one-shot batch
+    computation anchored at each key's final reference time."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from ai_incident_analyst_spark.operators.temporal import decayed_agg
+    from ai_incident_analyst_spark.streaming.pipeline import (
+        streaming_decay_sink,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [(i % 7, base + timedelta(hours=i), float(1 + i % 5))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    hl = 86400.0 * 3
+    with tempfile.TemporaryDirectory() as tmp:
+        df.repartition(4).write.parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(df.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in")
+        q = streaming_decay_sink(stream, f"{tmp}/st", f"{tmp}/ck",
+                                 "k", "ts", "v", half_life_seconds=hl) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+        stored = {r["k"]: (r["decayed_sum"], r["ref_ts"])
+                  for r in spark.read.parquet(f"{tmp}/st").collect()}
+        # batch truth: per-key sums anchored at the key's own max ts
+        refs = {r["k"]: r["m"] for r in
+                df.groupBy("k").agg(F.max("ts").alias("m")).collect()}
+        for k, ref in refs.items():
+            want = decayed_agg(df.filter(F.col("k") == k), "k", "ts", "v",
+                               hl, ref).first()["decayed_sum"]
+            got_sum, got_ref = stored[k]
+            assert got_ref == ref
+            assert got_sum == pytest.approx(want, rel=1e-9)
