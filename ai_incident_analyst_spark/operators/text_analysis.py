@@ -2,11 +2,17 @@
 north star): language-ID, quality scoring, token counting, fingerprinting.
 
 All pure column expressions (whole-stage codegen, no Python boundary) so
-they run at scan speed over 100 TB of documents. Each has a DuckDB oracle
-twin in __spark_entry__.oracle_sql().
+they run at scan speed over 100 TB of documents — except
+``normalize_unicode``, which needs Python's unicodedata and is an
+Arrow-batched iterator pandas_udf. Each relational op has a DuckDB
+oracle twin in __spark_entry__.oracle_sql().
 """
 
 from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -586,3 +592,44 @@ def tag_keywords(df: DataFrame, id_col: str, text_col: str,
         .groupBy(id_col, "tag")
         .agg(F.countDistinct("__g").alias("n_terms"))
     )
+
+
+def normalize_unicode(col, form: str = "NFC",
+                      strip_accents: bool = False):
+    """Unicode normalization as an Arrow-batched column transform: NFC/
+    NFKC composition plus optional accent stripping (NFD → drop
+    combining marks) — the canonicalization pass that must precede
+    hashing/dedup on multilingual corpora (the same logical text can
+    arrive as composed é or e+◌́; unnormalized, exact dedup misses it).
+
+    Implemented as an iterator ``pandas_udf`` over Python ``unicodedata``
+    (the JVM has no normalizer expression); Arrow batches keep it off
+    the slow row-at-a-time path. Semantics match DuckDB's
+    ``nfc_normalize``/``strip_accents`` — proven on non-ASCII fixtures
+    in ``tests/test_text_analysis.py``, not just the ASCII corpus.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+
+    @pandas_udf("string")
+    def norm(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import unicodedata
+
+        def one(t):
+            if t is None:
+                return None
+            out = unicodedata.normalize(form, t)
+            if strip_accents:
+                out = "".join(
+                    ch for ch in unicodedata.normalize("NFD", out)
+                    if unicodedata.category(ch) != "Mn")
+                out = unicodedata.normalize(form, out)
+            return out
+
+        for s in it:
+            yield s.map(one)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return norm(c)

@@ -261,3 +261,62 @@ def test_tag_keywords_boundaries_and_bigrams(spark):
     assert (2, "exec") not in got
     assert got[(3, "exec")] == 2          # 'hash join' + 'join'
     assert got[(3, "storage")] == 1       # 'hash value'
+
+
+# --- unicode normalization -------------------------------------------------
+
+def test_normalize_unicode_cross_engine_parity(spark):
+    """NFC + strip-accents must agree with DuckDB's nfc_normalize/
+    strip_accents on real non-ASCII content — the proof the ASCII
+    corpus oracle can't give."""
+    import duckdb
+
+    from ai_incident_analyst_spark.operators.text_analysis import (
+        normalize_unicode,
+    )
+
+    texts = [
+        "café",                 # composed é
+        "café",                # decomposed e + combining acute
+        "Über straße",     # Ü, ß
+        "naïve résumé",
+        "İstanbul ğüneş",
+        None,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    got_nfc = {r["i"]: r["n"] for r in df.select(
+        "i", normalize_unicode("t").alias("n")).collect()}
+    got_strip = {r["i"]: r["n"] for r in df.select(
+        "i", normalize_unicode("t", strip_accents=True).alias("n"))
+        .collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got_nfc[i] is None and got_strip[i] is None
+            continue
+        want_nfc = con.execute(
+            "SELECT nfc_normalize(?)", [t]).fetchone()[0]
+        want_strip = con.execute(
+            "SELECT strip_accents(nfc_normalize(?))", [t]).fetchone()[0]
+        assert got_nfc[i] == want_nfc, f"NFC mismatch on {t!r}"
+        assert got_strip[i] == want_strip, f"strip mismatch on {t!r}"
+
+
+def test_normalize_unicode_dedups_composed_forms(spark):
+    from ai_incident_analyst_spark.operators.text_analysis import (
+        normalize_unicode,
+    )
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "café")], "i long, t string")
+    out = df.select(normalize_unicode("t").alias("n")).distinct()
+    assert out.count() == 1
+
+
+def test_normalize_unicode_rejects_bad_form(spark):
+    from ai_incident_analyst_spark.operators.text_analysis import (
+        normalize_unicode,
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        normalize_unicode("t", form="XXX")
