@@ -1,0 +1,135 @@
+"""Full-text retrieval: inverted index + boolean search + BM25 ranking.
+
+The reference's whole-record keyword search (P9,
+``src/llm/llm_processor.py:53-61``) is a LIKE scan — O(corpus) per
+query. This module is the index-backed grown-up: build the posting-list
+table once, answer keyword queries by joining the (tiny) query-term
+postings, and rank with BM25 — the classic lexical scorer the tf-idf
+salience query (``tfidf_top_terms``) stops short of. Hybrid retrieval
+(BM25 ∪ kNN, already first-class via ``operators/knn.py``) is then just
+a score-union of two registry operators.
+
+Physical design:
+
+- ``build_inverted_index``: one explode + one (doc, term) count — the
+  same two shuffles as tf-idf; persisted via parquet
+  ``partitionBy(bucket)`` on a term-hash bucket so a probe reads only
+  its terms' buckets (planning-time partition pruning, the
+  ``ivf_write_index`` pattern applied to text).
+- Searches never scan the corpus: the query-term postings are filtered
+  with an ``isin`` over a handful of literals (partition-pruned on the
+  persisted form), joined, aggregated. Cost is O(Σ posting lists), not
+  O(corpus) — the reason inverted indexes exist.
+- BM25 ranks by the ROUNDED (6 dp) score with doc-id tie-break: libm
+  ``ln`` may differ in the last ulp across engines, and an unrounded
+  boundary rank would flip — same determinism rule as the tf/df scorer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .util import spread
+
+
+def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Lowercased whitespace tokens as rows ``(doc_id, term)`` — the
+    repo-wide text tokenization (shared with tf-idf/shingling)."""
+    return spread(df, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("term"))
+
+
+def build_inverted_index(df: DataFrame, id_col: str,
+                         text_col: str) -> DataFrame:
+    """Posting lists with term frequencies: ``(term, doc_id, tf)``."""
+    return (
+        tokenize(df, id_col, text_col)
+        .groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    )
+
+
+def write_inverted_index(index: DataFrame, path: str,
+                         n_buckets: int = 64) -> None:
+    """Persist partitioned by a term-hash bucket: a probe for k terms
+    reads ≤ k buckets (parquet partition pruning), never the full index."""
+    (index.withColumn("bucket",
+                      F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def read_index_for_terms(spark, path: str, terms: list[str],
+                         n_buckets: int = 64) -> DataFrame:
+    """Open the persisted index pruned to the probe terms' buckets.
+
+    The terms' bucket ids are computed with one driver-side row-local
+    job (k literals — same planning-time trick as
+    ``ivf_probe_index``'s probed-cell list), then the scan filters on
+    the PARTITION column with a static IN (→ parquet partition pruning:
+    only ≤ k of the ``n_buckets`` directories are listed) plus the term
+    predicate (row-group pushdown inside them).
+    """
+    t = [s.lower() for s in terms]
+    brows = (
+        spark.createDataFrame([(x,) for x in t], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b"))
+        .collect()
+    )
+    buckets = sorted({r["b"] for r in brows})
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(t))
+        .drop("bucket")
+    )
+
+
+def search_all_terms(index: DataFrame, terms: list[str]) -> DataFrame:
+    """Boolean AND: doc ids containing EVERY query term —
+    ``(doc_id, n_matched)`` with n_matched == len(terms). Postings for
+    the terms only (isin over literals), one count aggregation."""
+    t = [s.lower() for s in terms]
+    return (
+        index.filter(F.col("term").isin(t))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_matched"))
+        .filter(F.col("n_matched") == len(t))
+    )
+
+
+def bm25_rank(index: DataFrame, doc_lens: DataFrame, terms: list[str],
+              n_docs: int, avg_len: float, k1: float = 1.2,
+              b: float = 0.75, topn: int = 10) -> DataFrame:
+    """BM25 over the query terms: ``(doc_id, score)``, top ``topn`` by
+    (rounded score desc, doc_id asc).
+
+    ``doc_lens`` is ``(doc_id, dl)`` (token counts — one agg over the
+    index, or the stored column); ``n_docs``/``avg_len`` are corpus
+    scalars the caller computes once. idf uses the standard
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))`` positive-idf form.
+    """
+    t = [s.lower() for s in terms]
+    postings = index.filter(F.col("term").isin(t))
+    df_ = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    idf = F.log(F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tf = F.col("tf").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.lit(float(avg_len)))
+    contrib = idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+    scored = (
+        postings.join(df_, "term")
+        .join(doc_lens, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= topn)
+        .select("doc_id", "score")
+    )

@@ -4692,3 +4692,79 @@ def q_mad_outlier_events(spark, sf_dir):
                 F.round("group_median", 6).alias("group_median"),
                 F.round("group_mad", 6).alias("group_mad"))
     )
+
+
+# ===========================================================================
+# full-text retrieval — inverted index, boolean search, BM25
+# ===========================================================================
+
+_SEARCH_TOKS = r"""
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents)
+"""
+
+@q("keyword_and_search", f"""
+WITH {_SEARCH_TOKS},
+idx AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ('scan', 'merge', 'window') GROUP BY 1, 2)
+SELECT doc_id, count(DISTINCT term) AS n_matched
+FROM idx GROUP BY doc_id HAVING count(DISTINCT term) = 3
+""", doc="index-backed boolean AND search (operators/search.py:"
+         "build_inverted_index + search_all_terms): docs containing ALL "
+         "query terms via the posting lists — O(Σ postings), never an "
+         "O(corpus) LIKE scan (the reference's P9 keyword search is the "
+         "scan form; this is its indexed sibling)")
+def q_keyword_and_search(spark, sf_dir):
+    from .operators.search import build_inverted_index, search_all_terms
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs, "doc_id", "text")
+    return search_all_terms(idx, ["scan", "merge", "window"])
+
+
+@q("bm25_search", f"""
+WITH {_SEARCH_TOKS},
+idx AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+scal AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+           / (SELECT count(*) FROM documents) AS avg_len),
+post AS (SELECT * FROM idx WHERE term IN ('scan', 'merge')),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+         round(sum(
+           ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * CAST(p.tf AS DOUBLE) * 2.2
+           / (CAST(p.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * l.dl / s.avg_len))), 6) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN scal s
+  GROUP BY p.doc_id)
+SELECT doc_id, score FROM scored
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= 10
+""", doc="BM25 ranked retrieval (operators/search.py:bm25_rank, "
+         "k1=1.2 b=0.75): positive-idf BM25 over the posting lists, "
+         "top-10 by ROUNDED score with doc-id tie-break (libm ln can "
+         "differ in the last ulp across engines; ranking on the 6dp "
+         "value keeps the boundary deterministic). Postings-only cost; "
+         "the corpus is never rescanned")
+def q_bm25_search(spark, sf_dir):
+    from .operators.search import (
+        build_inverted_index,
+        bm25_rank,
+        tokenize,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs, "doc_id", "text").localCheckpoint(
+        eager=False)
+    toks_n = idx.agg(F.sum("tf")).first()[0]
+    n_docs = docs.count()
+    dl = idx.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return bm25_rank(idx, dl, ["scan", "merge"], n_docs=n_docs,
+                     avg_len=float(toks_n) / n_docs, topn=10)

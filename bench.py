@@ -118,6 +118,8 @@ HEADLINE = [
     "knn_ivfpq",
     "winsorized_order_totals",
     "mad_outlier_events",
+    "keyword_and_search",
+    "bm25_search",
 ]
 
 

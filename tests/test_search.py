@@ -1,0 +1,69 @@
+"""Inverted index / boolean search / BM25: hand-built corpus truths,
+plus the persisted-index partition-pruning proof."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ai_incident_analyst_spark.operators.search import (
+    bm25_rank,
+    build_inverted_index,
+    read_index_for_terms,
+    search_all_terms,
+    write_inverted_index,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _corpus(spark):
+    rows = [(1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "cat dog cat"),
+            (4, "birds fly high")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_index_term_frequencies(spark):
+    idx = build_inverted_index(_corpus(spark), "doc_id", "text")
+    got = {(r["term"], r["doc_id"]): r["tf"] for r in idx.collect()}
+    assert got[("the", 1)] == 2
+    assert got[("cat", 3)] == 2
+    assert ("cat", 2) not in got
+
+
+def test_search_all_terms_intersection(spark):
+    idx = build_inverted_index(_corpus(spark), "doc_id", "text")
+    got = {r["doc_id"] for r in
+           search_all_terms(idx, ["cat", "sat"]).collect()}
+    assert got == {1}
+    # case-insensitive query terms
+    got2 = {r["doc_id"] for r in
+            search_all_terms(idx, ["CAT", "DOG"]).collect()}
+    assert got2 == {3}
+
+
+def test_bm25_prefers_tf_and_rarity(spark):
+    idx = build_inverted_index(_corpus(spark), "doc_id", "text")
+    dl = idx.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    out = bm25_rank(idx, dl, ["cat"], n_docs=4, avg_len=4.0,
+                    topn=10).collect()
+    ranked = [r["doc_id"] for r in out]
+    # doc 3 has tf=2 and is short -> must outrank doc 1 (tf=1, longer)
+    assert ranked == [3, 1]
+    assert out[0]["score"] > out[1]["score"] > 0
+
+
+def test_persisted_index_prunes_buckets(spark, tmp_path):
+    idx = build_inverted_index(_corpus(spark), "doc_id", "text")
+    path = str(tmp_path / "idx")
+    write_inverted_index(idx, path, n_buckets=16)
+    probe = read_index_for_terms(spark, path, ["cat", "dog"], n_buckets=16)
+    got = {(r["term"], r["doc_id"]): r["tf"] for r in probe.collect()}
+    want = {k: v for k, v in
+            {(r["term"], r["doc_id"]): r["tf"] for r in idx.collect()}.items()
+            if k[0] in ("cat", "dog")}
+    assert got == want
+    # pruning proof: the scan's partition filters mention the bucket list
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
