@@ -133,3 +133,35 @@ def bm25_rank(index: DataFrame, doc_lens: DataFrame, terms: list[str],
         .filter(F.col("__rn") <= topn)
         .select("doc_id", "score")
     )
+
+
+def rrf_fuse(ranked_lists: list[DataFrame], id_col: str = "doc_id",
+             k: int = 60, topn: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.): fuse any number of
+    ranked result frames (each ``(id, score)``, already in its own score
+    order) into ``(id, rrf_score)`` by ``Σ 1/(k + rank)`` — the standard
+    hybrid-retrieval combiner (BM25 ∪ dense kNN) because it needs no
+    score calibration between retrievers, only ranks.
+
+    Ranks are assigned per input frame by (score desc, id asc) — with
+    deterministic inputs the fused scores are exact rationals, so the
+    fusion hash-matches a SQL twin. Cost: the inputs are top-N frames
+    (tiny); everything here is driver-negligible windows + one union.
+    """
+    parts = []
+    for df in ranked_lists:
+        w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        parts.append(df.select(
+            id_col, F.row_number().over(w).alias("__rk")))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    w2 = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        allp.groupBy(id_col)
+        .agg(F.round(F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("__rk"))),
+                     6).alias("rrf_score"))
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= topn)
+        .select(id_col, "rrf_score")
+    )

@@ -4768,3 +4768,78 @@ def q_bm25_search(spark, sf_dir):
     dl = idx.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     return bm25_rank(idx, dl, ["scan", "merge"], n_docs=n_docs,
                      avg_len=float(toks_n) / n_docs, topn=10)
+
+
+@q("hybrid_search_rrf", f"""
+WITH {_SEARCH_TOKS},
+idx AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+scal AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+           / (SELECT count(*) FROM documents) AS avg_len),
+post AS (SELECT * FROM idx WHERE term IN ('scan', 'merge')),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+bm AS (
+  SELECT doc_id, score FROM (
+    SELECT p.doc_id,
+           round(sum(
+             ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * CAST(p.tf AS DOUBLE) * 2.2
+             / (CAST(p.tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * l.dl / s.avg_len))), 6) AS score
+    FROM post p JOIN dfs d USING (term) JOIN dl l USING (doc_id)
+    CROSS JOIN scal s GROUP BY p.doc_id)
+  QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= 20),
+knn AS (
+  SELECT vec_id AS doc_id,
+         -round(list_sum([ (x[1]-x[2])*(x[1]-x[2])
+                           for x in list_zip(q.qv, c.cv) ]), 6) AS score
+  FROM (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id = 0) q
+  CROSS JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id >= 5) c
+  QUALIFY row_number() OVER (
+    ORDER BY list_sum([ (x[1]-x[2])*(x[1]-x[2])
+                        for x in list_zip(q.qv, c.cv) ]) ASC,
+             vec_id ASC) <= 20),
+r1 AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+       FROM bm),
+r2 AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+       FROM knn),
+u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+SELECT doc_id, round(sum(1.0 / (60 + rk)), 6) AS rrf_score
+FROM u GROUP BY doc_id
+QUALIFY row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) <= 10
+""", doc="hybrid retrieval (operators/search.py:rrf_fuse, Cormack "
+         "reciprocal-rank fusion k=60): BM25 top-20 ∪ exact-kNN top-20 "
+         "(doc_id ≡ vec_id, the J1 positional pairing) fused by "
+         "Σ 1/(60+rank) — the calibration-free lexical+dense combiner "
+         "every RAG stack ships; exact rationals, full SQL twin")
+def q_hybrid_search_rrf(spark, sf_dir):
+    from .operators.search import (
+        bm25_rank,
+        build_inverted_index,
+        rrf_fuse,
+    )
+    from .operators.knn import knn_join
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs, "doc_id", "text").localCheckpoint(
+        eager=False)
+    toks_n = idx.agg(F.sum("tf")).first()[0]
+    n_docs = docs.count()
+    dl = idx.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    bm = bm25_rank(idx, dl, ["scan", "merge"], n_docs=n_docs,
+                   avg_len=float(toks_n) / n_docs, topn=20)
+    emb = _t(spark, sf_dir, "embeddings")
+    q_ = (emb.filter(F.col("vec_id") == 0)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    c_ = emb.filter(F.col("vec_id") >= 5)
+    kn = (knn_join(q_, c_, k=20)
+          .select(F.col("vec_id").alias("doc_id"),
+                  (-F.round(F.col("distance"), 6)).alias("score")))
+    return rrf_fuse([bm, kn], topn=10)

@@ -120,6 +120,7 @@ HEADLINE = [
     "mad_outlier_events",
     "keyword_and_search",
     "bm25_search",
+    "hybrid_search_rrf",
 ]
 
 

@@ -67,3 +67,18 @@ def test_persisted_index_prunes_buckets(spark, tmp_path):
     # pruning proof: the scan's partition filters mention the bucket list
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_rrf_fusion_hand_computed(spark):
+    from ai_incident_analyst_spark.operators.search import rrf_fuse
+    a = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)],
+                              "doc_id long, score double")
+    b = spark.createDataFrame([(3, 0.9), (1, 0.5)],
+                              "doc_id long, score double")
+    got = {r["doc_id"]: r["rrf_score"]
+           for r in rrf_fuse([a, b], k=60, topn=10).collect()}
+    assert got[1] == round(1 / 61 + 1 / 62, 6)
+    assert got[2] == round(1 / 62, 6)
+    assert got[3] == round(1 / 63 + 1 / 61, 6)
+    # doc 1 (rank1 + rank2) outranks doc 3 (rank3 + rank1)
+    assert got[1] > got[3] > got[2]
