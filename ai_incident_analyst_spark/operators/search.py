@@ -165,3 +165,40 @@ def rrf_fuse(ranked_lists: list[DataFrame], id_col: str = "doc_id",
         .filter(F.col("__rn") <= topn)
         .select(id_col, "rrf_score")
     )
+
+
+def build_positional_index(df: DataFrame, id_col: str,
+                           text_col: str) -> DataFrame:
+    """Positional postings ``(term, doc_id, pos)`` — the phrase-query
+    index (one posexplode, no aggregation; positions ARE the payload)."""
+    c = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return spread(df, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(c).alias("pos", "term"))
+
+
+def phrase_search(pindex: DataFrame, phrase: str) -> DataFrame:
+    """Exact phrase match over the positional index: docs where the
+    phrase's terms occur at CONSECUTIVE positions, with the occurrence
+    count — ``(doc_id, n_occurrences)``.
+
+    The classic adjacency join: postings for term_i shifted by −i all
+    meet at the phrase's start position. Each join is on
+    (doc_id, position) — uniform integer keys, postings-only cost; a
+    k-word phrase is k−1 equi-joins of per-term posting lists, never a
+    corpus scan or a regex.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    base = (
+        pindex.filter(F.col("term") == terms[0])
+        .select("doc_id", F.col("pos").alias("__start"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = (
+            pindex.filter(F.col("term") == t)
+            .select("doc_id", (F.col("pos") - i).alias("__start"))
+        )
+        base = base.join(nxt, ["doc_id", "__start"])
+    return base.groupBy("doc_id").agg(F.count("*").alias("n_occurrences"))

@@ -4843,3 +4843,28 @@ def q_hybrid_search_rrf(spark, sf_dir):
           .select(F.col("vec_id").alias("doc_id"),
                   (-F.round(F.col("distance"), 6)).alias("score")))
     return rrf_fuse([bm, kn], topn=10)
+
+
+@q("phrase_search", r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term,
+         CAST(generate_subscripts(
+           string_split_regex(lower(trim(text)), '\s+'), 1) - 1 AS BIGINT)
+           AS pos
+  FROM documents),
+t0 AS (SELECT doc_id, pos AS start FROM toks WHERE term = 'stream'),
+t1 AS (SELECT doc_id, pos - 1 AS start FROM toks WHERE term = 'column')
+SELECT t0.doc_id, count(*) AS n_occurrences
+FROM t0 JOIN t1 ON t0.doc_id = t1.doc_id AND t0.start = t1.start
+GROUP BY t0.doc_id
+""", doc="exact phrase query (operators/search.py:"
+         "build_positional_index + phrase_search): consecutive-position "
+         "adjacency joins over positional postings — k−1 uniform "
+         "(doc, pos) integer equi-joins for a k-word phrase, "
+         "postings-only cost, never a corpus regex scan")
+def q_phrase_search(spark, sf_dir):
+    from .operators.search import build_positional_index, phrase_search
+    docs = _t(spark, sf_dir, "documents")
+    pidx = build_positional_index(docs, "doc_id", "text")
+    return phrase_search(pidx, "stream column")

@@ -121,6 +121,7 @@ HEADLINE = [
     "keyword_and_search",
     "bm25_search",
     "hybrid_search_rrf",
+    "phrase_search",
 ]
 
 

@@ -82,3 +82,24 @@ def test_rrf_fusion_hand_computed(spark):
     assert got[3] == round(1 / 63 + 1 / 61, 6)
     # doc 1 (rank1 + rank2) outranks doc 3 (rank3 + rank1)
     assert got[1] > got[3] > got[2]
+
+
+def test_phrase_search_consecutive_only(spark):
+    from ai_incident_analyst_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+    rows = [(1, "big red fox"), (2, "red big fox"), (3, "big red big red")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pidx = build_positional_index(df, "doc_id", "text")
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_search(pidx, "big red").collect()}
+    # doc 2 has both words but not adjacent in order
+    assert got == {1: 1, 3: 2}
+    # three-word phrase
+    got3 = {r["doc_id"]: r["n_occurrences"]
+            for r in phrase_search(pidx, "big red fox").collect()}
+    assert got3 == {1: 1}
+    import pytest as _p
+    with _p.raises(ValueError):
+        phrase_search(pidx, "   ")
