@@ -145,3 +145,55 @@ def triangle_count(edges: DataFrame, src: str = "src",
         .select("node",
                 F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
     )
+
+
+def graph_stats(edges: DataFrame, src: str = "src",
+                dst: str = "dst") -> DataFrame:
+    """One-row structural summary of the undirected simple graph:
+    ``(n_nodes, n_edges, max_degree, n_wedges, n_triangles,
+    global_clustering_1e6)``.
+
+    Wedges (paths of length 2) come from the degree table alone —
+    ``Σ d·(d−1)/2`` — and triangles from ``triangle_count``; the global
+    clustering coefficient ``3·triangles / wedges`` is reported as an
+    integer micro-ratio (``·10⁶``, floor) so the whole row stays in
+    exact integer arithmetic end to end (engine-portable by
+    construction). Degree table is one shuffle; everything downstream is
+    tiny.
+    """
+    canon = (
+        edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                     F.greatest(F.col(src), F.col(dst)).alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .union(canon.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("d"))
+    )
+    tri_total = (
+        triangle_count(canon, "u", "v")
+        .agg((F.sum("n_triangles") / 3).cast("long").alias("t"))
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.max("d").alias("max_degree"),
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long"))
+        .alias("n_wedges"),
+    )
+    n_edges = canon.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.join(n_edges).join(tri_total)
+        .select(
+            "n_nodes", "n_edges", "max_degree", "n_wedges",
+            F.col("t").alias("n_triangles"),
+            # integral `div`, not double `/`+cast: the FP quotient can
+            # round across the floor boundary and disagree with exact
+            # integer division
+            F.when(F.col("n_wedges") > 0,
+                   F.expr("(3 * t * 1000000) div n_wedges"))
+            .otherwise(F.lit(0)).alias("global_clustering_1e6"),
+        )
+    )

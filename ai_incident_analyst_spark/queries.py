@@ -4868,3 +4868,60 @@ def q_phrase_search(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pidx = build_positional_index(docs, "doc_id", "text")
     return phrase_search(pidx, "stream column")
+
+
+@q("graph_stats_items", """
+WITH clicks AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         ts, event_id
+  FROM events WHERE event_type = 'click'
+), seq AS (
+  SELECT item,
+         lead(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM clicks
+), canon AS (
+  SELECT DISTINCT least(item, nxt) AS u, greatest(item, nxt) AS v
+  FROM seq WHERE nxt IS NOT NULL AND least(item, nxt) < greatest(item, nxt)
+), deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM canon UNION ALL SELECT v FROM canon)
+  GROUP BY node
+), tris AS (
+  SELECT count(*) AS t
+  FROM canon e1
+  JOIN canon e2 ON e2.u = e1.v
+  WHERE EXISTS (SELECT 1 FROM canon e3
+                WHERE e3.u = e1.u AND e3.v = e2.v)
+)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM canon) AS n_edges,
+       (SELECT max(d) FROM deg) AS max_degree,
+       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       t AS n_triangles,
+       CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) > 0
+            THEN CAST((3 * t * 1000000)
+                 // (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+                 AS BIGINT)
+            ELSE 0 END AS global_clustering_1e6
+FROM tris
+""", doc="graph structural summary (operators/graph.py:graph_stats): "
+         "nodes/edges/max-degree/wedges/triangles/global clustering "
+         "coefficient over the item-transition graph — all exact "
+         "integer arithmetic (clustering reported as a floor micro-"
+         "ratio via integral div, immune to FP floor-boundary rounding)")
+def q_graph_stats_items(spark, sf_dir):
+    from .operators.graph import graph_stats
+    clicks = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id",
+                F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+                "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        clicks.withColumn("nxt", F.lead("item").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("item").alias("src"), F.col("nxt").alias("dst"))
+    )
+    return graph_stats(edges)

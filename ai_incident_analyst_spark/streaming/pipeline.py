@@ -379,3 +379,23 @@ def streaming_decay_sink(stream: DataFrame, path: str, checkpoint: str,
         )
 
     return _merge_swap_sink(stream, path, checkpoint, build, merge)
+
+
+def streaming_index_sink(stream: DataFrame, path: str, checkpoint: str,
+                         id_col: str, text_col: str):
+    """Streaming SEARCH INDEX: maintain the inverted index
+    (``operators/search.build_inverted_index``) incrementally — each
+    micro-batch contributes its (term, doc_id, tf) postings, merged into
+    the store by tf sum (re-ingested doc ids accumulate; pair with the
+    dedup gate upstream if exactly-once per doc matters). Keyword/BM25
+    queries hit ``path`` without touching the stream — the text sibling
+    of ``streaming_cms_sink``. Swap/retry protocol: ``_merge_swap_sink``.
+    """
+    from ..operators.search import build_inverted_index
+
+    return _merge_swap_sink(
+        stream, path, checkpoint,
+        lambda b: build_inverted_index(b, id_col, text_col),
+        lambda stored, part: (
+            stored.unionByName(part)
+            .groupBy("term", "doc_id").agg(F.sum("tf").alias("tf"))))

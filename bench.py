@@ -122,6 +122,7 @@ HEADLINE = [
     "bm25_search",
     "hybrid_search_rrf",
     "phrase_search",
+    "graph_stats_items",
 ]
 
 

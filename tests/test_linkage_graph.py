@@ -109,3 +109,25 @@ def test_sorted_neighborhood_window(spark):
                 df, "id", "name", F.col("name"), window=3,
                 max_dist=2).collect()}
     assert got3 == {(1, 2): 1, (2, 3): 2, (1, 3): 2}
+
+
+def test_graph_stats_k4(spark):
+    from ai_incident_analyst_spark.operators.graph import graph_stats
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = graph_stats(df).first()
+    # K4: 4 nodes, 6 edges, deg 3 each -> 4*3 = 12 wedges, 4 triangles,
+    # clustering = 3*4/12 = 1.0
+    assert (r["n_nodes"], r["n_edges"], r["max_degree"]) == (4, 6, 3)
+    assert r["n_wedges"] == 12
+    assert r["n_triangles"] == 4
+    assert r["global_clustering_1e6"] == 1000000
+
+
+def test_graph_stats_triangle_free(spark):
+    from ai_incident_analyst_spark.operators.graph import graph_stats
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    r = graph_stats(df).first()
+    assert r["n_triangles"] == 0
+    assert r["n_wedges"] == 1
+    assert r["global_clustering_1e6"] == 0

@@ -377,3 +377,37 @@ def test_streaming_decay_sink_matches_batch(spark):
             got_sum, got_ref = stored[k]
             assert got_ref == ref
             assert got_sum == pytest.approx(want, rel=1e-9)
+
+
+def test_streaming_index_sink_matches_batch(spark):
+    """Incrementally-merged postings must equal the batch-built index."""
+    import tempfile
+
+    from ai_incident_analyst_spark.operators.search import (
+        build_inverted_index,
+        search_all_terms,
+    )
+    from ai_incident_analyst_spark.streaming.pipeline import (
+        streaming_index_sink,
+    )
+
+    rows = [(i, f"alpha beta w{i % 9} gamma" if i % 2 else f"alpha w{i % 9}")
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as tmp:
+        df.repartition(3).write.parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(df.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in")
+        q = streaming_index_sink(stream, f"{tmp}/idx", f"{tmp}/ck",
+                                 "doc_id", "text") \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+        stored = spark.read.parquet(f"{tmp}/idx")
+        direct = build_inverted_index(df, "doc_id", "text")
+        a = {(r.term, r.doc_id): r.tf for r in stored.collect()}
+        b = {(r.term, r.doc_id): r.tf for r in direct.collect()}
+        assert a == b
+        hits = {r["doc_id"] for r in
+                search_all_terms(stored, ["alpha", "beta"]).collect()}
+        assert hits == {i for i in range(120) if i % 2}
