@@ -171,3 +171,36 @@ def merge_upsert(spark, path: str, updates: DataFrame,
     with dynamic_partition_overwrite(spark):
         merged.write.partitionBy(partition_col).mode("overwrite") \
             .parquet(path)
+
+
+def vacuum_partitions(path: str, partition_col: str, keep: list[str],
+                      dry_run: bool = False) -> list[str]:
+    """Retention vacuum: delete partition directories of ``path`` whose
+    ``<partition_col>=<value>`` is NOT in ``keep`` — the TTL/compliance
+    half of layout lifecycle (the GDPR-delete and log-retention job).
+
+    Deliberately takes an explicit allow-list instead of "older than N
+    days": the caller derives ``keep`` from data or policy (and can log
+    it), the operator never consults wall-clock — same determinism rule
+    as the rest of the repo. Non-partition entries (``_SUCCESS``,
+    loose files) are untouched. Returns the deleted (or, with
+    ``dry_run``, would-be-deleted) partition values, sorted.
+
+    Directory-level deletes only — O(#partitions) metadata ops, no data
+    rewrite, readers of surviving partitions unaffected (each partition
+    directory is removed atomically as one rename-to-trash/rm)."""
+    import shutil
+
+    keep_set = {str(k) for k in keep}
+    prefix = f"{partition_col}="
+    victims = []
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if not (os.path.isdir(full) and name.startswith(prefix)):
+            continue
+        value = name[len(prefix):]
+        if value not in keep_set:
+            victims.append(value)
+            if not dry_run:
+                shutil.rmtree(full)
+    return victims

@@ -113,3 +113,26 @@ def test_merge_upsert_partition_pruned(spark, tmp_path):
     merge_upsert(spark, path, updates, ["k"], "ds")
     again = {(r.k): (r.v, r.ds) for r in spark.read.parquet(path).collect()}
     assert again == got
+
+
+def test_vacuum_partitions_retention(spark, tmp_path):
+    from ai_incident_analyst_spark.sources.layout import vacuum_partitions
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(d, i) for i, d in enumerate(["d1", "d2", "d3"]) for _ in range(3)],
+        "day string, v long")
+    df.write.partitionBy("day").parquet(p)
+
+    # dry run reports but deletes nothing
+    would = vacuum_partitions(p, "day", keep=["d2", "d3"], dry_run=True)
+    assert would == ["d1"]
+    assert spark.read.parquet(p).select("day").distinct().count() == 3
+
+    gone = vacuum_partitions(p, "day", keep=["d2", "d3"])
+    assert gone == ["d1"]
+    left = {r["day"] for r in
+            spark.read.parquet(p).select("day").distinct().collect()}
+    assert left == {"d2", "d3"}
+    # idempotent
+    assert vacuum_partitions(p, "day", keep=["d2", "d3"]) == []
