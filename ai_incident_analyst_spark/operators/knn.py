@@ -594,54 +594,37 @@ def _pq_lloyd(x, m: int, kc: int, iters: int):
     return books
 
 
-def ivfpq_knn_join(queries: DataFrame, corpus: DataFrame,
-                   centroids: DataFrame, k: int = 5, nprobe: int = 2,
-                   m: int = 4, kc: int = 16, train_sample: int = 2048,
-                   train_iters: int = 8,
-                   query_id: str = "query_id", query_vec: str = "query_vec",
-                   corpus_id: str = "vec_id", corpus_vec: str = "embedding",
-                   centroid_id: str = "centroid_id",
-                   centroid_vec: str = "centroid") -> DataFrame:
-    """IVF-PQ (the FAISS ``IVFADC`` composition): coarse cells prune the
-    corpus, PQ codes of the RESIDUAL ``x − centroid(x)`` compress what
-    remains, and queries score candidates in the compressed domain via
-    per-(query, probed-cell) lookup tables — ‖q−x‖² ≈ ‖(q−c) − pq(x−c)‖².
-
-    The billion-vector recipe end to end: scan volume is the code bytes,
-    the corpus is assigned+encoded in ONE Arrow pass and never shuffled
-    before the candidate-only top-k window; query LUTs are
-    |Q|·nprobe·m·kc doubles, broadcast. Codebooks train on a bounded
-    hash-ordered residual sample (the ``pq_train_codebooks`` contract).
-
-    The two halves are independently SQL-oracle-checked in the registry
-    (``knn_ivf``: assign/probe/re-rank; ``knn_pq``: encode/ADC); the
-    composition carries recall/exactness pytest proofs instead.
-    """
+def _ivfpq_train(corpus: DataFrame, cmat, m: int, kc: int,
+                 sample_n: int, iters: int,
+                 corpus_id: str, corpus_vec: str):
+    """Codebooks over cell RESIDUALS of a bounded hash-ordered sample."""
     import numpy as np
 
-    ids, mat, ctype = _centroid_arrays(centroids, centroid_id, centroid_vec)
-
-    # --- train codebooks on a bounded residual sample -----------------
-    sample = (
+    rows = (
         corpus.select(F.col(corpus_id).cast("string").alias("i"),
                       F.col(corpus_vec).cast("array<double>").alias("v"))
         .withColumn("__h", F.md5(F.col("i")))
         .orderBy("__h", "i")
-        .limit(train_sample)
+        .limit(sample_n)
         .select("v")
         .collect()
     )
-    xs = np.array([r["v"] for r in sample], dtype=np.float64)
-    cmat = np.asarray(mat, dtype=np.float64)
+    xs = np.array([r["v"] for r in rows], dtype=np.float64)
     cn2 = (cmat * cmat).sum(axis=1)
     assign = np.argmin(cn2[None, :] - 2.0 * (xs @ cmat.T), axis=1)
-    books = _pq_lloyd(xs - cmat[assign], m, kc, train_iters)
-    dsub = books.shape[2]
+    return _pq_lloyd(xs - cmat[assign], m, kc, iters)
 
+
+def _ivfpq_encode(corpus: DataFrame, ids, cmat, books, ctype: str,
+                  corpus_id: str, corpus_vec: str) -> DataFrame:
+    """Assign + residual-PQ-encode in ONE Arrow pass:
+    ``(vec_id, __cell, code)``."""
+    import numpy as np
+
+    m, kc, dsub = books.shape
     sc = corpus.sparkSession.sparkContext
     bb = sc.broadcast((ids, cmat, books))
 
-    # --- corpus: assign + residual-encode in one Arrow pass -----------
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_, c, bk = bb.value
         cn2_ = (c * c).sum(axis=1)
@@ -661,7 +644,7 @@ def ivfpq_knn_join(queries: DataFrame, corpus: DataFrame,
                                 "__cell": ids_[cell_rows],
                                 "code": list(codes)})
 
-    encoded = (
+    return (
         spread(corpus.select(F.col(corpus_id).alias("vec_id"),
                              F.col(corpus_vec).cast("array<double>")
                              .alias("__cv")), "vec_id")
@@ -670,28 +653,42 @@ def ivfpq_knn_join(queries: DataFrame, corpus: DataFrame,
                                  "code array<int>")
     )
 
-    # --- query LUTs: per (query, probed cell), sub-dists to codewords --
+
+def _ivfpq_luts(queries: DataFrame, ids, cmat, books, nprobe: int,
+                query_id: str, query_vec: str):
+    """Per-(query, probed cell) ADC lookup tables —
+    |Q|·nprobe·m·kc doubles, driver-built from the collected queries."""
+    import numpy as np
+
+    m, kc, dsub = books.shape
+    cn2 = (cmat * cmat).sum(axis=1)
     qrows = queries.select(
         F.col(query_id).alias("qid"),
         F.col(query_vec).cast("array<double>").alias("qv")).collect()
-    luts = {}  # (qid, cell) -> (m, kc) float64
+    luts = {}
     for r in qrows:
         qv = np.asarray(r["qv"], dtype=np.float64)
         scores = cn2 - 2.0 * (cmat @ qv)
-        probe_rows = np.argsort(scores, kind="stable")[:nprobe]
-        for pr in probe_rows:
+        for pr in np.argsort(scores, kind="stable")[:nprobe]:
             qres = qv - cmat[pr]
             lut = np.empty((m, kc))
             for j in range(m):
                 diff = qres[j * dsub:(j + 1) * dsub][None, :] - books[j]
                 lut[j] = (diff * diff).sum(axis=1)
             luts[(int(r["qid"]), int(ids[pr]))] = lut
+    return luts
+
+
+def _ivfpq_scan(encoded: DataFrame, luts, m: int, k: int) -> DataFrame:
+    """Compressed-domain candidate generation + global top-k window."""
+    import numpy as np
+
+    sc = encoded.sparkSession.sparkContext
     bl = sc.broadcast(luts)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        luts_ = bl.value
         by_cell = {}
-        for (qid_, cell_), lut in luts_.items():
+        for (qid_, cell_), lut in bl.value.items():
             by_cell.setdefault(cell_, []).append((qid_, lut))
         for pdf in batches:
             if len(pdf) == 0:
@@ -730,3 +727,107 @@ def ivfpq_knn_join(queries: DataFrame, corpus: DataFrame,
         .filter(F.col("__rn") <= k)
         .select("query_id", "vec_id", "distance")
     )
+
+
+def ivfpq_knn_join(queries: DataFrame, corpus: DataFrame,
+                   centroids: DataFrame, k: int = 5, nprobe: int = 2,
+                   m: int = 4, kc: int = 16, train_sample: int = 2048,
+                   train_iters: int = 8,
+                   query_id: str = "query_id", query_vec: str = "query_vec",
+                   corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+                   centroid_id: str = "centroid_id",
+                   centroid_vec: str = "centroid") -> DataFrame:
+    """IVF-PQ (the FAISS ``IVFADC`` composition): coarse cells prune the
+    corpus, PQ codes of the RESIDUAL ``x − centroid(x)`` compress what
+    remains, and queries score candidates in the compressed domain via
+    per-(query, probed-cell) lookup tables — ‖q−x‖² ≈ ‖(q−c) − pq(x−c)‖².
+
+    The billion-vector recipe end to end: scan volume is the code bytes,
+    the corpus is assigned+encoded in ONE Arrow pass and never shuffled
+    before the candidate-only top-k window; query LUTs are
+    |Q|·nprobe·m·kc doubles, broadcast. Codebooks train on a bounded
+    hash-ordered residual sample (the ``pq_train_codebooks`` contract).
+
+    The two halves are independently SQL-oracle-checked in the registry
+    (``knn_ivf``: assign/probe/re-rank; ``knn_pq``: encode/ADC); the
+    composition carries recall/exactness pytest proofs instead.
+    """
+    import numpy as np
+
+    ids, mat, ctype = _centroid_arrays(centroids, centroid_id, centroid_vec)
+    cmat = np.asarray(mat, dtype=np.float64)
+    books = _ivfpq_train(corpus, cmat, m, kc, train_sample, train_iters,
+                         corpus_id, corpus_vec)
+    encoded = _ivfpq_encode(corpus, ids, cmat, books, ctype,
+                            corpus_id, corpus_vec)
+    luts = _ivfpq_luts(queries, ids, cmat, books, nprobe,
+                       query_id, query_vec)
+    return _ivfpq_scan(encoded, luts, m, k)
+
+
+def ivfpq_write_index(corpus: DataFrame, centroids: DataFrame, path: str,
+                      m: int = 4, kc: int = 16, train_sample: int = 2048,
+                      train_iters: int = 8,
+                      corpus_id: str = "vec_id",
+                      corpus_vec: str = "embedding",
+                      centroid_id: str = "centroid_id",
+                      centroid_vec: str = "centroid") -> None:
+    """Materialize the IVF-PQ index: residual codes written
+    ``partitionBy(__cell)`` (one directory per inverted list — the
+    ``ivf_write_index`` layout, but holding m small ints per vector
+    instead of the raw floats: the ~d·8/m× shrink is the point), plus an
+    ``_meta`` sidecar (underscore-prefixed → invisible to parquet
+    discovery) carrying centroids and codebooks so a probe needs no
+    retraining and no access to the build-time frames.
+    """
+    import numpy as np
+
+    ids, mat, ctype = _centroid_arrays(centroids, centroid_id, centroid_vec)
+    cmat = np.asarray(mat, dtype=np.float64)
+    books = _ivfpq_train(corpus, cmat, m, kc, train_sample, train_iters,
+                         corpus_id, corpus_vec)
+    encoded = _ivfpq_encode(corpus, ids, cmat, books, ctype,
+                            corpus_id, corpus_vec)
+    (encoded.repartition(F.col("__cell"))
+     .write.partitionBy("__cell").mode("overwrite").parquet(path))
+    spark = corpus.sparkSession
+    meta_rows = (
+        [("cent", int(r), 0, [float(x) for x in cmat[r]],
+          int(ids[r])) for r in range(len(ids))]
+        + [("book", j, c, [float(x) for x in books[j, c]], 0)
+           for j in range(books.shape[0]) for c in range(books.shape[1])]
+    )
+    spark.createDataFrame(
+        meta_rows,
+        "kind string, i int, j int, vec array<double>, cell_id long")         .coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+
+
+def ivfpq_probe_index(spark, path: str, queries: DataFrame, k: int = 5,
+                      nprobe: int = 2,
+                      query_id: str = "query_id",
+                      query_vec: str = "query_vec") -> DataFrame:
+    """Probe a persisted IVF-PQ index: identical results to
+    ``ivfpq_knn_join`` over the same centroids/codebooks, but the code
+    scan is restricted to the probed cells with a STATIC ``IN`` so
+    parquet partition pruning drops every other inverted list at
+    planning time (the ``ivf_probe_index`` contract, compressed
+    domain)."""
+    import numpy as np
+
+    meta = spark.read.parquet(f"{path}/_meta").collect()
+    cents = sorted(((r["i"], r["cell_id"], r["vec"]) for r in meta
+                    if r["kind"] == "cent"))
+    ids = np.array([c[1] for c in cents])
+    cmat = np.array([c[2] for c in cents], dtype=np.float64)
+    brows = [(r["i"], r["j"], r["vec"]) for r in meta if r["kind"] == "book"]
+    m = 1 + max(b[0] for b in brows)
+    kc = 1 + max(b[1] for b in brows)
+    dsub = len(brows[0][2])
+    books = np.empty((m, kc, dsub))
+    for j, c, vec in brows:
+        books[j, c] = vec
+    luts = _ivfpq_luts(queries, ids, cmat, books, nprobe,
+                       query_id, query_vec)
+    cells = sorted({cell for (_, cell) in luts})
+    encoded = spark.read.parquet(path).filter(F.col("__cell").isin(cells))
+    return _ivfpq_scan(encoded, luts, m, k)

@@ -142,3 +142,38 @@ def assert_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     if failed:
         raise ValueError(f"data-quality checks failed: {failed}")
     return report
+
+
+def k_anonymity_report(df: DataFrame, quasi_identifiers: list[str],
+                       k: int = 5) -> DataFrame:
+    """Privacy gate: k-anonymity of a release candidate with respect to
+    its quasi-identifier columns — every row must be indistinguishable
+    from ≥ k−1 others on those columns (Sweeney's rule; the structural
+    check the regex redaction pass in ``functions/redaction.py`` cannot
+    give, because rare VALUE COMBINATIONS re-identify even with PII
+    masked).
+
+    Returns one row: ``(k, min_group_size, n_rows, n_violating_rows,
+    violating_frac, anonymous)`` — ``n_violating_rows`` counts rows in
+    equivalence classes smaller than k. One groupBy over the
+    quasi-identifier tuple (map-side combinable) + a tiny aggregate of
+    the class-size table; exact integers, SQL-twin checkable.
+    """
+    if not quasi_identifiers:
+        raise ValueError("need at least one quasi-identifier column")
+    classes = (
+        df.groupBy(*quasi_identifiers).agg(F.count("*").alias("__sz"))
+    )
+    return (
+        classes.agg(
+            F.lit(k).alias("k"),
+            F.min("__sz").alias("min_group_size"),
+            F.sum("__sz").alias("n_rows"),
+            F.sum(F.when(F.col("__sz") < k, F.col("__sz"))
+                  .otherwise(F.lit(0))).alias("n_violating_rows"),
+        )
+        .withColumn("violating_frac",
+                    F.round(F.col("n_violating_rows")
+                            / F.col("n_rows"), 9))
+        .withColumn("anonymous", F.col("n_violating_rows") == 0)
+    )

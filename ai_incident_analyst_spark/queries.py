@@ -4925,3 +4925,27 @@ def q_graph_stats_items(spark, sf_dir):
         .select(F.col("item").alias("src"), F.col("nxt").alias("dst"))
     )
     return graph_stats(edges)
+
+
+@q("k_anonymity_customers", """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS sz
+  FROM customer GROUP BY 1, 2)
+SELECT 5 AS k,
+       min(sz) AS min_group_size,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_violating_rows,
+       round(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+             / CAST(sum(sz) AS DOUBLE), 9) AS violating_frac,
+       sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) = 0 AS anonymous
+FROM classes
+""", doc="k-anonymity privacy gate (operators/validation.py:"
+         "k_anonymity_report, k=5): rows in quasi-identifier classes "
+         "smaller than k re-identify even after regex redaction — one "
+         "map-side-combined groupBy + a class-size aggregate, exact "
+         "integers")
+def q_k_anonymity_customers(spark, sf_dir):
+    from .operators.validation import k_anonymity_report
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], k=5)

@@ -209,7 +209,10 @@ def test_connected_components_raises_on_nonconvergence(spark):
     chain = [(i, i + 1) for i in range(0, 12)]  # diameter 12 > max_iter 2
     edges = spark.createDataFrame(chain, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2).collect()
+        # small_graph_edges=0 forces the distributed path — the driver
+        # union-find fast path has no iteration budget to exhaust
+        connected_components(edges, max_iter=2,
+                             small_graph_edges=0).collect()
 
 
 def test_rowwise_minhash_matches_agg_signature(spark):
@@ -344,3 +347,22 @@ def test_minhash_index_probe_matches_batch(spark, sf_dir, tmp_path):
                 batch[(x, y)] = r.est_jaccard
     assert probed == batch
     assert all(a != b for a, b in probed)
+
+
+def test_cc_driver_fastpath_equals_distributed(spark):
+    """The small-graph union-find must produce byte-identical labels to
+    the distributed label-propagation path."""
+    from ai_incident_analyst_spark.operators.dedup import (
+        connected_components,
+    )
+    import numpy as np
+    rng = np.random.default_rng(13)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 200, (400, 2))
+             if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r["node"], r["cluster_id"])
+            for r in connected_components(df).collect()}
+    dist = {(r["node"], r["cluster_id"])
+            for r in connected_components(
+                df, small_graph_edges=0).collect()}
+    assert fast == dist

@@ -167,3 +167,33 @@ def test_ivfpq_deterministic_across_partitionings(spark):
                                        k=5, m=M, kc=8,
                                        train_sample=145).collect())
     assert a == b
+
+
+def test_ivfpq_persisted_index_matches_inline(spark, tmp_path):
+    from ai_incident_analyst_spark.operators.knn import (
+        ivfpq_knn_join,
+        ivfpq_probe_index,
+        ivfpq_write_index,
+    )
+    rng = np.random.default_rng(53)
+    pts = rng.normal(size=(120, D)) * 2.0
+    rows = [(i, i % 3, [float(x) for x in pts[i]]) for i in range(120)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    queries = (corpus.filter("vec_id < 4")
+               .selectExpr("vec_id as query_id", "embedding as query_vec"))
+    corp = corpus.filter("vec_id >= 4")
+    cents = _label_centroids(spark, corp)
+    inline = sorted((r["query_id"], r["vec_id"], round(r["distance"], 9))
+                    for r in ivfpq_knn_join(queries, corp, cents, k=5,
+                                            m=M, kc=8,
+                                            train_sample=116).collect())
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write_index(corp, cents, path, m=M, kc=8, train_sample=116)
+    probed = ivfpq_probe_index(spark, path, queries, k=5)
+    stored = sorted((r["query_id"], r["vec_id"], round(r["distance"], 9))
+                    for r in probed.collect())
+    assert inline == stored
+    # pruning proof: partition filters restrict to the probed cells
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "__cell" in plan and "PartitionFilters" in plan

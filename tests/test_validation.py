@@ -83,3 +83,21 @@ def test_unknown_kind_rejected(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="unknown check"):
         run_checks(df, [Check("bogus", "id")])
+
+
+def test_k_anonymity_report(spark):
+    from ai_incident_analyst_spark.operators.validation import (
+        k_anonymity_report,
+    )
+    rows = [("a", 1)] * 5 + [("b", 1)] * 2 + [("c", 2)]
+    df = spark.createDataFrame(rows, "qa string, qb long")
+    r = k_anonymity_report(df, ["qa", "qb"], k=3).first()
+    assert r["min_group_size"] == 1
+    assert r["n_rows"] == 8
+    assert r["n_violating_rows"] == 3  # the 2-row and 1-row classes
+    assert r["violating_frac"] == round(3 / 8, 9)
+    assert not r["anonymous"]
+    ok = k_anonymity_report(df.filter("qa = 'a'"), ["qa", "qb"], k=3).first()
+    assert ok["anonymous"]
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, [], k=3)
