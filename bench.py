@@ -123,6 +123,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "phrase_search",
     "graph_stats_items",
+    "k_anonymity_customers",
 ]
 
 
