@@ -109,15 +109,17 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
             raise ValueError(f"unknown check kind: {c.kind}")
         meta.append((c.kind, c.column, c.threshold))
     aggs = [a.alias(f"m{i}") for i, a in enumerate(aggs)]
+    # the row count rides in the same single pass — referential checks
+    # need it and must not pay a second scan for it
+    aggs.append(F.count(F.lit(1)).alias("__n"))
 
     rows = []
-    if aggs:
-        r = df.agg(*aggs).first()
-        for i, (kind, column, thr) in enumerate(meta):
-            v = float(r[f"m{i}"] or 0.0)
-            rows.append((kind, column, round(v, 9), thr, v <= thr))
+    r = df.agg(*aggs).first()
+    n = r["__n"]
+    for i, (kind, column, thr) in enumerate(meta):
+        v = float(r[f"m{i}"] or 0.0)
+        rows.append((kind, column, round(v, 9), thr, v <= thr))
     for c in ref_checks:
-        n = df.count()
         orphans = (
             df.select(F.col(c.column).alias("__k"))
             .filter(F.col("__k").isNotNull())
