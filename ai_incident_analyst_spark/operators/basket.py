@@ -1,0 +1,71 @@
+"""Market-basket co-occurrence mining: frequent item pairs with
+support / confidence / lift.
+
+The classic association-rule surface (the pairwise core of Apriori /
+FP-growth) restated relationally — no candidate-generation framework
+needed for the pairwise case, which is what recommendation backfills
+and "frequently bought together" widgets actually consume.
+
+Physical design: baskets self-join WITHIN the basket key only
+(``a.item < b.item``), so pair volume is Σ |basket|²/2 — bounded by
+basket size, never corpus² (the same Σ-of-squares contract as SemDeDup
+and blocked linkage). Support counts are map-side-combined aggs; the
+per-item support table is item-cardinality and broadcast-joins back.
+All metrics are exact ratios of integer counts (rounded 6 dp), so the
+whole mining run hash-matches a SQL twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_item_pairs(baskets: DataFrame, basket_col: str,
+                        item_col: str, min_support: int = 2,
+                        topn: int | None = None) -> DataFrame:
+    """Item pairs co-occurring in ≥ ``min_support`` baskets:
+    ``(item_a, item_b, n_pair, n_a, n_b, support, confidence_a_to_b,
+    lift)`` with ``item_a < item_b``.
+
+    - ``support``   = n_pair / n_baskets
+    - ``confidence``= n_pair / n_a  (rule a→b)
+    - ``lift``      = support / (supp_a · supp_b)
+    """
+    b = baskets.select(F.col(basket_col).alias("bk"),
+                       F.col(item_col).alias("it")).distinct() \
+        .localCheckpoint(eager=False)
+    n_baskets = b.select("bk").distinct().count()
+    item_supp = b.groupBy("it").agg(F.count("*").alias("n_it"))
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.bk") == F.col("r.bk"))
+               & (F.col("l.it") < F.col("r.it")))
+        .groupBy(F.col("l.it").alias("item_a"),
+                 F.col("r.it").alias("item_b"))
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_support)
+    )
+    sa = item_supp.select(F.col("it").alias("item_a"),
+                          F.col("n_it").alias("n_a"))
+    sb = item_supp.select(F.col("it").alias("item_b"),
+                          F.col("n_it").alias("n_b"))
+    nb = float(n_baskets)
+    out = (
+        pairs.join(sa, "item_a").join(sb, "item_b")
+        .select(
+            "item_a", "item_b", "n_pair", "n_a", "n_b",
+            F.round(F.col("n_pair") / F.lit(nb), 6).alias("support"),
+            F.round(F.col("n_pair") / F.col("n_a"), 6)
+            .alias("confidence_a_to_b"),
+            F.round((F.col("n_pair") * F.lit(nb))
+                    / (F.col("n_a") * F.col("n_b")), 6).alias("lift"),
+        )
+    )
+    if topn is not None:
+        from pyspark.sql import Window
+        w = Window.orderBy(F.col("n_pair").desc(),
+                           F.col("item_a").asc(), F.col("item_b").asc())
+        out = (out.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") <= topn).drop("__rn"))
+    return out

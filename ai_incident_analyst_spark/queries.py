@@ -4949,3 +4949,93 @@ def q_k_anonymity_customers(spark, sf_dir):
     from .operators.validation import k_anonymity_report
     cust = _t(spark, sf_dir, "customer")
     return k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+# ===========================================================================
+# market-basket mining — frequent pairs + association metrics
+# ===========================================================================
+
+@q("frequent_item_pairs", """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+nb AS (SELECT CAST(count(DISTINCT bk) AS DOUBLE) AS n FROM b),
+supp AS (SELECT it, count(*) AS n_it FROM b GROUP BY 1),
+pairs AS (
+  SELECT l.it AS item_a, r.it AS item_b, count(*) AS n_pair
+  FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+scored AS (
+  SELECT p.item_a, p.item_b, p.n_pair,
+         sa.n_it AS n_a, sb.n_it AS n_b,
+         round(p.n_pair / nb.n, 6) AS support,
+         round(CAST(p.n_pair AS DOUBLE) / sa.n_it, 6)
+           AS confidence_a_to_b,
+         round((p.n_pair * nb.n) / (CAST(sa.n_it AS DOUBLE) * sb.n_it), 6)
+           AS lift
+  FROM pairs p
+  JOIN supp sa ON sa.it = p.item_a
+  JOIN supp sb ON sb.it = p.item_b
+  CROSS JOIN nb)
+SELECT * FROM scored
+QUALIFY row_number() OVER (ORDER BY n_pair DESC, item_a ASC, item_b ASC)
+  <= 25
+""", doc="market-basket mining (operators/basket.py:frequent_item_pairs):"
+         " part pairs co-ordered >=3x with support/confidence/lift — "
+         "pairs join WITHIN the order key only (Σ basket², never "
+         "corpus²); item-support table broadcast back; exact "
+         "integer-ratio metrics")
+def q_frequent_item_pairs(spark, sf_dir):
+    from .operators.basket import frequent_item_pairs
+    li = _t(spark, sf_dir, "lineitem")
+    return frequent_item_pairs(li, "l_orderkey", "l_partkey",
+                               min_support=3, topn=25)
+
+
+@q("markov_transitions", """
+WITH clicks AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         ts, event_id
+  FROM events WHERE event_type = 'click'
+), seq AS (
+  SELECT item,
+         lead(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM clicks
+), e AS (
+  SELECT item AS cur, nxt, count(*) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+), tot AS (SELECT cur, sum(n) AS tn FROM e GROUP BY 1)
+SELECT e.cur, e.nxt, e.n,
+       round(CAST(e.n AS DOUBLE) / t.tn, 6) AS p
+FROM e JOIN tot t USING (cur)
+QUALIFY row_number() OVER (PARTITION BY e.cur
+                           ORDER BY e.n DESC, e.nxt ASC) <= 3
+""", doc="first-order Markov transition model over the click stream: "
+         "per-item top-3 next-item probabilities (exact count ratios) — "
+         "the sequence-model sibling of pagerank_items on the same "
+         "lag-window edges; two keyed aggs + one WindowGroupLimit")
+def q_markov_transitions(spark, sf_dir):
+    clicks = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id",
+                F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+                "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        clicks.withColumn("nxt", F.lead("item").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("item").alias("cur"), "nxt")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = e.groupBy("cur").agg(F.sum("n").alias("tn"))
+    w2 = Window.partitionBy("cur").orderBy(F.col("n").desc(),
+                                           F.col("nxt").asc())
+    return (
+        e.join(tot, "cur")
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= 3)
+        .select("cur", "nxt", "n",
+                F.round(F.col("n").cast("double") / F.col("tn"), 6)
+                .alias("p"))
+    )

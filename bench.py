@@ -124,6 +124,8 @@ HEADLINE = [
     "phrase_search",
     "graph_stats_items",
     "k_anonymity_customers",
+    "frequent_item_pairs",
+    "markov_transitions",
 ]
 
 

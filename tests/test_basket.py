@@ -1,0 +1,43 @@
+"""Market-basket mining: hand-computed supports, confidence, lift."""
+
+import pytest
+
+from ai_incident_analyst_spark.operators.basket import frequent_item_pairs
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "bk long, it string")
+    return {(r["item_a"], r["item_b"]): r
+            for r in frequent_item_pairs(df, "bk", "it", **kw).collect()}
+
+
+def test_pair_counts_and_metrics(spark):
+    rows = [(1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"),
+            (4, "d")]
+    got = _run(spark, rows, min_support=2)
+    ab = got[("a", "b")]
+    assert ab["n_pair"] == 2 and ab["n_a"] == 3 and ab["n_b"] == 2
+    assert ab["support"] == 0.5          # 2 of 4 baskets
+    assert ab["confidence_a_to_b"] == round(2 / 3, 6)
+    assert ab["lift"] == round((2 * 4) / (3 * 2), 6)
+    ac = got[("a", "c")]
+    assert ac["n_pair"] == 2
+    assert ("b", "c") not in got          # co-occurs once < min_support
+
+
+def test_duplicate_items_in_basket_count_once(spark):
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    got = _run(spark, rows, min_support=1)
+    assert got[("a", "b")]["n_pair"] == 2
+    assert got[("a", "b")]["n_a"] == 2
+
+
+def test_topn_orders_by_pair_count(spark):
+    rows = ([(i, "x") for i in range(5)] + [(i, "y") for i in range(5)]
+            + [(0, "z"), (1, "z")])
+    got = _run(spark, rows, min_support=1, topn=1)
+    assert set(got) == {("x", "y")}
