@@ -205,3 +205,36 @@ def decayed_agg(df: DataFrame, key: str, ts_col: str, value_col: str,
         .agg(F.sum(F.col(value_col).cast("double") * w)
              .alias("decayed_sum"))
     )
+
+
+def cusum_drift(df: DataFrame, key: str, ts_col: str, value_col: str,
+                target: Column | float, slack: float, threshold: float,
+                order_cols: list[str] | None = None) -> DataFrame:
+    """One-sided CUSUM drift detection per key: the classic control
+    chart ``S_t = max(0, S_{t−1} + (x_t − target − slack))`` with an
+    alarm when ``S_t > threshold`` — the standard "has this metric
+    drifted upward" monitor (complementing the per-bucket z-test in
+    ``anomalous_buckets``, which sees spikes but not slow drifts).
+
+    The recursion LOOKS inherently sequential, but the textbook identity
+    ``S_t = P_t − min_{i≤t} P_i`` over the prefix sums
+    ``P_t = Σ (x_i − target − slack)`` turns it into two stacked window
+    functions sharing one (key, ts) sort — fully relational, one keyed
+    shuffle, no UDF, and therefore exactly reproducible by a SQL twin.
+
+    Appends ``cusum`` (rounded 6 dp) and ``drift_alarm`` per row.
+    """
+    tgt = F.lit(float(target)) if not isinstance(target, Column) else target
+    order = [F.col(ts_col).asc()] + \
+        [F.col(c).asc() for c in (order_cols or [])]
+    w = Window.partitionBy(key).orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    step = F.col(value_col).cast("double") - tgt - F.lit(float(slack))
+    p = F.sum(step).over(w)
+    # min over P including a virtual 0 before the first row (S starts
+    # at 0): least(running-min(P), 0)
+    s = p - F.least(F.min(p).over(w), F.lit(0.0))
+    return (
+        df.withColumn("cusum", F.round(s, 6))
+        .withColumn("drift_alarm", F.col("cusum") > F.lit(float(threshold)))
+    )

@@ -5039,3 +5039,47 @@ def q_markov_transitions(spark, sf_dir):
                 F.round(F.col("n").cast("double") / F.col("tn"), 6)
                 .alias("p"))
     )
+
+
+@q("cusum_drift_events", """
+WITH mu AS (
+  SELECT event_type, avg(CAST(value AS DOUBLE)) AS mu
+  FROM events GROUP BY 1),
+st AS (
+  SELECT e.event_type, e.ts, e.event_id,
+         sum(CAST(e.value AS DOUBLE) - m.mu - 5.0)
+           OVER (PARTITION BY e.event_type
+                 ORDER BY e.ts, e.event_id
+                 ROWS UNBOUNDED PRECEDING) AS p
+  FROM events e JOIN mu m USING (event_type)),
+cs AS (
+  SELECT event_type, ts, event_id,
+         p - least(min(p) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING), 0.0) AS s
+  FROM st)
+SELECT event_type,
+       sum(CASE WHEN round(s, 6) > 120.0 THEN 1 ELSE 0 END) AS n_alarms,
+       round(max(s), 6) AS max_cusum
+FROM cs GROUP BY event_type
+""", doc="CUSUM drift monitor (operators/temporal.py:cusum_drift): the "
+         "sequential control-chart recursion S_t = max(0, S_{t-1}+x-μ-k) "
+         "restated as prefix-sum minus running-min — two stacked windows "
+         "on one (key, ts) sort, no UDF, catches slow drifts the "
+         "per-bucket z-test can't; alarms + max statistic hash-matched")
+def q_cusum_drift_events(spark, sf_dir):
+    from .operators.temporal import cusum_drift
+    ev = _t(spark, sf_dir, "events") \
+        .select("event_type", "ts", "event_id", "value")
+    mu = ev.groupBy("event_type").agg(
+        F.avg(F.col("value").cast("double")).alias("__mu"))
+    joined = ev.join(mu, "event_type")
+    out = cusum_drift(joined, "event_type", "ts", "value",
+                      target=F.col("__mu"), slack=5.0, threshold=120.0,
+                      order_cols=["event_id"])
+    return (
+        out.groupBy("event_type")
+        .agg(F.sum(F.col("drift_alarm").cast("int")).alias("n_alarms"),
+             F.round(F.max(
+                 F.col("cusum").cast("double")), 6).alias("max_cusum"))
+    )

@@ -126,6 +126,7 @@ HEADLINE = [
     "k_anonymity_customers",
     "frequent_item_pairs",
     "markov_transitions",
+    "cusum_drift_events",
 ]
 
 

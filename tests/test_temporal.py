@@ -128,3 +128,24 @@ def test_decayed_agg_hand_computed(spark):
                                 ref_ts=datetime(2024, 1, 15)).collect()}
     assert out[1] == pytest.approx(10.0 * 0.5 + 4.0, rel=1e-12)
     assert out[2] == pytest.approx(8.0 * 0.25, rel=1e-12)
+
+
+def test_cusum_identity_vs_sequential(spark):
+    from datetime import datetime, timedelta
+
+    from ai_incident_analyst_spark.operators.temporal import cusum_drift
+
+    base = datetime(2024, 1, 1)
+    vals = [1.0, 2.0, 0.5, 8.0, 9.0, 0.0, 0.2, 7.5, 7.5, 7.5]
+    rows = [(1, base + timedelta(minutes=i), float(v), i)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double, o long")
+    out = {r["o"]: (r["cusum"], r["drift_alarm"])
+           for r in cusum_drift(df, "k", "ts", "v", target=2.0, slack=1.0,
+                                threshold=6.0, order_cols=["o"]).collect()}
+    # sequential reference recursion
+    s, want = 0.0, {}
+    for i, v in enumerate(vals):
+        s = max(0.0, s + (v - 2.0 - 1.0))
+        want[i] = (round(s, 6), s > 6.0)
+    assert out == want
