@@ -75,3 +75,35 @@ def mad_outliers(df: DataFrame, key: str, value_col: str,
                   dev > F.lit(float(k)) * F.col("group_mad")) \
         .otherwise(dev > 0)
     return with_med.join(mad, key).withColumn("is_outlier", flag)
+
+
+def theil_sen_slope(df: DataFrame, key: str, x_col: str,
+                    y_col: str) -> DataFrame:
+    """Robust trend per key: the Theil–Sen estimator — the median slope
+    over all point pairs, ``(key, n_points, slope)``. Breakdown point
+    ~29%: one wild day cannot flip the trend the way an OLS fit would,
+    which is why it is the standard monitor-series trend test
+    (complementing ``cusum_drift``: CUSUM detects THAT a drift happened,
+    Theil–Sen quantifies its rate).
+
+    Pair generation self-joins WITHIN the key (x_a < x_b) — Σ|series|²
+    pairs, fine for the aggregated-series use (points per key = buckets,
+    not raw events; aggregate first). Median is the exact interpolated
+    percentile, engine-portable like the rest of this module.
+    """
+    a = df.select(F.col(key), F.col(x_col).cast("double").alias("xa"),
+                  F.col(y_col).cast("double").alias("ya"))
+    b = df.select(F.col(key), F.col(x_col).cast("double").alias("xb"),
+                  F.col(y_col).cast("double").alias("yb"))
+    pairs = (
+        a.join(b, key)
+        .filter(F.col("xa") < F.col("xb"))
+        .withColumn("slope",
+                    (F.col("yb") - F.col("ya"))
+                    / (F.col("xb") - F.col("xa")))
+    )
+    n = df.groupBy(key).agg(F.count("*").alias("n_points"))
+    med = pairs.groupBy(key).agg(
+        F.percentile(F.col("slope"), F.lit(0.5)).alias("slope"))
+    return n.join(med, key, "left") \
+        .select(key, "n_points", F.round("slope", 6).alias("slope"))

@@ -5083,3 +5083,159 @@ def q_cusum_drift_events(spark, sf_dir):
              F.round(F.max(
                  F.col("cusum").cast("double")), 6).alias("max_cusum"))
     )
+
+
+@q("theil_sen_daily_trend", """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+pts AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '2024-01-01', d) AS DOUBLE) AS x,
+         CAST(cnt AS DOUBLE) AS y
+  FROM daily),
+pairs AS (
+  SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS slope
+  FROM pts a JOIN pts b ON a.event_type = b.event_type AND a.x < b.x),
+n AS (SELECT event_type, count(*) AS n_points FROM pts GROUP BY 1)
+SELECT n.event_type, n.n_points,
+       round(quantile_cont(p.slope, 0.5), 6) AS slope
+FROM n LEFT JOIN pairs p USING (event_type)
+GROUP BY n.event_type, n.n_points
+""", doc="Theil–Sen robust trend (operators/robust.py:theil_sen_slope): "
+         "median pairwise slope of the per-type daily count series — "
+         "29% breakdown vs OLS's 0%; pairs generated within the "
+         "aggregated series only (Σ|series|², never raw events)")
+def q_theil_sen_daily_trend(spark, sf_dir):
+    from .operators.robust import theil_sen_slope
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count("*").alias("cnt"))
+        .select("event_type",
+                F.datediff(F.col("d").cast("date"),
+                           F.lit("2024-01-01").cast("date"))
+                .cast("double").alias("x"),
+                F.col("cnt").cast("double").alias("y"))
+    )
+    return theil_sen_slope(daily, "event_type", "x", "y")
+
+
+@q("seasonal_profile", """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(extract(hour FROM ts) AS INT) AS hod,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3),
+prof AS (
+  SELECT event_type, hod,
+         avg(CAST(cnt AS DOUBLE)) AS expected,
+         count(*) AS n_buckets
+  FROM hourly GROUP BY 1, 2)
+SELECT event_type, hod, n_buckets, round(expected, 6) AS expected,
+       round(max_cnt / expected, 6) AS peak_ratio
+FROM (
+  SELECT p.event_type, p.hod, p.n_buckets, p.expected,
+         max(CAST(h.cnt AS DOUBLE)) AS max_cnt
+  FROM prof p JOIN hourly h
+    ON h.event_type = p.event_type AND h.hod = p.hod
+  GROUP BY 1, 2, 3, 4)
+""", doc="seasonal (hour-of-day) profile: expected load per (type, hour "
+         "slot) + the worst observed bucket's ratio to it — the baseline "
+         "a seasonal-aware alert compares against instead of a flat "
+         "trailing mean (anomalous_buckets' blind spot for daily "
+         "rhythm); two keyed aggs, profile table is slot-cardinality")
+def q_seasonal_profile(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type",
+                   F.hour("ts").alias("hod"),
+                   F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    prof = (
+        hourly.groupBy("event_type", "hod")
+        .agg(F.avg(F.col("cnt").cast("double")).alias("expected"),
+             F.count("*").alias("n_buckets"))
+    )
+    return (
+        prof.join(hourly, ["event_type", "hod"])
+        .groupBy("event_type", "hod", "n_buckets", "expected")
+        .agg(F.max(F.col("cnt").cast("double")).alias("max_cnt"))
+        .select("event_type", "hod", "n_buckets",
+                F.round("expected", 6).alias("expected"),
+                F.round(F.col("max_cnt") / F.col("expected"), 6)
+                .alias("peak_ratio"))
+    )
+
+
+@q("touch_attribution", """
+WITH purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'),
+touches AS (
+  SELECT user_id, event_id, ts, event_type
+  FROM events WHERE event_type IN ('click', 'view')),
+windowed AS (
+  SELECT p.purchase_id, t.event_type, t.ts, t.event_id
+  FROM purchases p JOIN touches t
+    ON t.user_id = p.user_id
+   AND t.ts <= p.pts
+   AND t.ts >= p.pts - INTERVAL 7 DAY),
+ranked AS (
+  SELECT purchase_id, event_type,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY ts ASC, event_id ASC) AS rk_first,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY ts DESC, event_id DESC) AS rk_last
+  FROM windowed)
+SELECT 'first_touch' AS model, event_type, count(*) AS n_conversions
+FROM ranked WHERE rk_first = 1 GROUP BY 2
+UNION ALL
+SELECT 'last_touch', event_type, count(*) FROM ranked
+WHERE rk_last = 1 GROUP BY 2
+""", doc="conversion attribution (first- vs last-touch): each purchase "
+         "credits the first/last click-or-view inside a 7-day lookback "
+         "— the marketing-analytics staple; grid-bucketed interval join "
+         "(operators/temporal.range_join) + two rank windows sharing "
+         "one (purchase, ts) sort")
+def q_touch_attribution(spark, sf_dir):
+    from .operators.temporal import range_join
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("win_end"),
+                (F.col("ts") - F.expr("INTERVAL 7 DAYS")).alias("win_start"))
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select("user_id", "event_id", "ts",
+                F.col("event_type").alias("touch_type"))
+    )
+    windowed = range_join(touches, purchases, "ts", "win_start", "win_end",
+                          key="user_id", bucket_seconds=86400)
+    wf = Window.partitionBy("purchase_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    wl = Window.partitionBy("purchase_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    ranked = (
+        windowed.select("purchase_id", "touch_type", "ts", "event_id")
+        .withColumn("rk_first", F.row_number().over(wf))
+        .withColumn("rk_last", F.row_number().over(wl))
+    )
+    first = (ranked.filter(F.col("rk_first") == 1)
+             .groupBy(F.col("touch_type").alias("event_type"))
+             .agg(F.count("*").alias("n_conversions"))
+             .select(F.lit("first_touch").alias("model"), "event_type",
+                     "n_conversions"))
+    last = (ranked.filter(F.col("rk_last") == 1)
+            .groupBy(F.col("touch_type").alias("event_type"))
+            .agg(F.count("*").alias("n_conversions"))
+            .select(F.lit("last_touch").alias("model"), "event_type",
+                    "n_conversions"))
+    return first.unionByName(last)

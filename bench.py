@@ -127,6 +127,9 @@ HEADLINE = [
     "frequent_item_pairs",
     "markov_transitions",
     "cusum_drift_events",
+    "theil_sen_daily_trend",
+    "seasonal_profile",
+    "touch_attribution",
 ]
 
 

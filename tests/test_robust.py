@@ -52,3 +52,14 @@ def test_mad_zero_mad_degenerate_rule(spark):
     assert rows[0]["group_mad"] == 0.0
     flagged = {r["v"] for r in rows if r["is_outlier"]}
     assert flagged == {5.1}
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from ai_incident_analyst_spark.operators.robust import theil_sen_slope
+    # clean slope 2; one wild outlier point
+    pts = [(float(x), 2.0 * x) for x in range(10)] + [(10.0, 500.0)]
+    df = spark.createDataFrame([("a", x, y) for x, y in pts],
+                               "g string, x double, y double")
+    r = theil_sen_slope(df, "g", "x", "y").first()
+    assert r["n_points"] == 11
+    assert abs(r["slope"] - 2.0) < 0.5  # OLS would blow past 10
