@@ -5239,3 +5239,71 @@ def q_touch_attribution(spark, sf_dir):
             .select(F.lit("last_touch").alias("model"), "event_type",
                     "n_conversions"))
     return first.unionByName(last)
+
+
+# ===========================================================================
+# closed-form statistics — per-group OLS, chi-squared independence
+# ===========================================================================
+
+@q("ols_price_vs_qty", """
+WITH s AS (
+  SELECT l_returnflag AS grp, count(*) AS n,
+         sum(CAST(l_quantity AS DOUBLE)) AS sx,
+         sum(CAST(l_extendedprice AS DOUBLE)) AS sy,
+         sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE))
+           AS sxx,
+         sum(CAST(l_extendedprice AS DOUBLE)
+             * CAST(l_extendedprice AS DOUBLE)) AS syy,
+         sum(CAST(l_quantity AS DOUBLE)
+             * CAST(l_extendedprice AS DOUBLE)) AS sxy
+  FROM lineitem GROUP BY 1)
+SELECT grp, n,
+       round(CASE WHEN n*sxx - sx*sx > 0
+                  THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope,
+       round(CASE WHEN n*sxx - sx*sx > 0
+                  THEN (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n
+             END, 6) AS intercept,
+       round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                  THEN (n*sxy - sx*sy) * (n*sxy - sx*sy)
+                       / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2
+FROM s
+""", doc="per-group OLS from sufficient statistics (operators/stats.py:"
+         "ols_by_group): price-vs-quantity fit per return flag in ONE "
+         "map-side-combined aggregation; zero-variance groups surface "
+         "NULL, never a silent 0")
+def q_ols_price_vs_qty(spark, sf_dir):
+    from .operators.stats import ols_by_group
+    li = _t(spark, sf_dir, "lineitem") \
+        .select(F.col("l_returnflag").alias("grp"),
+                "l_quantity", "l_extendedprice")
+    return ols_by_group(li, "grp", "l_quantity", "l_extendedprice")
+
+
+@q("chi2_type_vs_kparity", """
+WITH obs AS (
+  SELECT event_type AS a,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 AS b,
+         count(*) AS o
+  FROM events GROUP BY 1, 2),
+ma AS (SELECT a, sum(o) AS na FROM obs GROUP BY 1),
+mb AS (SELECT b, sum(o) AS nb FROM obs GROUP BY 1),
+n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM obs),
+cells AS (
+  SELECT obs.o, ma.na * mb.nb / n.n AS e, n.n
+  FROM obs JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN n)
+SELECT round(sum((o - e) * (o - e) / e) + max(n) - sum(e), 6) AS chi2,
+       CAST(((SELECT count(*) FROM ma) - 1)
+            * ((SELECT count(*) FROM mb) - 1) AS BIGINT) AS dof,
+       CAST(max(n) AS BIGINT) AS n
+FROM cells
+""", doc="chi-squared independence test (operators/stats.py:"
+         "chi_squared): event type vs item-id parity — observed cells "
+         "from one groupBy, expected from broadcast marginals, the "
+         "structurally-zero-cell mass folded in closed form "
+         "(n − Σ_obs E) so no dense cross-join is materialized")
+def q_chi2_type_vs_kparity(spark, sf_dir):
+    from .operators.stats import chi_squared
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.get_json_object("props", "$.k").cast("bigint") % 2).alias("kp"))
+    return chi_squared(ev, "event_type", "kp")
