@@ -130,6 +130,8 @@ HEADLINE = [
     "theil_sen_daily_trend",
     "seasonal_profile",
     "touch_attribution",
+    "ols_price_vs_qty",
+    "chi2_type_vs_kparity",
 ]
 
 
