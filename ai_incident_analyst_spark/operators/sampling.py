@@ -195,9 +195,13 @@ def weighted_sample_no_replacement(df: DataFrame, key_col: str,
     row must never be sampled; an undefined weight must not win by NaN
     ordering). Ties (measure-zero on continuous keys) break by row key.
 
-    Plan shape: a narrow projection + one per-stratum window top-k —
-    WindowGroupLimit pushes the rank filter map-side, so a hot stratum
-    ships O(partitions·k), the same property as ``quota_sample``.
+    Plan shape: a narrow projection + top-k selection. Stratified form:
+    one per-stratum window — WindowGroupLimit pushes the rank filter
+    map-side, so a hot stratum ships O(partitions·k), the same property
+    as ``quota_sample``. Global form: ``orderBy(...).limit(k)``, which
+    Spark plans as TakeOrderedAndProject — per-partition partial top-k
+    merged on the driver, never the single-partition window a global
+    ``row_number`` would force.
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     wd = w.cast("double")
@@ -205,12 +209,18 @@ def weighted_sample_no_replacement(df: DataFrame, key_col: str,
             F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
             1, 8), 16, 10).cast("double") + F.lit(1.0)) / F.lit(float(16 ** 8) + 1.0)
     ekey = -F.log(u) / wd
-    part = [strata_col] if strata_col else [F.lit(1)]
-    win = Window.partitionBy(*part).orderBy(
+    filtered = df.filter(wd.isNotNull() & ~F.isnan(wd) & (wd > 0))
+    if strata_col is None:
+        return (
+            filtered.withColumn("__ekey", ekey)
+            .orderBy(F.col("__ekey").asc(), F.col(key_col).asc())
+            .limit(k)
+            .drop("__ekey")
+        )
+    win = Window.partitionBy(strata_col).orderBy(
         ekey.asc(), F.col(key_col).asc())
     return (
-        df.filter(wd.isNotNull() & ~F.isnan(wd) & (wd > 0))
-        .withColumn("__rk", F.row_number().over(win))
+        filtered.withColumn("__rk", F.row_number().over(win))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
