@@ -109,9 +109,13 @@ def bpe_train(df: DataFrame, text_col: str = "text",
     wc = word_counts(df, text_col)
     if min_word_count > 1:
         wc = wc.filter(F.col("c") >= min_word_count)
+    # limit(max+1): the extra row is the truncation probe — a table of
+    # exactly max_vocab_rows must NOT warn (len can never exceed the
+    # limit, so `len >= max` alone can't tell truncation from exact fit)
     rows = (wc.orderBy(F.col("c").desc(), F.col("w").asc())
-            .limit(max_vocab_rows).collect())
-    if len(rows) >= max_vocab_rows:
+            .limit(max_vocab_rows + 1).collect())
+    if len(rows) > max_vocab_rows:
+        rows = rows[:max_vocab_rows]
         logging.getLogger(__name__).warning(
             "bpe_train: distinct-word table truncated to top %d rows by "
             "(count desc, word asc); raise max_vocab_rows or "

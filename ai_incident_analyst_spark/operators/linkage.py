@@ -75,7 +75,8 @@ def fuzzy_self_join(df: DataFrame, id_col: str, text_col: str,
                 & (F.abs(F.length(F.col("ta.txt"))
                          - F.length(F.col("tb.txt"))) <= max_dist))
         .select(F.col("ta.txt").alias("txt_a"),
-                F.col("tb.txt").alias("txt_b"), lev.alias("dist"))
+                F.col("tb.txt").alias("txt_b"),
+                F.col("ta.blk").alias("blk"), lev.alias("dist"))
         .filter(F.col("dist") >= 0)
     )
     # hash-spread the matched text pairs so the id expansion — and the
@@ -85,10 +86,17 @@ def fuzzy_self_join(df: DataFrame, id_col: str, text_col: str,
     # broadcasts and AQE coalesces it to ONE task otherwise (the whole
     # 5.5M-row expansion ran serially; measured 11 s → 2.5 s at sf0.1)
     tpairs = spread(tpairs, "txt_a")
-    ma = side.select(F.col("id").alias("ia"), F.col("txt").alias("txt_a"))
-    mb = side.select(F.col("id").alias("ib"), F.col("txt").alias("txt_b"))
+    # expansion joins carry the BLOCK KEY alongside the text: with a
+    # blocker not derived from text_col, the same text can live in
+    # several blocks, and a text-only join would emit cross-block pairs
+    # (violating the blocking contract) and duplicate same-block pairs
+    # once per extra block
+    ma = side.select(F.col("id").alias("ia"), F.col("txt").alias("txt_a"),
+                     F.col("blk"))
+    mb = side.select(F.col("id").alias("ib"), F.col("txt").alias("txt_b"),
+                     F.col("blk"))
     expanded = (
-        ma.join(tpairs, "txt_a").join(mb, "txt_b")
+        ma.join(tpairs, ["txt_a", "blk"]).join(mb, ["txt_b", "blk"])
         .filter(F.col("ia") != F.col("ib"))
         # same-text pairs arrive in both id orders; canonicalize and
         # keep one (cross-text pairs are already unique per text pair)

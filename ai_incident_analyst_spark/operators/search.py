@@ -90,7 +90,8 @@ def search_all_terms(index: DataFrame, terms: list[str]) -> DataFrame:
     """Boolean AND: doc ids containing EVERY query term —
     ``(doc_id, n_matched)`` with n_matched == len(terms). Postings for
     the terms only (isin over literals), one count aggregation."""
-    t = [s.lower() for s in terms]
+    t = sorted({s.lower() for s in terms})  # dedupe: ['Data','data']
+    # must mean ONE term, or count_distinct could never reach len(terms)
     return (
         index.filter(F.col("term").isin(t))
         .groupBy("doc_id")
@@ -110,7 +111,8 @@ def bm25_rank(index: DataFrame, doc_lens: DataFrame, terms: list[str],
     scalars the caller computes once. idf uses the standard
     ``ln(1 + (N − df + 0.5)/(df + 0.5))`` positive-idf form.
     """
-    t = [s.lower() for s in terms]
+    t = sorted({s.lower() for s in terms})  # a repeated query term must
+    # not double its contribution
     postings = index.filter(F.col("term").isin(t))
     df_ = postings.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df"))

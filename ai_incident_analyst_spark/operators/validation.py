@@ -96,11 +96,13 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
             vals = F.array(*[F.lit(v) for v in c.values])
             aggs.append(_frac(col.isNull() | ~F.array_contains(vals, col)))
         elif c.kind == "unique":
-            # duplicate fraction: rows beyond the first per value (NULLs
-            # count as violations — a unique key must be present)
+            # violation fraction = (n − count_distinct)/n: every NULL row
+            # violates (a unique key must be present) and every row
+            # beyond the first per value violates — and count_distinct
+            # already ignores NULLs, so n − distinct counts BOTH classes
+            # exactly once (adding the NULL count again double-counted)
             n = F.count(F.lit(1))
-            dups = (n - F.count_distinct(col)
-                    + F.sum(F.when(col.isNull(), 1).otherwise(0)))
+            dups = n - F.count_distinct(col)
             aggs.append(F.when(n == 0, F.lit(0.0)).otherwise(dups / n))
         elif c.kind == "referential":
             ref_checks.append(c)

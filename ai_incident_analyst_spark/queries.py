@@ -4377,8 +4377,7 @@ WITH m AS (
   SELECT
     CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
       / count(*) AS nn_frac,
-    CAST(count(*) - count(DISTINCT o_orderkey)
-         + sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE)
       / count(*) AS uq_frac,
     CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 500
                     OR o_totalprice > 600000 THEN 1 ELSE 0 END) AS DOUBLE)
@@ -5256,7 +5255,9 @@ WITH s AS (
              * CAST(l_extendedprice AS DOUBLE)) AS syy,
          sum(CAST(l_quantity AS DOUBLE)
              * CAST(l_extendedprice AS DOUBLE)) AS sxy
-  FROM lineitem GROUP BY 1)
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1)
 SELECT grp, n,
        round(CASE WHEN n*sxx - sx*sx > 0
                   THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope,

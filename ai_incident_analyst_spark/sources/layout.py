@@ -190,6 +190,7 @@ def vacuum_partitions(path: str, partition_col: str, keep: list[str],
     rewrite, readers of surviving partitions unaffected (each partition
     directory is removed atomically as one rename-to-trash/rm)."""
     import shutil
+    from urllib.parse import unquote
 
     keep_set = {str(k) for k in keep}
     prefix = f"{partition_col}="
@@ -198,7 +199,13 @@ def vacuum_partitions(path: str, partition_col: str, keep: list[str],
         full = os.path.join(path, name)
         if not (os.path.isdir(full) and name.startswith(prefix)):
             continue
-        value = name[len(prefix):]
+        # directory names are Hive-escaped (':' -> '%3A' etc.); compare
+        # against the caller's RAW values or a kept partition whose
+        # value contains any escaped character would be deleted. The
+        # null partition's sentinel is never unescaped — keep it by
+        # passing the literal '__HIVE_DEFAULT_PARTITION__'.
+        raw = name[len(prefix):]
+        value = raw if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
         if value not in keep_set:
             victims.append(value)
             if not dry_run:

@@ -136,3 +136,22 @@ def test_vacuum_partitions_retention(spark, tmp_path):
     assert left == {"d2", "d3"}
     # idempotent
     assert vacuum_partitions(p, "day", keep=["d2", "d3"]) == []
+
+
+def test_vacuum_partitions_hive_escaped_values(spark, tmp_path):
+    """Partition values with Hive-escaped characters must be comparable
+    by their RAW value (review finding: ':' -> '%3A' dirs were deleted
+    even when the caller asked to keep them)."""
+    from ai_incident_analyst_spark.sources.layout import vacuum_partitions
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1), ("2024-01-02 00:00:00", 2)],
+        "ts string, v long")
+    df.write.partitionBy("ts").parquet(p)
+    gone = vacuum_partitions(p, "ts", keep=["2024-01-01 00:00:00"])
+    assert gone == ["2024-01-02 00:00:00"]
+    # partition inference types the value as timestamp on re-read
+    left = {str(r["ts"]) for r in
+            spark.read.parquet(p).select("ts").distinct().collect()}
+    assert left == {"2024-01-01 00:00:00"}

@@ -131,3 +131,20 @@ def test_graph_stats_triangle_free(spark):
     assert r["n_triangles"] == 0
     assert r["n_wedges"] == 1
     assert r["global_clustering_1e6"] == 0
+
+
+def test_fuzzy_self_join_respects_non_text_blocker(spark):
+    """Identical texts in DIFFERENT blocks must neither pair across
+    blocks nor duplicate same-block pairs (review finding)."""
+    from pyspark.sql import functions as F
+    from ai_incident_analyst_spark.operators.linkage import fuzzy_self_join
+    df = spark.createDataFrame(
+        [(1, "acme corp", "east"), (2, "acme corp", "west"),
+         (3, "acme corp", "east"), (4, "acme corp", "west")],
+        "id long, name string, region string")
+    got = sorted((r["id_a"], r["id_b"], r["dist"])
+                 for r in fuzzy_self_join(df, "id", "name",
+                                          F.col("region"),
+                                          max_dist=2).collect())
+    # only within-region pairs, each exactly once
+    assert got == [(1, 3, 0), (2, 4, 0)]

@@ -58,3 +58,13 @@ def test_chi2_independent_is_zero(spark):
     df = spark.createDataFrame(rows, "c1 string, c2 string")
     r = chi_squared(df, "c1", "c2").first()
     assert r["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ols_null_rows_excluded_entirely(spark):
+    rows = [("g", 1.0, 2.0), ("g", 3.0, 4.0), ("g", None, 10.0),
+            ("g", 5.0, None)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    r = ols_by_group(df, "k", "x", "y").first()
+    assert r["n"] == 2           # complete cases only
+    assert r["slope"] == pytest.approx(1.0)
+    assert r["intercept"] == pytest.approx(1.0)

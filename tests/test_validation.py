@@ -34,11 +34,9 @@ def test_row_local_checks(spark):
     # v violations: 50.0 out of range, -1.0 out of range, NULL -> 3/4
     assert got[("in_range", "v")] == (0.75, False)
     assert got[("accepted_values", "s")] == (0.25, False)
-    # ids: [1, 2, None, 2] -> 4 rows, 2 distinct non-null, 1 null
-    # dups = 4 - 2 + 1 = 3?? no: count_distinct ignores null -> 2;
-    # (4 - 2) counts the null row once as duplicate, +1 for the null
-    # violation -> 3/4
-    assert got[("unique", "id")] == (0.75, False)
+    # ids: [1, 2, None, 2] -> violations are the NULL row and the
+    # second 2: n - count_distinct = 4 - 2 = 2 -> 0.5
+    assert got[("unique", "id")] == (0.5, False)
 
 
 def test_passing_table(spark):
