@@ -594,6 +594,15 @@ def _pq_lloyd(x, m: int, kc: int, iters: int):
     return books
 
 
+def _py(v):
+    """numpy scalar -> python scalar (dict keys / Row values must not
+    depend on numpy types, and string centroid ids must not be forced
+    through int())."""
+    import numpy as np
+
+    return v.item() if isinstance(v, np.generic) else v
+
+
 def _ivfpq_train(corpus: DataFrame, cmat, m: int, kc: int,
                  sample_n: int, iters: int,
                  corpus_id: str, corpus_vec: str):
@@ -675,7 +684,7 @@ def _ivfpq_luts(queries: DataFrame, ids, cmat, books, nprobe: int,
             for j in range(m):
                 diff = qres[j * dsub:(j + 1) * dsub][None, :] - books[j]
                 lut[j] = (diff * diff).sum(axis=1)
-            luts[(int(r["qid"]), int(ids[pr]))] = lut
+            luts[(int(r["qid"]), _py(ids[pr]))] = lut
     return luts
 
 
@@ -698,7 +707,7 @@ def _ivfpq_scan(encoded: DataFrame, luts, m: int, k: int) -> DataFrame:
             codes = np.array(list(pdf["code"]), dtype=np.int64)
             out_q, out_v, out_d = [], [], []
             for cell_ in np.unique(cells):
-                plist = by_cell.get(int(cell_))
+                plist = by_cell.get(_py(cell_))
                 if not plist:
                     continue
                 mask = cells == cell_
@@ -793,13 +802,13 @@ def ivfpq_write_index(corpus: DataFrame, centroids: DataFrame, path: str,
     spark = corpus.sparkSession
     meta_rows = (
         [("cent", int(r), 0, [float(x) for x in cmat[r]],
-          int(ids[r])) for r in range(len(ids))]
-        + [("book", j, c, [float(x) for x in books[j, c]], 0)
+          str(_py(ids[r]))) for r in range(len(ids))]
+        + [("book", j, c, [float(x) for x in books[j, c]], "")
            for j in range(books.shape[0]) for c in range(books.shape[1])]
     )
     spark.createDataFrame(
         meta_rows,
-        "kind string, i int, j int, vec array<double>, cell_id long")         .coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+        "kind string, i int, j int, vec array<double>, cell_id string")         .coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
 
 
 def ivfpq_probe_index(spark, path: str, queries: DataFrame, k: int = 5,
@@ -817,7 +826,13 @@ def ivfpq_probe_index(spark, path: str, queries: DataFrame, k: int = 5,
     meta = spark.read.parquet(f"{path}/_meta").collect()
     cents = sorted(((r["i"], r["cell_id"], r["vec"]) for r in meta
                     if r["kind"] == "cent"))
-    ids = np.array([c[1] for c in cents])
+    # recover the cell ids' native type from the index itself (they are
+    # stored as strings in _meta because centroid ids may be strings)
+    cell_type = dict(spark.read.parquet(path).dtypes)["__cell"]
+    if cell_type in ("bigint", "int"):
+        ids = np.array([int(c[1]) for c in cents])
+    else:
+        ids = np.array([c[1] for c in cents], dtype=object)
     cmat = np.array([c[2] for c in cents], dtype=np.float64)
     brows = [(r["i"], r["j"], r["vec"]) for r in meta if r["kind"] == "book"]
     m = 1 + max(b[0] for b in brows)
@@ -829,5 +844,11 @@ def ivfpq_probe_index(spark, path: str, queries: DataFrame, k: int = 5,
     luts = _ivfpq_luts(queries, ids, cmat, books, nprobe,
                        query_id, query_vec)
     cells = sorted({cell for (_, cell) in luts})
-    encoded = spark.read.parquet(path).filter(F.col("__cell").isin(cells))
+    # sortWithinPartitions restores the vec_id order the stable-argsort
+    # tie-break contract needs — the partitionBy shuffle at write time
+    # left row order arbitrary (equal ADC distances would otherwise pick
+    # a nondeterministic winner at the local top-k boundary)
+    encoded = (spark.read.parquet(path)
+               .filter(F.col("__cell").isin(cells))
+               .sortWithinPartitions("vec_id"))
     return _ivfpq_scan(encoded, luts, m, k)

@@ -197,3 +197,36 @@ def test_ivfpq_persisted_index_matches_inline(spark, tmp_path):
     # pruning proof: partition filters restrict to the probed cells
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "__cell" in plan and "PartitionFilters" in plan
+
+
+def test_ivfpq_string_centroid_ids(spark, tmp_path):
+    """String cell ids must survive the whole train/encode/scan/persist
+    cycle (review finding: int() coercion crashed on them)."""
+    from pyspark.sql import functions as F
+    from ai_incident_analyst_spark.operators.knn import (
+        ivfpq_knn_join,
+        ivfpq_probe_index,
+        ivfpq_write_index,
+    )
+    rng = np.random.default_rng(61)
+    pts = rng.normal(size=(90, D)) * 2.0
+    rows = [(i, ["red", "green", "blue"][i % 3],
+             [float(x) for x in pts[i]]) for i in range(90)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>")
+    corp = corpus.filter("vec_id >= 3")
+    queries = (corpus.filter("vec_id < 3")
+               .selectExpr("vec_id as query_id", "embedding as query_vec"))
+    cents = _label_centroids(spark, corp) \
+        .withColumn("centroid_id", F.col("centroid_id").cast("string"))
+    inline = sorted((r["query_id"], r["vec_id"], round(r["distance"], 9))
+                    for r in ivfpq_knn_join(queries, corp, cents, k=5,
+                                            m=M, kc=6,
+                                            train_sample=87).collect())
+    assert len(inline) == 15
+    path = str(tmp_path / "sidx")
+    ivfpq_write_index(corp, cents, path, m=M, kc=6, train_sample=87)
+    stored = sorted((r["query_id"], r["vec_id"], round(r["distance"], 9))
+                    for r in ivfpq_probe_index(spark, path, queries,
+                                               k=5).collect())
+    assert inline == stored
