@@ -3918,6 +3918,27 @@ def q_nrql_rate(spark, sf_dir):
 # link analysis — PageRank over the session item-transition graph
 # ===========================================================================
 
+def _click_edges(spark, sf_dir):
+    """Item-transition edges (consecutive clicks per user, lag-window
+    form) — the ONE definition shared by pagerank_items /
+    triangle_items / graph_stats_items / markov_transitions; a change
+    here changes all four together (their docs promise the same graph).
+    """
+    clicks = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id",
+                F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+                "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        clicks.withColumn("nxt", F.lead("item").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("item").alias("src"), F.col("nxt").alias("dst"))
+    )
+
+
 _PR_ITER = """
 SELECT n.node,
        0.15 + 0.85 * coalesce(sum({prev}.rank * t.p), 0) AS rank
@@ -3958,20 +3979,7 @@ FROM r3 ORDER BY rank DESC, node LIMIT 20
          "+ one groupBy(dst) — no driver data, AQE handles in-degree skew")
 def q_pagerank_items(spark, sf_dir):
     from .operators.graph import pagerank
-    clicks = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "click")
-        .select("user_id",
-                F.get_json_object("props", "$.k").cast("bigint").alias("item"),
-                "ts", "event_id")
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    edges = (
-        clicks.withColumn("nxt", F.lead("item").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select(F.col("item").alias("src"), F.col("nxt").alias("dst"))
-    )
-    pr = pagerank(edges, iterations=3, damping=0.85)
+    pr = pagerank(_click_edges(spark, sf_dir), iterations=3, damping=0.85)
     return (
         pr.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), "node").limit(20)
@@ -4284,20 +4292,7 @@ FROM nodes n LEFT JOIN corners c ON c.node = n.node
          "integer-exact, hash-matched against a SQL twin")
 def q_triangle_items(spark, sf_dir):
     from .operators.graph import triangle_count
-    clicks = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "click")
-        .select("user_id",
-                F.get_json_object("props", "$.k").cast("bigint").alias("item"),
-                "ts", "event_id")
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    edges = (
-        clicks.withColumn("nxt", F.lead("item").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select(F.col("item").alias("src"), F.col("nxt").alias("dst"))
-    )
-    return triangle_count(edges)
+    return triangle_count(_click_edges(spark, sf_dir))
 
 
 # ===========================================================================
@@ -4910,20 +4905,7 @@ FROM tris
          "ratio via integral div, immune to FP floor-boundary rounding)")
 def q_graph_stats_items(spark, sf_dir):
     from .operators.graph import graph_stats
-    clicks = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "click")
-        .select("user_id",
-                F.get_json_object("props", "$.k").cast("bigint").alias("item"),
-                "ts", "event_id")
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    edges = (
-        clicks.withColumn("nxt", F.lead("item").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select(F.col("item").alias("src"), F.col("nxt").alias("dst"))
-    )
-    return graph_stats(edges)
+    return graph_stats(_click_edges(spark, sf_dir))
 
 
 @q("k_anonymity_customers", """
@@ -5013,18 +4995,9 @@ QUALIFY row_number() OVER (PARTITION BY e.cur
          "the sequence-model sibling of pagerank_items on the same "
          "lag-window edges; two keyed aggs + one WindowGroupLimit")
 def q_markov_transitions(spark, sf_dir):
-    clicks = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "click")
-        .select("user_id",
-                F.get_json_object("props", "$.k").cast("bigint").alias("item"),
-                "ts", "event_id")
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = (
-        clicks.withColumn("nxt", F.lead("item").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .groupBy(F.col("item").alias("cur"), "nxt")
+        _click_edges(spark, sf_dir)
+        .groupBy(F.col("src").alias("cur"), F.col("dst").alias("nxt"))
         .agg(F.count("*").alias("n"))
     )
     tot = e.groupBy("cur").agg(F.sum("n").alias("tn"))

@@ -113,7 +113,7 @@ def _swap_pointer(p: str, target: str) -> None:
     os.rename(tmp, p)
 
 
-def _recover_store(path: str) -> None:
+def _recover_store(path: str, grace_seconds: float = 300.0) -> None:
     """Bring a merge-swap store to a clean state: migrate legacy layouts
     (pre-pointer plain directory; a ``.old`` left by the retired
     two-rename protocol) and drop versioned/staged directories the
@@ -121,10 +121,18 @@ def _recover_store(path: str) -> None:
     old-version cleanup, or a write that never flipped). Runs at SINK
     CONSTRUCTION (stream start) as well as per batch, so a crashed store
     heals as soon as the stream restarts — not only when the next batch
-    happens to arrive."""
+    happens to arrive.
+
+    Unreferenced versions are removed only after ``grace_seconds`` of
+    age (mtime): a reader that resolved the pointer JUST before a flip
+    is still scanning the previous version's files — deleting it at
+    flip time failed such readers mid-query (review finding). The grace
+    window is the retention contract: readers must complete within it
+    (the Delta/Iceberg VACUUM-retention idea at miniature scale)."""
     import glob
     import os
     import shutil
+    import time
 
     p = path.rstrip("/")
     old = p + ".old"
@@ -138,8 +146,15 @@ def _recover_store(path: str) -> None:
         os.rename(p, v0)
         _swap_pointer(p, v0)
     cur = os.path.realpath(p) if os.path.islink(p) else None
+    now = time.time()
     for d in glob.glob(p + ".v*") + glob.glob(p + ".stage-*") + [old]:
-        if os.path.exists(d) and os.path.realpath(d) != cur:
+        if not os.path.exists(d) or os.path.realpath(d) == cur:
+            continue
+        try:
+            age = now - os.path.getmtime(d)
+        except OSError:
+            continue
+        if age >= grace_seconds:
             shutil.rmtree(d, ignore_errors=True)
 
 
@@ -155,7 +170,10 @@ def _merge_swap_sink(stream: DataFrame, path: str, checkpoint: str,
     flip is a single symlink rename, so there is NO window where the
     path is missing mid-commit (the previous protocol's two-rename swap
     had one, and a dashboard polling the rollup table would hit
-    file-not-found on every batch).
+    file-not-found on every batch). Superseded versions are retained
+    for a GC grace window (``_recover_store``) so an in-flight reader
+    of the previous version finishes cleanly; readers slower than the
+    grace window need a real table format (see below).
 
     At-least-once safety (foreachBatch may replay a batch):
 
@@ -171,7 +189,6 @@ def _merge_swap_sink(stream: DataFrame, path: str, checkpoint: str,
     a table format with transactional commit (Delta/Iceberg) here.
     """
     import os
-    import shutil
 
     spark = stream.sparkSession
     p = path.rstrip("/")
@@ -192,10 +209,11 @@ def _merge_swap_sink(stream: DataFrame, path: str, checkpoint: str,
         staged = p + f".v{batch_id}"
         merged.write.mode("overwrite").parquet(staged)
         open(os.path.join(staged, f"_APPLIED_BATCH_{batch_id}"), "w").close()
-        prev = os.path.realpath(p) if os.path.islink(p) else None
         _swap_pointer(p, staged)
-        if prev is not None and os.path.realpath(p) != prev:
-            shutil.rmtree(prev, ignore_errors=True)
+        # the superseded version is NOT deleted here: a reader that
+        # resolved the pointer moments ago is still scanning it.
+        # _recover_store garbage-collects it once it ages past the
+        # grace window (next batches / next stream start).
 
     return (
         stream.writeStream
