@@ -4999,6 +4999,9 @@ def q_markov_transitions(spark, sf_dir):
         _click_edges(spark, sf_dir)
         .groupBy(F.col("src").alias("cur"), F.col("dst").alias("nxt"))
         .agg(F.count("*").alias("n"))
+        # two consumers (totals agg + join) — materialize the JSON
+        # parse + window + agg once
+        .localCheckpoint(eager=False)
     )
     tot = e.groupBy("cur").agg(F.sum("n").alias("tn"))
     w2 = Window.partitionBy("cur").orderBy(F.col("n").desc(),
@@ -5281,3 +5284,43 @@ def q_chi2_type_vs_kparity(spark, sf_dir):
         "event_type",
         (F.get_json_object("props", "$.k").cast("bigint") % 2).alias("kp"))
     return chi_squared(ev, "event_type", "kp")
+
+
+@q("snb_part_pairs", """
+WITH ranked AS (
+  SELECT p_partkey AS id, p_name AS txt,
+         row_number() OVER (ORDER BY p_name ASC, p_partkey ASC) AS rk
+  FROM part),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         levenshtein(a.txt, b.txt) AS dist
+  FROM ranked a
+  JOIN ranked b ON b.rk BETWEEN a.rk + 1 AND a.rk + 7
+  WHERE abs(length(a.txt) - length(b.txt)) <= 2
+    AND levenshtein(a.txt, b.txt) <= 2)
+SELECT dist, count(*) AS n_pairs,
+       SUM(CAST(('0x' || substring(md5(md5(CAST(id_a AS VARCHAR))
+                                       || md5(CAST(id_b AS VARCHAR))), 1, 8))
+                AS BIGINT)) AS pair_hash_sum
+FROM pairs GROUP BY dist
+""", doc="sorted-neighborhood linkage (operators/linkage.py:"
+         "sorted_neighborhood_pairs, Hernández–Stolfo, window=8): "
+         "candidates = each row vs its next 7 names in sort order — "
+         "O(n·window) regardless of block-size skew; global rank via "
+         "the two-phase prefix sum, never a single-task sort; "
+         "value-checked by the same order-insensitive hash sum as "
+         "fuzzy_part_pairs")
+def q_snb_part_pairs(spark, sf_dir):
+    from .operators.linkage import sorted_neighborhood_pairs
+    part = _t(spark, sf_dir, "part")
+    pairs = sorted_neighborhood_pairs(part, "p_partkey", "p_name",
+                                      F.col("p_name"), window=8,
+                                      max_dist=2)
+    pk = F.md5(F.concat(F.md5(F.col("id_a").cast("string")),
+                        F.md5(F.col("id_b").cast("string"))))
+    return (
+        pairs.groupBy("dist")
+        .agg(F.count("*").alias("n_pairs"),
+             F.sum(F.conv(F.substring(pk, 1, 8), 16, 10).cast("long"))
+              .alias("pair_hash_sum"))
+    )

@@ -132,6 +132,7 @@ HEADLINE = [
     "touch_attribution",
     "ols_price_vs_qty",
     "chi2_type_vs_kparity",
+    "snb_part_pairs",
 ]
 
 
