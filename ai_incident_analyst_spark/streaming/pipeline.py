@@ -417,3 +417,74 @@ def streaming_index_sink(stream: DataFrame, path: str, checkpoint: str,
         lambda stored, part: (
             stored.unionByName(part)
             .groupBy("term", "doc_id").agg(F.sum("tf").alias("tf"))))
+
+
+def streaming_scd2_sink(stream: DataFrame, path: str, checkpoint: str,
+                        key: str, ts_col: str, attrs: list[str],
+                        order_col: str):
+    """Streaming DIMENSION MAINTENANCE: keep the SCD2 version table
+    (``operators/scd.scd2_apply``) current as changes arrive. Per batch,
+    only the touched keys are reassembled: their stored versions are
+    converted back to change rows (``valid_from`` is the change time —
+    the inverse of interval assembly), unioned with the batch's changes,
+    and re-run through ``scd2_apply``; untouched keys pass through
+    byte-identical. Point-in-time joins read ``path`` at any moment.
+    State is the dimension itself — O(versions), no raw-history replay.
+    Swap/retry protocol: ``_merge_swap_sink``.
+
+    CONTRACT (the standard CDC ordering assumption): change events
+    arrive in per-key NONDECREASING event time across batches — a batch
+    may be internally unordered (reassembly fixes it), but a change
+    older than a key's stored newest version cannot be merged, because
+    no-op collapse is lossy: a collapsed run of identical values cannot
+    be re-split when a late row lands inside it. Late rows RAISE
+    (fail-loud, per repo policy) — route late data through a batch
+    rebuild from the full change log instead. ``order_col`` breaks
+    same-instant ties within a batch; across batches the later batch
+    wins a same-instant tie (its change supersedes the stored version,
+    matching last-arrival-wins over the full log).
+    """
+    from ..operators.scd import scd2_apply
+
+    def build(b: DataFrame) -> DataFrame:
+        # the batch partial IS an assembled SCD2 table, so the store is
+        # SCD2-shaped from the very first batch (the no-store branch of
+        # _merge_swap_sink persists build() output directly)
+        return scd2_apply(b.select(key, ts_col, *attrs, order_col),
+                          key, ts_col, attrs, order_col=order_col)
+
+    def merge(stored: DataFrame, part: DataFrame) -> DataFrame:
+        touched = part.select(key).distinct()
+        untouched = stored.join(touched, key, "left_anti")
+        # fail-loud late-data guard: a batch change strictly older than
+        # the key's newest stored version would land inside collapsed
+        # history and silently mis-assemble
+        newest = (stored.groupBy(key)
+                  .agg(F.max("valid_from").alias("__newest")))
+        n_late = (part.join(newest, key)
+                  .filter(F.col("valid_from") < F.col("__newest"))
+                  .count())
+        if n_late:
+            raise ValueError(
+                f"streaming_scd2_sink: {n_late} change(s) arrived with "
+                "event time older than the stored current version — "
+                "out-of-order beyond the CDC contract; rebuild the "
+                "dimension from the full change log instead")
+        # versions -> change rows (valid_from is the change instant) for
+        # the touched keys, then one re-assembly. Ordinals are sentinel:
+        # stored replays at -1, the batch at 0 — a NEWER batch's change
+        # at the same instant must beat the stored version (exactly what
+        # the one-shot assembly's last-arrival-wins rule does, because
+        # live ordinals are monotone across batches); ties WITHIN a
+        # batch were already resolved by build()'s own assembly.
+        def replay(scd, ordv):
+            return scd.join(touched, key, "left_semi").select(
+                key, F.col("valid_from").alias(ts_col), *attrs,
+                F.lit(ordv).alias(order_col))
+
+        merged = scd2_apply(
+            replay(stored, -1).unionByName(replay(part, 0)),
+            key, ts_col, attrs, order_col=order_col)
+        return untouched.unionByName(merged)
+
+    return _merge_swap_sink(stream, path, checkpoint, build, merge)

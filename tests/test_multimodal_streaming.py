@@ -411,3 +411,75 @@ def test_streaming_index_sink_matches_batch(spark):
         hits = {r["doc_id"] for r in
                 search_all_terms(stored, ["alpha", "beta"]).collect()}
         assert hits == {i for i in range(120) if i % 2}
+
+
+def test_streaming_scd2_sink_matches_batch(spark):
+    """Incrementally-maintained SCD2 store must equal the one-shot
+    assembly over the full change log."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from ai_incident_analyst_spark.operators.scd import scd2_apply
+    from ai_incident_analyst_spark.streaming.pipeline import (
+        streaming_scd2_sink,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(300):
+        k = i % 9
+        rows.append((k, base + timedelta(hours=i),
+                     f"s{(i // 9) % 4}", i))
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v string, o long")
+    with tempfile.TemporaryDirectory() as tmp:
+        # CDC contract: batches arrive in event-time order (each file is
+        # one time range; rows inside a file may be unordered)
+        for lo in (0, 100, 200):
+            chunk = df.filter(f"o >= {lo} AND o < {lo + 100}")
+            chunk.coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(df.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in")
+        q = streaming_scd2_sink(stream, f"{tmp}/dim", f"{tmp}/ck",
+                                "k", "ts", ["v"], order_col="o") \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+        stored = {(r["k"], r["v"], r["valid_from"], r["valid_to"],
+                   r["is_current"])
+                  for r in spark.read.parquet(f"{tmp}/dim").collect()}
+        want = {(r["k"], r["v"], r["valid_from"], r["valid_to"],
+                 r["is_current"])
+                for r in scd2_apply(df, "k", "ts", ["v"],
+                                    order_col="o").collect()}
+        assert stored == want
+
+
+def test_streaming_scd2_sink_rejects_late_changes(spark):
+    """A change older than the stored current version must fail loudly
+    (no-op collapse is lossy — silent mis-assembly otherwise)."""
+    import tempfile
+    from datetime import datetime
+
+    from ai_incident_analyst_spark.streaming.pipeline import (
+        streaming_scd2_sink,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d1 = spark.createDataFrame(
+            [(1, datetime(2024, 2, 1), "b", 10)],
+            "k long, ts timestamp, v string, o long")
+        d1.coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+        # late row: event time BEFORE the stored version
+        d2 = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1), "a", 11)],
+            "k long, ts timestamp, v string, o long")
+        d2.coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(d1.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in")
+        q = streaming_scd2_sink(stream, f"{tmp}/dim", f"{tmp}/ck",
+                                "k", "ts", ["v"], order_col="o") \
+            .trigger(availableNow=True).start()
+        import pyspark.errors
+        with pytest.raises(Exception, match="older than the stored"):
+            q.awaitTermination(120)
+            raise AssertionError("stream should have failed")
