@@ -238,3 +238,39 @@ def cusum_drift(df: DataFrame, key: str, ts_col: str, value_col: str,
         df.withColumn("cusum", F.round(s, 6))
         .withColumn("drift_alarm", F.col("cusum") > F.lit(float(threshold)))
     )
+
+
+def ewma_smooth(df: DataFrame, key: str, ts_col: str, value_col: str,
+                alpha: float = 0.3, lookback: int = 32,
+                order_cols: list[str] | None = None) -> DataFrame:
+    """Truncated exponentially-weighted moving average per key:
+    ``ewma_t = Σ_{j=0..L−1} α·(1−α)^j · x_{t−j}`` over the trailing
+    ``lookback`` rows — the smoothing half of the monitoring family
+    (CUSUM detects drifts, Theil–Sen rates them, EWMA renders the
+    denoised series dashboards actually plot).
+
+    The untruncated EWMA recursion is not window-expressible without
+    numerically explosive rescaling ((1−α)^(−t) overflows); truncation
+    at ``lookback`` bounds both the error (the dropped tail weighs
+    (1−α)^L — under 1e-4 at α=0.3, L=32) and the cost. Implemented as
+    ``collect_list`` over the ordered frame + a JVM higher-order
+    ``zip_with``/``aggregate`` — one (key, ts) sort, no UDF, and the
+    same array arithmetic is expressible in SQL, so it hash-matches a
+    twin. Appends ``ewma`` (rounded 6 dp).
+    """
+    order = [F.col(ts_col).asc()] + \
+        [F.col(c).asc() for c in (order_cols or [])]
+    w = (Window.partitionBy(key).orderBy(*order)
+         .rowsBetween(-(lookback - 1), 0))
+    # frame order = window order => arr is oldest..newest; newest gets
+    # weight α, each step back another ×(1−α)
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    weighted = F.expr(
+        f"aggregate(zip_with({{0}}, sequence(size({{0}}) - 1, 0, -1), "
+        f"(x, j) -> x * {alpha} * pow({1 - alpha}, j)), "
+        f"0.0D, (acc, v) -> acc + v)".replace("{0}", "__ewma_arr"))
+    return (
+        df.withColumn("__ewma_arr", arr)
+        .withColumn("ewma", F.round(weighted, 6))
+        .drop("__ewma_arr")
+    )

@@ -5324,3 +5324,38 @@ def q_snb_part_pairs(spark, sf_dir):
              F.sum(F.conv(F.substring(pk, 1, 8), 16, 10).cast("long"))
               .alias("pair_hash_sum"))
     )
+
+
+@q("ewma_daily_counts", """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY 1, 2),
+arrs AS (
+  SELECT event_type, d,
+         list(cnt) OVER (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+           AS arr
+  FROM daily)
+SELECT event_type, d,
+       round(list_sum([ arr[i] * 0.3 * pow(0.7, len(arr) - i)
+                        for i in range(1, len(arr) + 1) ]), 6) AS ewma
+FROM arrs
+""", doc="EWMA smoothing (operators/temporal.py:ewma_smooth, α=0.3, "
+         "lookback=14) of per-type daily counts: the truncated "
+         "exponential recursion as collect_list + JVM zip_with/"
+         "aggregate — one (key, ts) sort, no UDF; the denoised series "
+         "monitoring dashboards plot alongside CUSUM/Theil–Sen")
+def q_ewma_daily_counts(spark, sf_dir):
+    from .operators.temporal import ewma_smooth
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    return (
+        ewma_smooth(daily, "event_type", "d", "cnt",
+                    alpha=0.3, lookback=14)
+        .select("event_type", "d", "ewma")
+    )

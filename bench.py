@@ -133,6 +133,7 @@ HEADLINE = [
     "ols_price_vs_qty",
     "chi2_type_vs_kparity",
     "snb_part_pairs",
+    "ewma_daily_counts",
 ]
 
 

@@ -149,3 +149,23 @@ def test_cusum_identity_vs_sequential(spark):
         s = max(0.0, s + (v - 2.0 - 1.0))
         want[i] = (round(s, 6), s > 6.0)
     assert out == want
+
+
+def test_ewma_matches_sequential_reference(spark):
+    from datetime import datetime, timedelta
+
+    from ai_incident_analyst_spark.operators.temporal import ewma_smooth
+
+    base = datetime(2024, 1, 1)
+    vals = [5.0, 7.0, 3.0, 9.0, 9.0, 1.0, 4.0]
+    rows = [(1, base + timedelta(hours=i), v, i)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double, o long")
+    a, L = 0.3, 4
+    got = {r["o"]: r["ewma"]
+           for r in ewma_smooth(df, "k", "ts", "v", alpha=a, lookback=L,
+                                order_cols=["o"]).collect()}
+    for t in range(len(vals)):
+        want = sum(a * (1 - a) ** j * vals[t - j]
+                   for j in range(min(L, t + 1)))
+        assert got[t] == pytest.approx(round(want, 6), abs=2e-6), t
