@@ -274,3 +274,55 @@ def ewma_smooth(df: DataFrame, key: str, ts_col: str, value_col: str,
         .withColumn("ewma", F.round(weighted, 6))
         .drop("__ewma_arr")
     )
+
+
+def fill_gaps(df: DataFrame, key: str, ts_col: str, value_col: str,
+              step_seconds: int) -> DataFrame:
+    """Regularize a sparse per-key time series: emit one row per key per
+    ``step_seconds`` tick between the key's first and last observation,
+    carrying the last observed value forward into the gaps — the
+    date-spine + LOCF idiom every dashboard/feature pipeline needs
+    before resampling (a missing bucket must read as "still at the last
+    value", not silently vanish).
+
+    Adds ``is_observed`` so downstream code can distinguish carried
+    rows. Plan: per-key min/max (one agg) → ``sequence`` explode builds
+    the spine (no driver loop, no cross join against a calendar table)
+    → left join observations → one ``last(ignorenulls)`` window on the
+    same (key, ts) sort. The spine explode is bounded by
+    (span/step) rows per key — choose ``step_seconds`` accordingly.
+    """
+    t = F.col(ts_col).cast("long")
+    bounds = df.groupBy(key).agg(F.min(t).alias("__lo"),
+                                 F.max(t).alias("__hi"))
+    step = F.lit(int(step_seconds))
+    # ticks anchored at each key's first observation
+    spine = bounds.select(
+        key,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step))
+        .alias("__tick"))
+    obs = df.select(F.col(key), t.alias("__t"),
+                    F.col(value_col).cast("double").alias("__v"))
+    # snap each observation to its tick (relative to the key's anchor)
+    obs = (
+        obs.join(bounds, key)
+        .withColumn("__tick",
+                    (F.col("__lo")
+                     + F.floor((F.col("__t") - F.col("__lo")) / step) * step))
+        # last observation within a tick wins (latest ts)
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy(key, "__tick")
+            .orderBy(F.col("__t").desc())))
+        .filter(F.col("__rn") == 1)
+        .select(key, "__tick", "__v")
+    )
+    w = (Window.partitionBy(key).orderBy("__tick")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        spine.join(obs, [key, "__tick"], "left")
+        .withColumn("is_observed", F.col("__v").isNotNull())
+        .withColumn(value_col, F.last("__v", ignorenulls=True).over(w))
+        .select(key,
+                F.col("__tick").cast("timestamp").alias(ts_col),
+                value_col, "is_observed")
+    )

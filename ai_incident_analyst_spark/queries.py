@@ -5359,3 +5359,45 @@ def q_ewma_daily_counts(spark, sf_dir):
                     alpha=0.3, lookback=14)
         .select("event_type", "d", "ewma")
     )
+
+
+@q("fill_gaps_daily", """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total
+  FROM events WHERE event_type IN ('purchase', 'signup') GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, CAST(min(epoch(d)) AS BIGINT) AS lo,
+         CAST(max(epoch(d)) AS BIGINT) AS hi
+  FROM daily GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(range(lo, hi + 1, 86400)) AS tick
+  FROM bounds),
+joined AS (
+  SELECT s.event_type, s.tick, dl.total
+  FROM spine s LEFT JOIN daily dl
+    ON dl.event_type = s.event_type AND epoch(dl.d) = s.tick)
+SELECT event_type, CAST(to_timestamp(tick) AS TIMESTAMP) AS d,
+       last_value(total IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY tick
+         ROWS UNBOUNDED PRECEDING) AS total,
+       total IS NOT NULL AS is_observed
+FROM joined
+""", doc="time-series gap filling / LOCF (operators/temporal.py:"
+         "fill_gaps): per-type daily revenue regularized to a day "
+         "spine, last observation carried into silent days — sequence "
+         "explode builds the spine (no calendar cross join), one "
+         "(key, tick) sort drives the forward fill")
+def q_fill_gaps_daily(spark, sf_dir):
+    from .operators.temporal import fill_gaps
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type",
+                 F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(27,4)"))
+             .cast("double").alias("total"))
+    )
+    return fill_gaps(daily, "event_type", "d", "total",
+                     step_seconds=86400) \
+        .select("event_type", F.col("d"), "total", "is_observed")

@@ -134,6 +134,7 @@ HEADLINE = [
     "chi2_type_vs_kparity",
     "snb_part_pairs",
     "ewma_daily_counts",
+    "fill_gaps_daily",
 ]
 
 

@@ -169,3 +169,37 @@ def test_ewma_matches_sequential_reference(spark):
         want = sum(a * (1 - a) ** j * vals[t - j]
                    for j in range(min(L, t + 1)))
         assert got[t] == pytest.approx(round(want, 6), abs=2e-6), t
+
+
+def test_fill_gaps_locf(spark):
+    from datetime import datetime
+
+    from ai_incident_analyst_spark.operators.temporal import fill_gaps
+
+    rows = [(1, datetime(2024, 1, 1, 0), 10.0),
+            (1, datetime(2024, 1, 1, 3), 30.0),   # 2 missing hours
+            (2, datetime(2024, 1, 1, 5), 7.0)]    # singleton key
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = {(r["k"], r["ts"].hour): (r["v"], r["is_observed"])
+           for r in fill_gaps(df, "k", "ts", "v", 3600).collect()}
+    assert out == {
+        (1, 0): (10.0, True),
+        (1, 1): (10.0, False),
+        (1, 2): (10.0, False),
+        (1, 3): (30.0, True),
+        (2, 5): (7.0, True),
+    }
+
+
+def test_fill_gaps_tick_dedup_latest_wins(spark):
+    from datetime import datetime
+
+    from ai_incident_analyst_spark.operators.temporal import fill_gaps
+
+    rows = [(1, datetime(2024, 1, 1, 0, 0), 1.0),
+            (1, datetime(2024, 1, 1, 0, 40), 2.0),  # same hour tick
+            (1, datetime(2024, 1, 1, 1, 0), 5.0)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = sorted((r["ts"], r["v"]) for r in
+                 fill_gaps(df, "k", "ts", "v", 3600).collect())
+    assert [v for _, v in out] == [2.0, 5.0]
