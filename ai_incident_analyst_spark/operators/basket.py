@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 def frequent_item_pairs(baskets: DataFrame, basket_col: str,
                         item_col: str, min_support: int = 2,
-                        topn: int | None = None) -> DataFrame:
+                        topn: int | None = None,
+                        max_basket_size: int | None = 10_000) -> DataFrame:
     """Item pairs co-occurring in ≥ ``min_support`` baskets:
     ``(item_a, item_b, n_pair, n_a, n_b, support, confidence_a_to_b,
     lift)`` with ``item_a < item_b``.
@@ -31,10 +32,25 @@ def frequent_item_pairs(baskets: DataFrame, basket_col: str,
     - ``support``   = n_pair / n_baskets
     - ``confidence``= n_pair / n_a  (rule a→b)
     - ``lift``      = support / (supp_a · supp_b)
+
+    ``max_basket_size`` drops baskets with more distinct items before
+    the within-basket self-join: pair volume is Σ |basket|², so one
+    degenerate basket (a crawler session, a catch-all order id) can
+    contribute |basket|²/2 pairs on its own — 10k items is 50M pairs
+    from one key, and it lands in ONE shuffle partition. Oversize
+    baskets carry no signal for pairwise association mining anyway
+    (co-occurrence in a basket with everything is uninformative), so
+    the guard is a correctness-neutral skew cap, not sampling. Pass
+    ``None`` to disable.
     """
     b = baskets.select(F.col(basket_col).alias("bk"),
-                       F.col(item_col).alias("it")).distinct() \
-        .localCheckpoint(eager=False)
+                       F.col(item_col).alias("it")).distinct()
+    if max_basket_size is not None:
+        sizes = b.groupBy("bk").agg(F.count("*").alias("__n"))
+        b = (b.join(F.broadcast(
+                 sizes.filter(F.col("__n") > max_basket_size)
+                 .select("bk")), "bk", "left_anti"))
+    b = b.localCheckpoint(eager=False)
     n_baskets = b.select("bk").distinct().count()
     item_supp = b.groupBy("it").agg(F.count("*").alias("n_it"))
     l, r = b.alias("l"), b.alias("r")

@@ -52,9 +52,20 @@ def lr_train(df: DataFrame, feature_cols: Sequence[str], label_col: str,
     Deterministic by construction: w₀ = 0, fixed ``iterations``, mean
     gradient. Cache ``df`` before calling if it is derived — every
     iteration scans it once.
+
+    Complete-case, like ``ols_by_group``: rows with a NULL or NaN
+    feature/label are dropped before counting — without this, sum()
+    skips NULL rows (or NaN poisons the whole gradient) while
+    ``n = count()`` still includes them, silently biasing the mean
+    gradient on dirty input.
     """
     xs = [F.col(c).cast("double") for c in feature_cols]
     y = F.col(label_col).cast("double")
+    clean = None
+    for c in xs + [y]:
+        cond = c.isNotNull() & ~F.isnan(c)
+        clean = cond if clean is None else (clean & cond)
+    df = df.filter(clean)
     n = df.count()
     if n == 0:
         raise ValueError("cannot train on an empty frame")

@@ -91,13 +91,16 @@ def knn_join_blocked(queries: DataFrame, corpus: DataFrame, k: int = 5,
 
     qrows = queries.select(F.col(query_id).alias("qid"),
                            F.col(query_vec).cast("array<double>").alias("qv")).collect()
-    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    # no forced dtype: ids keep their native type (long or string)
+    qids = np.array([r["qid"] for r in qrows])
     qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)  # (nq, d)
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((qids, qmat))
     want_max = metric == "cosine"
 
-    out_schema = "query_id long, vec_id long, distance double"
+    qtype = queries.schema[query_id].dataType.simpleString()
+    ctype_id = corpus.schema[corpus_id].dataType.simpleString()
+    out_schema = f"query_id {qtype}, vec_id {ctype_id}, distance double"
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_, qmat_ = bq.value
@@ -106,7 +109,7 @@ def knn_join_blocked(queries: DataFrame, corpus: DataFrame, k: int = 5,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            cid = pdf[corpus_id].to_numpy(dtype=np.int64)
+            cid = pdf[corpus_id].to_numpy()
             cmat = np.array(list(pdf[corpus_vec]), dtype=np.float64)  # (nc, d)
             dot = qmat_ @ cmat.T  # (nq, nc) — BLAS
             if metric == "l2_sq":
@@ -461,9 +464,13 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str, codebooks) -> DataFrame:
     that shrinks an 8-byte-per-dim corpus to ~1 byte per subspace, and it
     runs embarrassingly parallel as a ``mapInPandas`` over whatever
     partitioning the corpus already has.
+
+    The id column keeps its input type (long, string, …) — derived from
+    the schema, like ``_ivfpq_encode`` does for ``__cell``.
     """
     import numpy as np
 
+    id_type = df.schema[id_col].dataType.simpleString()
     m, kc, dsub = codebooks.shape
     sc = df.sparkSession.sparkContext
     bb = sc.broadcast(codebooks)
@@ -486,7 +493,7 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str, codebooks) -> DataFrame:
 
     return (
         df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .mapInPandas(enc, schema=f"id long, code array<int>")
+        .mapInPandas(enc, schema=f"id {id_type}, code array<int>")
         .select(F.col("id").alias(id_col), "code")
     )
 
@@ -518,7 +525,9 @@ def pq_knn_join(queries: DataFrame, corpus: DataFrame, codebooks,
     qrows = queries.select(
         F.col(query_id).alias("qid"),
         F.col(query_vec).cast("array<double>").alias("qv")).collect()
-    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    # no forced dtype: long ids stay int64, string ids stay strings —
+    # both repeat/fancy-index fine, and the output schema follows suit
+    qids = np.array([r["qid"] for r in qrows])
     qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
     # LUT[nq, m, kc]: exact squared-L2 between query subvector and codeword
     lut = np.empty((len(qids), m, kc))
@@ -531,7 +540,9 @@ def pq_knn_join(queries: DataFrame, corpus: DataFrame, codebooks,
 
     encoded = pq_encode(corpus, corpus_id, corpus_vec, codebooks)
 
-    out_schema = "query_id long, vec_id long, distance double"
+    qtype = queries.schema[query_id].dataType.simpleString()
+    ctype_id = corpus.schema[corpus_id].dataType.simpleString()
+    out_schema = f"query_id {qtype}, vec_id {ctype_id}, distance double"
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_, lut_ = blut.value
@@ -539,7 +550,7 @@ def pq_knn_join(queries: DataFrame, corpus: DataFrame, codebooks,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            cid = pdf[corpus_id].to_numpy(dtype=np.int64)
+            cid = pdf[corpus_id].to_numpy()
             codes = np.array(list(pdf["code"]), dtype=np.int64)  # (nc, m)
             # gather: dist[q, c] = Σ_j lut[q, j, codes[c, j]]
             dist = np.zeros((nq, len(cid)))
@@ -627,9 +638,11 @@ def _ivfpq_train(corpus: DataFrame, cmat, m: int, kc: int,
 def _ivfpq_encode(corpus: DataFrame, ids, cmat, books, ctype: str,
                   corpus_id: str, corpus_vec: str) -> DataFrame:
     """Assign + residual-PQ-encode in ONE Arrow pass:
-    ``(vec_id, __cell, code)``."""
+    ``(vec_id, __cell, code)`` — vec_id keeps its input type, like
+    ``__cell`` keeps the centroid-id type via ``ctype``."""
     import numpy as np
 
+    id_type = corpus.schema[corpus_id].dataType.simpleString()
     m, kc, dsub = books.shape
     sc = corpus.sparkSession.sparkContext
     bb = sc.broadcast((ids, cmat, books))
@@ -658,7 +671,7 @@ def _ivfpq_encode(corpus: DataFrame, ids, cmat, books, ctype: str,
                              F.col(corpus_vec).cast("array<double>")
                              .alias("__cv")), "vec_id")
         .sortWithinPartitions("vec_id")
-        .mapInPandas(enc, schema=f"vec_id long, __cell {ctype}, "
+        .mapInPandas(enc, schema=f"vec_id {id_type}, __cell {ctype}, "
                                  "code array<int>")
     )
 
@@ -684,14 +697,18 @@ def _ivfpq_luts(queries: DataFrame, ids, cmat, books, nprobe: int,
             for j in range(m):
                 diff = qres[j * dsub:(j + 1) * dsub][None, :] - books[j]
                 lut[j] = (diff * diff).sum(axis=1)
-            luts[(int(r["qid"]), _py(ids[pr]))] = lut
+            luts[(_py(r["qid"]), _py(ids[pr]))] = lut
     return luts
 
 
-def _ivfpq_scan(encoded: DataFrame, luts, m: int, k: int) -> DataFrame:
-    """Compressed-domain candidate generation + global top-k window."""
+def _ivfpq_scan(encoded: DataFrame, luts, m: int, k: int,
+                qtype: str = "bigint") -> DataFrame:
+    """Compressed-domain candidate generation + global top-k window.
+    ``qtype`` is the query-id Spark type (the callers pass the queries
+    frame's schema type); vec_id's type comes from ``encoded``."""
     import numpy as np
 
+    id_type = dict(encoded.dtypes)["vec_id"]
     sc = encoded.sparkSession.sparkContext
     bl = sc.broadcast(luts)
 
@@ -703,7 +720,7 @@ def _ivfpq_scan(encoded: DataFrame, luts, m: int, k: int) -> DataFrame:
             if len(pdf) == 0:
                 continue
             cells = pdf["__cell"].to_numpy()
-            cid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cid = pdf["vec_id"].to_numpy()
             codes = np.array(list(pdf["code"]), dtype=np.int64)
             out_q, out_v, out_d = [], [], []
             for cell_ in np.unique(cells):
@@ -718,7 +735,7 @@ def _ivfpq_scan(encoded: DataFrame, luts, m: int, k: int) -> DataFrame:
                         dist += lut[j][ccodes[:, j]]
                     kk = min(k, len(cids))
                     idx = np.argsort(dist, kind="stable")[:kk]
-                    out_q.append(np.full(kk, qid_, dtype=np.int64))
+                    out_q.append(np.full(kk, qid_))
                     out_v.append(cids[idx])
                     out_d.append(dist[idx])
             if out_q:
@@ -728,7 +745,7 @@ def _ivfpq_scan(encoded: DataFrame, luts, m: int, k: int) -> DataFrame:
                     "distance": np.concatenate(out_d)})
 
     cand = encoded.mapInPandas(
-        scan, schema="query_id long, vec_id long, distance double")
+        scan, schema=f"query_id {qtype}, vec_id {id_type}, distance double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("distance").asc(), F.col("vec_id").asc())
     return (
@@ -771,7 +788,8 @@ def ivfpq_knn_join(queries: DataFrame, corpus: DataFrame,
                             corpus_id, corpus_vec)
     luts = _ivfpq_luts(queries, ids, cmat, books, nprobe,
                        query_id, query_vec)
-    return _ivfpq_scan(encoded, luts, m, k)
+    return _ivfpq_scan(encoded, luts, m, k,
+                       qtype=queries.schema[query_id].dataType.simpleString())
 
 
 def ivfpq_write_index(corpus: DataFrame, centroids: DataFrame, path: str,
@@ -851,4 +869,5 @@ def ivfpq_probe_index(spark, path: str, queries: DataFrame, k: int = 5,
     encoded = (spark.read.parquet(path)
                .filter(F.col("__cell").isin(cells))
                .sortWithinPartitions("vec_id"))
-    return _ivfpq_scan(encoded, luts, m, k)
+    return _ivfpq_scan(encoded, luts, m, k,
+                       qtype=queries.schema[query_id].dataType.simpleString())

@@ -6,15 +6,15 @@ feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so bytes never round-trip through Python row by
 row.
 
-Codec boundary: the IMAGE kernels have a real PIL branch, import-gated
+Codec boundary: the IMAGE kernels decode with PIL, the AUDIO kernel with
+soundfile, the VIDEO kernel with PyAV — each real branch import-gated
 exactly like the embedding operator's sentence-transformers branch
-(``tests/test_embedding.py`` pattern) — ``fake=False`` works wherever
-Pillow is importable and raises NotImplementedError with the install
-hint where it isn't (this container has no codecs, so the PIL tests
-auto-skip here). The VIDEO kernel needs PyAV and remains gated the same
-way. ``fake=True`` (default) uses a deterministic stand-in seeded by
-content hash — the Spark-side plumbing (schema, batch shape,
-partitioning) is real and tested either way.
+(``tests/test_embedding.py`` pattern): ``fake=False`` works wherever the
+codec library is importable and raises NotImplementedError with the
+install hint where it isn't (this container has no codecs, so those
+tests auto-skip here). ``fake=True`` (default) uses a deterministic
+stand-in seeded by content hash — the Spark-side plumbing (schema,
+batch shape, partitioning) is real and tested either way.
 
 Scale notes: media blobs dominate row size; keep them in their own table
 keyed by content hash (dedup for free), partition by size bucket so Arrow
@@ -187,22 +187,96 @@ def resize_media(df: DataFrame, width: int = 224, height: int = 224,
     return df.select("media_id", "content").mapInPandas(part, schema=out_schema)
 
 
+def audio_features(df: DataFrame, n_bands: int = 16,
+                   fake: bool = True) -> DataFrame:
+    """Audio decode + feature stage over the media table.
+
+    ``fake=False`` decodes with soundfile (import-gated like PIL for the
+    image kernels): read the container, mix to mono, split the waveform
+    into ``n_bands`` equal windows and emit per-window RMS energy plus
+    (sample_rate, n_samples, duration_ms) — the standard cheap audio
+    fingerprint a curation pipeline filters on (silence/clipping
+    detection, duration gates) before any expensive model. Undecodable
+    blobs yield nulls instead of failing the stage (one corrupt file
+    must not kill a 100 TB pass). The fake derives the same-shaped
+    output deterministically from the content hash, so the Spark-side
+    plumbing (schema, Arrow batching, partition pass) is tested with or
+    without the codec.
+    """
+    if not fake:
+        _require("soundfile", "audio_features")
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.ArrayType(T.FloatType())),
+        T.StructField("n_bytes", T.IntegerType()),
+    ])
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            import io
+
+            import soundfile as sf_mod
+
+            def decode(blob: bytes):
+                try:
+                    data, sr = sf_mod.read(io.BytesIO(blob or b""),
+                                           dtype="float32")
+                    mono = data.mean(axis=1) if data.ndim > 1 else data
+                    n = len(mono)
+                    if n == 0:
+                        return sr, 0, 0, np.zeros(0, dtype=np.float32)
+                    bounds = np.linspace(0, n, n_bands + 1).astype(int)
+                    rms = np.array(
+                        [float(np.sqrt(np.mean(mono[a:b] ** 2)))
+                         if b > a else 0.0
+                         for a, b in zip(bounds[:-1], bounds[1:])],
+                        dtype=np.float32)
+                    return sr, n, int(n * 1000 / sr), rms
+                except Exception:
+                    return None, None, None, None
+        else:
+            def decode(blob: bytes):
+                h = hashlib.sha256(blob or b"").digest()
+                sr = 16000
+                n = len(blob or b"") * 4
+                rng = np.frombuffer(
+                    (h * ((n_bands * 4) // len(h) + 1))[: n_bands * 4],
+                    dtype=np.uint32)
+                rms = ((rng % 1000).astype(np.float32) / 1000.0)
+                return sr, n, int(n * 1000 / sr), rms
+
+        for pdf in batches:
+            rows = [decode(b) for b in pdf["content"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "sample_rate": [r[0] for r in rows],
+                "n_samples": [r[1] for r in rows],
+                "duration_ms": [r[2] for r in rows],
+                "rms": [r[3] for r in rows],
+                "n_bytes": [len(b or b"") for b in pdf["content"]],
+            })
+
+    return df.select("media_id", "content").mapInPandas(part, schema=out_schema)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
     """Video frame-sampling stage (UDTF-shaped: 1 row → N frame rows).
 
-    Fake variant derives a deterministic frame count from blob size; the
-    real variant is import-gated on PyAV (``pip install av``) the same
-    way the image kernels gate on PIL. Output is one row per sampled
-    frame, ready for the image feature extractor — the fan-out happens
-    inside mapInPandas so the blob is decoded once per partition pass,
-    not once per frame.
+    ``fake=False`` decodes with PyAV (``pip install av``; import-gated
+    like the image kernels on PIL): open the container from the blob,
+    decode the first video stream and keep the first frame at or past
+    each ``every_ms`` boundary — one decode pass per blob, rows ready
+    for the image feature extractor. Undecodable blobs yield no frames.
+    The fake derives a deterministic frame count from blob size. Either
+    way the fan-out happens inside mapInPandas, so the blob is decoded
+    once per partition pass, not once per frame.
     """
     if not fake:
         _require("av", "frame_sample")
-        raise NotImplementedError(
-            "frame_sample real branch pending a container with PyAV: the "
-            "decode loop (open container, demux every_ms keyframes) slots "
-            "into the same mapInPandas stage the fake uses")
 
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
@@ -211,12 +285,35 @@ def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> Data
     ])
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            import io
+
+            import av as av_mod
+
+            def frames_of(blob: bytes) -> list[int]:
+                try:
+                    with av_mod.open(io.BytesIO(blob or b"")) as container:
+                        vstream = container.streams.video[0]
+                        tb = float(vstream.time_base or 0) * 1000.0
+                        keep, next_ts = [], 0
+                        for frame in container.decode(vstream):
+                            t_ms = int((frame.pts or 0) * tb)
+                            if t_ms >= next_ts:
+                                keep.append(t_ms)
+                                next_ts = t_ms + every_ms
+                        return keep
+                except Exception:
+                    return []
+        else:
+            def frames_of(blob: bytes) -> list[int]:
+                n_frames = max(1, min(10, len(blob or b"") // 64))
+                return [i * every_ms for i in range(n_frames)]
+
         for pdf in batches:
             ids, idxs, tss = [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                n_frames = max(1, min(10, len(blob or b"") // 64))
-                for i in range(n_frames):
-                    ids.append(mid); idxs.append(i); tss.append(i * every_ms)
+                for i, t_ms in enumerate(frames_of(blob)):
+                    ids.append(mid); idxs.append(i); tss.append(t_ms)
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
                                 "frame_ts_ms": tss})
 

@@ -65,6 +65,15 @@ def chi_squared(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     ``n − Σ_observed E`` so absent combinations need no dense
     cross-join materialization. dof = (|A|−1)(|B|−1).
     """
+    # complete-case analysis, like ols_by_group: without this, rows with
+    # a NULL category would stay in n (inflating the zero-cell mass
+    # term) while the inner joins on a/b never match NULL keys, so their
+    # (O−E)²/E contribution silently dropped and dof excluded the NULL
+    # class — statistically wrong on dirty input. Treating NULL as "no
+    # observation of this variable" and dropping the row is the standard
+    # contingency-table convention; callers who mean "missing" as a real
+    # class should fillna a sentinel category first.
+    df = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     obs = (
         df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
         .agg(F.count("*").alias("o"))

@@ -30,6 +30,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # Arrow boundary; 10k is the right order for 64-384d vector batches.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.session.timeZone": "UTC",
+    # Python DSv2 filter pushdown (sources/logapi.py) ships disabled by
+    # default in Spark 4.1; runtime-settable, also set at use sites so a
+    # vanilla driver session works
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

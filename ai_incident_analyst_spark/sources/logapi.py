@@ -1,0 +1,305 @@
+"""Live log-API connector as a Spark Python Data Source (DSv2).
+
+Reference parity: ``src/ingestion/new_relic_fetcher.py`` — the reference
+fetches log rows by POSTing a GraphQL envelope that embeds an NRQL query
+(``new_relic_fetcher.py:82-113``) and reads
+``data.actor.account.nrql.results`` out of the JSON response
+(``new_relic_fetcher.py:105``), with a count-probe validation query
+(``new_relic_fetcher.py:7-36``). This module re-expresses that source as
+a first-class ``spark.read.format("logapi")`` relation instead of a
+driver-side ``requests`` loop:
+
+- **Partitioned reads.** The time window splits into ``num_partitions``
+  slices, one ``SINCE <ms> UNTIL <ms>`` NRQL fetch per input partition —
+  the distributed analog of the reference's single bounded fetch, and
+  the reason a 1000-executor cluster can drain a day of logs in
+  parallel instead of through one driver socket.
+- **Filter pushdown** (``pushFilters``, Spark 4.1 Python DSv2):
+  timestamp range filters TIGHTEN the fetch window (fully consumed —
+  the API's SINCE/UNTIL does the work, so untouched slices are never
+  requested: source-side partition pruning); equality / IN /
+  LIKE-shaped string filters are compiled into the NRQL ``WHERE`` and
+  *partially* pushed — the API reduces the transferred rows, Spark
+  re-evaluates them as a cheap safety net (the contract
+  ``DataSourceReader.pushFilters`` documents for partial pushdown).
+- **Injectable transport.** The HTTP POST is a pluggable callable
+  (dotted-path option), defaulting to a stdlib ``urllib`` transport —
+  the same dependency-injection seam the RAG operators use for the LLM
+  and Slack adapters, so tests (and airgapped runs) use the JSON-file
+  fixture transport while production hits the real endpoint.
+- **Incremental polling** (``simpleStreamReader``): offsets are epoch-ms
+  watermarks; each micro-batch fetches ``[offset, offset+batch_ms)`` —
+  the reference's "repeated runs append to history" loop
+  (``main.py:88-92``) as a real Structured Streaming source.
+
+Rows are schema-on-read: missing keys surface as NULL, mirroring the
+reference's ``log.get(field, default)`` tolerance everywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import urllib.request
+from dataclasses import dataclass
+from typing import Iterator, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
+)
+from pyspark.sql.types import StructType
+
+DEFAULT_SCHEMA = (
+    "timestamp long, level string, container_name string, "
+    "message string, event string, namespace_name string"
+)
+
+_SAFE_VALUE = re.compile(r"^[^'%\\]*$")
+
+
+def graphql_envelope(account_id: str, nrql: str) -> dict:
+    """The exact GraphQL envelope shape the reference POSTs
+    (``new_relic_fetcher.py:84-93``), with the NRQL JSON-escaped instead
+    of naively interpolated."""
+    return {"query": "{ actor { account(id: %s) { nrql(query: %s) "
+                     "{ results } } } }" % (account_id, json.dumps(nrql))}
+
+
+def parse_results(data: dict) -> list[dict]:
+    """Defensive extraction of ``data.actor.account.nrql.results``
+    (``new_relic_fetcher.py:101-108``): malformed responses yield []
+    instead of failing the task."""
+    try:
+        rows = data["data"]["actor"]["account"]["nrql"]["results"]
+        return rows if isinstance(rows, list) else []
+    except Exception:
+        return []
+
+
+def http_transport(url: str, api_key: str, payload: dict) -> dict:
+    """Stdlib POST transport (no third-party dependency): the headers
+    and body mirror ``new_relic_fetcher.py:94-100``."""
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"API-Key": api_key, "Content-Type": "application/json"},
+        method="POST")
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read().decode())
+
+
+def fixture_transport(fixture_path: str):
+    """File-backed fake endpoint for tests / airgapped runs: serves the
+    rows in ``fixture_path`` (a JSON list of dicts), honoring the NRQL
+    ``SINCE <ms> UNTIL <ms>`` window and ``LIMIT n`` embedded in the
+    request — the parts of the dialect the connector *consumes* filters
+    for, so pushed-window correctness is actually exercised. A
+    ``count(*)`` probe returns one count row like the real API."""
+    def transport(url: str, api_key: str, payload: dict) -> dict:
+        with open(fixture_path) as f:
+            rows = json.load(f)
+        nrql = json.loads(
+            re.search(r"nrql\(query: (\".*\")\) ",
+                      payload["query"]).group(1))
+        m = re.search(r"SINCE (\d+) UNTIL (\d+)", nrql)
+        if m:
+            lo, hi = int(m.group(1)), int(m.group(2))
+            rows = [r for r in rows
+                    if lo <= int(r.get("timestamp", 0)) < hi]
+        m = re.search(r"LIMIT (\d+)", nrql)
+        if m:
+            rows = rows[: int(m.group(1))]
+        if "count(*)" in nrql:
+            rows = [{"count": len(rows)}]
+        return {"data": {"actor": {"account": {"nrql": {"results": rows}}}}}
+    return transport
+
+
+def _resolve_transport(options) -> "callable":
+    fixture = options.get("fixture_path")
+    if fixture:
+        return fixture_transport(fixture)
+    dotted = options.get("transport")
+    if dotted:
+        mod, _, fn = dotted.rpartition(".")
+        import importlib
+        return getattr(importlib.import_module(mod), fn)
+    return http_transport
+
+
+@dataclass
+class TimeSlice(InputPartition):
+    start_ms: int
+    end_ms: int
+
+
+class _QuerySpec:
+    """Shared NRQL composition between the batch reader and the stream
+    reader: projection + base WHERE + pushed WHERE + window + limit."""
+
+    def __init__(self, schema: StructType, options):
+        self.options = dict(options)
+        self.columns = [f.name for f in schema.fields]
+        self.table = options.get("table", "Log")
+        self.account_id = options.get("account_id", "0")
+        self.api_key = options.get("api_key", "")
+        self.url = options.get("url", "https://localhost/graphql")
+        self.since_ms = int(options.get("since_ms", 0))
+        self.until_ms = int(options.get("until_ms", 0))
+        self.limit = options.get("limit")
+        self.base_where = options.get("where", "")
+        self.pushed_where: list[str] = []
+        if self.until_ms <= self.since_ms:
+            raise ValueError(
+                "logapi requires since_ms < until_ms (epoch millis)")
+
+    def nrql(self, start_ms: int, end_ms: int) -> str:
+        sel = ", ".join(f"`{c}`" for c in self.columns)
+        q = f"SELECT {sel} FROM {self.table}"
+        conds = ([self.base_where] if self.base_where else []) \
+            + self.pushed_where
+        if conds:
+            q += " WHERE " + " AND ".join(conds)
+        q += f" SINCE {start_ms} UNTIL {end_ms}"
+        if self.limit:
+            q += f" LIMIT {int(self.limit)}"
+        return q
+
+    def fetch(self, start_ms: int, end_ms: int) -> Iterator[Tuple]:
+        transport = _resolve_transport(self.options)
+        data = transport(self.url, self.api_key,
+                         graphql_envelope(self.account_id,
+                                          self.nrql(start_ms, end_ms)))
+        for row in parse_results(data):
+            yield tuple(row.get(c) for c in self.columns)
+
+
+class LogApiReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.spec = _QuerySpec(schema, options)
+        self.num_partitions = int(options.get("num_partitions", 8))
+
+    def pushFilters(self, filters: list[Filter]) -> list[Filter]:
+        """Window filters consumed (the API's SINCE/UNTIL is exact);
+        string predicates partially pushed (NRQL reduces transfer, Spark
+        re-checks). Unsafe values (quotes/wildcards) are not compiled —
+        no injection through a pushed literal. Returns an eager list so
+        the mutations happen during planning even if the engine defers
+        iterating the result."""
+        spec = self.spec
+        remaining: list[Filter] = []
+        for f in filters:
+            col = f.attribute[0] if len(getattr(f, "attribute", ())) == 1 \
+                else None
+            if col == "timestamp" and isinstance(
+                    f, (GreaterThan, GreaterThanOrEqual,
+                        LessThan, LessThanOrEqual)) \
+                    and isinstance(f.value, int):
+                if isinstance(f, GreaterThan):
+                    spec.since_ms = max(spec.since_ms, f.value + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    spec.since_ms = max(spec.since_ms, f.value)
+                elif isinstance(f, LessThan):
+                    spec.until_ms = min(spec.until_ms, f.value)
+                else:
+                    spec.until_ms = min(spec.until_ms, f.value + 1)
+                continue  # fully consumed
+            pushed = self._compile(col, f)
+            if pushed:
+                spec.pushed_where.append(pushed)
+            remaining.append(f)  # partial or unsupported: Spark re-checks
+        return remaining
+
+    @staticmethod
+    def _compile(col: str | None, f: Filter) -> str | None:
+        if col is None or col == "timestamp":
+            return None
+        ok = lambda v: isinstance(v, str) and _SAFE_VALUE.match(v)
+        if isinstance(f, EqualTo) and ok(f.value):
+            return f"`{col}` = '{f.value}'"
+        if isinstance(f, In) and f.value and all(ok(v) for v in f.value):
+            vals = ", ".join(f"'{v}'" for v in f.value)
+            return f"`{col}` IN ({vals})"
+        if isinstance(f, StringContains) and ok(f.value):
+            return f"`{col}` LIKE '%{f.value}%'"
+        if isinstance(f, StringStartsWith) and ok(f.value):
+            return f"`{col}` LIKE '{f.value}%'"
+        if isinstance(f, StringEndsWith) and ok(f.value):
+            return f"`{col}` LIKE '%{f.value}'"
+        if isinstance(f, IsNotNull):
+            return f"`{col}` IS NOT NULL"
+        return None
+
+    def partitions(self) -> list[InputPartition]:
+        spec = self.spec
+        n = max(1, self.num_partitions)
+        span = spec.until_ms - spec.since_ms
+        if span <= 0:
+            # pushed window collapsed to empty: one no-op slice
+            return [TimeSlice(spec.since_ms, spec.since_ms)]
+        n = min(n, span)
+        bounds = [spec.since_ms + span * i // n for i in range(n + 1)]
+        return [TimeSlice(a, b) for a, b in zip(bounds[:-1], bounds[1:])]
+
+    def read(self, partition: TimeSlice) -> Iterator[Tuple]:
+        if partition.end_ms <= partition.start_ms:
+            return iter(())
+        return self.spec.fetch(partition.start_ms, partition.end_ms)
+
+
+class LogApiStreamReader(SimpleDataSourceStreamReader):
+    """Epoch-ms watermark offsets; each micro-batch drains one
+    ``batch_ms`` window. ``until_ms`` caps the stream for deterministic
+    tests; production passes a far-future cap and the poll trigger
+    paces real time."""
+
+    def __init__(self, schema: StructType, options):
+        self.spec = _QuerySpec(schema, options)
+        self.batch_ms = int(options.get("batch_ms", 60_000))
+
+    def initialOffset(self) -> dict:
+        return {"ts": self.spec.since_ms}
+
+    def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+        # materialized list, not a generator: pyspark's prefetching
+        # cache copies the returned iterator for micro-batch replay, and
+        # generators aren't copyable. Windows are batch_ms-bounded.
+        lo = int(start["ts"])
+        hi = min(lo + self.batch_ms, self.spec.until_ms)
+        if hi <= lo:
+            return [], {"ts": lo}
+        return list(self.spec.fetch(lo, hi)), {"ts": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
+        return list(self.spec.fetch(int(start["ts"]), int(end["ts"])))
+
+
+class LogApiDataSource(DataSource):
+    """``spark.dataSource.register(LogApiDataSource)`` then
+    ``spark.read.format("logapi").option(...).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "logapi"
+
+    def schema(self) -> str:
+        return self.options.get("schema", DEFAULT_SCHEMA)
+
+    def reader(self, schema: StructType) -> LogApiReader:
+        return LogApiReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> LogApiStreamReader:
+        return LogApiStreamReader(schema, self.options)

@@ -41,3 +41,29 @@ def test_topn_orders_by_pair_count(spark):
             + [(0, "z"), (1, "z")])
     got = _run(spark, rows, min_support=1, topn=1)
     assert set(got) == {("x", "y")}
+
+
+def test_max_basket_size_drops_degenerate_basket(spark):
+    """A pathological 10k-item basket would contribute ~50M pairs from
+    one shuffle key; the guard drops it (and it from the basket count)
+    while normal baskets mine unchanged."""
+    rows = ([(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+            + [(99, f"i{k}") for k in range(10_001)])
+    got = _run(spark, rows, min_support=2, max_basket_size=100)
+    assert set(got) == {("a", "b")}
+    ab = got[("a", "b")]
+    assert ab["n_pair"] == 2
+    assert ab["support"] == 1.0  # 2 of 2 surviving baskets
+    # guard off: the degenerate basket's items flood back in
+    got_all = _run(spark, rows[:4] + [(99, "a"), (99, "b"), (99, "c")],
+                   min_support=2, max_basket_size=None)
+    assert got_all[("a", "b")]["n_pair"] == 3
+
+
+def test_max_basket_size_noop_on_normal_data(spark):
+    rows = [(1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"),
+            (4, "d")]
+    assert _run(spark, rows, min_support=2) \
+        == _run(spark, rows, min_support=2, max_basket_size=None)

@@ -73,6 +73,24 @@ def test_lr_score_validates_lengths(spark):
         lr_score(df, ["x0"], [1.0, 2.0])
 
 
+def test_lr_train_complete_case_on_dirty_rows(spark):
+    """NULL/NaN feature or label rows are dropped before n is counted
+    (ADVICE r4): before the fix sum() skipped them while n included
+    them, biasing the mean gradient (or NaN-poisoning the weights)."""
+    rng = np.random.default_rng(29)
+    x = np.hstack([np.ones((100, 1)), rng.normal(size=(100, 2))])
+    y = (rng.random(100) > 0.5).astype(float)
+    df, cols = _frame(spark, x, y)
+    dirty = df.unionByName(spark.createDataFrame(
+        [(None, 1.0, 2.0, 1.0), (1.0, float("nan"), 0.5, 0.0),
+         (1.0, 0.2, 0.3, None)],
+        "x0 double, x1 double, x2 double, y double"))
+    got = lr_train(dirty, cols, "y", iterations=3)
+    want = lr_train(df, cols, "y", iterations=3)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    assert not any(np.isnan(got))
+
+
 def test_lr_train_rejects_empty(spark):
     df = spark.createDataFrame([], "x0 double, y double")
     with pytest.raises(ValueError):

@@ -102,6 +102,115 @@ def test_frame_sample_fanout(spark, sf_dir):
             == list(range(len(rs)))
 
 
+def test_audio_features_fake_deterministic(spark, sf_dir):
+    from ai_incident_analyst_spark.operators.multimodal import audio_features
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = make_media_table(docs, "doc_id", "text", media_type="audio",
+                             fmt="wav")
+    a = {r.media_id: (r.sample_rate, r.n_samples, r.duration_ms,
+                      tuple(r.rms))
+         for r in audio_features(media.repartition(1), n_bands=8).collect()}
+    b = {r.media_id: (r.sample_rate, r.n_samples, r.duration_ms,
+                      tuple(r.rms))
+         for r in audio_features(media.repartition(4), n_bands=8).collect()}
+    assert a == b
+    assert all(len(v[3]) == 8 for v in a.values())
+    assert all(v[0] == 16000 for v in a.values())
+
+
+def test_audio_features_gated_without_soundfile(spark, sf_dir):
+    import importlib.util
+    if importlib.util.find_spec("soundfile") is not None:
+        pytest.skip("soundfile installed; the real-decode test covers this")
+    from ai_incident_analyst_spark.operators.multimodal import audio_features
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    media = make_media_table(docs, "doc_id", "text", media_type="audio")
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        audio_features(media, fake=False)
+
+
+def test_audio_features_real_decode_with_soundfile(spark):
+    """Real soundfile decode (auto-skips without the codec, mirroring
+    the PIL test): a synthetic WAV round-trips with correct sample
+    count/duration and the constant-amplitude RMS; a corrupt blob
+    yields nulls instead of failing the stage."""
+    pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+    import soundfile as sf_mod
+
+    from ai_incident_analyst_spark.operators.multimodal import audio_features
+
+    def wav_bytes(n, sr, amp):
+        buf = io.BytesIO()
+        sf_mod.write(buf, np.full(n, amp, dtype=np.float32), sr,
+                     format="WAV", subtype="FLOAT")
+        return buf.getvalue()
+
+    rows = [Row(i=1, payload=bytearray(wav_bytes(8000, 8000, 0.5))),
+            Row(i=2, payload=bytearray(b"not a wav"))]
+    media = make_media_table(spark.createDataFrame(rows), "i", "payload",
+                             media_type="audio", fmt="wav")
+    out = {r.media_id: r
+           for r in audio_features(media, n_bands=4, fake=False).collect()}
+    assert out[1].sample_rate == 8000
+    assert out[1].n_samples == 8000
+    assert out[1].duration_ms == 1000
+    assert all(abs(v - 0.5) < 1e-5 for v in out[1].rms)
+    assert out[2].sample_rate is None and out[2].rms is None
+
+
+def test_frame_sample_gated_without_av(spark, sf_dir):
+    import importlib.util
+    if importlib.util.find_spec("av") is not None:
+        pytest.skip("PyAV installed; the real-decode test covers this")
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    media = make_media_table(docs, "doc_id", "text", media_type="video")
+    with pytest.raises(NotImplementedError, match="'av'"):
+        frame_sample(media, fake=False)
+
+
+def test_frame_sample_real_decode_with_av(spark):
+    """Real PyAV decode (auto-skips without the codec): a synthetic
+    10-frame mp4 sampled at every_ms=0 yields every frame with
+    monotonically increasing timestamps; a corrupt blob yields no rows."""
+    pytest.importorskip("av")
+    import io
+
+    import av as av_mod
+    import numpy as np
+
+    def mp4_bytes(n_frames, fps):
+        buf = io.BytesIO()
+        with av_mod.open(buf, "w", format="mp4") as container:
+            stream = container.add_stream("h264", rate=fps)
+            stream.width, stream.height = 64, 64
+            stream.pix_fmt = "yuv420p"
+            for i in range(n_frames):
+                arr = np.full((64, 64, 3), i * 20, dtype=np.uint8)
+                frame = av_mod.VideoFrame.from_ndarray(arr, format="rgb24")
+                for pkt in stream.encode(frame):
+                    container.mux(pkt)
+            for pkt in stream.encode():
+                container.mux(pkt)
+        return buf.getvalue()
+
+    rows = [Row(i=1, payload=bytearray(mp4_bytes(10, 5))),
+            Row(i=2, payload=bytearray(b"not a video"))]
+    media = make_media_table(spark.createDataFrame(rows), "i", "payload",
+                             media_type="video", fmt="mp4")
+    frames = frame_sample(media, every_ms=0, fake=False).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id.get(1, [])) == 10
+    ts = [r.frame_ts_ms for r in sorted(by_id[1],
+                                        key=lambda x: x.frame_idx)]
+    assert ts == sorted(ts)
+    assert 2 not in by_id  # corrupt blob: zero frames, job survives
+
+
 def _stream_fixture(spark, tmp):
     df = spark.createDataFrame([
         Row(ts="2024-01-01 10:00:00", k="a"),

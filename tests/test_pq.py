@@ -86,6 +86,56 @@ def test_encode_deterministic_across_partitionings(spark):
     assert all(len(c) == M for c in a.values())
 
 
+def test_pq_string_ids_end_to_end(spark):
+    """String query/corpus ids flow natively through pq_encode and
+    pq_knn_join (ADVICE r4: the id schema is derived from the input, not
+    hardcoded long) — same neighbors as the long-id run, ids intact."""
+    books = _codewords()
+    corpus = _grid_corpus(spark, books)
+    s_corpus = corpus.selectExpr(
+        "concat('doc-', lpad(cast(vec_id as string), 3, '0')) as vec_id",
+        "embedding")
+    queries = (s_corpus.filter("vec_id < 'doc-004'")
+               .selectExpr("vec_id as query_id", "embedding as query_vec"))
+    corp = s_corpus.filter("vec_id >= 'doc-004'")
+    enc = pq_encode(corp, "vec_id", "embedding", books)
+    assert dict(enc.dtypes)["vec_id"] == "string"
+    got = {(r["query_id"], r["vec_id"]): r["distance"]
+           for r in pq_knn_join(queries, corp, books, k=5).collect()}
+    long_rows = pq_knn_join(
+        corpus.filter("vec_id < 4").selectExpr(
+            "vec_id as query_id", "embedding as query_vec"),
+        corpus.filter("vec_id >= 4"), books, k=5).collect()
+    base = {(f"doc-{r['query_id']:03d}", f"doc-{r['vec_id']:03d}"):
+            r["distance"] for r in long_rows}
+    assert got.keys() == base.keys()
+    for key in base:
+        assert got[key] == pytest.approx(base[key], abs=1e-9)
+
+
+def test_ivfpq_string_corpus_and_query_ids(spark):
+    """String ids through the full IVF-PQ join (encode keeps the input
+    id type; LUT keys and the scan output follow suit)."""
+    from ai_incident_analyst_spark.operators.knn import ivfpq_knn_join
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(120, D)) * 2.0
+    rows = [(f"v{i:03d}", [float(x) for x in v]) for i, v in enumerate(pts)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>")
+    queries = (corpus.filter("vec_id < 'v005'")
+               .selectExpr("vec_id as query_id", "embedding as query_vec"))
+    corp = corpus.filter("vec_id >= 'v005'")
+    cents = spark.createDataFrame(
+        [(f"c{i}", [float(x) for x in c])
+         for i, c in enumerate(rng.normal(size=(4, D)) * 2.0)],
+        "centroid_id string, centroid array<double>")
+    out = ivfpq_knn_join(queries, corp, cents, k=3, nprobe=2,
+                         m=M, kc=8, train_sample=115).collect()
+    assert len(out) == 5 * 3
+    assert all(isinstance(r["query_id"], str)
+               and isinstance(r["vec_id"], str) for r in out)
+
+
 def test_retrieval_metrics_hand_computed(spark):
     from ai_incident_analyst_spark.operators.evaluation import (
         retrieval_metrics,

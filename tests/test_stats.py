@@ -60,6 +60,23 @@ def test_chi2_independent_is_zero(spark):
     assert r["chi2"] == pytest.approx(0.0, abs=1e-9)
 
 
+def test_chi2_null_categories_dropped_complete_case(spark):
+    """Rows with a NULL category must be dropped entirely (ADVICE r4):
+    before the fix they inflated n (misattributed to the zero-cell mass)
+    while their observed cells vanished at the inner joins."""
+    rows = ([("a", "x")] * 10 + [("a", "y")] * 20
+            + [("b", "x")] * 20 + [("b", "y")] * 10)
+    clean = spark.createDataFrame(rows, "c1 string, c2 string")
+    dirty = clean.unionByName(spark.createDataFrame(
+        [(None, "x"), (None, "y"), ("a", None), (None, None)],
+        "c1 string, c2 string"))
+    want = chi_squared(clean, "c1", "c2").first()
+    got = chi_squared(dirty, "c1", "c2").first()
+    assert got["n"] == want["n"] == 60
+    assert got["chi2"] == pytest.approx(want["chi2"], abs=1e-9)
+    assert got["dof"] == want["dof"] == 1
+
+
 def test_ols_null_rows_excluded_entirely(spark):
     rows = [("g", 1.0, 2.0), ("g", 3.0, 4.0), ("g", None, 10.0),
             ("g", 5.0, None)]
