@@ -883,6 +883,60 @@ def dedup_lines_global(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
+               avg_chunk_tokens: int = 16) -> DataFrame:
+    """Content-defined chunking at token granularity: split each
+    document into variable-length chunks whose boundaries depend only on
+    local CONTENT, so an insertion or deletion reshapes at most the
+    chunk it lands in — unlike fixed-size chunking, where one shifted
+    token re-hashes every downstream chunk. This is the FastCDC/rsync
+    boundary idea restated on word tokens (window size 1: the boundary
+    test hashes the single boundary token, the degenerate rolling
+    window), the standard primitive behind chunk-level dedup stores and
+    incremental corpus diffing.
+
+    A token OPENS a new chunk when ``md5_int(token) % avg_chunk_tokens
+    == 0`` — expected chunk length = ``avg_chunk_tokens``, boundaries
+    reproducible in any engine (portable md5 family). Returns one row
+    per chunk: ``(id, chunk_idx, n_tokens, chunk_hash)`` with
+    ``chunk_hash = md5(chunk text)`` — the key a chunk store dedups on.
+
+    Physical shape: explode → one ``(id)``-keyed window for the running
+    boundary count (each doc's tokens sort within their key — never a
+    global sort) → ``groupBy(id, chunk)`` with order-restoring
+    ``array_sort(collect_list(struct(pos, tok)))`` reassembly. Two keyed
+    shuffles on the uniform doc id, skew-free.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(
+            F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda t: F.length(t) > 0)).alias("__pos", "__tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10) \
+        .cast("long")
+    flagged = toks.withColumn(
+        "__b", (h % F.lit(avg_chunk_tokens) == 0).cast("int"))
+    w = Window.partitionBy("__doc").orderBy("__pos") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunked = flagged.withColumn("__chunk", F.sum("__b").over(w))
+    return (
+        chunked.groupBy("__doc", "__chunk")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("__pos", "__tok"))),
+                    lambda s: s["__tok"]),
+                " ")).alias("chunk_hash"),
+        )
+        .select(F.col("__doc").alias(id_col),
+                F.col("__chunk").cast("int").alias("chunk_idx"),
+                "n_tokens", "chunk_hash")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup-style semantic dedup
 # ---------------------------------------------------------------------------

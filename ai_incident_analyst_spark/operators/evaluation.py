@@ -62,3 +62,46 @@ def retrieval_metrics(approx: DataFrame, exact: DataFrame, k: int,
                     6).alias("mrr"),
         )
     )
+
+
+def retrieval_ndcg(approx: DataFrame, exact: DataFrame, k: int,
+                   query_id: str = "query_id", item_col: str = "vec_id",
+                   dist_col: str = "distance") -> DataFrame:
+    """Per-query graded nDCG@k: ``(query_id, ndcg_at_k)``.
+
+    Relevance of an item is graded by its EXACT rank: ``rel = k − rank
+    + 1`` for the exact top-k, 0 otherwise — the standard graded-gain
+    setup when ground truth is itself a ranking.
+    ``DCG = Σ rel_i / log2(i + 1)`` over the approx positions;
+    ``IDCG`` is the same sum over the ideal (exact) order, so a perfect
+    index scores exactly 1. Complements recall@k (set overlap) and MRR
+    (top-1 placement) with rank-position sensitivity — the three
+    numbers FAISS-style index evaluations report. Pure joins + windows
+    sharing the kNN tie rule; log2 over small integers is deterministic
+    FP, rounded 6 dp for the SQL twin.
+    """
+    def ranked(df):
+        w = Window.partitionBy(query_id).orderBy(
+            F.col(dist_col).asc(), F.col(item_col).asc())
+        return df.select(query_id, item_col,
+                         F.row_number().over(w).alias("rk"))
+
+    er = ranked(exact).withColumn(
+        "rel", (F.lit(k) - F.col("rk") + 1).cast("double"))
+    ar = ranked(approx)
+    dcg = (
+        ar.join(er.select(query_id, item_col, "rel"),
+                [query_id, item_col], "inner")
+        .groupBy(query_id)
+        .agg(F.sum(F.col("rel") / F.log2(F.col("rk") + 1)).alias("dcg"))
+    )
+    idcg = (
+        er.groupBy(query_id)
+        .agg(F.sum(F.col("rel") / F.log2(F.col("rk") + 1)).alias("idcg"))
+    )
+    return (
+        idcg.join(dcg, query_id, "left")
+        .select(query_id,
+                F.round(F.coalesce(F.col("dcg"), F.lit(0.0))
+                        / F.col("idcg"), 6).alias("ndcg_at_k"))
+    )

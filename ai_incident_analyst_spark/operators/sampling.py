@@ -177,6 +177,60 @@ def score_weighted_sample(df: DataFrame, key_col: str, score_col,
     return df.filter(h < thr)
 
 
+def domain_mixture_sample(df: DataFrame, key_col: str, domain_col: str,
+                          size_col: str, target_weights: dict[str, float],
+                          budget: float,
+                          salt: str = "mix") -> DataFrame:
+    """Deterministic data-mixture resampling: downsample each domain so
+    the kept corpus approaches a TARGET mixture (the DoReMi /
+    The-Pile-style "domain reweighting" step every multi-source
+    training corpus runs before tokenization).
+
+    For domain d with total size T_d (sum of ``size_col`` — tokens,
+    chars, bytes), target share w_d and overall budget B, the
+    acceptance rate is ``min(1, w_d·B / T_d)`` — expected kept size
+    w_d·B per domain, i.e. the target mixture wherever the domain has
+    enough mass (rates clamp at 1 for under-represented domains, the
+    standard "can't upsample without replacement" caveat). Domains
+    absent from ``target_weights`` drop entirely.
+
+    Physical shape: one tiny per-domain aggregation (map-side combined,
+    |domains| rows) broadcast back, then the md5-threshold narrow
+    filter — no data shuffle, append-stable per row given fixed rates,
+    reproducible across engines. Rates are rounded to 6 dp and compared
+    as ``md5_int < floor(rate · 2³²)`` so the acceptance boundary is
+    engine-exact (the ``score_weighted_sample`` contract).
+    """
+    w_case = F.lit(None).cast("double")
+    for dom, w in target_weights.items():
+        w_case = F.when(F.col(domain_col) == dom, F.lit(float(w))) \
+            .otherwise(w_case)
+    rates = (
+        df.groupBy(domain_col)
+        .agg(F.sum(F.col(size_col).cast("double")).alias("__t"))
+        .withColumn("__w", w_case)
+        # filter BEFORE least(): Spark's least() skips NULL operands, so
+        # least(1.0, NULL_weight * …) would silently become rate 1.0 and
+        # keep a domain that should be dropped
+        .filter(F.col("__w").isNotNull())
+        .withColumn(
+            "__rate",
+            F.round(F.least(F.lit(1.0),
+                            F.col("__w") * F.lit(float(budget))
+                            / F.col("__t")), 6))
+        .select(domain_col, "__rate")
+    )
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        1, 8), 16, 10).cast("long")
+    thr = F.floor(F.col("__rate") * F.lit(float(16 ** 8))).cast("long")
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(h < thr)
+        .drop("__rate")
+    )
+
+
 def weighted_sample_no_replacement(df: DataFrame, key_col: str,
                                    weight_col, k: int,
                                    strata_col: str | None = None,

@@ -5593,3 +5593,133 @@ def q_logapi_scan(spark, sf_dir):
         df.filter((F.col("timestamp") >= 100) & (F.col("level") == "error"))
         .select("timestamp", "level", "message", "container_name")
     )
+
+
+@q("domain_mixture_sample", """
+WITH t AS (
+  SELECT lang, sum(CAST(n_chars AS DOUBLE)) AS td
+  FROM documents GROUP BY lang),
+r AS (
+  SELECT lang,
+         round(least(1.0,
+           CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+                     WHEN 'fr' THEN 0.2 END * 60000.0 / td), 6) AS rate
+  FROM t
+  WHERE lang IN ('en', 'de', 'fr')),
+kept AS (
+  SELECT d.doc_id, d.lang, d.n_chars
+  FROM documents d JOIN r ON d.lang = r.lang
+  WHERE CAST(('0x' || substring(md5('mix' || CAST(doc_id AS VARCHAR)),
+                                1, 8)) AS BIGINT)
+        < CAST(floor(rate * 4294967296.0) AS BIGINT))
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS kept_chars
+FROM kept GROUP BY lang
+""", doc="DoReMi-style data-mixture resampling (operators/sampling.py:"
+         "domain_mixture_sample): per-domain acceptance rate "
+         "min(1, w_d*B/T_d) drives the kept corpus toward a target "
+         "domain mixture under a size budget — one tiny per-domain agg "
+         "broadcast back + the md5-threshold narrow filter (no data "
+         "shuffle, append-stable, engine-exact integer boundary)")
+def q_domain_mixture_sample(spark, sf_dir):
+    from .operators.sampling import domain_mixture_sample
+    docs = _t(spark, sf_dir, "documents")
+    kept = domain_mixture_sample(
+        docs, "doc_id", "lang", "n_chars",
+        {"en": 0.5, "de": 0.3, "fr": 0.2}, budget=60000.0)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("kept_chars"))
+
+
+@q("cdc_chunk_dedup", r"""
+WITH toks AS (
+  SELECT doc_id AS doc, tok, pos FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+           generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1)
+             AS pos
+    FROM documents) WHERE length(tok) > 0),
+flagged AS (
+  SELECT doc, tok, pos,
+         CASE WHEN CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT)
+                   % 16 = 0 THEN 1 ELSE 0 END AS b
+  FROM toks),
+chunked AS (
+  SELECT doc, tok, pos,
+         sum(b) OVER (PARTITION BY doc ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS chunk
+  FROM flagged),
+chunks AS (
+  SELECT doc, chunk, count(*) AS n_tokens,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+  FROM chunked GROUP BY 1, 2),
+j AS (
+  SELECT c.doc, d.lang, c.chunk_hash FROM chunks c
+  JOIN documents d ON c.doc = d.doc_id)
+SELECT lang, count(*) AS n_chunks,
+       count(DISTINCT chunk_hash) AS n_distinct,
+       round(1.0 - CAST(count(DISTINCT chunk_hash) AS DOUBLE)
+                   / count(*), 6) AS dup_ratio
+FROM j GROUP BY lang
+""", doc="content-defined chunking dedup report (operators/dedup.py:"
+         "cdc_chunks): FastCDC-style content-dependent token-boundary "
+         "chunks (insertion reshapes one chunk, not every downstream "
+         "one), md5 chunk keys, per-language duplicate-chunk mass — "
+         "the chunk-store dedup + incremental-corpus-diff primitive; "
+         "boundaries from the portable md5 family so the whole "
+         "chunking replays in the SQL twin")
+def q_cdc_chunk_dedup(spark, sf_dir):
+    from .operators.dedup import cdc_chunks
+    docs = _t(spark, sf_dir, "documents")
+    chunks = cdc_chunks(docs, "doc_id", "text", avg_chunk_tokens=16)
+    return (
+        chunks.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_chunks"),
+             F.count_distinct("chunk_hash").alias("n_distinct"),
+             F.round(F.lit(1.0) - F.count_distinct("chunk_hash")
+                     / F.count("*"), 6).alias("dup_ratio"))
+    )
+
+
+_ANN_NDCG_SQL = """
+WITH exact AS (SELECT * FROM ({exact})),
+approx AS (SELECT * FROM ({approx})),
+er AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY distance ASC, vec_id ASC) AS rk
+  FROM exact),
+ar AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY distance ASC, vec_id ASC) AS rk
+  FROM approx),
+dcg AS (
+  SELECT a.query_id,
+         sum((5 - e.rk + 1) / log2(a.rk + 1)) AS dcg
+  FROM ar a JOIN er e
+    ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+  GROUP BY 1),
+idcg AS (
+  SELECT query_id, sum((5 - rk + 1) / log2(rk + 1)) AS idcg
+  FROM er GROUP BY 1)
+SELECT i.query_id,
+       round(coalesce(d.dcg, 0.0) / i.idcg, 6) AS ndcg_at_k
+FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
+"""
+
+@q("ann_ndcg_pq",
+   _ANN_NDCG_SQL.format(exact=REGISTRY["knn_l2"].sql,
+                        approx=REGISTRY["knn_pq"].sql),
+   doc="graded nDCG@5 of the PQ index vs the exact scan (operators/"
+       "evaluation.py:retrieval_ndcg): rank-position-sensitive quality "
+       "— completes the recall@k / MRR / nDCG triple a production ANN "
+       "deployment alerts on. Inputs localCheckpointed (the "
+       "ann_recall_pq pattern); twin composes the knn oracles verbatim")
+def q_ann_ndcg_pq(spark, sf_dir):
+    from .operators.evaluation import retrieval_ndcg
+    exact = REGISTRY["knn_l2"].fn(spark, sf_dir) \
+        .localCheckpoint(eager=False)
+    approx = REGISTRY["knn_pq"].fn(spark, sf_dir) \
+        .localCheckpoint(eager=False)
+    return retrieval_ndcg(approx, exact, k=5)

@@ -366,3 +366,53 @@ def test_cc_driver_fastpath_equals_distributed(spark):
             for r in connected_components(
                 df, small_graph_edges=0).collect()}
     assert fast == dist
+
+
+def test_cdc_chunks_insertion_locality(spark):
+    """The CDC property: inserting a token changes the chunk it lands in
+    but leaves every other chunk's HASH intact (fixed-size chunking
+    would re-hash everything downstream of the edit)."""
+    from ai_incident_analyst_spark.operators.dedup import cdc_chunks
+    base = " ".join(f"tok{i}" for i in range(200))
+    edited = base.replace("tok100", "tok100 INSERTED")
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string")
+    out = cdc_chunks(df, "doc_id", "text", avg_chunk_tokens=16).collect()
+    h1 = {r["chunk_hash"] for r in out if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in out if r["doc_id"] == 2}
+    # all but the edited chunk shared; at most one chunk differs per side
+    assert len(h1 - h2) <= 1 and len(h2 - h1) <= 1
+    assert len(h1 & h2) >= len(h1) - 1
+
+
+def test_cdc_chunks_cover_and_deterministic(spark):
+    from ai_incident_analyst_spark.operators.dedup import cdc_chunks
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 37 + j) % 50}" for j in range(60)))
+         for i in range(20)],
+        "doc_id long, text string")
+    a = cdc_chunks(docs.repartition(1), "doc_id", "text").collect()
+    b = cdc_chunks(docs.repartition(5), "doc_id", "text").collect()
+    ka = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_hash"])
+          for r in a}
+    kb = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_hash"])
+          for r in b}
+    assert ka == kb
+    # chunks cover every token exactly once
+    per_doc = {}
+    for r in a:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_tokens"]
+    assert all(v == 60 for v in per_doc.values())
+
+
+def test_cdc_chunks_shared_chunks_dedup_across_docs(spark):
+    from ai_incident_analyst_spark.operators.dedup import cdc_chunks
+    shared = " ".join(f"s{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, shared + " unique1 end"), (2, shared + " unique2 end")],
+        "doc_id long, text string")
+    out = cdc_chunks(df, "doc_id", "text").collect()
+    h1 = [r["chunk_hash"] for r in out if r["doc_id"] == 1]
+    h2 = [r["chunk_hash"] for r in out if r["doc_id"] == 2]
+    # long shared prefix -> most chunk hashes coincide (chunk-store hit)
+    assert len(set(h1) & set(h2)) >= len(h1) - 2

@@ -280,3 +280,30 @@ def test_ivfpq_string_centroid_ids(spark, tmp_path):
                     for r in ivfpq_probe_index(spark, path, queries,
                                                k=5).collect())
     assert inline == stored
+
+
+def test_retrieval_ndcg_hand_computed(spark):
+    """Perfect ranking -> 1.0; a known swap -> hand-computed value."""
+    import math
+
+    from ai_incident_analyst_spark.operators.evaluation import (
+        retrieval_ndcg,
+    )
+    exact = spark.createDataFrame(
+        [(1, 10, 0.1), (1, 11, 0.2), (1, 12, 0.3)],
+        "query_id long, vec_id long, distance double")
+    perfect = retrieval_ndcg(exact, exact, k=3).first()
+    assert perfect["ndcg_at_k"] == pytest.approx(1.0, abs=1e-9)
+    # approx swaps ranks 1 and 2, misses item 12 entirely, adds a stray
+    approx = spark.createDataFrame(
+        [(1, 11, 0.1), (1, 10, 0.2), (1, 99, 0.3)],
+        "query_id long, vec_id long, distance double")
+    got = retrieval_ndcg(approx, exact, k=3).first()["ndcg_at_k"]
+    # rel: 10->3, 11->2, 12->1 (k - exact_rank + 1)
+    dcg = 2 / math.log2(2) + 3 / math.log2(3)
+    idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+    assert got == pytest.approx(round(dcg / idcg, 6), abs=1e-6)
+    # query with zero overlap scores 0
+    miss = spark.createDataFrame(
+        [(1, 98, 0.1)], "query_id long, vec_id long, distance double")
+    assert retrieval_ndcg(miss, exact, k=3).first()["ndcg_at_k"] == 0.0

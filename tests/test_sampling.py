@@ -171,3 +171,36 @@ def test_weighted_sample_per_stratum_k(spark):
     per = {r["g"]: r["n"] for r in
            got.groupBy("g").agg(F.count("*").alias("n")).collect()}
     assert per == {"a": 30, "b": 30}
+
+
+def test_domain_mixture_rates_and_absent_domains(spark):
+    from ai_incident_analyst_spark.operators.sampling import (
+        domain_mixture_sample,
+    )
+    rows = ([(i, "en", 100) for i in range(400)]
+            + [(i + 1000, "de", 100) for i in range(100)]
+            + [(i + 2000, "xx", 100) for i in range(50)])
+    df = spark.createDataFrame(rows, "id long, dom string, sz long")
+    # budget 20000: en rate = 0.5*20000/40000 = 0.25; de = 0.5*20000/10000
+    # clamps at 1.0 (under-represented domain keeps everything)
+    kept = domain_mixture_sample(df, "id", "dom", "sz",
+                                 {"en": 0.5, "de": 0.5}, budget=20000.0)
+    per = {r["dom"]: r["n"] for r in
+           kept.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert "xx" not in per            # absent from target: dropped
+    assert per["de"] == 100           # rate clamped at 1
+    assert 60 <= per["en"] <= 140     # ~0.25 * 400, hash-Bernoulli
+
+
+def test_domain_mixture_deterministic_and_append_stable(spark):
+    from ai_incident_analyst_spark.operators.sampling import (
+        domain_mixture_sample,
+    )
+    rows = [(i, "en", 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, dom string, sz long")
+    kw = dict(target_weights={"en": 1.0}, budget=1500.0)
+    a = {r["id"] for r in domain_mixture_sample(
+        df.repartition(1), "id", "dom", "sz", **kw).collect()}
+    b = {r["id"] for r in domain_mixture_sample(
+        df.repartition(7), "id", "dom", "sz", **kw).collect()}
+    assert a == b
