@@ -274,12 +274,40 @@ def ivf_knn_join(queries: DataFrame, corpus: DataFrame,
     )
 
 
+def md5_planes(n_tables: int, n_planes: int, d: int):
+    """Engine-portable hyperplane family: component ``(t, j, i)`` is
+    ``(md5_int('plane:t:j:i') % 2001 − 1000) / 1000`` with ``md5_int`` the
+    big-endian value of the digest's first 4 bytes — pure integer
+    arithmetic plus one exact decimal division, so DuckDB regenerates
+    every component bit-for-bit (the ``minhash_affine_params`` trick for
+    cosine LSH). Components are uniform on [−1, 1] rather than Gaussian:
+    a valid sign-hash family for candidate GENERATION (mild corner bias
+    costs a little recall uniformity, which the exact re-rank absorbs),
+    in exchange for an oracle-checkable registry entry. Production
+    default stays the seeded Gaussian family.
+    """
+    import hashlib
+
+    import numpy as np
+
+    out = np.empty((n_tables, n_planes, d))
+    for t in range(n_tables):
+        for j in range(n_planes):
+            for i in range(d):
+                h = int.from_bytes(
+                    hashlib.md5(f"plane:{t}:{j}:{i}".encode()).digest()[:4],
+                    "big")
+                out[t, j, i] = (h % 2001 - 1000) / 1000.0
+    return out
+
+
 def lsh_cosine_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
                         n_planes: int = 12, n_tables: int = 4, seed: int = 42,
                         query_id: str = "query_id", query_vec: str = "query_vec",
                         corpus_id: str = "vec_id",
                         corpus_vec: str = "embedding",
-                        dim: int | None = None) -> DataFrame:
+                        dim: int | None = None,
+                        plane_fn: str = "gaussian") -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH bucketing.
 
     ``n_tables`` independent hash tables; in each, a vector's bucket is the
@@ -287,6 +315,11 @@ def lsh_cosine_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
     hyperplanes (sign match probability = 1 − θ/π, the classic SimHash-for
     -cosine bound). Candidates = corpus rows sharing a (table, bucket) with
     the query in ANY table; exact cosine re-ranks the candidates.
+
+    ``plane_fn='md5'`` swaps the Gaussian planes for the portable
+    ``md5_planes`` family, putting buckets, candidates and the re-ranked
+    top-k inside the DuckDB oracle gate (sign bits are FP-robust: a flip
+    needs |dot| within FP-noise of 0, measure-zero on real vectors).
 
     Physical plan: one broadcast (the d×(tables·planes) plane matrix — a
     few KB), one Arrow pass per side to bucket, an equi-join on
@@ -298,11 +331,14 @@ def lsh_cosine_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
     """
     import numpy as np
 
-    rng = np.random.default_rng(seed)
     # pass dim when known: the probe below is a Spark job per plan build
     # (and pays any upstream repartition before its limit-1 collect)
     d = dim if dim is not None else len(corpus.select(corpus_vec).first()[0])
-    planes = rng.standard_normal((n_tables, n_planes, d))
+    if plane_fn == "md5":
+        planes = md5_planes(n_tables, n_planes, d)
+    else:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, n_planes, d))
     sc = corpus.sparkSession.sparkContext
     bp = sc.broadcast(planes)
 

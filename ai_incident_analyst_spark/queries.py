@@ -1781,16 +1781,64 @@ def q_ngram_lm_bits(spark, sf_dir):
         spread(_t(spark, sf_dir, "documents"), "doc_id"), "doc_id", "text")
 
 
-@q("knn_lsh_cosine", None,
-   doc="approximate cosine top-k via random-hyperplane LSH (n_tables hash "
-       "tables of n_planes sign bits; candidates bucket-joined, exact "
-       "cosine re-rank) — probabilistic, no SQL oracle; recall vs exact "
-       "asserted in tests/test_knn.py")
+@q("knn_lsh_cosine", """
+WITH idx AS (
+  SELECT t.t, p.p, i.i
+  FROM (SELECT unnest(range(0, 16)) AS t) t,
+       (SELECT unnest(range(0, 4)) AS p) p,
+       (SELECT unnest(range(0, 64)) AS i) i),
+planes AS (
+  SELECT t, p, i,
+         (CAST(('0x' || substring(
+              md5('plane:' || t || ':' || p || ':' || i), 1, 8)) AS BIGINT)
+          % 2001 - 1000) / 1000.0 AS w
+  FROM idx),
+vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+comp AS (
+  SELECT vec_id, unnest(v) AS x,
+         CAST(generate_subscripts(v, 1) AS BIGINT) - 1 AS i
+  FROM vecs),
+dots AS (
+  SELECT c.vec_id, pl.t, pl.p, sum(c.x * pl.w) AS dot
+  FROM comp c JOIN planes pl ON pl.i = c.i
+  GROUP BY 1, 2, 3),
+buckets AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN dot > 0
+                  THEN CAST(1 AS BIGINT) << CAST(p AS INT)
+                  ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE q.vec_id < 5 AND c.vec_id >= 5),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         list_sum([ z[1]*z[2] for z in list_zip(qv.v, cv.v) ])
+           / (sqrt(list_sum([ y*y for y in qv.v ]))
+              * sqrt(list_sum([ y*y for y in cv.v ]))) AS sim
+  FROM cand
+  JOIN vecs qv ON qv.vec_id = cand.query_id
+  JOIN vecs cv ON cv.vec_id = cand.vec_id)
+SELECT query_id, vec_id, round(sim, 6) AS distance
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, vec_id ASC) <= 5
+""", doc="approximate cosine top-k via random-hyperplane LSH (n_tables "
+         "hash tables of n_planes sign bits; candidates bucket-joined, "
+         "exact cosine re-rank). Registry variant uses the PORTABLE "
+         "md5-derived plane family (operators/knn.py:md5_planes — "
+         "integer arithmetic both engines share), so buckets, the "
+         "candidate set AND the re-ranked top-k hash-match a DuckDB "
+         "twin that regenerates the planes; sign bits are FP-robust. "
+         "Gaussian family stays the production default; recall vs "
+         "exact asserted in tests/test_knn.py")
 def knn_lsh_cosine(spark, sf_dir):
     from .operators.knn import lsh_cosine_knn_join
     q_, c_ = _qc_split(spark, sf_dir)
     return lsh_cosine_knn_join(q_, c_, k=5, n_planes=4, n_tables=16,
-                               dim=64) \
+                               dim=64, plane_fn="md5") \
         .withColumn("distance", F.round("distance", 6))
 
 

@@ -117,6 +117,29 @@ def test_lsh_cosine_recall_vs_exact(spark, sf_dir):
                                           n_tables=16).collect()}
     assert approx == again
 
+    # md5 plane family (the oracle-checkable registry variant): same
+    # recall bar, deterministic with no seed at all
+    md5_approx = {(r.query_id, r.vec_id)
+                  for r in lsh_cosine_knn_join(
+                      q, c, k=5, n_planes=4, n_tables=16,
+                      plane_fn="md5").collect()}
+    md5_recall = len(exact & md5_approx) / len(exact)
+    assert md5_recall >= 0.6, md5_recall
+
+
+def test_md5_planes_portable_derivation():
+    """Every component reproduces the documented md5 integer formula
+    (what the DuckDB twin regenerates)."""
+    import hashlib
+
+    from ai_incident_analyst_spark.operators.knn import md5_planes
+    pl = md5_planes(2, 3, 4)
+    assert pl.shape == (2, 3, 4)
+    h = int.from_bytes(
+        hashlib.md5(b"plane:1:2:3").digest()[:4], "big")
+    assert pl[1, 2, 3] == (h % 2001 - 1000) / 1000.0
+    assert abs(pl).max() <= 1.0
+
 
 def test_ivf_persisted_index_prunes_and_matches(spark, sf_dir, vec_data,
                                                 tmp_path):
