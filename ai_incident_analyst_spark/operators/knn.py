@@ -738,10 +738,18 @@ def _ivfpq_luts(queries: DataFrame, ids, cmat, books, nprobe: int,
 
 
 def _ivfpq_scan(encoded: DataFrame, luts, m: int, k: int,
-                qtype: str = "bigint") -> DataFrame:
+                qtype: str = "bigint",
+                round_dp: int | None = None) -> DataFrame:
     """Compressed-domain candidate generation + global top-k window.
     ``qtype`` is the query-id Spark type (the callers pass the queries
-    frame's schema type); vec_id's type comes from ``encoded``."""
+    frame's schema type); vec_id's type comes from ``encoded``.
+
+    ``round_dp`` ranks on the ADC distance ROUNDED to that many
+    decimals (both the per-cell cut and the global window): coarse
+    codebooks give many candidates IDENTICAL codes and so identical
+    distances up to FP association order — a 1-ulp cross-engine
+    difference must not flip which tied candidate survives the top-k
+    boundary. The oracle twin rounds the same way."""
     import numpy as np
 
     id_type = dict(encoded.dtypes)["vec_id"]
@@ -769,6 +777,8 @@ def _ivfpq_scan(encoded: DataFrame, luts, m: int, k: int,
                     dist = np.zeros(len(cids))
                     for j in range(m):
                         dist += lut[j][ccodes[:, j]]
+                    if round_dp is not None:
+                        dist = np.round(dist, round_dp)
                     kk = min(k, len(cids))
                     idx = np.argsort(dist, kind="stable")[:kk]
                     out_q.append(np.full(kk, qid_))
@@ -798,7 +808,8 @@ def ivfpq_knn_join(queries: DataFrame, corpus: DataFrame,
                    query_id: str = "query_id", query_vec: str = "query_vec",
                    corpus_id: str = "vec_id", corpus_vec: str = "embedding",
                    centroid_id: str = "centroid_id",
-                   centroid_vec: str = "centroid") -> DataFrame:
+                   centroid_vec: str = "centroid",
+                   books=None, round_dp: int | None = None) -> DataFrame:
     """IVF-PQ (the FAISS ``IVFADC`` composition): coarse cells prune the
     corpus, PQ codes of the RESIDUAL ``x − centroid(x)`` compress what
     remains, and queries score candidates in the compressed domain via
@@ -811,21 +822,29 @@ def ivfpq_knn_join(queries: DataFrame, corpus: DataFrame,
     hash-ordered residual sample (the ``pq_train_codebooks`` contract).
 
     The two halves are independently SQL-oracle-checked in the registry
-    (``knn_ivf``: assign/probe/re-rank; ``knn_pq``: encode/ADC); the
-    composition carries recall/exactness pytest proofs instead.
+    (``knn_ivf``: assign/probe/re-rank; ``knn_pq``: encode/ADC); with
+    ``books`` passed explicitly (fixed codebooks, no training) the WHOLE
+    composition is deterministic math and the ``knn_ivfpq_fixed``
+    registry entry hash-matches a DuckDB twin. ``books=None`` trains
+    residual codebooks on a bounded sample (the production default);
+    that variant carries recall/exactness pytest proofs instead.
     """
     import numpy as np
 
     ids, mat, ctype = _centroid_arrays(centroids, centroid_id, centroid_vec)
     cmat = np.asarray(mat, dtype=np.float64)
-    books = _ivfpq_train(corpus, cmat, m, kc, train_sample, train_iters,
-                         corpus_id, corpus_vec)
+    if books is None:
+        books = _ivfpq_train(corpus, cmat, m, kc, train_sample,
+                             train_iters, corpus_id, corpus_vec)
+    else:
+        books = np.asarray(books, dtype=np.float64)
     encoded = _ivfpq_encode(corpus, ids, cmat, books, ctype,
                             corpus_id, corpus_vec)
     luts = _ivfpq_luts(queries, ids, cmat, books, nprobe,
                        query_id, query_vec)
     return _ivfpq_scan(encoded, luts, m, k,
-                       qtype=queries.schema[query_id].dataType.simpleString())
+                       qtype=queries.schema[query_id].dataType.simpleString(),
+                       round_dp=round_dp)
 
 
 def ivfpq_write_index(corpus: DataFrame, centroids: DataFrame, path: str,

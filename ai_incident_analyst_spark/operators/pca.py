@@ -96,6 +96,27 @@ def pca_fit(df: DataFrame, vec_col: str, k: int):
     return mean, comps, vals[order]
 
 
+def pca_power_fit(df: DataFrame, vec_col: str, iters: int = 2):
+    """Fixed-rounds power iteration for the TOP principal direction:
+    ``v ← normalize(cov @ v)`` from the all-ones start, ``iters`` times.
+
+    The ``eigh``-based ``pca_fit`` is the production fit (exact, all
+    components) but iterative-FP inside LAPACK — no SQL twin. This
+    variant is the oracle-checkable fit (the ``kmeans_clusters`` /
+    ``quality_lr_train`` unrolled-twin pattern): every step is plain
+    matrix arithmetic a SQL oracle replays term-for-term, and with a
+    real spectral gap two rounds already align with the dominant
+    eigenvector (parity + alignment in tests/test_pca.py). Returns
+    ``(mean (d,), v (d,))``.
+    """
+    _, mean, cov = covariance_stats(df, vec_col)
+    v = np.ones(cov.shape[0], dtype=np.float64)
+    for _ in range(iters):
+        v = cov @ v
+        v = v / np.linalg.norm(v)
+    return mean, v
+
+
 def pca_project(df: DataFrame, id_col: str, vec_col: str,
                 mean, components, out_col: str = "pc") -> DataFrame:
     """Append the (k,) projection ``components @ (x − mean)`` as

@@ -5771,3 +5771,157 @@ def q_ann_ndcg_pq(spark, sf_dir):
     approx = REGISTRY["knn_pq"].fn(spark, sf_dir) \
         .localCheckpoint(eager=False)
     return retrieval_ndcg(approx, exact, k=5)
+
+
+@q("knn_ivfpq_fixed", """
+WITH cent AS (
+  SELECT label AS cell, pos, avg(v) AS av
+  FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+  GROUP BY 1, 2),
+centv AS (
+  SELECT cell, list(av ORDER BY pos) AS cv FROM cent GROUP BY cell),
+book AS (
+  SELECT j.j, c.c, i.i,
+         (CAST(('0x' || substring(
+              md5('plane:' || j.j || ':' || c.c || ':' || i.i), 1, 8))
+           AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+  FROM (SELECT unnest(range(0, 4)) AS j) j,
+       (SELECT unnest(range(0, 8)) AS c) c,
+       (SELECT unnest(range(0, 16)) AS i) i),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (
+  SELECT vec_id, unnest(v) AS vv, generate_subscripts(v, 1) AS pos
+  FROM vecs),
+ccell AS (
+  SELECT vec_id, cell FROM (
+    SELECT vs.vec_id, cv.cell,
+           row_number() OVER (PARTITION BY vs.vec_id ORDER BY
+             list_sum([y*y for y in cv.cv])
+               - 2 * list_sum([p[1]*p[2] for p in list_zip(vs.v, cv.cv)]),
+             cv.cell) AS rk
+    FROM vecs vs CROSS JOIN centv cv WHERE vs.vec_id >= 5)
+  WHERE rk = 1),
+crd AS (
+  SELECT cc.vec_id, CAST(floor((d.pos - 1) / 16) AS BIGINT) AS ss,
+         (d.pos - 1) % 16 AS i, d.vv - ct.av AS r
+  FROM ccell cc
+  JOIN dims d ON d.vec_id = cc.vec_id
+  JOIN cent ct ON ct.cell = cc.cell AND ct.pos = d.pos),
+cdist AS (
+  SELECT crd.vec_id, crd.ss, b.c,
+         sum((crd.r - b.w) * (crd.r - b.w)) AS d2
+  FROM crd JOIN book b ON b.j = crd.ss AND b.i = crd.i
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, ss, c FROM (
+    SELECT vec_id, ss, c,
+           row_number() OVER (PARTITION BY vec_id, ss
+                              ORDER BY d2, c) AS rk
+    FROM cdist) WHERE rk = 1),
+qcell AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vs.vec_id, cv.cell,
+           row_number() OVER (PARTITION BY vs.vec_id ORDER BY
+             list_sum([y*y for y in cv.cv])
+               - 2 * list_sum([p[1]*p[2] for p in list_zip(vs.v, cv.cv)]),
+             cv.cell) AS rk
+    FROM vecs vs CROSS JOIN centv cv WHERE vs.vec_id < 5)
+  WHERE rk <= 2),
+qrd AS (
+  SELECT qc.query_id, qc.cell,
+         CAST(floor((d.pos - 1) / 16) AS BIGINT) AS ss,
+         (d.pos - 1) % 16 AS i, d.vv - ct.av AS r
+  FROM qcell qc
+  JOIN dims d ON d.vec_id = qc.query_id
+  JOIN cent ct ON ct.cell = qc.cell AND ct.pos = d.pos),
+lut AS (
+  SELECT qrd.query_id, qrd.cell, qrd.ss, b.c,
+         sum((qrd.r - b.w) * (qrd.r - b.w)) AS d2
+  FROM qrd JOIN book b ON b.j = qrd.ss AND b.i = qrd.i
+  GROUP BY 1, 2, 3, 4),
+adc AS (
+  SELECT l.query_id, cc.vec_id, round(sum(l.d2), 6) AS dist
+  FROM ccell cc
+  JOIN codes cd ON cd.vec_id = cc.vec_id
+  JOIN lut l ON l.cell = cc.cell AND l.ss = cd.ss AND l.c = cd.c
+  GROUP BY 1, 2)
+SELECT query_id, vec_id, dist AS distance
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY dist ASC, vec_id ASC) <= 5
+""", doc="IVF-PQ composition with FIXED inputs — oracle-checked end to "
+         "end (operators/knn.py:ivfpq_knn_join with books= given): "
+         "label centroids coarse-quantize, residuals encode against "
+         "md5-derived codebooks (the portable md5_planes family), "
+         "queries probe nprobe=2 cells and score candidates via "
+         "per-(query, cell) ADC lookup tables. Every stage — assign "
+         "(argmin + cell-asc tie), residual encode (argmin + code-asc "
+         "tie), probe, LUT sums, compressed-domain top-k — replays as "
+         "deterministic SQL, so the FULL IVFADC pipeline hash-matches "
+         "the DuckDB twin. Ranking uses round_dp=6: coarse codebooks "
+         "give tied ADC distances whose last-ulp association order "
+         "must not pick the top-k survivor (the twin rounds the same "
+         "way). The trained-codebook variant knn_ivfpq stays rows-only "
+         "with recall proofs — training is iterative FP on the driver")
+def q_knn_ivfpq_fixed(spark, sf_dir):
+    from .operators.knn import ivfpq_knn_join, md5_planes
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.select("label",
+                   F.posexplode(F.col("embedding").cast("array<double>"))
+                   .alias("pos", "v"))
+        .groupBy("label", "pos").agg(F.avg("v").alias("v"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(F.col("label").alias("centroid_id"),
+                F.transform("pv", lambda s: s["v"]).alias("centroid"))
+    )
+    q_, c_ = _qc_split(spark, sf_dir)
+    return ivfpq_knn_join(q_, c_, cents, k=5, nprobe=2, m=4, kc=8,
+                          books=md5_planes(4, 8, 16), round_dp=6)
+
+
+@q("pca_power_project", """
+WITH dims AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i
+  FROM embeddings),
+mu AS (SELECT i, avg(x) AS m FROM dims GROUP BY i),
+xx AS (
+  SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS e2
+  FROM dims a JOIN dims b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2),
+cov AS (
+  SELECT xx.i, xx.j, xx.e2 - ma.m * mb.m AS c
+  FROM xx JOIN mu ma ON ma.i = xx.i JOIN mu mb ON mb.i = xx.j),
+v1 AS (SELECT i, sum(c) AS w FROM cov GROUP BY i),
+v1n AS (
+  SELECT i, w / (SELECT sqrt(sum(w * w)) FROM v1) AS w FROM v1),
+v2 AS (
+  SELECT cov.i, sum(cov.c * v1n.w) AS w
+  FROM cov JOIN v1n ON v1n.i = cov.j GROUP BY cov.i),
+v2n AS (
+  SELECT i, w / (SELECT sqrt(sum(w * w)) FROM v2) AS w FROM v2)
+SELECT d.vec_id, round(sum((d.x - mu.m) * v.w), 5) AS pc1
+FROM dims d JOIN mu ON mu.i = d.i JOIN v2n v ON v.i = d.i
+GROUP BY d.vec_id
+""", doc="PCA projection onto the top principal direction from a FIXED "
+         "2-round power iteration (operators/pca.py:pca_power_fit, "
+         "all-ones start) — deterministic matrix arithmetic end to "
+         "end, so fit AND projection hash-match a DuckDB twin that "
+         "replays cov = E[xy] - E[x]E[y], two matvec+normalize rounds, "
+         "and the centered dot product (rounded 5dp: the engines "
+         "accumulate the same sums in different association orders). "
+         "The eigh-based pca_project (all components, exact) stays "
+         "rows-only with numpy-parity tests — LAPACK has no SQL twin")
+def q_pca_power_project(spark, sf_dir):
+    from .operators.pca import pca_power_fit, pca_project
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, v = pca_power_fit(emb, "embedding", iters=2)
+    return (
+        pca_project(emb, "vec_id", "embedding", mean, v.reshape(1, -1))
+        .select("vec_id",
+                F.round(F.col("pc")[0], 5).alias("pc1"))
+    )

@@ -69,3 +69,30 @@ def test_covariance_empty_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         covariance_stats(df, "embedding")
+
+
+def test_pca_power_fit_parity_and_alignment(spark):
+    """2-round power iteration matches a local numpy replay exactly,
+    and (given a real spectral gap) aligns with eigh's top component."""
+    import numpy as np
+
+    from ai_incident_analyst_spark.operators.pca import (
+        covariance_stats,
+        pca_fit,
+        pca_power_fit,
+    )
+    rng = np.random.default_rng(41)
+    base = rng.normal(size=(300, 8))
+    base[:, 0] *= 6.0  # dominant direction
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>")
+    mean, v = pca_power_fit(df, "embedding", iters=2)
+    _, mean2, cov = covariance_stats(df, "embedding")
+    ref = np.ones(8)
+    for _ in range(2):
+        ref = cov @ ref
+        ref = ref / np.linalg.norm(ref)
+    np.testing.assert_allclose(v, ref, rtol=1e-12)
+    _, comps, _ = pca_fit(df, "embedding", k=1)
+    assert abs(float(np.dot(v, comps[0]))) > 0.95

@@ -307,3 +307,35 @@ def test_retrieval_ndcg_hand_computed(spark):
     miss = spark.createDataFrame(
         [(1, 98, 0.1)], "query_id long, vec_id long, distance double")
     assert retrieval_ndcg(miss, exact, k=3).first()["ndcg_at_k"] == 0.0
+
+
+def test_ivfpq_fixed_books_skips_training_and_is_deterministic(spark):
+    """books= bypasses the trained codebooks: the same fixed books give
+    identical results across partitionings (the oracle-checkable
+    registry path), and a zero-residual corpus scores exactly."""
+    from ai_incident_analyst_spark.operators.knn import (
+        ivfpq_knn_join,
+        md5_planes,
+    )
+    rng = np.random.default_rng(13)
+    pts = rng.normal(size=(100, D)) * 2.0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(pts)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    queries = (corpus.filter("vec_id < 5")
+               .selectExpr("vec_id as query_id", "embedding as query_vec"))
+    corp = corpus.filter("vec_id >= 5")
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c])
+         for i, c in enumerate(rng.normal(size=(4, D)) * 2.0)],
+        "centroid_id long, centroid array<double>")
+    books = md5_planes(M, 8, DSUB)
+    a = sorted((r["query_id"], r["vec_id"], r["distance"]) for r in
+               ivfpq_knn_join(queries.repartition(1), corp.repartition(1),
+                              cents, k=3, nprobe=2, m=M, kc=8,
+                              books=books, round_dp=6).collect())
+    b = sorted((r["query_id"], r["vec_id"], r["distance"]) for r in
+               ivfpq_knn_join(queries.repartition(3), corp.repartition(7),
+                              cents, k=3, nprobe=2, m=M, kc=8,
+                              books=books, round_dp=6).collect())
+    assert a == b and len(a) == 5 * 3
