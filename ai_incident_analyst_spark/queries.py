@@ -5925,3 +5925,172 @@ def q_pca_power_project(spark, sf_dir):
         .select("vec_id",
                 F.round(F.col("pc")[0], 5).alias("pc1"))
     )
+
+
+@q("training_shards_pipeline", r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text, lang, n_chars FROM documents WHERE lang IN ('en', 'de')
+), qm AS (
+  SELECT doc_id, lower(trim(text)) AS c FROM base
+), qs AS (
+  SELECT doc_id,
+         round((
+           (CASE WHEN n_tok > 0 AND CAST(n_chars AS DOUBLE)/n_tok BETWEEN 3 AND 12
+                 THEN 1.0 ELSE 0.0 END)
+           + least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0, 1.0)
+           + CASE WHEN n_chars > 0 THEN CAST(n_alnum AS DOUBLE)/n_chars ELSE 0.0 END
+         ) / 3.0, 6) AS quality
+  FROM (
+    SELECT doc_id, length(c) AS n_chars,
+           CASE WHEN length(c) = 0 THEN 0
+                ELSE len(string_split_regex(c, '\s+')) END AS n_tok,
+           len(list_filter(string_split_regex(c, '\s+'),
+                           t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop,
+           length(regexp_replace(c, '[^a-z0-9]', '', 'g')) AS n_alnum
+    FROM qm)
+), keep AS (
+  SELECT b.doc_id, b.text, b.lang, b.n_chars
+  FROM base b JOIN qs ON b.doc_id = qs.doc_id WHERE qs.quality >= 0.5
+), sh AS (
+  SELECT doc_id AS doc, unnest(list_distinct([
+    array_to_string(toks[i:i+2], ' ')
+    for i in range(1, greatest(len(toks) - 2, 0) + 1)
+  ])) AS s
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM keep)
+), counts AS (
+  SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc
+), common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN counts ca ON ca.doc = id_a JOIN counts cb ON cb.doc = id_b
+  WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.12
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u
+), labels AS (
+  SELECT u, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+), surv AS (
+  SELECT k.doc_id, k.text,
+         coalesce(l.cluster_id, k.doc_id) AS gkey
+  FROM keep k LEFT JOIN labels l ON k.doc_id = l.u
+  QUALIFY row_number() OVER (
+    PARTITION BY coalesce(l.cluster_id, k.doc_id)
+    ORDER BY k.n_chars DESC, k.doc_id ASC) = 1
+), sp AS (
+  SELECT doc_id, text,
+         CASE WHEN substring(md5('split' || CAST(gkey AS VARCHAR)), 1, 8)
+                   < '33333333' THEN 'test' ELSE 'train' END AS split
+  FROM surv
+), tok AS (
+  SELECT doc_id, split,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_extract_all(trim(text),
+                   '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'))
+         END AS n_tok
+  FROM sp
+), cum AS (
+  SELECT doc_id, split, n_tok,
+         sum(n_tok) OVER (PARTITION BY split ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cs
+  FROM tok
+)
+SELECT split, CAST((cs - n_tok) // 4000 AS BIGINT) AS shard_id,
+       count(*) AS n_docs, sum(n_tok) AS n_tokens
+FROM cum GROUP BY 1, 2
+""", doc="the full curated-corpus -> training-shards build as ONE query, "
+         "every stage an engine operator: language gate -> quality "
+         "filter -> LSH-blocked near-dup clustering (connected "
+         "components) -> longest-survivor dedup -> LEAKAGE-SAFE "
+         "train/test split (hash on the cluster id, so a test doc's "
+         "near-twin can never land in train) -> BPE token counts -> "
+         "per-split token-budget sharding via the two-phase distributed "
+         "prefix sum -> per-shard manifest. The oracle replays the "
+         "whole pipeline as one recursive-CTE SQL query; candidate "
+         "recall of the LSH blocking is lossless at test SFs, so the "
+         "exact all-pairs twin reproduces it (the corpus_pipeline "
+         "arrangement)")
+def q_training_shards_pipeline(spark, sf_dir):
+    from .operators.dedup import (
+        connected_components,
+        dedup_canonical,
+        ngram_jaccard_pairs_lsh,
+    )
+    from .operators.packing import shard_by_token_budget
+    from .operators.sampling import leakage_safe_split
+    from .operators.text_analysis import bpe_token_count, quality_score
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin("en", "de"))
+        .select("doc_id", "text", "lang", "n_chars")
+    )
+    keep = base.filter(F.round(quality_score("text"), 6) >= 0.5)
+    pairs = ngram_jaccard_pairs_lsh(keep, "doc_id", "text", n=3,
+                                    threshold=0.12, num_perm=64, bands=64)
+    clusters = connected_components(pairs, "id_a", "id_b")
+    surv = dedup_canonical(keep, clusters, "doc_id", "n_chars")
+    sp = leakage_safe_split(surv.select("doc_id", "text"), "doc_id",
+                            clusters, test_fraction=0.2)
+    tok = sp.select("doc_id", "split",
+                    bpe_token_count("text").alias("n_tok"))
+    shards = None
+    for s in ("train", "test"):
+        part = shard_by_token_budget(
+            tok.filter(F.col("split") == s), "doc_id", "n_tok",
+            budget=4000).withColumn("split", F.lit(s))
+        shards = part if shards is None else shards.unionByName(part)
+    return (
+        shards.groupBy("split", "shard_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tok").alias("n_tokens"))
+    )
+
+
+@q("audio_features_meta", """
+SELECT doc_id AS media_id, 16000 AS sample_rate,
+       CAST(octet_length(CAST(text AS BLOB)) * 4 AS BIGINT) AS n_samples,
+       (octet_length(CAST(text AS BLOB)) * 4) // 16 AS duration_ms,
+       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes
+FROM documents
+""", doc="audio decode/feature plumbing (operators/multimodal.py:"
+         "audio_features): binary payloads through the Arrow "
+         "mapInPandas stage; the deterministic fake's metadata path "
+         "(sample rate, sample count, exact duration arithmetic, "
+         "payload bytes) hash-matches the SQL twin — real soundfile "
+         "decode is import-gated with auto-skip tests, like PIL")
+def q_audio_features_meta(spark, sf_dir):
+    from .operators.multimodal import audio_features, make_media_table
+    docs = _t(spark, sf_dir, "documents")
+    media = make_media_table(docs, "doc_id", "text", media_type="audio",
+                             fmt="wav")
+    return audio_features(media, n_bands=8).select(
+        "media_id", "sample_rate", "n_samples", "duration_ms", "n_bytes")
+
+
+@q("frame_sample_fanout", """
+SELECT doc_id AS media_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i * 500 AS BIGINT) AS frame_ts_ms
+FROM (
+  SELECT doc_id,
+         unnest(range(0, greatest(1, least(10,
+             octet_length(CAST(text AS BLOB)) // 64)))) AS i
+  FROM documents)
+""", doc="video frame-sampling plumbing (operators/multimodal.py:"
+         "frame_sample): the UDTF-shaped 1-row->N-frames fan-out "
+         "inside mapInPandas; the deterministic fake's frame "
+         "derivation (blob-size-bounded count, every_ms timestamps) "
+         "hash-matches the SQL twin — real PyAV decode import-gated "
+         "with auto-skip tests")
+def q_frame_sample_fanout(spark, sf_dir):
+    from .operators.multimodal import frame_sample, make_media_table
+    docs = _t(spark, sf_dir, "documents")
+    media = make_media_table(docs, "doc_id", "text", media_type="video",
+                             fmt="mp4")
+    return frame_sample(media, every_ms=500)

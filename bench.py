@@ -135,6 +135,18 @@ HEADLINE = [
     "snb_part_pairs",
     "ewma_daily_counts",
     "fill_gaps_daily",
+    # round 5: connector, chunking, mixture, graded eval, fixed IVF-PQ,
+    # power PCA, the end-to-end shards build, multimodal plumbing
+    "logapi_scan",
+    "cdc_chunk_dedup",
+    "domain_mixture_sample",
+    "ann_ndcg_pq",
+    "knn_ivfpq_fixed",
+    "pca_power_project",
+    "training_shards_pipeline",
+    "corpus_pipeline",
+    "audio_features_meta",
+    "frame_sample_fanout",
 ]
 
 
