@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 def frequent_item_pairs(baskets: DataFrame, basket_col: str,
                         item_col: str, min_support: int = 2,
                         topn: int | None = None,
-                        max_basket_size: int | None = 10_000) -> DataFrame:
+                        max_basket_size: int | None = None) -> DataFrame:
     """Item pairs co-occurring in ≥ ``min_support`` baskets:
     ``(item_a, item_b, n_pair, n_a, n_b, support, confidence_a_to_b,
     lift)`` with ``item_a < item_b``.
@@ -33,15 +33,17 @@ def frequent_item_pairs(baskets: DataFrame, basket_col: str,
     - ``confidence``= n_pair / n_a  (rule a→b)
     - ``lift``      = support / (supp_a · supp_b)
 
-    ``max_basket_size`` drops baskets with more distinct items before
-    the within-basket self-join: pair volume is Σ |basket|², so one
-    degenerate basket (a crawler session, a catch-all order id) can
+    ``max_basket_size`` (opt-in) drops baskets with more distinct items
+    before the within-basket self-join: pair volume is Σ |basket|², so
+    one degenerate basket (a crawler session, a catch-all order id) can
     contribute |basket|²/2 pairs on its own — 10k items is 50M pairs
     from one key, and it lands in ONE shuffle partition. Oversize
-    baskets carry no signal for pairwise association mining anyway
-    (co-occurrence in a basket with everything is uninformative), so
-    the guard is a correctness-neutral skew cap, not sampling. Pass
-    ``None`` to disable.
+    baskets carry little signal for pairwise association mining
+    (co-occurrence in a basket with everything is uninformative), but
+    dropping one DOES change n_baskets — the support/lift denominator
+    for every pair — so the guard is explicit, not a default: set it
+    (10_000 is a sane production value) on corpora that can contain
+    degenerate keys.
     """
     # checkpoint the distinct frame FIRST: it feeds the size guard, the
     # basket count, the item-support agg and both self-join sides — an

@@ -83,8 +83,13 @@ def retrieval_ndcg(approx: DataFrame, exact: DataFrame, k: int,
     def ranked(df):
         w = Window.partitionBy(query_id).orderBy(
             F.col(dist_col).asc(), F.col(item_col).asc())
+        # truncate to top-k HERE: an input frame deeper than k (a top-10
+        # frame evaluated @5) must not contribute tail positions to the
+        # DCG or negative relevances (k − rank + 1 < 0) to the gains —
+        # without the filter both silently happen
         return df.select(query_id, item_col,
-                         F.row_number().over(w).alias("rk"))
+                         F.row_number().over(w).alias("rk")) \
+            .filter(F.col("rk") <= k)
 
     er = ranked(exact).withColumn(
         "rel", (F.lit(k) - F.col("rk") + 1).cast("double"))

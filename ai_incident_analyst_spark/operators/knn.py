@@ -342,8 +342,11 @@ def lsh_cosine_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
     sc = corpus.sparkSession.sparkContext
     bp = sc.broadcast(planes)
 
-    def bucketize(id_name: str, vec_name: str, out_vec: str):
-        out_schema = (f"{id_name} long, __table int, __bucket long, "
+    def bucketize(id_name: str, vec_name: str, out_vec: str,
+                  id_type: str):
+        # id keeps its input type (long, string, …) — same contract as
+        # knn_join_blocked / pq_encode after the r4 ADVICE fix
+        out_schema = (f"{id_name} {id_type}, __table int, __bucket long, "
                       f"{out_vec} array<double>")
 
         def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -354,7 +357,7 @@ def lsh_cosine_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                ids = pdf[id_name].to_numpy(dtype=np.int64)
+                ids = pdf[id_name].to_numpy()
                 mat = np.array(list(pdf[vec_name]), dtype=np.float64)
                 frames = []
                 for t in range(n_t):
@@ -368,8 +371,12 @@ def lsh_cosine_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
 
         return part, out_schema
 
-    qpart, qschema = bucketize("query_id", "__qv", "__qvec")
-    cpart, cschema = bucketize("vec_id", "__cv", "__cvec")
+    qpart, qschema = bucketize(
+        "query_id", "__qv", "__qvec",
+        queries.schema[query_id].dataType.simpleString())
+    cpart, cschema = bucketize(
+        "vec_id", "__cv", "__cvec",
+        corpus.schema[corpus_id].dataType.simpleString())
     qb = (queries.select(F.col(query_id).alias("query_id"),
                          F.col(query_vec).cast("array<double>").alias("__qv"))
           .mapInPandas(qpart, schema=qschema))

@@ -240,13 +240,11 @@ def audio_features(df: DataFrame, n_bands: int = 16,
                     return None, None, None, None
         else:
             def decode(blob: bytes):
-                h = hashlib.sha256(blob or b"").digest()
                 sr = 16000
                 n = len(blob or b"") * 4
-                rng = np.frombuffer(
-                    (h * ((n_bands * 4) // len(h) + 1))[: n_bands * 4],
-                    dtype=np.uint32)
-                rms = ((rng % 1000).astype(np.float32) / 1000.0)
+                # same content-hash derivation as the image fake — one
+                # stand-in float family for the whole module
+                rms = _fake_features(blob, n_bands)
                 return sr, n, int(n * 1000 / sr), rms
 
         for pdf in batches:
@@ -294,10 +292,20 @@ def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> Data
                 try:
                     with av_mod.open(io.BytesIO(blob or b"")) as container:
                         vstream = container.streams.video[0]
-                        tb = float(vstream.time_base or 0) * 1000.0
+                        rate = vstream.average_rate
                         keep, next_ts = [], 0
-                        for frame in container.decode(vstream):
-                            t_ms = int((frame.pts or 0) * tb)
+                        for n, frame in enumerate(
+                                container.decode(vstream)):
+                            # frame.time = pts·time_base (None when the
+                            # stream carries no timing); fall back to
+                            # frame-rate pacing rather than collapsing
+                            # every frame to t=0 and silently keeping 1
+                            if frame.time is not None:
+                                t_ms = int(frame.time * 1000)
+                            elif rate:
+                                t_ms = int(n * 1000 / float(rate))
+                            else:
+                                return []  # no timing info: undecodable
                             if t_ms >= next_ts:
                                 keep.append(t_ms)
                                 next_ts = t_ms + every_ms

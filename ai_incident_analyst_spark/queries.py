@@ -5733,15 +5733,17 @@ _ANN_NDCG_SQL = """
 WITH exact AS (SELECT * FROM ({exact})),
 approx AS (SELECT * FROM ({approx})),
 er AS (
-  SELECT query_id, vec_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY distance ASC, vec_id ASC) AS rk
-  FROM exact),
+  SELECT * FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY distance ASC, vec_id ASC) AS rk
+    FROM exact) WHERE rk <= 5),
 ar AS (
-  SELECT query_id, vec_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY distance ASC, vec_id ASC) AS rk
-  FROM approx),
+  SELECT * FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY distance ASC, vec_id ASC) AS rk
+    FROM approx) WHERE rk <= 5),
 dcg AS (
   SELECT a.query_id,
          sum((5 - e.rk + 1) / log2(a.rk + 1)) AS dcg
@@ -6030,7 +6032,12 @@ def q_training_shards_pipeline(spark, sf_dir):
         .filter(F.col("lang").isin("en", "de"))
         .select("doc_id", "text", "lang", "n_chars")
     )
-    keep = base.filter(F.round(quality_score("text"), 6) >= 0.5)
+    # keep feeds the LSH pairing subtree AND the survivor selection;
+    # tok (the whole upstream pipeline) feeds one shard pass PER split —
+    # lazy checkpoints make each subtree materialize once instead of
+    # once per consumer (the ann_recall_pq lesson; ~11.5s -> ~6s sf0.1)
+    keep = base.filter(F.round(quality_score("text"), 6) >= 0.5) \
+        .localCheckpoint(eager=False)
     pairs = ngram_jaccard_pairs_lsh(keep, "doc_id", "text", n=3,
                                     threshold=0.12, num_perm=64, bands=64)
     clusters = connected_components(pairs, "id_a", "id_b")
@@ -6038,7 +6045,8 @@ def q_training_shards_pipeline(spark, sf_dir):
     sp = leakage_safe_split(surv.select("doc_id", "text"), "doc_id",
                             clusters, test_fraction=0.2)
     tok = sp.select("doc_id", "split",
-                    bpe_token_count("text").alias("n_tok"))
+                    bpe_token_count("text").alias("n_tok")) \
+        .localCheckpoint(eager=False)
     shards = None
     for s in ("train", "test"):
         part = shard_by_token_budget(

@@ -250,6 +250,13 @@ class LogApiReader(DataSourceReader):
         if span <= 0:
             # pushed window collapsed to empty: one no-op slice
             return [TimeSlice(spec.since_ms, spec.since_ms)]
+        if spec.limit:
+            # LIMIT is a RELATION-level bound (the reference's single
+            # bounded fetch, new_relic_fetcher.py:79): slicing the
+            # window would apply it per slice and return up to
+            # num_partitions*limit rows with order-dependent survivors,
+            # so a limited read is one partition by construction
+            n = 1
         n = min(n, span)
         bounds = [spec.since_ms + span * i // n for i in range(n + 1)]
         return [TimeSlice(a, b) for a, b in zip(bounds[:-1], bounds[1:])]
@@ -264,7 +271,10 @@ class LogApiStreamReader(SimpleDataSourceStreamReader):
     """Epoch-ms watermark offsets; each micro-batch drains one
     ``batch_ms`` window. ``until_ms`` caps the stream for deterministic
     tests; production passes a far-future cap and the poll trigger
-    paces real time."""
+    paces real time. ``limit`` bounds each POLL (one micro-batch = one
+    bounded fetch — exactly the reference's repeated-run ``LIMIT n``
+    loop, main.py:88-92); rows beyond it in a window are dropped by the
+    server, so size ``batch_ms`` against the expected event rate."""
 
     def __init__(self, schema: StructType, options):
         self.spec = _QuerySpec(schema, options)

@@ -65,5 +65,7 @@ def test_max_basket_size_noop_on_normal_data(spark):
             (2, "a"), (2, "b"),
             (3, "a"), (3, "c"),
             (4, "d")]
-    assert _run(spark, rows, min_support=2) \
-        == _run(spark, rows, min_support=2, max_basket_size=None)
+    # guard enabled but no basket exceeds it: results identical to the
+    # unguarded default
+    assert _run(spark, rows, min_support=2, max_basket_size=100) \
+        == _run(spark, rows, min_support=2)

@@ -189,3 +189,31 @@ def test_ivf_persisted_index_prunes_and_matches(spark, sf_dir, vec_data,
     n_cells_total = spark.read.parquet(path) \
         .select("__cell").distinct().count()
     assert len(probe_cells) < n_cells_total  # pruning is non-trivial
+
+
+def test_lsh_cosine_string_ids(spark, sf_dir):
+    """String ids flow through the LSH bucketing Arrow stage (code-
+    review r5: the id schema is derived from the input, not hardcoded
+    long) — same neighbor SET as the long-id run."""
+    from pyspark.sql import functions as F
+
+    from ai_incident_analyst_spark.operators.knn import lsh_cosine_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 100")
+    s_emb = emb.selectExpr(
+        "concat('v', lpad(cast(vec_id as string), 4, '0')) as vec_id",
+        "embedding")
+    q = (s_emb.filter("vec_id < 'v0005'")
+         .selectExpr("vec_id as query_id", "embedding as query_vec"))
+    c = s_emb.filter("vec_id >= 'v0005'")
+    out = lsh_cosine_knn_join(q, c, k=5, n_planes=4, n_tables=16,
+                              plane_fn="md5").collect()
+    assert out and all(isinstance(r.query_id, str)
+                       and isinstance(r.vec_id, str) for r in out)
+    lq = (emb.filter("vec_id < 5")
+          .selectExpr("vec_id as query_id", "embedding as query_vec"))
+    lc = emb.filter("vec_id >= 5")
+    long_out = lsh_cosine_knn_join(lq, lc, k=5, n_planes=4, n_tables=16,
+                                   plane_fn="md5").collect()
+    assert {(r.query_id, r.vec_id) for r in out} \
+        == {(f"v{r.query_id:04d}", f"v{r.vec_id:04d}") for r in long_out}

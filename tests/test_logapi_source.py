@@ -185,3 +185,16 @@ def test_empty_window_after_pushdown_yields_no_rows(spark, fixture_file):
     # contradictory range: window collapses; no transport call needed
     assert df.filter((F.col("timestamp") > T0 + 20 * HOUR)
                      & (F.col("timestamp") < T0 + 2 * HOUR)).count() == 0
+
+
+def test_limit_is_relation_level_single_partition(spark, fixture_file):
+    """LIMIT bounds the RELATION, not each slice (code-review r5): a
+    limited read collapses to one partition so it can't return up to
+    num_partitions*limit rows with order-dependent survivors."""
+    df = _read(spark, fixture_file, num_partitions=8, limit=10)
+    assert df.count() == 10
+    reader = LogApiReader(
+        _parse_datatype_string(DEFAULT_SCHEMA),
+        {"since_ms": str(T0), "until_ms": str(T0 + 24 * HOUR),
+         "num_partitions": "8", "limit": "10", "fixture_path": "unused"})
+    assert len(reader.partitions()) == 1

@@ -309,6 +309,24 @@ def test_retrieval_ndcg_hand_computed(spark):
     assert retrieval_ndcg(miss, exact, k=3).first()["ndcg_at_k"] == 0.0
 
 
+def test_retrieval_ndcg_truncates_deep_frames(spark):
+    """Frames deeper than k must be cut at rank k (code-review r5):
+    identical top-3 with different tails is a PERFECT @3 — tail
+    positions must contribute neither negative relevances nor DCG."""
+    from ai_incident_analyst_spark.operators.evaluation import (
+        retrieval_ndcg,
+    )
+    exact = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(1, 11)],
+        "query_id long, vec_id long, distance double")
+    approx = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(1, 4)]
+        + [(1, i, 20.0 - i) for i in range(4, 11)],  # tail reversed
+        "query_id long, vec_id long, distance double")
+    got = retrieval_ndcg(approx, exact, k=3).first()["ndcg_at_k"]
+    assert got == pytest.approx(1.0, abs=1e-9)
+
+
 def test_ivfpq_fixed_books_skips_training_and_is_deterministic(spark):
     """books= bypasses the trained codebooks: the same fixed books give
     identical results across partitionings (the oracle-checkable
