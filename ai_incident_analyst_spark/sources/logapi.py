@@ -297,6 +297,32 @@ class LogApiStreamReader(SimpleDataSourceStreamReader):
         return list(self.spec.fetch(int(start["ts"]), int(end["ts"])))
 
 
+def probe_source(options: dict) -> bool:
+    """Source validation probe — reference parity:
+    ``new_relic_fetcher.py:7-36`` runs ``SELECT count(*) FROM <table>
+    SINCE 1 day ago LIMIT 1`` and treats a present ``results`` list as
+    valid, any error/malformed response as invalid. Same transport
+    seam as the reader; never raises."""
+    try:
+        table = options.get("table", "Log")
+        since = int(options.get("since_ms", 0))
+        until = int(options.get("until_ms", since + 86_400_000))
+        nrql = (f"SELECT count(*) FROM {table} "
+                f"SINCE {since} UNTIL {until} LIMIT 1")
+        transport = _resolve_transport(options)
+        data = transport(options.get("url", "https://localhost/graphql"),
+                         options.get("api_key", ""),
+                         graphql_envelope(options.get("account_id", "0"),
+                                          nrql))
+        try:
+            results = data["data"]["actor"]["account"]["nrql"]["results"]
+        except Exception:
+            return False
+        return results is not None
+    except Exception:
+        return False
+
+
 class LogApiDataSource(DataSource):
     """``spark.dataSource.register(LogApiDataSource)`` then
     ``spark.read.format("logapi").option(...).load()``."""

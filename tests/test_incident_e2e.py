@@ -117,3 +117,57 @@ def test_incident_pipeline_end_to_end(spark, tmp_path):
     stored = spark.read.parquet(path).first()
     assert stored.llm_output == rca
     assert stored.feedback.vote == "up"
+
+
+def test_incident_pipeline_via_live_connector(spark, tmp_path):
+    """The reference's main loop with the FETCH stage running through
+    the live-API connector (sources/logapi.py) instead of a local
+    table: probe -> partitioned windowed fetch with pushdown ->
+    preprocess -> dedup -> redact -> embed -> kNN. The fixture
+    transport stands in for the remote endpoint; swapping in the real
+    HTTP transport is one option string."""
+    import json
+
+    from ai_incident_analyst_spark.sources.logapi import probe_source
+
+    fixture = tmp_path / "api_logs.json"
+    fixture.write_text(json.dumps([
+        {"timestamp": ts, "container_name": svc, "level": lvl,
+         "message": msg, "event": "log", "namespace_name": "ns"}
+        for ts, svc, lvl, msg in RAW]))
+    opts = {"fixture_path": str(fixture),
+            "since_ms": str(1753437600000),
+            "until_ms": str(1753449000000)}
+
+    # 0. source validation probe (new_relic_fetcher.py:7-36 parity)
+    assert probe_source(opts)
+    assert not probe_source({**opts, "fixture_path": "/nonexistent.json"})
+
+    # 1. fetch through the DSv2 relation; the level predicate is pushed
+    # into the NRQL WHERE, the health filter evaluated by Spark
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    from ai_incident_analyst_spark.sources.logapi import LogApiDataSource
+    spark.dataSource.register(LogApiDataSource)
+    reader = spark.read.format("logapi")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    fetched = (reader.load()
+               .filter((F.col("level") == "error")
+                       & ~F.col("message").like("%/health%")))
+    assert fetched.count() == 3
+
+    # 2-6. the rest of the loop, identical to the parquet-source test
+    logs = normalize_log_records(
+        fetched.select("timestamp", "container_name", "level", "message"))
+    logs = logs.withColumn("__arrival", F.monotonically_increasing_id())
+    deduped = dedup_keep_first(logs, ["message", "timestamp"],
+                               "__arrival").drop("__arrival")
+    assert deduped.count() == 2
+    clean = deduped.withColumn(
+        "message", redact("message", DEFAULT_PATTERNS + LLM_SIDE_PATTERNS))
+    assert all("john.doe" not in r.message and "abc123" not in r.message
+               for r in clean.collect())
+    batch = pick_batch(
+        embed_text(clean, ["message", "level"], dim=32), 10, "timestamp")
+    assert batch.count() == 2
+    assert all(len(r.embedding) == 32 for r in batch.collect())
