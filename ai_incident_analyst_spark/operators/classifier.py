@@ -59,13 +59,11 @@ def lr_train(df: DataFrame, feature_cols: Sequence[str], label_col: str,
     ``n = count()`` still includes them, silently biasing the mean
     gradient on dirty input.
     """
+    from .util import complete_case
+
     xs = [F.col(c).cast("double") for c in feature_cols]
     y = F.col(label_col).cast("double")
-    clean = None
-    for c in xs + [y]:
-        cond = c.isNotNull() & ~F.isnan(c)
-        clean = cond if clean is None else (clean & cond)
-    df = df.filter(clean)
+    df = complete_case(df, xs + [y])
     n = df.count()
     if n == 0:
         raise ValueError("cannot train on an empty frame")

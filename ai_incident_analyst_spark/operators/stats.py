@@ -25,12 +25,13 @@ def ols_by_group(df: DataFrame, key: str, x_col: str,
     vertical fit is undefined — surfacing NULL beats silently emitting
     0). One aggregation pass; outputs rounded 6 dp.
     """
+    from .util import complete_case
+
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
     # complete-case analysis: a row missing either coordinate must not
     # inflate n while being skipped by the sums (silently wrong fits)
-    df = df.filter(x.isNotNull() & y.isNotNull()
-                   & ~F.isnan(x) & ~F.isnan(y))
+    df = complete_case(df, [x, y])
     agg = df.groupBy(key).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"), F.sum(y).alias("sy"),

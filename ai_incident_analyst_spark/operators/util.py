@@ -2,7 +2,22 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def complete_case(df: DataFrame, cols: list[Column | str]) -> DataFrame:
+    """Drop rows where any of ``cols`` is NULL or NaN — the shared
+    complete-case contract of the numeric estimators (``ols_by_group``,
+    ``lr_train``): sum() silently skips NULLs and NaN poisons to NaN
+    while count() still counts the row, so dirty rows must leave the
+    frame BEFORE n is taken, not be absorbed by the aggregates."""
+    cond = None
+    for c in cols:
+        c = F.col(c) if isinstance(c, str) else c
+        this = c.isNotNull() & ~F.isnan(c.cast("double"))
+        cond = this if cond is None else (cond & this)
+    return df if cond is None else df.filter(cond)
 
 
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:

@@ -766,6 +766,22 @@ def _qc_split(spark, sf_dir):
     return q_, c_
 
 
+def _label_centroids(emb):
+    """Per-label mean vectors as the (centroid_id, centroid) frame the
+    IVF family takes — the fixed, twin-replayable coarse quantizer the
+    knn_ivf / knn_ivfpq / knn_ivfpq_fixed registry entries share."""
+    return (
+        emb.select("label",
+                   F.posexplode(F.col("embedding").cast("array<double>"))
+                   .alias("pos", "v"))
+        .groupBy("label", "pos").agg(F.avg("v").alias("v"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select(F.col("label").alias("centroid_id"),
+                F.transform("pv", lambda s: s["v"]).alias("centroid"))
+    )
+
+
 @q("knn_l2", _KNN_ORACLE,
    doc="J2 flagship: exact top-5 squared-L2 join, broadcast-NL + window")
 def knn_l2(spark, sf_dir):
@@ -945,15 +961,7 @@ QUALIFY row_number() OVER (
        "tie-break. Recall vs exact knn additionally checked in tests")
 def q_knn_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    cents = (
-        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>"))
-                   .alias("pos", "v"))
-        .groupBy("label", "pos").agg(F.avg("v").alias("v"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
-        .select(F.col("label").alias("centroid_id"),
-                F.transform("pv", lambda s: s["v"]).alias("centroid"))
-    )
+    cents = _label_centroids(emb)
     q_, c_ = _qc_split(spark, sf_dir)
     return ivf_knn_join(q_, c_, cents, k=5, nprobe=2) \
         .withColumn("distance", F.round("distance", 6))
@@ -4780,15 +4788,7 @@ def q_decayed_user_value(spark, sf_dir):
 def q_knn_ivfpq(spark, sf_dir):
     from .operators.knn import ivfpq_knn_join
     emb = _t(spark, sf_dir, "embeddings")
-    cents = (
-        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>"))
-                   .alias("pos", "v"))
-        .groupBy("label", "pos").agg(F.avg("v").alias("v"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
-        .select(F.col("label").alias("centroid_id"),
-                F.transform("pv", lambda s: s["v"]).alias("centroid"))
-    )
+    cents = _label_centroids(emb)
     q_, c_ = _qc_split(spark, sf_dir)
     return ivfpq_knn_join(q_, c_, cents, k=5, nprobe=2, m=4, kc=16) \
         .withColumn("distance", F.round("distance", 6))
@@ -5870,16 +5870,7 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 def q_knn_ivfpq_fixed(spark, sf_dir):
     from .operators.knn import ivfpq_knn_join, md5_planes
     emb = _t(spark, sf_dir, "embeddings")
-    cents = (
-        emb.select("label",
-                   F.posexplode(F.col("embedding").cast("array<double>"))
-                   .alias("pos", "v"))
-        .groupBy("label", "pos").agg(F.avg("v").alias("v"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
-        .select(F.col("label").alias("centroid_id"),
-                F.transform("pv", lambda s: s["v"]).alias("centroid"))
-    )
+    cents = _label_centroids(emb)
     q_, c_ = _qc_split(spark, sf_dir)
     return ivfpq_knn_join(q_, c_, cents, k=5, nprobe=2, m=4, kc=8,
                           books=md5_planes(4, 8, 16), round_dp=6)

@@ -314,11 +314,8 @@ def probe_source(options: dict) -> bool:
                          options.get("api_key", ""),
                          graphql_envelope(options.get("account_id", "0"),
                                           nrql))
-        try:
-            results = data["data"]["actor"]["account"]["nrql"]["results"]
-        except Exception:
-            return False
-        return results is not None
+        return data["data"]["actor"]["account"]["nrql"]["results"] \
+            is not None
     except Exception:
         return False
 
