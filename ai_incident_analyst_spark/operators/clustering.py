@@ -59,9 +59,16 @@ def _init_centroids(df: DataFrame, id_col: str, vec_col: str,
     return np.array([r["v"] for r in rows], dtype=np.float64)
 
 
-def _partials_pass(df: DataFrame, vec_col: str,
-                   centroids: np.ndarray) -> np.ndarray:
-    """One assignment pass: returns folded (k, d+1) [count | sum] matrix."""
+def _partials_pass(df: DataFrame, vec_col: str, centroids: np.ndarray,
+                   round_dp: Optional[int] = None) -> np.ndarray:
+    """One assignment pass: returns folded (k, d+1) [count | sum] matrix.
+
+    With ``round_dp`` set, the assignment scores are rounded before the
+    argmin (ties broken by lowest centroid id — numpy argmin's first-index
+    rule): two centroids near-equidistant from a point would otherwise
+    resolve by BLAS-vs-sequential-fold ulps, which differ across engines
+    and builds even when the centroids themselves are identical.
+    """
     k, d = centroids.shape
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(centroids)
@@ -78,6 +85,8 @@ def _partials_pass(df: DataFrame, vec_col: str,
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             # argmin ||x-c||^2 = argmin ||c||^2 - 2 x.c  (||x||^2 constant)
             scores = cnorm2[None, :] - 2.0 * (mat @ cents.T)
+            if round_dp is not None:
+                scores = np.round(scores, round_dp)
             assign = scores.argmin(axis=1)
             counts += np.bincount(assign, minlength=k)
             np.add.at(sums, assign, mat)
@@ -107,11 +116,19 @@ def _partials_pass(df: DataFrame, vec_col: str,
 
 def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
                max_iter: int = 10, tol: float = 1e-6,
-               init: Optional[np.ndarray] = None) -> tuple[np.ndarray, int]:
+               init: Optional[np.ndarray] = None,
+               round_dp: Optional[int] = None) -> tuple[np.ndarray, int]:
     """Lloyd's k-means; returns ``(centroids (k,d) ndarray, n_iter)``.
 
     Deterministic for a fixed input partitioning (hash-ordered init, fixed
-    partial fold order). Use ``centroids_df`` to get the Spark-side frame
+    partial fold order). With ``round_dp`` set, each round's centroids are
+    additionally discretized to that many decimals, making the fit
+    reproducible ACROSS partition layouts and BLAS builds: FP addition is
+    non-associative, so unrounded per-partition partial folds differ by
+    ulps between layouts, and after a round or two a corpus point near a
+    cell boundary can flip its argmin. Rounding between rounds erases the
+    ulps before they compound (the same ``round_dp`` knob as
+    ``ivfpq_knn_join``). Use ``centroids_df`` to get the Spark-side frame
     that ``ivf_knn_join`` / ``ivf_write_index`` consume.
     """
     # cache the prepared corpus across rounds (MLlib does the same): every
@@ -128,10 +145,12 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
                 f"init has {cents.shape[0]} rows, expected k={k}")
         n_iter = 0
         for n_iter in range(1, max_iter + 1):
-            folded = _partials_pass(data, vec_col, cents)
+            folded = _partials_pass(data, vec_col, cents, round_dp=round_dp)
             counts, sums = folded[:, 0], folded[:, 1:]
             new = np.where(counts[:, None] > 0,
                            sums / np.maximum(counts[:, None], 1), cents)
+            if round_dp is not None:
+                new = np.round(new, round_dp)
             shift = float(np.max(np.linalg.norm(new - cents, axis=1)))
             cents = new
             if shift <= tol:
@@ -152,10 +171,13 @@ def centroids_df(spark, centroids: np.ndarray,
 
 def kmeans_assign(df: DataFrame, vec_col: str, centroids: np.ndarray,
                   out_col: str = "cluster",
-                  dist_col: Optional[str] = None) -> DataFrame:
+                  dist_col: Optional[str] = None,
+                  round_dp: Optional[int] = None) -> DataFrame:
     """Annotate each row with its nearest centroid (and optionally the
     squared-L2 distance). One Arrow pass, no shuffle; all original
-    columns pass through."""
+    columns pass through. ``round_dp`` rounds the assignment scores
+    before the argmin (lowest-centroid-id tie-break) — same
+    engine-portability rationale as ``kmeans_fit``."""
     cents = np.asarray(centroids, dtype=np.float64)
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(cents)
@@ -174,6 +196,8 @@ def kmeans_assign(df: DataFrame, vec_col: str, centroids: np.ndarray,
             mat = np.array([np.asarray(v, dtype=np.float64)
                             for v in pdf[vec_col]])
             scores = cn2[None, :] - 2.0 * (mat @ c.T)
+            if round_dp is not None:
+                scores = np.round(scores, round_dp)
             assign = scores.argmin(axis=1)
             out = pdf[cols].copy()
             out[out_col] = assign.astype("int32")

@@ -967,18 +967,26 @@ def q_knn_ivf(spark, sf_dir):
         .withColumn("distance", F.round("distance", 6))
 
 
+# round(score, 6) + centroid-id tie-break mirrors the round_dp=6 argmin in
+# _partials_pass / kmeans_assign: near-equidistant centroids would otherwise
+# resolve by BLAS-vs-sequential-fold ulps that differ across engines.
 _KMEANS_ASSIGN_SQL = """
   SELECT vec_id, x, cl FROM (
     SELECT v.vec_id, v.x, i.cl,
            row_number() OVER (PARTITION BY v.vec_id ORDER BY
-             list_sum([y*y for y in i.c])
-               - 2 * list_sum([p[1]*p[2] for p in list_zip(v.x, i.c)]),
+             round(list_sum([y*y for y in i.c])
+               - 2 * list_sum([p[1]*p[2] for p in list_zip(v.x, i.c)]), 6),
              i.cl) AS rk
     FROM v CROSS JOIN {cents} i) WHERE rk = 1
 """
 
+# round(mean, 6) mirrors kmeans_fit(round_dp=6): discretizing each round's
+# centroids erases the ulp-level FP-association differences between engines
+# (and between Spark partition layouts) before they can compound into a
+# flipped argmin next round. Empty clusters keep the previous centroid,
+# re-rounded on both sides (round is idempotent, so re-rounding is safe).
 _KMEANS_UPDATE_SQL = """
-  SELECT i.cl, coalesce(a.c, i.c) AS c
+  SELECT i.cl, [round(y, 6) for y in coalesce(a.c, i.c)] AS c
   FROM {prev} i LEFT JOIN (
     SELECT cl, list(m ORDER BY pos) AS c FROM (
       SELECT cl, pos, avg(val) AS m FROM (
@@ -1011,12 +1019,15 @@ FROM fin GROUP BY cl ORDER BY cl
          "vector-sum) rows per partition — no shuffle, driver holds "
          "only k×d centroids (the IVF training step the reference's "
          "flat index never needed). Registry variant runs FIXED 2 Lloyd "
-         "rounds at k=4 over the first 8 dims with tol=0 — fully "
-         "deterministic arithmetic, so the whole fit+assign unrolls "
-         "into a DuckDB twin (the quality_lr_train / pagerank_items "
-         "pattern) and per-cluster counts + membership id-checksums "
-         "hash-match; argmin is FP-association-robust because "
-         "assignment is discrete. Full-dim 5-round production path in "
+         "rounds at k=4 over the first 8 dims with tol=0 AND round_dp=6 "
+         "— per-round centroid discretization makes the fit reproducible "
+         "across engines, partition layouts, and BLAS builds (unrounded "
+         "float folds are association-order-sensitive: a layout change "
+         "shifts a centroid by ulps and flips a boundary point's argmin "
+         "next round — the r5 driver-env failure), so the whole "
+         "fit+assign unrolls into a DuckDB twin (the quality_lr_train / "
+         "pagerank_items pattern) and per-cluster counts + membership "
+         "id-checksums hash-match. Full-dim production path in "
          "knn_ivf_kmeans + numpy-parity/monotone-inertia tests")
 def q_kmeans_clusters(spark, sf_dir):
     from .operators.clustering import kmeans_assign, kmeans_fit
@@ -1024,9 +1035,10 @@ def q_kmeans_clusters(spark, sf_dir):
     v = emb.select(
         "vec_id",
         F.slice(F.col("embedding").cast("array<double>"), 1, 8).alias("x"))
-    cents, _ = kmeans_fit(v, "vec_id", "x", k=4, max_iter=2, tol=0.0)
+    cents, _ = kmeans_fit(v, "vec_id", "x", k=4, max_iter=2, tol=0.0,
+                          round_dp=6)
     return (
-        kmeans_assign(v, "x", cents, out_col="cluster")
+        kmeans_assign(v, "x", cents, out_col="cluster", round_dp=6)
         .groupBy("cluster")
         .agg(F.count("*").alias("n_vecs"),
              F.sum("vec_id").alias("id_sum"))
@@ -1034,15 +1046,68 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
-@q("knn_ivf_kmeans", None,
-   doc="IVF k-NN probed over k-means-trained centroids (the full "
-       "train→index→probe path: kmeans_fit → centroids_df → ivf_knn_join)"
-       " — approximate, recall vs exact checked in tests")
+@q("knn_ivf_kmeans", f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+init AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                            CAST(vec_id AS VARCHAR)) - 1 AS cl,
+         x AS c
+  FROM v
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                             CAST(vec_id AS VARCHAR)) <= 8),
+a1 AS ({_KMEANS_ASSIGN_SQL.format(cents="init")}),
+c1 AS ({_KMEANS_UPDATE_SQL.format(prev="init", assign="a1")}),
+a2 AS ({_KMEANS_ASSIGN_SQL.format(cents="c1")}),
+c2 AS ({_KMEANS_UPDATE_SQL.format(prev="c1", assign="a2")}),
+cent AS (SELECT cl AS centroid_id, c AS centroid FROM c2),
+q AS (
+  SELECT vec_id AS query_id, x AS qv FROM v WHERE vec_id < 5
+), cc AS (
+  SELECT vec_id, x AS cv FROM v WHERE vec_id >= 5
+), qcell AS (
+  SELECT query_id, qv, centroid_id AS cell
+  FROM q CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY list_sum([ y*y for y in centroid ])
+             - 2*list_sum([ p[1]*p[2] for p in list_zip(qv, centroid) ]) ASC,
+             centroid_id ASC) <= 3
+), ccell AS (
+  SELECT vec_id, cv, centroid_id AS cell
+  FROM cc CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY list_sum([ y*y for y in centroid ])
+             - 2*list_sum([ p[1]*p[2] for p in list_zip(cv, centroid) ]) ASC,
+             centroid_id ASC) = 1
+)
+SELECT query_id, vec_id,
+       round(list_sum([ (p[1]-p[2])*(p[1]-p[2])
+                        for p in list_zip(qv, cv) ]), 6) AS distance
+FROM qcell a JOIN ccell b ON a.cell = b.cell
+QUALIFY row_number() OVER (
+  PARTITION BY query_id
+  ORDER BY list_sum([ (p[1]-p[2])*(p[1]-p[2])
+                      for p in list_zip(qv, cv) ]) ASC, vec_id ASC) <= 5
+""",
+   doc="IVF k-NN probed over k-means-TRAINED centroids — the full "
+       "train→index→probe path (kmeans_fit → centroids_df → "
+       "ivf_knn_join). Registry variant trains FIXED 2 Lloyd rounds at "
+       "k=8 over the full 64-dim embeddings with tol=0, round_dp=6: "
+       "per-round centroid + assignment-score discretization makes the "
+       "trained coarse quantizer deterministic cross-engine, so the "
+       "ENTIRE composition (hash-ordered init → 2 unrolled Lloyd rounds "
+       "→ nprobe=3 probe → exact re-rank) replays as one DuckDB twin — "
+       "the last previously-rows-only ANN path now hash-matched. "
+       "Production path keeps arbitrary max_iter/tol (recall vs exact "
+       "checked in tests/test_knn.py)")
 def q_knn_ivf_kmeans(spark, sf_dir):
     from .operators.clustering import centroids_df, kmeans_fit
     emb = _t(spark, sf_dir, "embeddings")
     cents, _ = kmeans_fit(emb.select("vec_id", "embedding"),
-                          "vec_id", "embedding", k=8, max_iter=5)
+                          "vec_id", "embedding", k=8, max_iter=2, tol=0.0,
+                          round_dp=6)
     cdf = centroids_df(spark, cents)
     q_, c_ = _qc_split(spark, sf_dir)
     return ivf_knn_join(q_, c_, cdf, k=5, nprobe=3) \
