@@ -1011,7 +1011,7 @@ a2 AS ({_KMEANS_ASSIGN_SQL.format(cents="c1")}),
 c2 AS ({_KMEANS_UPDATE_SQL.format(prev="c1", assign="a2")}),
 fin AS ({_KMEANS_ASSIGN_SQL.format(cents="c2")})
 SELECT CAST(cl AS INT) AS cluster, count(*) AS n_vecs,
-       sum(vec_id) AS id_sum
+       CAST(sum(vec_id) AS BIGINT) AS id_sum
 FROM fin GROUP BY cl ORDER BY cl
 """, doc="distributed Lloyd's k-means (operators/clustering.py): "
          "deterministic hash-ordered init (k smallest md5(id)), one "
@@ -1020,15 +1020,20 @@ FROM fin GROUP BY cl ORDER BY cl
          "only k×d centroids (the IVF training step the reference's "
          "flat index never needed). Registry variant runs FIXED 2 Lloyd "
          "rounds at k=4 over the first 8 dims with tol=0 AND round_dp=6 "
-         "— per-round centroid discretization makes the fit reproducible "
-         "across engines, partition layouts, and BLAS builds (unrounded "
-         "float folds are association-order-sensitive: a layout change "
-         "shifts a centroid by ulps and flips a boundary point's argmin "
-         "next round — the r5 driver-env failure), so the whole "
-         "fit+assign unrolls into a DuckDB twin (the quality_lr_train / "
-         "pagerank_items pattern) and per-cluster counts + membership "
-         "id-checksums hash-match. Full-dim production path in "
-         "knn_ivf_kmeans + numpy-parity/monotone-inertia tests")
+         "— per-round centroid + score discretization makes the fit "
+         "reproducible across engines, partition layouts, and BLAS "
+         "builds, so the whole fit+assign unrolls into a DuckDB twin "
+         "(the quality_lr_train / pagerank_items pattern). r5/r6 "
+         "driver-gate hash mismatches were NOT floating point (the "
+         "result tolerates injected 1e-6 perturbations; rounded == "
+         "unrounded on the shared data): DuckDB sum(BIGINT) returns "
+         "HUGEINT, which pandas renders as float64, so the oracle's "
+         "id_sum hashed as '124750.0' against Spark's int64 '124750' — "
+         "fixed by CAST(sum(..) AS BIGINT); the kmeans_init_ids / "
+         "kmeans_round1_counts / kmeans_centroids diagnostics below "
+         "hash-check each pipeline stage independently. Full-dim "
+         "production path in knn_ivf_kmeans + numpy-parity/"
+         "monotone-inertia tests")
 def q_kmeans_clusters(spark, sf_dir):
     from .operators.clustering import kmeans_assign, kmeans_fit
     emb = _t(spark, sf_dir, "embeddings")
@@ -1044,6 +1049,115 @@ def q_kmeans_clusters(spark, sf_dir):
              F.sum("vec_id").alias("id_sum"))
         .orderBy("cluster")
     )
+
+
+# --- kmeans stage diagnostics -------------------------------------------
+# Three tiny oracled probes that expose each kmeans_clusters pipeline stage
+# as an independently hash-checkable result, so any future driver-gate red
+# localizes to init-ordering vs first-assignment vs centroid-update without
+# guessing. All-integer outputs (counts, ids, floor-quantized coordinates)
+# — no float column can introduce a formatting/dtype divergence.
+
+@q("kmeans_init_ids", """
+SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                               CAST(vec_id AS VARCHAR)) - 1 AS INT)
+         AS cluster,
+       vec_id
+FROM embeddings
+QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                           CAST(vec_id AS VARCHAR)) <= 4
+""", doc="diagnostic stage (a) of kmeans_clusters: the k=4 hash-ordered "
+         "init rows (smallest md5(vec_id)) with their rank — isolates "
+         "_init_centroids ordering (operators/clustering.py:45). Tiny "
+         "k-row result; the global sort is the same one the operator "
+         "itself performs")
+def q_kmeans_init_ids(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    w = Window.orderBy("__h", "__i")
+    return (
+        emb.select("vec_id",
+                   F.col("vec_id").cast("string").alias("__i"))
+        .withColumn("__h", F.md5(F.col("__i")))
+        .withColumn("cluster", (F.row_number().over(w) - 1).cast("int"))
+        .filter(F.col("cluster") < 4)
+        .select("cluster", "vec_id")
+    )
+
+
+_KMEANS_V8_SQL = """
+  SELECT vec_id, CAST(embedding[1:8] AS DOUBLE[]) AS x FROM embeddings"""
+
+_KMEANS_INIT_SQL = """
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                            CAST(vec_id AS VARCHAR)) - 1 AS cl,
+         x AS c
+  FROM v
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                             CAST(vec_id AS VARCHAR)) <= 4"""
+
+
+@q("kmeans_round1_counts", f"""
+WITH v AS ({_KMEANS_V8_SQL}),
+init AS ({_KMEANS_INIT_SQL}),
+a1 AS ({_KMEANS_ASSIGN_SQL.format(cents="init")})
+SELECT CAST(cl AS INT) AS cluster, count(*) AS n_vecs
+FROM a1 GROUP BY cl ORDER BY cl
+""", doc="diagnostic stage (b) of kmeans_clusters: per-cluster counts "
+         "after the FIRST assignment against the raw init centroids — "
+         "isolates the rounded-argmin assignment kernel "
+         "(operators/clustering.py:_partials_pass) before any centroid "
+         "update has run")
+def q_kmeans_round1_counts(spark, sf_dir):
+    from .operators.clustering import _init_centroids, kmeans_assign
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 8).alias("x"))
+    cents0 = _init_centroids(v, "vec_id", "x", 4)
+    return (
+        kmeans_assign(v, "x", cents0, out_col="cluster", round_dp=6)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("cluster")
+    )
+
+
+@q("kmeans_centroids", f"""
+WITH v AS ({_KMEANS_V8_SQL}),
+init AS ({_KMEANS_INIT_SQL}),
+a1 AS ({_KMEANS_ASSIGN_SQL.format(cents="init")}),
+c1 AS ({_KMEANS_UPDATE_SQL.format(prev="init", assign="a1")}),
+a2 AS ({_KMEANS_ASSIGN_SQL.format(cents="c1")}),
+c2 AS ({_KMEANS_UPDATE_SQL.format(prev="c1", assign="a2")})
+SELECT CAST(cl AS INT) AS cluster, CAST(pos AS INT) AS pos,
+       CAST(floor(val * 1000000 + 0.5) AS BIGINT) AS coord_q6
+FROM (SELECT cl, unnest(c) AS val, generate_subscripts(c, 1) AS pos
+      FROM c2)
+ORDER BY cluster, pos
+""", doc="diagnostic stage (c) of kmeans_clusters: the final (2-round) "
+         "centroid coordinates, unnested to (cluster, pos, value) and "
+         "floor-quantized to 1e-6 integers so the hash compares exact "
+         "BIGINTs, not float formatting — isolates the centroid-update "
+         "fold (kmeans_fit). Both engines apply the identical "
+         "floor(x*1e6+0.5) on the already-round(.,6)-discretized "
+         "coordinates; the only residual divergence class is a mean "
+         "landing within an ulp of a .5e-6 boundary where numpy "
+         "half-to-even and DuckDB half-away disagree — measured absent "
+         "on the shared seed-42 data (see clustering.py docstring)")
+def q_kmeans_centroids(spark, sf_dir):
+    import numpy as np
+    from .operators.clustering import kmeans_fit
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 8).alias("x"))
+    cents, _ = kmeans_fit(v, "vec_id", "x", k=4, max_iter=2, tol=0.0,
+                          round_dp=6)
+    q6 = np.floor(cents * 1e6 + 0.5).astype("int64")
+    rows = [(int(cl), int(pos + 1), int(q6[cl, pos]))
+            for cl in range(q6.shape[0]) for pos in range(q6.shape[1])]
+    return spark.createDataFrame(
+        rows, schema="cluster int, pos int, coord_q6 long")
 
 
 @q("knn_ivf_kmeans", f"""
@@ -1439,8 +1553,10 @@ WITH s AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), t AS (
   SELECT user_id, ts, event_id,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
   FROM s
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -2724,7 +2840,8 @@ WITH RECURSIVE base AS (
     PARTITION BY coalesce(l.cluster_id, k.doc_id)
     ORDER BY k.n_chars DESC, k.doc_id ASC) = 1
 )
-SELECT split, lang, count(*) AS n_docs, sum(n_bpe) AS total_tokens
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT) AS total_tokens
 FROM (
   SELECT lang,
          CASE WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
@@ -2788,7 +2905,7 @@ WITH tl AS (
 ), wc AS (
   SELECT doc, tok, count(*) AS c FROM tk WHERE length(tok) > 0 GROUP BY 1, 2
 ), words AS (
-  SELECT doc, sum(c) AS n_words,
+  SELECT doc, CAST(sum(c) AS BIGINT) AS n_words,
          round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 6)
            AS dup_word_frac
   FROM wc GROUP BY doc
@@ -2846,7 +2963,7 @@ WITH tl AS (
 )
 SELECT d.doc_id,
        coalesce(h.n_grams, 0) AS n_grams,
-       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
        round(CASE WHEN coalesce(h.n_grams, 0) > 0
                   THEN h.n_contaminated::DOUBLE / h.n_grams ELSE 0.0 END, 6)
          AS contamination_frac
@@ -2875,8 +2992,10 @@ WITH tc AS (
   FROM tc
 )
 SELECT doc_id, pack_id,
-       greatest(pack_id * 128, cs - n_tok) - (cs - n_tok) AS tok_start,
-       least((pack_id + 1) * 128, cs) - (cs - n_tok) AS tok_end
+       CAST(greatest(pack_id * 128, cs - n_tok) - (cs - n_tok) AS BIGINT)
+         AS tok_start,
+       CAST(least((pack_id + 1) * 128, cs) - (cs - n_tok) AS BIGINT)
+         AS tok_end
 FROM cum, LATERAL unnest(generate_series(
          CAST((cs - n_tok) // 128 AS BIGINT),
          CAST((cs - 1) // 128 AS BIGINT))) AS t(pack_id)
@@ -3075,10 +3194,10 @@ def q_promo_revenue(spark, sf_dir):
 
 @q("late_lines_by_priority", """
 SELECT l.l_linestatus,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
 GROUP BY l.l_linestatus
@@ -4483,9 +4602,9 @@ pairs AS (
   FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
 SELECT dist, count(*) AS n_pairs,
        count(DISTINCT id_a) AS n_left,
-       SUM(CAST(('0x' || substring(md5(md5(CAST(id_a AS VARCHAR))
+       CAST(SUM(CAST(('0x' || substring(md5(md5(CAST(id_a AS VARCHAR))
                                        || md5(CAST(id_b AS VARCHAR))), 1, 8))
-                AS BIGINT)) AS pair_hash_sum
+                AS BIGINT)) AS BIGINT) AS pair_hash_sum
 FROM pairs WHERE dist <= 2
 GROUP BY dist
 """, doc="entity resolution (operators/linkage.py:fuzzy_self_join): "
@@ -4911,7 +5030,7 @@ SELECT e.event_type,
                  THEN abs(CAST(e.value AS DOUBLE) - m.group_median)
                       > 3.0 * d.group_mad
                  ELSE abs(CAST(e.value AS DOUBLE) - m.group_median) > 0
-                 END THEN 1 ELSE 0 END) AS n_outliers,
+                 END THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
        count(*) AS n,
        round(m.group_median, 6) AS group_median,
        round(d.group_mad, 6) AS group_mad
@@ -5284,7 +5403,8 @@ cs AS (
                                 ROWS UNBOUNDED PRECEDING), 0.0) AS s
   FROM st)
 SELECT event_type,
-       sum(CASE WHEN round(s, 6) > 120.0 THEN 1 ELSE 0 END) AS n_alarms,
+       CAST(sum(CASE WHEN round(s, 6) > 120.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
        round(max(s), 6) AS max_cusum
 FROM cs GROUP BY event_type
 """, doc="CUSUM drift monitor (operators/temporal.py:cusum_drift): the "
@@ -5549,9 +5669,9 @@ pairs AS (
   WHERE abs(length(a.txt) - length(b.txt)) <= 2
     AND levenshtein(a.txt, b.txt) <= 2)
 SELECT dist, count(*) AS n_pairs,
-       SUM(CAST(('0x' || substring(md5(md5(CAST(id_a AS VARCHAR))
+       CAST(SUM(CAST(('0x' || substring(md5(md5(CAST(id_a AS VARCHAR))
                                        || md5(CAST(id_b AS VARCHAR))), 1, 8))
-                AS BIGINT)) AS pair_hash_sum
+                AS BIGINT)) AS BIGINT) AS pair_hash_sum
 FROM pairs GROUP BY dist
 """, doc="sorted-neighborhood linkage (operators/linkage.py:"
          "sorted_neighborhood_pairs, Hernández–Stolfo, window=8): "
@@ -5725,7 +5845,7 @@ kept AS (
   WHERE CAST(('0x' || substring(md5('mix' || CAST(doc_id AS VARCHAR)),
                                 1, 8)) AS BIGINT)
         < CAST(floor(rate * 4294967296.0) AS BIGINT))
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS kept_chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS kept_chars
 FROM kept GROUP BY lang
 """, doc="DoReMi-style data-mixture resampling (operators/sampling.py:"
          "domain_mixture_sample): per-domain acceptance rate "
@@ -6059,7 +6179,7 @@ WITH RECURSIVE base AS (
   FROM tok
 )
 SELECT split, CAST((cs - n_tok) // 4000 AS BIGINT) AS shard_id,
-       count(*) AS n_docs, sum(n_tok) AS n_tokens
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
 FROM cum GROUP BY 1, 2
 """, doc="the full curated-corpus -> training-shards build as ONE query, "
          "every stage an engine operator: language gate -> quality "

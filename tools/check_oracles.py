@@ -71,11 +71,24 @@ def main():
             res = con.execute(q.sql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            otypes = [str(t) for t in con.sql(q.sql).types]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
         problems = []
+        # fetchall() yields exact Python ints for HUGEINT, but the driver's
+        # comparer goes through pandas where HUGEINT becomes float64 and
+        # hashes as '123.0' vs Spark's int64 '123' (the r5/r6
+        # kmeans_clusters red). Flag dtype-unportable oracle columns hard.
+        bad_t = [(c, t) for c, t in zip(ocols, otypes)
+                 if t in ("HUGEINT", "UHUGEINT", "UBIGINT")
+                 or t.startswith("DECIMAL")]
+        if bad_t:
+            problems.append(
+                f"pandas-unportable oracle dtypes {bad_t}: wrap in "
+                f"CAST(.. AS BIGINT/DOUBLE) — the driver gate hashes "
+                f"these as floats")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):

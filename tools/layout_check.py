@@ -2,10 +2,16 @@
 
 The r5 driver gate caught a failure class the local oracle check
 structurally cannot: `kmeans_clusters` hash-matched DuckDB in THIS
-environment at every SF, yet diverged in the driver's container. Root
-cause: unrounded float64 partial folds are FP-association-sensitive, so a
-different partition layout / core count / BLAS build shifts an iterative
-result by ulps and (after a round or two) flips a discrete assignment.
+environment at every SF, yet diverged in the driver's container.
+(Postscript, r7: that particular red turned out to be a result-DTYPE
+artifact — DuckDB sum(BIGINT) returns HUGEINT, which the driver's
+pandas-based comparer renders as float64 ('124750.0' vs Spark's int64
+'124750') — not FP association; check_oracles.py now flags
+pandas-unportable oracle dtypes directly. This tool remains the gate for
+the REAL layout-sensitivity class it was built for: unrounded float64
+partial folds are FP-association-sensitive, so a different partition
+layout / core count / BLAS build can shift an iterative result by ulps
+and, after a round or two, flip a discrete assignment.)
 
 This tool makes that failure catchable locally: it runs each named query
 in SEPARATE subprocesses under genuinely different physical layouts —
@@ -40,6 +46,7 @@ LAYOUTS = [(32, 32), (5, 7)]
 # plus the trained-path twins added in r6).
 DEFAULT_QUERIES = [
     "kmeans_clusters",
+    "kmeans_centroids",
     "knn_ivf_kmeans",
     "quality_lr_train",
     "pca_power_project",
@@ -64,6 +71,15 @@ def norm_cell(v):
         return f"{{v:.9g}}"
     if hasattr(v, "isoformat"):
         return v.isoformat()[:26]
+    if isinstance(v, (list, tuple)):
+        # recurse: floats nested in array cells must get the same .9g
+        # normalization as scalars or benign ulps false-fail the gate
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{{" + ",".join(
+            f"{{k}}:{{norm_cell(v[k])}}" for k in sorted(v)) + "}}"
+    if hasattr(v, "asDict"):  # Row nested in a struct cell
+        return norm_cell(v.asDict())
     return str(v)
 
 spark = get_spark(cpus={cpus}, shuffle_partitions={sp})
@@ -99,8 +115,14 @@ def run_layout(cpus: int, sp: int, names: list[str], sf_dir: str) -> dict:
 
 def main():
     args = [a for a in sys.argv[1:]]
-    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) \
-        else "/root/testdata/sf0.01"
+    if args and (os.sep in args[0] or args[0].startswith(".")):
+        # path-like first arg: a typo'd sf_dir must error out, not be
+        # silently treated as a query name under the default sf_dir
+        if not os.path.isdir(args[0]):
+            sys.exit(f"layout_check: sf_dir {args[0]!r} does not exist")
+        sf_dir = args.pop(0)
+    else:
+        sf_dir = "/root/testdata/sf0.01"
     names = args or DEFAULT_QUERIES
 
     results = {}
