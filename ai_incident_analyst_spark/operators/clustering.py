@@ -20,6 +20,19 @@ KMeans does under the RDD API, restated on DataFrames):
 - The driver folds partials into new centroids and checks movement.
   Empty clusters keep their previous centroid (standard Lloyd's fallback;
   deterministic, no re-seeding randomness).
+
+Cross-engine reproducibility (``round_dp``): discretizing each round's
+centroids and assignment scores to ``round_dp`` decimals absorbs
+ulp-level FP-association differences between engines and partition
+layouts. One residual divergence class remains and is accepted: numpy's
+``np.round`` is round-half-to-EVEN while SQL engines' ``round()`` is
+round-half-AWAY-from-zero, so a value landing within an ulp of a
+``.5 × 10^-round_dp`` boundary could round differently across engines.
+Measured absent on the shared seed-42 testdata (the r6 perturbation
+experiment: results tolerate injected 1e-6 noise, and the
+``kmeans_centroids`` diagnostic query hash-checks the final coordinates
+directly); a fully rule-identical alternative — ``floor(x·10^dp + 0.5)``
+on both sides — is what the diagnostic's output quantization uses.
 - Init is deterministic and engine-portable: the k rows with the smallest
   ``md5(id)`` — a hash-ordered sample, reproducible across runs, cluster
   layouts, and appends of later rows (same trick as ``operators/

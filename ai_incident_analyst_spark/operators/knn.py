@@ -177,7 +177,8 @@ def _centroid_arrays(centroids: DataFrame, centroid_id: str,
 
 def assign_cells(df: DataFrame, vec_col: str, centroid_ids, centroid_mat,
                  n: int = 1, cell_col: str = "__cell",
-                 cell_type: str = "long") -> DataFrame:
+                 cell_type: str = "long",
+                 round_dp: int | None = None) -> DataFrame:
     """Annotate every row with its ``n`` nearest centroids' ids (n>1
     explodes to n rows per input row). One Arrow pass with the broadcast
     (k,d) centroid matrix: per-batch BLAS matmul + argmin — zero shuffle,
@@ -188,6 +189,12 @@ def assign_cells(df: DataFrame, vec_col: str, centroid_ids, centroid_mat,
     (they have no meaningful cell; at 100 TB one malformed row must not
     kill the job). ``clustering.kmeans_assign`` is the index-returning
     sibling of this pass — a behavior fix here likely applies there too.
+
+    ``round_dp`` rounds the assignment scores before the (stable) argsort
+    — the same engine-portability knob as ``kmeans_fit``: a vector
+    near-equidistant from two centroids would otherwise pick its cell by
+    BLAS-vs-sequential-fold ulps that differ across engines/builds, which
+    matters whenever the cell choice must replay in a DuckDB twin.
     """
     import numpy as np
 
@@ -219,6 +226,8 @@ def assign_cells(df: DataFrame, vec_col: str, centroid_ids, centroid_mat,
             # ids_ sorted ascending + stable argsort reproduce knn_join's
             # (distance asc, centroid_id asc) tie-break
             scores = cn2[None, :] - 2.0 * (x @ c.T)
+            if round_dp is not None:
+                scores = np.round(scores, round_dp)
             kk = min(n, len(ids_))
             if kk == 1:
                 sel = scores.argmin(axis=1)[:, None]
@@ -237,7 +246,8 @@ def ivf_knn_join(queries: DataFrame, corpus: DataFrame,
                  query_id: str = "query_id", query_vec: str = "query_vec",
                  corpus_id: str = "vec_id", corpus_vec: str = "embedding",
                  centroid_id: str = "centroid_id",
-                 centroid_vec: str = "centroid") -> DataFrame:
+                 centroid_vec: str = "centroid",
+                 round_dp: int | None = None) -> DataFrame:
     """Approximate k-NN via inverted-file (IVF) partitioning.
 
     Corpus rows are assigned to their nearest centroid and each query
@@ -256,11 +266,12 @@ def ivf_knn_join(queries: DataFrame, corpus: DataFrame,
     ids, mat, ctype = _centroid_arrays(centroids, centroid_id, centroid_vec)
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(query_vec).alias("__qv"))
-    probed = assign_cells(q, "__qv", ids, mat, n=nprobe, cell_type=ctype)
+    probed = assign_cells(q, "__qv", ids, mat, n=nprobe, cell_type=ctype,
+                          round_dp=round_dp)
     corpus_cells = assign_cells(
         corpus.select(F.col(corpus_id).alias("vec_id"),
                       F.col(corpus_vec).alias("__cv")),
-        "__cv", ids, mat, n=1, cell_type=ctype)
+        "__cv", ids, mat, n=1, cell_type=ctype, round_dp=round_dp)
     scored = (
         F.broadcast(probed).join(corpus_cells, "__cell")
         .withColumn("distance", l2_sq("__qv", "__cv"))
@@ -402,7 +413,8 @@ def lsh_cosine_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
 def ivf_write_index(corpus: DataFrame, centroids: DataFrame, path: str,
                     corpus_id: str = "vec_id", corpus_vec: str = "embedding",
                     centroid_id: str = "centroid_id",
-                    centroid_vec: str = "centroid") -> None:
+                    centroid_vec: str = "centroid",
+                    round_dp: int | None = None) -> None:
     """Materialize the IVF index: corpus rows assigned to their nearest
     centroid and written ``partitionBy(__cell)`` — one directory per
     inverted list.
@@ -420,7 +432,8 @@ def ivf_write_index(corpus: DataFrame, centroids: DataFrame, path: str,
     ``partitionBy`` needs anyway.
     """
     ids, mat, ctype = _centroid_arrays(centroids, centroid_id, centroid_vec)
-    (assign_cells(corpus, corpus_vec, ids, mat, n=1, cell_type=ctype)
+    (assign_cells(corpus, corpus_vec, ids, mat, n=1, cell_type=ctype,
+                  round_dp=round_dp)
      .repartition(F.col("__cell"))
      .write.partitionBy("__cell").mode("overwrite").parquet(path))
 
@@ -430,7 +443,8 @@ def ivf_probe_index(spark, path: str, queries: DataFrame,
                     query_id: str = "query_id", query_vec: str = "query_vec",
                     corpus_id: str = "vec_id", corpus_vec: str = "embedding",
                     centroid_id: str = "centroid_id",
-                    centroid_vec: str = "centroid") -> DataFrame:
+                    centroid_vec: str = "centroid",
+                    round_dp: int | None = None) -> DataFrame:
     """Probe a persisted IVF index: identical results to ``ivf_knn_join``
     over the same centroids, but the corpus scan is restricted to the
     probed cells with a STATIC ``IN`` predicate so parquet partition
@@ -446,7 +460,8 @@ def ivf_probe_index(spark, path: str, queries: DataFrame,
     ids, mat, ctype = _centroid_arrays(centroids, centroid_id, centroid_vec)
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(query_vec).alias("__qv"))
-    probed = assign_cells(q, "__qv", ids, mat, n=nprobe, cell_type=ctype) \
+    probed = assign_cells(q, "__qv", ids, mat, n=nprobe, cell_type=ctype,
+                          round_dp=round_dp) \
         .localCheckpoint(eager=True)
     cells = [r["__cell"] for r in probed.select("__cell").distinct().collect()]
     index = spark.read.parquet(path).filter(F.col("__cell").isin(cells))
@@ -621,10 +636,18 @@ def pq_knn_join(queries: DataFrame, corpus: DataFrame, codebooks,
     )
 
 
-def _pq_lloyd(x, m: int, kc: int, iters: int):
+def _pq_lloyd(x, m: int, kc: int, iters: int,
+              round_dp: int | None = None):
     """Driver-side Lloyd per subspace over a sample matrix — the shared
     trainer behind ``pq_train_codebooks`` (raw corpus) and
-    ``ivfpq_knn_join`` (cell residuals)."""
+    ``ivfpq_knn_join`` (cell residuals).
+
+    ``round_dp`` discretizes each round's assignment distances (before
+    the argmin) and updated codewords — the ``kmeans_fit`` knob: it
+    makes the trained codebooks reproducible cross-engine so the WHOLE
+    trained IVF-PQ composition can replay as a DuckDB twin
+    (``_ivfpq_trained_sql``). Default None keeps bit-for-bit legacy
+    behavior."""
     import numpy as np
 
     d = x.shape[1]
@@ -639,11 +662,15 @@ def _pq_lloyd(x, m: int, kc: int, iters: int):
         c = sub[:kc].copy()
         for _ in range(iters):
             d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            if round_dp is not None:
+                d2 = np.round(d2, round_dp)
             a = np.argmin(d2, axis=1)
             for ci in range(kc):
                 pts = sub[a == ci]
                 if len(pts):
                     c[ci] = pts.mean(axis=0)
+            if round_dp is not None:
+                c = np.round(c, round_dp)
         books[j] = c
     return books
 
@@ -659,7 +686,8 @@ def _py(v):
 
 def _ivfpq_train(corpus: DataFrame, cmat, m: int, kc: int,
                  sample_n: int, iters: int,
-                 corpus_id: str, corpus_vec: str):
+                 corpus_id: str, corpus_vec: str,
+                 round_dp: int | None = None):
     """Codebooks over cell RESIDUALS of a bounded hash-ordered sample."""
     import numpy as np
 
@@ -674,15 +702,21 @@ def _ivfpq_train(corpus: DataFrame, cmat, m: int, kc: int,
     )
     xs = np.array([r["v"] for r in rows], dtype=np.float64)
     cn2 = (cmat * cmat).sum(axis=1)
-    assign = np.argmin(cn2[None, :] - 2.0 * (xs @ cmat.T), axis=1)
-    return _pq_lloyd(xs - cmat[assign], m, kc, iters)
+    scores = cn2[None, :] - 2.0 * (xs @ cmat.T)
+    if round_dp is not None:
+        scores = np.round(scores, round_dp)
+    assign = np.argmin(scores, axis=1)
+    return _pq_lloyd(xs - cmat[assign], m, kc, iters, round_dp=round_dp)
 
 
 def _ivfpq_encode(corpus: DataFrame, ids, cmat, books, ctype: str,
-                  corpus_id: str, corpus_vec: str) -> DataFrame:
+                  corpus_id: str, corpus_vec: str,
+                  round_dp: int | None = None) -> DataFrame:
     """Assign + residual-PQ-encode in ONE Arrow pass:
     ``(vec_id, __cell, code)`` — vec_id keeps its input type, like
-    ``__cell`` keeps the centroid-id type via ``ctype``."""
+    ``__cell`` keeps the centroid-id type via ``ctype``. ``round_dp``
+    rounds both argmins' scores (cell assign, code assign) for
+    cross-engine replay."""
     import numpy as np
 
     id_type = corpus.schema[corpus_id].dataType.simpleString()
@@ -694,17 +728,22 @@ def _ivfpq_encode(corpus: DataFrame, ids, cmat, books, ctype: str,
         ids_, c, bk = bb.value
         cn2_ = (c * c).sum(axis=1)
         bn2 = (bk * bk).sum(axis=2)  # (m, kc)
+
+        def rnd(s):
+            return np.round(s, round_dp) if round_dp is not None else s
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = np.array(list(pdf["__cv"]), dtype=np.float64)
-            cell_rows = np.argmin(cn2_[None, :] - 2.0 * (x @ c.T), axis=1)
+            cell_rows = np.argmin(rnd(cn2_[None, :] - 2.0 * (x @ c.T)),
+                                  axis=1)
             res = x - c[cell_rows]
             codes = np.empty((len(x), m), dtype=np.int32)
             for j in range(m):
                 sub = res[:, j * dsub:(j + 1) * dsub]
                 codes[:, j] = np.argmin(
-                    bn2[j][None, :] - 2.0 * (sub @ bk[j].T), axis=1)
+                    rnd(bn2[j][None, :] - 2.0 * (sub @ bk[j].T)), axis=1)
             yield pd.DataFrame({"vec_id": pdf["vec_id"],
                                 "__cell": ids_[cell_rows],
                                 "code": list(codes)})

@@ -187,24 +187,66 @@ def resize_media(df: DataFrame, width: int = 224, height: int = 224,
     return df.select("media_id", "content").mapInPandas(part, schema=out_schema)
 
 
+def _band_rms(mono: "np.ndarray", n_bands: int) -> "np.ndarray":
+    """Per-window RMS energy over ``n_bands`` equal splits of a mono
+    float waveform — shared by every real decode path."""
+    n = len(mono)
+    if n == 0:
+        return np.zeros(0, dtype=np.float32)
+    bounds = np.linspace(0, n, n_bands + 1).astype(int)
+    return np.array(
+        [float(np.sqrt(np.mean(mono[a:b] ** 2))) if b > a else 0.0
+         for a, b in zip(bounds[:-1], bounds[1:])],
+        dtype=np.float32)
+
+
+def _decode_wave_pcm(blob: bytes, n_bands: int):
+    """Stdlib ``wave`` decode of a PCM WAV container: mono mix +
+    normalization to [-1, 1] float32 exactly like soundfile's
+    ``dtype='float32'`` read of integer PCM. Covers the 8/16/32-bit PCM
+    subset; non-WAV/compressed blobs raise and the caller yields nulls.
+    Exists so the real (non-fake) decode branch executes even where
+    soundfile isn't installed — wave ships with CPython."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob or b"")) as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+    if sw == 1:          # unsigned 8-bit PCM centers at 128
+        x = (x - 128.0) / 128.0
+    else:
+        x = x / float(2 ** (8 * sw - 1))
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    n = len(x)
+    return sr, n, int(n * 1000 / sr) if sr else 0, _band_rms(x, n_bands)
+
+
 def audio_features(df: DataFrame, n_bands: int = 16,
                    fake: bool = True) -> DataFrame:
     """Audio decode + feature stage over the media table.
 
-    ``fake=False`` decodes with soundfile (import-gated like PIL for the
-    image kernels): read the container, mix to mono, split the waveform
-    into ``n_bands`` equal windows and emit per-window RMS energy plus
-    (sample_rate, n_samples, duration_ms) — the standard cheap audio
-    fingerprint a curation pipeline filters on (silence/clipping
-    detection, duration gates) before any expensive model. Undecodable
-    blobs yield nulls instead of failing the stage (one corrupt file
-    must not kill a 100 TB pass). The fake derives the same-shaped
-    output deterministically from the content hash, so the Spark-side
-    plumbing (schema, Arrow batching, partition pass) is tested with or
-    without the codec.
+    ``fake=False`` decodes with soundfile when importable, falling back
+    to the stdlib ``wave`` module for PCM WAV containers (so one real
+    codec branch runs — and is value-asserted — even in codec-less
+    environments like this container): read the container, mix to mono,
+    split the waveform into ``n_bands`` equal windows and emit
+    per-window RMS energy plus (sample_rate, n_samples, duration_ms) —
+    the standard cheap audio fingerprint a curation pipeline filters on
+    (silence/clipping detection, duration gates) before any expensive
+    model. Undecodable blobs yield nulls instead of failing the stage
+    (one corrupt file must not kill a 100 TB pass). The fake derives the
+    same-shaped output deterministically from the content hash, so the
+    Spark-side plumbing (schema, Arrow batching, partition pass) is
+    tested with or without the codec.
     """
-    if not fake:
-        _require("soundfile", "audio_features")
 
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
@@ -217,25 +259,23 @@ def audio_features(df: DataFrame, n_bands: int = 16,
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not fake:
-            import io
+            import importlib.util
+            have_sf = importlib.util.find_spec("soundfile") is not None
+            if have_sf:
+                import io
 
-            import soundfile as sf_mod
+                import soundfile as sf_mod
 
             def decode(blob: bytes):
                 try:
-                    data, sr = sf_mod.read(io.BytesIO(blob or b""),
-                                           dtype="float32")
-                    mono = data.mean(axis=1) if data.ndim > 1 else data
-                    n = len(mono)
-                    if n == 0:
-                        return sr, 0, 0, np.zeros(0, dtype=np.float32)
-                    bounds = np.linspace(0, n, n_bands + 1).astype(int)
-                    rms = np.array(
-                        [float(np.sqrt(np.mean(mono[a:b] ** 2)))
-                         if b > a else 0.0
-                         for a, b in zip(bounds[:-1], bounds[1:])],
-                        dtype=np.float32)
-                    return sr, n, int(n * 1000 / sr), rms
+                    if have_sf:
+                        data, sr = sf_mod.read(io.BytesIO(blob or b""),
+                                               dtype="float32")
+                        mono = data.mean(axis=1) if data.ndim > 1 else data
+                        n = len(mono)
+                        return (sr, n, int(n * 1000 / sr) if sr else 0,
+                                _band_rms(mono, n_bands))
+                    return _decode_wave_pcm(blob, n_bands)
                 except Exception:
                     return None, None, None, None
         else:

@@ -931,16 +931,18 @@ WITH cent AS (
   FROM q CROSS JOIN cent
   QUALIFY row_number() OVER (
     PARTITION BY query_id
-    ORDER BY list_sum([ y*y for y in centroid ])
-             - 2*list_sum([ x[1]*x[2] for x in list_zip(qv, centroid) ]) ASC,
+    ORDER BY round(list_sum([ y*y for y in centroid ])
+             - 2*list_sum([ x[1]*x[2] for x in list_zip(qv, centroid) ]),
+             6) ASC,
              centroid_id ASC) <= 2
 ), ccell AS (
   SELECT vec_id, cv, centroid_id AS cell
   FROM c CROSS JOIN cent
   QUALIFY row_number() OVER (
     PARTITION BY vec_id
-    ORDER BY list_sum([ y*y for y in centroid ])
-             - 2*list_sum([ x[1]*x[2] for x in list_zip(cv, centroid) ]) ASC,
+    ORDER BY round(list_sum([ y*y for y in centroid ])
+             - 2*list_sum([ x[1]*x[2] for x in list_zip(cv, centroid) ]),
+             6) ASC,
              centroid_id ASC) = 1
 )
 SELECT query_id, vec_id,
@@ -958,12 +960,16 @@ QUALIFY row_number() OVER (
        "(score, centroid_id) tie-break (exactly assign_cells' sorted-ids "
        "+ stable-argsort rule), probe = nprobe smallest by the same "
        "order, re-rank = exact squared-L2 with (distance, vec_id) "
-       "tie-break. Recall vs exact knn additionally checked in tests")
+       "tie-break. Assignment/probe scores are discretized to 6 dp on "
+       "BOTH sides (round_dp=6 in assign_cells ↔ round(...,6) in the "
+       "twin's qcell/ccell ORDER BY) so a near-equidistant vector can't "
+       "pick its cell by BLAS-vs-sequential-fold ulps. Recall vs exact "
+       "knn additionally checked in tests")
 def q_knn_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cents = _label_centroids(emb)
     q_, c_ = _qc_split(spark, sf_dir)
-    return ivf_knn_join(q_, c_, cents, k=5, nprobe=2) \
+    return ivf_knn_join(q_, c_, cents, k=5, nprobe=2, round_dp=6) \
         .withColumn("distance", F.round("distance", 6))
 
 
@@ -1184,16 +1190,18 @@ q AS (
   FROM q CROSS JOIN cent
   QUALIFY row_number() OVER (
     PARTITION BY query_id
-    ORDER BY list_sum([ y*y for y in centroid ])
-             - 2*list_sum([ p[1]*p[2] for p in list_zip(qv, centroid) ]) ASC,
+    ORDER BY round(list_sum([ y*y for y in centroid ])
+             - 2*list_sum([ p[1]*p[2] for p in list_zip(qv, centroid) ]),
+             6) ASC,
              centroid_id ASC) <= 3
 ), ccell AS (
   SELECT vec_id, cv, centroid_id AS cell
   FROM cc CROSS JOIN cent
   QUALIFY row_number() OVER (
     PARTITION BY vec_id
-    ORDER BY list_sum([ y*y for y in centroid ])
-             - 2*list_sum([ p[1]*p[2] for p in list_zip(cv, centroid) ]) ASC,
+    ORDER BY round(list_sum([ y*y for y in centroid ])
+             - 2*list_sum([ p[1]*p[2] for p in list_zip(cv, centroid) ]),
+             6) ASC,
              centroid_id ASC) = 1
 )
 SELECT query_id, vec_id,
@@ -1224,7 +1232,7 @@ def q_knn_ivf_kmeans(spark, sf_dir):
                           round_dp=6)
     cdf = centroids_df(spark, cents)
     q_, c_ = _qc_split(spark, sf_dir)
-    return ivf_knn_join(q_, c_, cdf, k=5, nprobe=3) \
+    return ivf_knn_join(q_, c_, cdf, k=5, nprobe=3, round_dp=6) \
         .withColumn("distance", F.round("distance", 6))
 
 
@@ -3053,13 +3061,94 @@ def q_bpe_top_pairs(spark, sf_dir):
     )
 
 
-@q("bpe_trained_tokens", None,
+def _bpe_trained_sql(num_merges: int = 30, min_pair_count: int = 2) -> str:
+    """DuckDB twin of the FULL BPE train→encode pipeline: the N greedy
+    merges unrolled as N materialized CTE pairs (``bpe_top_pairs``
+    replays merge 0; this replays all of them).
+
+    Per merge i: ``b{{i}}`` picks the best pair from ``v{{i}}``'s
+    adjacent-symbol counts with the trainer's exact tie-break
+    (count DESC, then lexicographically smallest pair — bpe.py:137), and
+    ``v{{i+1}}`` applies it to every word with left-to-right
+    non-overlapping semantics (match positions grouped into consecutive
+    runs, odd ranks selected — runs longer than 1 only occur for a==b
+    pairs, where greedy keeps alternate positions). ``MATERIALIZED`` is
+    load-bearing: each CTE is referenced 2-3 times, and inlining would
+    expand the 30-level chain exponentially.
+
+    Encoding needs no separate pass: applying merges in rank order IS
+    greedy lowest-rank-first encoding (the classic BPE equivalence —
+    a pair with rank q can never newly appear after rank q has been
+    processed, because adjacency of two symbols is only created by
+    merging everything between them, and the trainer orders merges by
+    creation), and since the corpus words are exactly the trained vocab
+    words, ``v{{N}}.sym`` is each word's final segmentation. Equivalence
+    additionally asserted against ``encode_word`` in tests/test_bpe.py.
+    """
+    parts = [r"""wc AS MATERIALIZED (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents) t
+  WHERE w <> '' GROUP BY w)""",
+             "v0 AS MATERIALIZED (SELECT w, c, "
+             "string_split(w, '') || ['</w>'] AS sym FROM wc)"]
+    for i in range(num_merges):
+        parts.append(f"""b{i} AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT sym[j] AS a, sym[j+1] AS b, sum(c) AS pc
+    FROM v{i}, LATERAL unnest(generate_series(1, len(sym) - 1)) AS t(j)
+    GROUP BY 1, 2)
+  WHERE pc >= {min_pair_count}
+  ORDER BY pc DESC, a, b LIMIT 1)""")
+        parts.append(f"""v{i + 1} AS MATERIALIZED (
+  SELECT w, min(c) AS c,
+         list(CASE WHEN sel = 1 THEN s || (SELECT b FROM b{i})
+                   ELSE s END ORDER BY j) AS sym
+  FROM (
+    SELECT w, c, j, s, sel,
+           coalesce(lag(sel) OVER (PARTITION BY w ORDER BY j), 0) AS consumed
+    FROM (
+      SELECT w, c, j, s,
+             CASE WHEN m = 1 AND (row_number() OVER
+                  (PARTITION BY w, mg ORDER BY j)) % 2 = 1
+                  THEN 1 ELSE 0 END AS sel
+      FROM (
+        SELECT w, c, j, s, m,
+               CASE WHEN m = 1 THEN j - (row_number() OVER
+                    (PARTITION BY w, m ORDER BY j)) END AS mg
+        FROM (
+          SELECT w, c, j, sym[j] AS s,
+                 CASE WHEN j < len(sym) AND sym[j] = (SELECT a FROM b{i})
+                           AND sym[j+1] = (SELECT b FROM b{i})
+                      THEN 1 ELSE 0 END AS m
+          FROM v{i}, LATERAL unnest(generate_series(1, len(sym))) AS t(j)
+        ) z0) z1) z2) z3
+  WHERE consumed = 0 GROUP BY w)""")
+    final = rf"""dw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents) t WHERE w <> '')
+SELECT d.doc_id,
+       CAST(coalesce(sum(len(v.sym)), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d
+LEFT JOIN (SELECT dw.doc_id, vv.sym
+           FROM dw JOIN v{num_merges} vv ON vv.w = dw.w) v
+  ON v.doc_id = d.doc_id
+GROUP BY d.doc_id"""
+    return "WITH " + ",\n".join(parts) + ",\n" + final
+
+
+@q("bpe_trained_tokens", _bpe_trained_sql(30),
    doc="per-doc token counts under a corpus-trained 30-merge BPE "
        "vocabulary (operators/bpe.py: distributed word-count pass + "
        "bounded driver merge loop + broadcast-rank Arrow encode) — "
-       "iterative greedy merges are not SQL-expressible → rows-only; "
-       "hand-computed merge sequence + pure-Python encode parity in "
-       "tests/test_bpe.py")
+       "previously rows-only; now hash-matched against a DuckDB twin "
+       "that unrolls all 30 deterministic merges as materialized CTEs "
+       "(_bpe_trained_sql) and reads each word's final segmentation "
+       "straight off the merge chain via the rank-order==greedy BPE "
+       "equivalence. Hand-computed merge sequence + pure-Python encode "
+       "parity stay in tests/test_bpe.py")
 def q_bpe_trained_tokens(spark, sf_dir):
     from .operators.bpe import bpe_encode_counts, bpe_train
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -5789,27 +5878,35 @@ WHERE event_id < 400 AND event_id >= 100 AND event_type = 'error'
          "server, not part of the operator), and the connector's scan+"
          "pushdown output hash-matches the SQL twin over the same rows")
 def q_logapi_scan(spark, sf_dir):
+    import hashlib
     import json
     import os
     import tempfile
 
     from .sources.logapi import LogApiDataSource
 
-    ev = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_id") < 400)
-        .select("event_id", "event_type", "props", "user_id")
-        .collect()
-    )
-    rows = [{"timestamp": r["event_id"], "level": r["event_type"],
-             "message": r["props"],
-             "container_name": str(r["user_id"]),
-             "event": "e", "namespace_name": "ns"} for r in ev]
+    # stage the fake endpoint once per (sf_dir, testdata generation):
+    # md5-stable name (Python hash() is per-process randomized) +
+    # mtime guard, so repeat runs skip the events collect entirely
+    src = os.path.join(sf_dir, "events.parquet")
     path = os.path.join(
         tempfile.gettempdir(),
-        f"logapi_fixture_{abs(hash(sf_dir)) % 10**8}.json")
-    with open(path, "w") as f:
-        json.dump(rows, f)
+        "logapi_fixture_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}.json")
+    if not (os.path.exists(path)
+            and os.path.getmtime(path) >= os.path.getmtime(src)):
+        ev = (
+            _t(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 400)
+            .select("event_id", "event_type", "props", "user_id")
+            .collect()
+        )
+        rows = [{"timestamp": r["event_id"], "level": r["event_type"],
+                 "message": r["props"],
+                 "container_name": str(r["user_id"]),
+                 "event": "e", "namespace_name": "ns"} for r in ev]
+        with open(path, "w") as f:
+            json.dump(rows, f)
     # runtime-settable SQL conf (works on a vanilla driver session, the
     # sources/tables.py nanosAsLong pattern): Python DSv2 filter
     # pushdown ships disabled by default in Spark 4.1

@@ -191,6 +191,10 @@ class LogApiReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
         self.spec = _QuerySpec(schema, options)
         self.num_partitions = int(options.get("num_partitions", 8))
+        # floor on slice width: a tiny (post-pushdown) window must not
+        # fan out into num_partitions near-empty fetches — every slice
+        # is one POST against the remote service
+        self.min_slice_ms = int(options.get("min_slice_ms", 1000))
 
     def pushFilters(self, filters: list[Filter]) -> list[Filter]:
         """Window filters consumed (the API's SINCE/UNTIL is exact);
@@ -257,7 +261,7 @@ class LogApiReader(DataSourceReader):
             # num_partitions*limit rows with order-dependent survivors,
             # so a limited read is one partition by construction
             n = 1
-        n = min(n, span)
+        n = min(n, span, max(1, span // self.min_slice_ms))
         bounds = [spec.since_ms + span * i // n for i in range(n + 1)]
         return [TimeSlice(a, b) for a, b in zip(bounds[:-1], bounds[1:])]
 
@@ -294,7 +298,11 @@ class LogApiStreamReader(SimpleDataSourceStreamReader):
         return list(self.spec.fetch(lo, hi)), {"ts": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
-        return list(self.spec.fetch(int(start["ts"]), int(end["ts"])))
+        # iter(), not a bare list: checkpoint-recovery replay executes
+        # this through the batch read path, which rejects non-iterators
+        # (read() above conversely must return a LIST for the driver's
+        # prefetch cache — the two contracts differ)
+        return iter(list(self.spec.fetch(int(start["ts"]), int(end["ts"]))))
 
 
 def probe_source(options: dict) -> bool:

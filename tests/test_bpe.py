@@ -98,3 +98,36 @@ def test_bpe_train_on_testdata(spark, sf_dir):
     row = enc.agg(F.sum("n_bpe_tokens").alias("tok"),
                   F.sum(F.length("text")).alias("chars")).first()
     assert 0 < row.tok < row.chars
+
+
+def test_rank_order_application_equals_greedy(spark, sf_dir):
+    """The twin-SQL equivalence (_bpe_trained_sql): applying the trained
+    merges sequentially in rank order — all occurrences, left-to-right
+    non-overlapping per merge — must segment every corpus word exactly
+    like the greedy lowest-rank ``encode_word``. This is the classic BPE
+    property the hash-matched oracle relies on; assert it directly over
+    the real testdata vocabulary."""
+    from ai_incident_analyst_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, "text", num_merges=30)
+    ranks = {p: i for i, p in enumerate(merges)}
+    words = [r.w for r in word_counts(docs, "text").collect()]
+
+    def apply_in_rank_order(word: str) -> list[str]:
+        sym = list(word) + [EOW]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    assert words
+    for w in words:
+        assert apply_in_rank_order(w) == encode_word(w, ranks), w

@@ -1,0 +1,129 @@
+"""Streaming incident loop (streaming/incident_loop.py): the reference's
+repeated-run main loop as one foreachBatch job over the logapi stream
+reader, with the checkpoint-restart incremental==batch identity."""
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from ai_incident_analyst_spark.operators.embedding import embed_text
+from ai_incident_analyst_spark.streaming.incident_loop import (
+    incident_stream,
+    process_incident_batch,
+)
+
+T0 = 1753437600000  # 2025-07-25T10:00:00Z
+HOUR = 3_600_000
+
+
+def _rows():
+    """Three 1-hour fetch windows; window 2 is empty (the loop must skip
+    it); one exact duplicate row in window 0 (dedup keep-first)."""
+    rows = [
+        {"timestamp": T0 + 60_000, "level": "error",
+         "container_name": "svc-db", "message": "db timeout for a@b.com",
+         "event": "e", "namespace_name": "ns"},
+        {"timestamp": T0 + 60_000, "level": "error",
+         "container_name": "svc-db", "message": "db timeout for a@b.com",
+         "event": "e", "namespace_name": "ns"},          # exact dup
+        {"timestamp": T0 + 120_000, "level": "error",
+         "container_name": "svc-oom", "message": "OOM killed worker 7",
+         "event": "e", "namespace_name": "ns"},
+        # window 1 (skipping window 2 entirely)
+        {"timestamp": T0 + HOUR + 60_000, "level": "error",
+         "container_name": "svc-disk", "message": "disk full on node 3",
+         "event": "e", "namespace_name": "ns"},
+        # window 3
+        {"timestamp": T0 + 3 * HOUR + 60_000, "level": "error",
+         "container_name": "svc-net", "message": "conn reset by peer",
+         "event": "e", "namespace_name": "ns"},
+    ]
+    return rows
+
+
+def _corpus(spark):
+    return embed_text(
+        spark.createDataFrame(
+            [(100, "db timeout for [REDACTED_EMAIL]"),
+             (101, "disk full on ingest node"),
+             (102, "OOM killed worker 3")],
+            "hist_id long, message string"),
+        ["message"], dim=32).select("hist_id", "embedding")
+
+
+def _entry_key(r):
+    return (r.timestamp, r.container_name, r.llm_output,
+            tuple(sorted((b.timestamp, b.message) for b in r.batch_logs)),
+            tuple(sorted(s.hist_id for s in r.similar_logs)))
+
+
+def test_incident_loop_restart_equals_batch_replay(spark, tmp_path):
+    fixture = str(tmp_path / "fixture.json")
+    with open(fixture, "w") as f:
+        json.dump(_rows(), f)
+    corpus = _corpus(spark)
+
+    def llm(prompt):
+        return f"RCA for {prompt.count(']')} lines"
+
+    opts = {"fixture_path": fixture, "since_ms": str(T0),
+            "until_ms": str(T0 + 4 * HOUR), "batch_ms": str(HOUR)}
+    hist = str(tmp_path / "history")
+    ckpt = str(tmp_path / "ckpt")
+
+    def n_entry_markers():
+        import os
+        d = str(tmp_path / "ckpt" / "history_markers")
+        if not os.path.isdir(d):
+            return 0
+        return sum(1 for m in os.listdir(d)
+                   if open(os.path.join(d, m)).read() == "entry")
+
+    def drain(min_entries, deadline_s=120):
+        q = incident_stream(spark, opts, corpus, hist, ckpt, llm).start()
+        try:
+            deadline = time.time() + deadline_s
+            while time.time() < deadline:
+                # poll the sink-side batch markers, not the parquet: a
+                # marker means our append finished, so stopping here
+                # exercises the replay-idempotence path, not a data race
+                if n_entry_markers() >= min_entries:
+                    break
+                time.sleep(1)
+        finally:
+            q.stop()
+
+    # run 1: stop after the first non-empty window landed (mid-stream kill)
+    drain(1)
+    assert spark.read.parquet(hist).count() >= 1
+    # run 2: same checkpoint resumes at the next unprocessed window and
+    # drains the rest — 3 non-empty windows → 3 entries, no duplicates
+    drain(3)
+    got = spark.read.parquet(hist).collect()
+    assert len(got) == 3
+
+    # batch replay: per-window batch-mode fetch through the SAME function
+    from ai_incident_analyst_spark.sources.logapi import LogApiDataSource
+    spark.dataSource.register(LogApiDataSource)
+    hist2 = str(tmp_path / "history_batch")
+    for w in range(4):
+        batch = (spark.read.format("logapi")
+                 .option("fixture_path", fixture)
+                 .option("since_ms", T0 + w * HOUR)
+                 .option("until_ms", T0 + (w + 1) * HOUR)
+                 .load())
+        process_incident_batch(batch, corpus, llm, hist2)
+    want = spark.read.parquet(hist2).collect()
+    assert len(want) == 3
+    assert sorted(map(_entry_key, got)) == sorted(map(_entry_key, want))
+
+    # dedup reached the stream: window-0 entry holds 2 logs, not 3
+    w0 = [r for r in got if r.container_name == "svc-db"]
+    assert len(w0) == 1 and len(w0[0].batch_logs) == 2
+    # redaction reached the stream: no raw email in any stored message
+    assert all("a@b.com" not in b.message
+               for r in got for b in r.batch_logs)
+    # day partitioning on the ISO timestamp
+    assert (spark.read.parquet(hist).select("__day").distinct().count()
+            == 1)

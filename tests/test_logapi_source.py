@@ -198,3 +198,25 @@ def test_limit_is_relation_level_single_partition(spark, fixture_file):
         {"since_ms": str(T0), "until_ms": str(T0 + 24 * HOUR),
          "num_partitions": "8", "limit": "10", "fixture_path": "unused"})
     assert len(reader.partitions()) == 1
+
+
+def test_tiny_window_collapses_slices(spark):
+    """min_slice_ms floors the slice width: a 400 ms (post-pushdown)
+    window must produce ONE fetch slice, not num_partitions near-empty
+    POSTs; a wide window still fans out to num_partitions."""
+    tiny = LogApiReader(
+        _parse_datatype_string(DEFAULT_SCHEMA),
+        {"since_ms": "0", "until_ms": "400",
+         "num_partitions": "4", "fixture_path": "unused"})
+    assert len(tiny.partitions()) == 1
+    wide = LogApiReader(
+        _parse_datatype_string(DEFAULT_SCHEMA),
+        {"since_ms": "0", "until_ms": str(10 * HOUR),
+         "num_partitions": "4", "fixture_path": "unused"})
+    assert len(wide.partitions()) == 4
+    # explicit floor override: 2 slices of >= 200 ms
+    half = LogApiReader(
+        _parse_datatype_string(DEFAULT_SCHEMA),
+        {"since_ms": "0", "until_ms": "400", "min_slice_ms": "200",
+         "num_partitions": "4", "fixture_path": "unused"})
+    assert len(half.partitions()) == 2

@@ -118,15 +118,49 @@ def test_audio_features_fake_deterministic(spark, sf_dir):
     assert all(v[0] == 16000 for v in a.values())
 
 
-def test_audio_features_gated_without_soundfile(spark, sf_dir):
-    import importlib.util
-    if importlib.util.find_spec("soundfile") is not None:
-        pytest.skip("soundfile installed; the real-decode test covers this")
+def test_audio_features_real_decode_wave_pcm(spark):
+    """Real decode via the stdlib-``wave`` PCM fallback — runs (and
+    value-asserts) in THIS container, no codec library needed: a 16-bit
+    PCM WAV round-trips with exact sample count / duration / RMS, a
+    stereo file mixes to mono, and a corrupt blob yields nulls instead
+    of failing the stage."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
     from ai_incident_analyst_spark.operators.multimodal import audio_features
-    docs = load_table(spark, sf_dir, "documents").limit(1)
-    media = make_media_table(docs, "doc_id", "text", media_type="audio")
-    with pytest.raises(NotImplementedError, match="soundfile"):
-        audio_features(media, fake=False)
+
+    def wav_bytes(frames: np.ndarray, sr: int, ch: int) -> bytes:
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(frames.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    # mono: constant +16384 → normalized 0.5 exactly; rms = 0.5
+    mono = np.full(8000, 16384, dtype=np.int16)
+    # stereo: channels 8192 / 24576 → mono mean (0.25+0.75)/2 = 0.5
+    stereo = np.column_stack([np.full(4000, 8192, dtype=np.int16),
+                              np.full(4000, 24576, dtype=np.int16)]).ravel()
+    rows = [Row(i=1, payload=bytearray(wav_bytes(mono, 8000, 1))),
+            Row(i=2, payload=bytearray(wav_bytes(stereo, 16000, 2))),
+            Row(i=3, payload=bytearray(b"not a wav"))]
+    media = make_media_table(spark.createDataFrame(rows), "i", "payload",
+                             media_type="audio", fmt="wav")
+    out = {r.media_id: r
+           for r in audio_features(media, n_bands=4, fake=False).collect()}
+    assert out[1].sample_rate == 8000
+    assert out[1].n_samples == 8000
+    assert out[1].duration_ms == 1000
+    assert all(abs(v - 0.5) < 1e-6 for v in out[1].rms)
+    assert out[2].sample_rate == 16000
+    assert out[2].n_samples == 4000
+    assert out[2].duration_ms == 250
+    assert all(abs(v - 0.5) < 1e-6 for v in out[2].rms)
+    assert out[3].sample_rate is None and out[3].rms is None
 
 
 def test_audio_features_real_decode_with_soundfile(spark):
