@@ -153,6 +153,50 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return sym
 
 
+def bpe_encode_tokens(df: DataFrame, id_col: str, text_col: str,
+                      merges: list[tuple[str, str]],
+                      out_col: str = "tokens") -> DataFrame:
+    """Per-document token SEQUENCE under a trained merge list — the
+    actual tokenize-for-training step (``bpe_encode_counts`` only sizes
+    the budget; shard writers need the tokens themselves).
+
+    Same physical shape as the counter: broadcast rank dict, one Arrow
+    pass, zero shuffle, per-word memoization; emits ``array<string>``
+    in document word order. Token-ID mapping is a downstream dictionary
+    join (vocab = distinct tokens), deliberately not fused here.
+    """
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    sc = df.sparkSession.sparkContext
+    br = sc.broadcast(ranks)
+    cols = df.columns
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    schema = f"{fields}, {out_col} array<string>"
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rk = br.value
+        memo: dict[str, list[str]] = {}
+
+        def tokens(text: str) -> list[str]:
+            out: list[str] = []
+            for w in _JAVA_WS.split((text or "").lower()):
+                if not w:
+                    continue
+                t = memo.get(w)
+                if t is None:
+                    t = encode_word(w, rk)
+                    memo[w] = t
+                out.extend(t)
+            return out
+
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[out_col] = [tokens(t) for t in pdf[text_col]]
+            yield out
+
+    return df.mapInPandas(part, schema=schema)
+
+
 def bpe_encode_counts(df: DataFrame, id_col: str, text_col: str,
                       merges: list[tuple[str, str]],
                       out_col: str = "n_bpe_tokens") -> DataFrame:

@@ -759,9 +759,11 @@ def _ivfpq_encode(corpus: DataFrame, ids, cmat, books, ctype: str,
 
 
 def _ivfpq_luts(queries: DataFrame, ids, cmat, books, nprobe: int,
-                query_id: str, query_vec: str):
+                query_id: str, query_vec: str,
+                round_dp: int | None = None):
     """Per-(query, probed cell) ADC lookup tables —
-    |Q|·nprobe·m·kc doubles, driver-built from the collected queries."""
+    |Q|·nprobe·m·kc doubles, driver-built from the collected queries.
+    ``round_dp`` rounds the probe scores before the (stable) argsort."""
     import numpy as np
 
     m, kc, dsub = books.shape
@@ -773,6 +775,8 @@ def _ivfpq_luts(queries: DataFrame, ids, cmat, books, nprobe: int,
     for r in qrows:
         qv = np.asarray(r["qv"], dtype=np.float64)
         scores = cn2 - 2.0 * (cmat @ qv)
+        if round_dp is not None:
+            scores = np.round(scores, round_dp)
         for pr in np.argsort(scores, kind="stable")[:nprobe]:
             qres = qv - cmat[pr]
             lut = np.empty((m, kc))
@@ -881,13 +885,14 @@ def ivfpq_knn_join(queries: DataFrame, corpus: DataFrame,
     cmat = np.asarray(mat, dtype=np.float64)
     if books is None:
         books = _ivfpq_train(corpus, cmat, m, kc, train_sample,
-                             train_iters, corpus_id, corpus_vec)
+                             train_iters, corpus_id, corpus_vec,
+                             round_dp=round_dp)
     else:
         books = np.asarray(books, dtype=np.float64)
     encoded = _ivfpq_encode(corpus, ids, cmat, books, ctype,
-                            corpus_id, corpus_vec)
+                            corpus_id, corpus_vec, round_dp=round_dp)
     luts = _ivfpq_luts(queries, ids, cmat, books, nprobe,
-                       query_id, query_vec)
+                       query_id, query_vec, round_dp=round_dp)
     return _ivfpq_scan(encoded, luts, m, k,
                        qtype=queries.schema[query_id].dataType.simpleString(),
                        round_dp=round_dp)
@@ -899,7 +904,8 @@ def ivfpq_write_index(corpus: DataFrame, centroids: DataFrame, path: str,
                       corpus_id: str = "vec_id",
                       corpus_vec: str = "embedding",
                       centroid_id: str = "centroid_id",
-                      centroid_vec: str = "centroid") -> None:
+                      centroid_vec: str = "centroid",
+                      round_dp: int | None = None) -> None:
     """Materialize the IVF-PQ index: residual codes written
     ``partitionBy(__cell)`` (one directory per inverted list — the
     ``ivf_write_index`` layout, but holding m small ints per vector
@@ -913,9 +919,9 @@ def ivfpq_write_index(corpus: DataFrame, centroids: DataFrame, path: str,
     ids, mat, ctype = _centroid_arrays(centroids, centroid_id, centroid_vec)
     cmat = np.asarray(mat, dtype=np.float64)
     books = _ivfpq_train(corpus, cmat, m, kc, train_sample, train_iters,
-                         corpus_id, corpus_vec)
+                         corpus_id, corpus_vec, round_dp=round_dp)
     encoded = _ivfpq_encode(corpus, ids, cmat, books, ctype,
-                            corpus_id, corpus_vec)
+                            corpus_id, corpus_vec, round_dp=round_dp)
     (encoded.repartition(F.col("__cell"))
      .write.partitionBy("__cell").mode("overwrite").parquet(path))
     spark = corpus.sparkSession
@@ -933,7 +939,8 @@ def ivfpq_write_index(corpus: DataFrame, centroids: DataFrame, path: str,
 def ivfpq_probe_index(spark, path: str, queries: DataFrame, k: int = 5,
                       nprobe: int = 2,
                       query_id: str = "query_id",
-                      query_vec: str = "query_vec") -> DataFrame:
+                      query_vec: str = "query_vec",
+                      round_dp: int | None = None) -> DataFrame:
     """Probe a persisted IVF-PQ index: identical results to
     ``ivfpq_knn_join`` over the same centroids/codebooks, but the code
     scan is restricted to the probed cells with a STATIC ``IN`` so
@@ -961,7 +968,7 @@ def ivfpq_probe_index(spark, path: str, queries: DataFrame, k: int = 5,
     for j, c, vec in brows:
         books[j, c] = vec
     luts = _ivfpq_luts(queries, ids, cmat, books, nprobe,
-                       query_id, query_vec)
+                       query_id, query_vec, round_dp=round_dp)
     cells = sorted({cell for (_, cell) in luts})
     # sortWithinPartitions restores the vec_id order the stable-argsort
     # tie-break contract needs — the partitionBy shuffle at write time

@@ -3139,6 +3139,33 @@ GROUP BY d.doc_id"""
     return "WITH " + ",\n".join(parts) + ",\n" + final
 
 
+def _bpe_doc_tokens_sql(num_merges: int = 30) -> str:
+    """Twin of ``bpe_encode_tokens``: the same unrolled merge chain, but
+    the final stage emits each doc's full token SEQUENCE (word order
+    preserved via word subscripts), fingerprinted as
+    ``md5(array_to_string(tokens, '|'))`` — a scalar VARCHAR on both
+    engines, immune to the array-vs-ndarray formatting divergence a raw
+    list column would hit in a pandas-based comparer (the HUGEINT
+    lesson, generalized)."""
+    chain = _bpe_trained_sql(num_merges)
+    head, _ = chain.rsplit("dw AS (", 1)
+    split = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+    final = rf"""dw AS (
+  SELECT doc_id, w, wpos FROM (
+    SELECT doc_id, unnest({split}) AS w,
+           generate_subscripts({split}, 1) AS wpos
+    FROM documents) t WHERE w <> ''),
+tl AS (
+  SELECT dw.doc_id, flatten(list(vv.sym ORDER BY dw.wpos)) AS toks
+  FROM dw JOIN v{num_merges} vv ON vv.w = dw.w
+  GROUP BY dw.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(len(tl.toks), 0) AS BIGINT) AS n_toks,
+       md5(coalesce(array_to_string(tl.toks, '|'), '')) AS tok_md5
+FROM documents d LEFT JOIN tl ON tl.doc_id = d.doc_id"""
+    return head + final
+
+
 @q("bpe_trained_tokens", _bpe_trained_sql(30),
    doc="per-doc token counts under a corpus-trained 30-merge BPE "
        "vocabulary (operators/bpe.py: distributed word-count pass + "
@@ -3155,6 +3182,27 @@ def q_bpe_trained_tokens(spark, sf_dir):
     merges = bpe_train(docs, "text", num_merges=30)
     return bpe_encode_counts(docs, "doc_id", "text", merges) \
         .select("doc_id", "n_bpe_tokens")
+
+
+@q("bpe_doc_tokens", _bpe_doc_tokens_sql(30),
+   doc="full per-doc token SEQUENCE under the corpus-trained 30-merge "
+       "BPE vocabulary (operators/bpe.py:bpe_encode_tokens — the "
+       "tokenize-for-training step; counts alone can't feed a shard "
+       "writer). Oracle: the _bpe_trained_sql merge chain with a "
+       "sequence-preserving final stage; the token list is compared as "
+       "length + md5('|'-joined) — scalar columns on both engines, so "
+       "no array-formatting divergence class. Word-order preservation "
+       "and counts==sequence-length asserted in tests/test_bpe.py")
+def q_bpe_doc_tokens(spark, sf_dir):
+    from .operators.bpe import bpe_encode_tokens, bpe_train
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, "text", num_merges=30)
+    return (
+        bpe_encode_tokens(docs, "doc_id", "text", merges)
+        .select("doc_id",
+                F.size("tokens").cast("long").alias("n_toks"),
+                F.md5(F.concat_ws("|", "tokens")).alias("tok_md5"))
+    )
 
 
 @q("shard_by_budget", r"""
@@ -5050,20 +5098,150 @@ def q_decayed_user_value(spark, sf_dir):
                       .alias("decayed_sum"))
 
 
-@q("knn_ivfpq", None,
+def _ivfpq_trained_sql(m: int = 4, kc: int = 16, iters: int = 2,
+                       dsub: int = 16, nprobe: int = 2, k: int = 5,
+                       dp: int = 6) -> str:
+    """DuckDB twin of the TRAINED IVF-PQ composition (knn_ivfpq): the
+    knn_ivfpq_fixed pipeline with the md5-plane codebooks replaced by a
+    replay of ``_ivfpq_train``/``_pq_lloyd`` — hash-ordered sample,
+    coarse residuals, per-subspace Lloyd's with first-kc init,
+    ``iters`` unrolled rounds. All argmins rank on round(score, dp)
+    with the exact score FORM each Spark kernel computes (full ‖r−w‖²
+    in training, ‖w‖²−2r·w in encode — the forms differ by a per-row
+    constant, so their rounding boundaries differ; the twin must round
+    what numpy rounds). ``MATERIALIZED`` is load-bearing (the
+    ``_bpe_trained_sql`` lesson): each ``book{{t}}`` feeds the next
+    round twice, and inlining the chain would expand exponentially.
+    """
+    pre = rf"""cent AS MATERIALIZED (
+  SELECT label AS cell, pos, avg(v) AS av
+  FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+  GROUP BY 1, 2),
+centv AS MATERIALIZED (
+  SELECT cell, list(av ORDER BY pos) AS cv FROM cent GROUP BY cell),
+vecs AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS MATERIALIZED (
+  SELECT vec_id, unnest(v) AS vv, generate_subscripts(v, 1) AS pos
+  FROM vecs),
+ccell AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT vs.vec_id, cv.cell,
+           row_number() OVER (PARTITION BY vs.vec_id ORDER BY
+             round(list_sum([y*y for y in cv.cv])
+               - 2 * list_sum([p[1]*p[2] for p in list_zip(vs.v, cv.cv)]),
+               {dp}),
+             cv.cell) AS rk
+    FROM vecs vs CROSS JOIN centv cv WHERE vs.vec_id >= 5)
+  WHERE rk = 1),
+samp AS MATERIALIZED (
+  SELECT vec_id, row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) AS rk
+  FROM vecs WHERE vec_id >= 5
+  QUALIFY rk <= 2048),
+srd AS MATERIALIZED (
+  SELECT s.rk, CAST(floor((d.pos - 1) / {dsub}) AS BIGINT) AS j,
+         (d.pos - 1) % {dsub} AS i, d.vv - ct.av AS r
+  FROM samp s
+  JOIN ccell cc ON cc.vec_id = s.vec_id
+  JOIN dims d ON d.vec_id = s.vec_id
+  JOIN cent ct ON ct.cell = cc.cell AND ct.pos = d.pos),
+book0 AS MATERIALIZED (
+  SELECT j, CAST(rk - 1 AS BIGINT) AS c, i, r AS w
+  FROM srd WHERE rk <= {kc})"""
+    parts = [pre]
+    prev = "book0"
+    for t in range(iters):
+        parts.append(f"""a{t} AS MATERIALIZED (
+  SELECT rk, j, c FROM (
+    SELECT s.rk, s.j, b.c,
+           row_number() OVER (PARTITION BY s.rk, s.j ORDER BY
+             round(sum((s.r - b.w) * (s.r - b.w)), {dp}), b.c) AS ark
+    FROM srd s JOIN {prev} b ON b.j = s.j AND b.i = s.i
+    GROUP BY s.rk, s.j, b.c)
+  WHERE ark = 1)""")
+        parts.append(f"""book{t + 1} AS MATERIALIZED (
+  SELECT p.j, p.c, p.i, round(coalesce(u.mw, p.w), {dp}) AS w
+  FROM {prev} p LEFT JOIN (
+    SELECT a.j, a.c, s.i, avg(s.r) AS mw
+    FROM a{t} a JOIN srd s ON s.rk = a.rk AND s.j = a.j
+    GROUP BY 1, 2, 3) u
+  ON u.j = p.j AND u.c = p.c AND u.i = p.i)""")
+        prev = f"book{t + 1}"
+    tail = rf"""ccode AS MATERIALIZED (
+  SELECT vec_id, j, c FROM (
+    SELECT cr.vec_id, cr.j, b.c,
+           row_number() OVER (PARTITION BY cr.vec_id, cr.j ORDER BY
+             round(sum(b.w*b.w - 2*cr.r*b.w), {dp}), b.c) AS ark
+    FROM (
+      SELECT cc.vec_id, CAST(floor((d.pos - 1) / {dsub}) AS BIGINT) AS j,
+             (d.pos - 1) % {dsub} AS i, d.vv - ct.av AS r
+      FROM ccell cc
+      JOIN dims d ON d.vec_id = cc.vec_id
+      JOIN cent ct ON ct.cell = cc.cell AND ct.pos = d.pos) cr
+    JOIN {prev} b ON b.j = cr.j AND b.i = cr.i
+    GROUP BY cr.vec_id, cr.j, b.c)
+  WHERE ark = 1),
+qcell AS MATERIALIZED (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vs.vec_id, cv.cell,
+           row_number() OVER (PARTITION BY vs.vec_id ORDER BY
+             round(list_sum([y*y for y in cv.cv])
+               - 2 * list_sum([p[1]*p[2] for p in list_zip(vs.v, cv.cv)]),
+               {dp}),
+             cv.cell) AS rk
+    FROM vecs vs CROSS JOIN centv cv WHERE vs.vec_id < 5)
+  WHERE rk <= {nprobe}),
+lut AS MATERIALIZED (
+  SELECT qr.query_id, qr.cell, qr.j, b.c,
+         sum((qr.r - b.w) * (qr.r - b.w)) AS d2
+  FROM (
+    SELECT qc.query_id, qc.cell,
+           CAST(floor((d.pos - 1) / {dsub}) AS BIGINT) AS j,
+           (d.pos - 1) % {dsub} AS i, d.vv - ct.av AS r
+    FROM qcell qc
+    JOIN dims d ON d.vec_id = qc.query_id
+    JOIN cent ct ON ct.cell = qc.cell AND ct.pos = d.pos) qr
+  JOIN {prev} b ON b.j = qr.j AND b.i = qr.i
+  GROUP BY 1, 2, 3, 4),
+adc AS (
+  SELECT l.query_id, cc.vec_id, round(sum(l.d2), {dp}) AS dist
+  FROM ccell cc
+  JOIN ccode cd ON cd.vec_id = cc.vec_id
+  JOIN lut l ON l.cell = cc.cell AND l.j = cd.j AND l.c = cd.c
+  GROUP BY 1, 2)
+SELECT query_id, vec_id, dist AS distance
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY dist ASC, vec_id ASC) <= {k}"""
+    parts.append(tail)
+    return "WITH " + ",\n".join(parts)
+
+
+@q("knn_ivfpq", _ivfpq_trained_sql(m=4, kc=16, iters=2),
    doc="IVF-PQ / FAISS-IVFADC composition (operators/knn.py:"
        "ivfpq_knn_join): label-centroid coarse cells + PQ codes of cell "
-       "residuals, ADC scoring per probed cell — the billion-vector "
-       "recipe end to end; corpus assigned+encoded in one Arrow pass, "
-       "never shuffled before the candidate top-k. Both halves are "
-       "independently SQL-oracled (knn_ivf, knn_pq); the composition "
-       "carries zero-error-exactness and recall pytest proofs")
+       "residuals trained on a hash-ordered residual sample, ADC "
+       "scoring per probed cell — the billion-vector recipe end to end; "
+       "corpus assigned+encoded in one Arrow pass, never shuffled "
+       "before the candidate top-k. Previously rows-only; now "
+       "hash-matched: the registry variant trains FIXED 2 Lloyd rounds "
+       "per subspace with round_dp=6 (every argmin — coarse assign, "
+       "training assign, code assign, probe — ranks on 6-dp-rounded "
+       "scores in both engines), so the ENTIRE train→encode→probe→ADC "
+       "composition replays as one DuckDB twin (_ivfpq_trained_sql — "
+       "the knn_ivf_kmeans playbook extended to per-subspace "
+       "codebooks). Production default keeps train_iters=8; recall and "
+       "zero-error-exactness pytest proofs unchanged")
 def q_knn_ivfpq(spark, sf_dir):
     from .operators.knn import ivfpq_knn_join
     emb = _t(spark, sf_dir, "embeddings")
     cents = _label_centroids(emb)
     q_, c_ = _qc_split(spark, sf_dir)
-    return ivfpq_knn_join(q_, c_, cents, k=5, nprobe=2, m=4, kc=16) \
+    return ivfpq_knn_join(q_, c_, cents, k=5, nprobe=2, m=4, kc=16,
+                          train_iters=2, round_dp=6) \
         .withColumn("distance", F.round("distance", 6))
 
 
@@ -6082,8 +6260,9 @@ ccell AS (
   SELECT vec_id, cell FROM (
     SELECT vs.vec_id, cv.cell,
            row_number() OVER (PARTITION BY vs.vec_id ORDER BY
-             list_sum([y*y for y in cv.cv])
+             round(list_sum([y*y for y in cv.cv])
                - 2 * list_sum([p[1]*p[2] for p in list_zip(vs.v, cv.cv)]),
+               6),
              cv.cell) AS rk
     FROM vecs vs CROSS JOIN centv cv WHERE vs.vec_id >= 5)
   WHERE rk = 1),
@@ -6095,21 +6274,22 @@ crd AS (
   JOIN cent ct ON ct.cell = cc.cell AND ct.pos = d.pos),
 cdist AS (
   SELECT crd.vec_id, crd.ss, b.c,
-         sum((crd.r - b.w) * (crd.r - b.w)) AS d2
+         sum(b.w * b.w - 2 * crd.r * b.w) AS d2
   FROM crd JOIN book b ON b.j = crd.ss AND b.i = crd.i
   GROUP BY 1, 2, 3),
 codes AS (
   SELECT vec_id, ss, c FROM (
     SELECT vec_id, ss, c,
            row_number() OVER (PARTITION BY vec_id, ss
-                              ORDER BY d2, c) AS rk
+                              ORDER BY round(d2, 6), c) AS rk
     FROM cdist) WHERE rk = 1),
 qcell AS (
   SELECT vec_id AS query_id, cell FROM (
     SELECT vs.vec_id, cv.cell,
            row_number() OVER (PARTITION BY vs.vec_id ORDER BY
-             list_sum([y*y for y in cv.cv])
+             round(list_sum([y*y for y in cv.cv])
                - 2 * list_sum([p[1]*p[2] for p in list_zip(vs.v, cv.cv)]),
+               6),
              cv.cell) AS rk
     FROM vecs vs CROSS JOIN centv cv WHERE vs.vec_id < 5)
   WHERE rk <= 2),

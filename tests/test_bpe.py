@@ -131,3 +131,28 @@ def test_rank_order_application_equals_greedy(spark, sf_dir):
     assert words
     for w in words:
         assert apply_in_rank_order(w) == encode_word(w, ranks), w
+
+
+def test_encode_tokens_matches_counts_and_order(spark):
+    """bpe_encode_tokens: sequence length == bpe_encode_counts count for
+    every doc, and the sequence preserves document word order."""
+    from ai_incident_analyst_spark.operators.bpe import bpe_encode_tokens
+
+    docs = _corpus(spark)
+    merges = bpe_train(docs, "text", num_merges=5)
+    toks = {r.doc_id: r.tokens
+            for r in bpe_encode_tokens(docs, "doc_id", "text",
+                                       merges).collect()}
+    cnts = {r.doc_id: r.n_bpe_tokens
+            for r in bpe_encode_counts(docs, "doc_id", "text",
+                                       merges).collect()}
+    assert {d: len(t) for d, t in toks.items()} == cnts
+    # doc 1 = "low low low low low": with merges (e,s)(es,t)(est,EOW)
+    # (l,o)(lo,w), each "low" encodes as ["low", EOW]? no — 'low'+EOW
+    # needs a (low, EOW) merge that isn't in the top-5; expect
+    # ["low", "</w>"] * 5 exactly, in order
+    ranks = {p: i for i, p in enumerate(merges)}
+    expect = encode_word("low", ranks) * 5
+    assert toks[1] == expect
+    # word order: doc 2 = "lower lower" — tokens for 'lower' twice
+    assert toks[2] == encode_word("lower", ranks) * 2

@@ -53,6 +53,7 @@ DEFAULT_QUERIES = [
     "pagerank_items",
     "theil_sen_daily_trend",
     "knn_ivfpq_fixed",
+    "knn_ivfpq",
     "knn_lsh_cosine",
 ]
 
