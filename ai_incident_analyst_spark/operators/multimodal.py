@@ -87,19 +87,78 @@ def _fake_features(blob: bytes, dim: int) -> np.ndarray:
     return (rng % 1000).astype(np.float32) / 1000.0
 
 
+def _bmp_pixels(blob: bytes) -> "np.ndarray":
+    """Stdlib decode of an uncompressed 24/32-bit BMP to an (h, w, 3)
+    uint8 RGB matrix — so one real IMAGE decode branch executes even
+    where Pillow isn't installed (the ``_decode_wave_pcm`` pattern).
+    Non-BMP / compressed / paletted blobs raise and the caller applies
+    its undecodable-blob contract."""
+    import struct
+
+    if not blob or len(blob) < 54 or blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", blob, 10)[0]
+    w, h = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    comp = struct.unpack_from("<I", blob, 30)[0]
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={comp})")
+    flip = h > 0          # positive height → rows stored bottom-up
+    h = abs(h)
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3
+    arr = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=off)
+    arr = arr.reshape(h, stride)[:, :w * nb].reshape(h, w, nb)
+    if flip:
+        arr = arr[::-1]
+    return arr[..., 2::-1]   # BMP stores BGR(A) → RGB
+
+
+def _write_bmp(px: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP bytes (the
+    fallback re-encoder for ``resize_media``)."""
+    import struct
+
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    body = rows.tobytes()
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    return hdr + dib + body
+
+
+def _decode_bmp_gray(blob: bytes) -> "np.ndarray":
+    """BMP → grayscale float32 matrix (ITU-R 601 luma, the same weights
+    PIL's ``convert("L")`` uses)."""
+    rgb = _bmp_pixels(blob).astype(np.float32)
+    return (rgb[..., 0] * 299 + rgb[..., 1] * 587
+            + rgb[..., 2] * 114) / 1000.0
+
+
+def _nn_grid(mat: "np.ndarray", gh: int, gw: int) -> "np.ndarray":
+    """Nearest-neighbor sample of a 2-D matrix onto a (gh, gw) grid —
+    the fallback's deterministic downsampler (PIL's bicubic resize is
+    not reproduced; the fallback defines its own contract)."""
+    yi = np.linspace(0, mat.shape[0] - 1, gh).round().astype(int)
+    xi = np.linspace(0, mat.shape[1] - 1, gw).round().astype(int)
+    return mat[np.ix_(yi, xi)]
+
+
 def extract_features(df: DataFrame, dim: int = 32, fake: bool = True) -> DataFrame:
     """Decode + feature-extract stage over the media table.
 
-    ``fake=False`` decodes IMAGES with PIL (import-gated; raises with the
-    install hint when Pillow is absent): grayscale-resize to the smallest
-    g×g grid covering ``dim`` pixels, flatten, scale to [0, 1] — a real
-    downsampled-pixel feature vector, deterministic for a given Pillow.
-    Undecodable blobs yield an empty feature array instead of killing the
-    job (at 100 TB one corrupt file must not fail the stage).
+    ``fake=False`` decodes IMAGES with PIL when importable (grayscale-
+    resize to the smallest g×g grid covering ``dim`` pixels, flatten,
+    scale to [0, 1]); without Pillow it falls back to the stdlib BMP
+    decoder + nearest-neighbor grid (``_decode_bmp_gray``), so a real
+    decode branch runs — and is value-asserted — in codec-less
+    environments for BMP payloads. Undecodable blobs yield an empty
+    feature array instead of killing the job (at 100 TB one corrupt
+    file must not fail the stage).
     """
-    if not fake:
-        _require("PIL", "extract_features")
-
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("features", T.ArrayType(T.FloatType())),
@@ -108,16 +167,23 @@ def extract_features(df: DataFrame, dim: int = 32, fake: bool = True) -> DataFra
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not fake:
-            import io
+            import importlib.util
+            have_pil = importlib.util.find_spec("PIL") is not None
+            if have_pil:
+                import io
 
-            from PIL import Image
+                from PIL import Image
             g = int(np.ceil(np.sqrt(dim)))
 
             def feats_of(blob: bytes) -> np.ndarray:
                 try:
-                    img = Image.open(io.BytesIO(blob or b""))
-                    px = np.asarray(
-                        img.convert("L").resize((g, g)), dtype=np.float32)
+                    if have_pil:
+                        img = Image.open(io.BytesIO(blob or b""))
+                        px = np.asarray(
+                            img.convert("L").resize((g, g)),
+                            dtype=np.float32)
+                    else:
+                        px = _nn_grid(_decode_bmp_gray(blob), g, g)
                     return (px.ravel()[:dim] / 255.0).astype(np.float32)
                 except Exception:
                     return np.zeros(0, dtype=np.float32)
@@ -138,16 +204,17 @@ def resize_media(df: DataFrame, width: int = 224, height: int = 224,
                  fake: bool = True) -> DataFrame:
     """Image resize stage: binary in → binary out with updated metadata.
 
-    ``fake=False`` decodes with PIL per Arrow batch (import-gated),
-    resizes to (width, height) and re-encodes as PNG; undecodable blobs
-    pass through as null content. The fake produces a deterministic
+    ``fake=False`` decodes with PIL per Arrow batch when importable,
+    resizes to (width, height) and re-encodes as PNG; without Pillow it
+    falls back to the stdlib BMP path (``_bmp_pixels`` → nearest-
+    neighbor resize → 24-bit BMP re-encode), so the real branch runs in
+    codec-less environments for BMP payloads. Undecodable blobs pass
+    through as null content. The fake produces a deterministic
     pseudo-payload of the target pixel-buffer size (sha256-keyed stream,
     so identical inputs resize identically — content-hash dedup still
     works downstream). Output schema mirrors the input media table: the
     stage is composable before ``extract_features``.
     """
-    if not fake:
-        _require("PIL", "resize_media")
 
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
@@ -159,17 +226,27 @@ def resize_media(df: DataFrame, width: int = 224, height: int = 224,
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not fake:
-            import io
+            import importlib.util
+            have_pil = importlib.util.find_spec("PIL") is not None
+            if have_pil:
+                import io
 
-            from PIL import Image
+                from PIL import Image
 
             def resized(blob: bytes) -> bytes | None:
                 try:
-                    img = Image.open(io.BytesIO(blob or b""))
-                    out = io.BytesIO()
-                    img.convert("RGB").resize((width, height)) \
-                       .save(out, format="PNG")
-                    return out.getvalue()
+                    if have_pil:
+                        img = Image.open(io.BytesIO(blob or b""))
+                        out = io.BytesIO()
+                        img.convert("RGB").resize((width, height)) \
+                           .save(out, format="PNG")
+                        return out.getvalue()
+                    px = _bmp_pixels(blob)
+                    yi = np.linspace(0, px.shape[0] - 1,
+                                     height).round().astype(int)
+                    xi = np.linspace(0, px.shape[1] - 1,
+                                     width).round().astype(int)
+                    return _write_bmp(px[np.ix_(yi, xi)])
                 except Exception:
                     return None
         else:
