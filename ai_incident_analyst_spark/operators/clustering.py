@@ -20,6 +20,10 @@ KMeans does under the RDD API, restated on DataFrames):
 - The driver folds partials into new centroids and checks movement.
   Empty clusters keep their previous centroid (standard Lloyd's fallback;
   deterministic, no re-seeding randomness).
+- Init is deterministic and engine-portable: the k rows with the smallest
+  ``md5(id)`` — a hash-ordered sample, reproducible across runs, cluster
+  layouts, and appends of later rows (same trick as ``operators/
+  sampling.py``).
 
 Cross-engine reproducibility (``round_dp``): discretizing each round's
 centroids and assignment scores to ``round_dp`` decimals absorbs
@@ -31,12 +35,8 @@ round-half-AWAY-from-zero, so a value landing within an ulp of a
 Measured absent on the shared seed-42 testdata (the r6 perturbation
 experiment: results tolerate injected 1e-6 noise, and the
 ``kmeans_centroids`` diagnostic query hash-checks the final coordinates
-directly); a fully rule-identical alternative — ``floor(x·10^dp + 0.5)``
-on both sides — is what the diagnostic's output quantization uses.
-- Init is deterministic and engine-portable: the k rows with the smallest
-  ``md5(id)`` — a hash-ordered sample, reproducible across runs, cluster
-  layouts, and appends of later rows (same trick as ``operators/
-  sampling.py``).
+directly). ``kmeans_fit_int`` below removes the class entirely: exact
+integer arithmetic in every decision, no rounding rule to disagree on.
 
 Per-round cost at 100 TB: one corpus scan + a k×P-row collect — no
 shuffle at all. Rounds are the serial factor; cap with ``max_iter`` and
@@ -231,3 +231,127 @@ def kmeans_inertia(df: DataFrame, vec_col: str,
     row = assigned.agg(F.sum(F.greatest(F.col("__d2"), F.lit(0.0)))
                        .alias("s")).collect()[0]
     return float(row["s"] or 0.0)
+
+def _quantize(mat: np.ndarray, scale: int) -> np.ndarray:
+    """float matrix -> integer domain via floor(x*scale + 0.5): one
+    multiply, one add, one floor — each a single IEEE-754 op, so the
+    quantized values are bit-identical in ANY engine that evaluates the
+    same formula (no rounding-rule ambiguity: floor is exact and the
+    half-up rule is the formula itself, unlike np.round's half-to-even
+    vs SQL round()'s half-away)."""
+    return np.floor(mat * scale + 0.5).astype(np.int64)
+
+
+def kmeans_fit_int(df: DataFrame, id_col: str, vec_col: str, k: int,
+                   n_rounds: int = 2,
+                   scale: int = 1_000_000) -> np.ndarray:
+    """Lloyd's k-means in EXACT integer arithmetic — the
+    environment-insensitive sibling of ``kmeans_fit``.
+
+    Vectors quantize once to int64 (``floor(x*scale + 0.5)``); every
+    assignment score is exact int64 (``‖c‖² − 2x·c``; with unit-norm
+    embeddings and scale 1e6 the terms are ~1e11-1e12, eight orders
+    below int64 overflow); centroid updates are half-up integer means
+    (``floor(Σx/n + 0.5)`` — Σx is an exact int64 < 2^53, so the one
+    double division is bit-deterministic too). Consequences, by
+    construction rather than by discretization-absorbs-ulps argument:
+
+    - ZERO float arithmetic in any decision → no FP-association,
+      BLAS-build, or rounding-rule divergence class exists at all;
+    - partial integer sums commute → the result is partition-layout
+      invariant exactly, not just almost-always;
+    - a DuckDB twin computing the same formulas matches bit-for-bit.
+
+    Runs ``n_rounds`` fixed rounds (no tol — integer centroids either
+    repeat exactly or keep moving). Returns int64 (k, d) centroids in
+    the quantized domain; divide by ``scale`` for float consumers.
+    Physical plan identical to ``kmeans_fit``: one Arrow pass per round
+    emitting k partial (count, Σx) rows per partition, no shuffle.
+    """
+    data = spread(df.select(id_col, vec_col), id_col).persist()
+    try:
+        cents = _quantize(_init_centroids(data, id_col, vec_col, k), scale)
+        for _ in range(n_rounds):
+            folded = _int_partials_pass(data, vec_col, cents, scale)
+            counts, sums = folded[:, 0], folded[:, 1:]
+            upd = counts > 0
+            cents = cents.copy()
+            cents[upd] = np.floor(
+                sums[upd].astype(np.float64) / counts[upd, None] + 0.5
+            ).astype(np.int64)
+        return cents
+    finally:
+        data.unpersist()
+
+
+def _int_partials_pass(df: DataFrame, vec_col: str, cents_q: np.ndarray,
+                       scale: int) -> np.ndarray:
+    """One exact-integer assignment pass: folded (k, d+1) [count | Σx]
+    int64 matrix. Fold order is irrelevant — integer addition commutes."""
+    k, d = cents_q.shape
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(cents_q)
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        cn2 = (c * c).sum(axis=1)
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, c.shape[1]), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xq = _quantize(np.array(list(pdf[vec_col]), dtype=np.float64),
+                           scale)
+            scores = cn2[None, :] - 2 * (xq @ c.T)   # exact int64
+            assign = scores.argmin(axis=1)
+            counts += np.bincount(assign, minlength=k)
+            np.add.at(sums, assign, xq)
+        nz = np.nonzero(counts)[0]
+        if len(nz) == 0:
+            return
+        yield pd.DataFrame({
+            "cluster": nz.astype("int64"),
+            "cnt": counts[nz],
+            "vsum": [s.tolist() for s in sums[nz]],
+        })
+
+    partials = (
+        df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+        .mapInPandas(part, schema="cluster long, cnt long, vsum array<long>")
+        .collect()
+    )
+    folded = np.zeros((k, d + 1), dtype=np.int64)
+    for r in partials:
+        folded[r["cluster"], 0] += r["cnt"]
+        folded[r["cluster"], 1:] += np.asarray(r["vsum"], dtype=np.int64)
+    return folded
+
+
+def kmeans_assign_int(df: DataFrame, vec_col: str, cents_q: np.ndarray,
+                      scale: int = 1_000_000,
+                      out_col: str = "cluster") -> DataFrame:
+    """Exact-integer nearest-centroid annotation (the ``kmeans_assign``
+    sibling for quantized centroids): ties break by lowest centroid id
+    via argmin's first-index rule — but with exact arithmetic a tie is
+    a true tie, not an ulp accident."""
+    c_ = np.asarray(cents_q, dtype=np.int64)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(c_)
+    cols = df.columns
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        cn2 = (c * c).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xq = _quantize(np.array([np.asarray(v, dtype=np.float64)
+                                     for v in pdf[vec_col]]), scale)
+            scores = cn2[None, :] - 2 * (xq @ c.T)
+            out = pdf[cols].copy()
+            out[out_col] = scores.argmin(axis=1).astype("int32")
+            yield out
+
+    return df.mapInPandas(part, schema=f"{fields}, {out_col} int")

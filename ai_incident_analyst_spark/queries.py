@@ -1166,6 +1166,83 @@ def q_kmeans_centroids(spark, sf_dir):
         rows, schema="cluster int, pos int, coord_q6 long")
 
 
+_KMEANS_INT_ASSIGN_SQL = """
+  SELECT vec_id, x, cl FROM (
+    SELECT v.vec_id, v.x, i.cl,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_sum([y*y for y in i.c])
+               - 2 * list_sum([p[1]*p[2] for p in list_zip(v.x, i.c)]),
+             i.cl) AS rk
+    FROM v CROSS JOIN {cents} i) WHERE rk = 1"""
+
+# integer mean with explicit half-up rounding: Σx is an exact int64
+# (< 2^53, so CAST to DOUBLE is lossless), the one division is a single
+# IEEE op — bit-identical in both engines, no round() rule involved
+_KMEANS_INT_UPDATE_SQL = """
+  SELECT i.cl, coalesce(u.c, i.c) AS c
+  FROM {prev} i LEFT JOIN (
+    SELECT cl, list(CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT)
+                    ORDER BY pos) AS c
+    FROM (SELECT cl, pos, CAST(sum(val) AS BIGINT) AS s, count(*) AS n
+          FROM (SELECT cl, unnest(x) AS val,
+                       generate_subscripts(x, 1) AS pos FROM {assign})
+          GROUP BY 1, 2)
+    GROUP BY cl) u ON u.cl = i.cl"""
+
+
+@q("kmeans_clusters_int", f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id,
+         [CAST(floor(y * 1000000 + 0.5) AS BIGINT)
+          for y in CAST(embedding[1:8] AS DOUBLE[])] AS x
+  FROM embeddings),
+init AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                            CAST(vec_id AS VARCHAR)) - 1 AS cl,
+         x AS c
+  FROM v
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                             CAST(vec_id AS VARCHAR)) <= 4),
+a1 AS MATERIALIZED ({_KMEANS_INT_ASSIGN_SQL.format(cents="init")}),
+c1 AS MATERIALIZED ({_KMEANS_INT_UPDATE_SQL.format(prev="init",
+                                                   assign="a1")}),
+a2 AS MATERIALIZED ({_KMEANS_INT_ASSIGN_SQL.format(cents="c1")}),
+c2 AS MATERIALIZED ({_KMEANS_INT_UPDATE_SQL.format(prev="c1",
+                                                   assign="a2")}),
+fin AS ({_KMEANS_INT_ASSIGN_SQL.format(cents="c2")})
+SELECT CAST(cl AS INT) AS cluster, count(*) AS n_vecs,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM fin GROUP BY cl ORDER BY cl
+""", doc="EXACT-integer Lloyd's k-means (operators/clustering.py:"
+         "kmeans_fit_int) — the environment-insensitivity endgame for "
+         "the kmeans family: vectors quantize ONCE to int64 via "
+         "floor(x*1e6 + 0.5) (single IEEE ops, no rounding-rule "
+         "ambiguity), every assignment score is exact int64 "
+         "‖c‖²−2x·c (terms ~1e11, eight orders under overflow), and "
+         "centroid updates are half-up integer means floor(Σx/n + 0.5) "
+         "with Σx an exact int64 < 2^53. ZERO float arithmetic in any "
+         "decision → no FP-association, BLAS-build, or half-even-vs-"
+         "half-away divergence class EXISTS, partial sums commute so "
+         "the result is partition-layout invariant exactly, and the "
+         "DuckDB twin matches bit-for-bit by construction. Same "
+         "physical plan as kmeans_fit: one Arrow pass per round, k "
+         "partial (count, Σx) rows per partition, no shuffle")
+def q_kmeans_clusters_int(spark, sf_dir):
+    from .operators.clustering import kmeans_assign_int, kmeans_fit_int
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 8).alias("x"))
+    cents_q = kmeans_fit_int(v, "vec_id", "x", k=4, n_rounds=2)
+    return (
+        kmeans_assign_int(v, "x", cents_q, out_col="cluster")
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_vecs"),
+             F.sum("vec_id").alias("id_sum"))
+        .orderBy("cluster")
+    )
+
+
 @q("knn_ivf_kmeans", f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),

@@ -81,6 +81,7 @@ HEADLINE = [
     "bloom_prune_orders",
     "dedup_lines_global",
     "kmeans_clusters",
+    "kmeans_clusters_int",
     "log_templates",
     "anomaly_hourly",
     "chunk_docs",

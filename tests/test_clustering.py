@@ -114,3 +114,75 @@ def test_kmeans_centroids_drive_ivf(spark):
 def F_alias(df, col, name):
     from pyspark.sql import functions as F
     return F.col(col).alias(name)
+
+
+def _numpy_lloyd_int(xq, order, k, rounds):
+    c = xq[order[:k]].copy()
+    for _ in range(rounds):
+        cn2 = (c * c).sum(axis=1)
+        a = (cn2[None, :] - 2 * (xq @ c.T)).argmin(axis=1)
+        for j in range(k):
+            pts = xq[a == j]
+            if len(pts):
+                c[j] = np.floor(
+                    pts.sum(axis=0).astype(np.float64) / len(pts) + 0.5
+                ).astype(np.int64)
+    return c
+
+
+def test_kmeans_int_matches_numpy_and_is_layout_invariant(spark):
+    """kmeans_fit_int: exact-integer arithmetic means the result is
+    partition-layout invariant EXACTLY (integer partial sums commute),
+    and a driver-side numpy replay with the same quantization matches
+    bit-for-bit."""
+    import hashlib
+
+    from ai_incident_analyst_spark.operators.clustering import (
+        _quantize,
+        kmeans_assign_int,
+        kmeans_fit_int,
+    )
+
+    df, x = _toy(spark, parts=1)
+    got1 = kmeans_fit_int(df, "id", "v", k=3, n_rounds=3)
+    got7 = kmeans_fit_int(df.repartition(7), "id", "v", k=3, n_rounds=3)
+    assert (got1 == got7).all()          # exact layout invariance
+
+    xq = _quantize(x.astype(np.float64), 1_000_000)
+    order = sorted(range(len(x)),
+                   key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(),
+                                  str(i)))
+    ref = _numpy_lloyd_int(xq, order, 3, 3)
+    assert (got1 == ref).all()           # bit-exact numpy parity
+
+    # assignment: every blob lands in one cluster (separated data)
+    a = {r.id: r.cluster
+         for r in kmeans_assign_int(df, "v", got1).collect()}
+    blobs = [set(a[i] for i in range(j * 20, (j + 1) * 20))
+             for j in range(3)]
+    assert all(len(b) == 1 for b in blobs)
+    assert len(set().union(*blobs)) == 3
+
+
+def test_kmeans_int_agrees_with_float_variant_on_separated_data(spark):
+    """On well-separated blobs the integer and float fits must induce
+    the same partition of the data (quantization error 5e-7 cannot move
+    a point between blobs 5 units apart)."""
+    from ai_incident_analyst_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_assign_int,
+        kmeans_fit,
+        kmeans_fit_int,
+    )
+
+    df, _ = _toy(spark, parts=4)
+    cf, _ = kmeans_fit(df, "id", "v", k=3, max_iter=2, tol=0.0,
+                       round_dp=6)
+    cq = kmeans_fit_int(df, "id", "v", k=3, n_rounds=2)
+    af = {r.id: r.cluster
+          for r in kmeans_assign(df, "v", cf, round_dp=6).collect()}
+    ai = {r.id: r.cluster
+          for r in kmeans_assign_int(df, "v", cq).collect()}
+    # same partition (cluster ids share the hash-ordered init, so they
+    # even agree label-for-label)
+    assert af == ai

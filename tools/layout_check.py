@@ -47,6 +47,7 @@ LAYOUTS = [(32, 32), (5, 7)]
 DEFAULT_QUERIES = [
     "kmeans_clusters",
     "kmeans_centroids",
+    "kmeans_clusters_int",
     "knn_ivf_kmeans",
     "quality_lr_train",
     "pca_power_project",
