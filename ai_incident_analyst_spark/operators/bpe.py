@@ -197,6 +197,70 @@ def bpe_encode_tokens(df: DataFrame, id_col: str, text_col: str,
     return df.mapInPandas(part, schema=schema)
 
 
+def bpe_vocab_ids(df: DataFrame, text_col: str,
+                  merges: list[tuple[str, str]]) -> DataFrame:
+    """The trained vocabulary as ``(token, tid, freq)`` with
+    deterministic ids: rank by (corpus frequency DESC, token ASC).
+
+    The vocab is BOUNDED by construction — tokens are single characters
+    plus merge outputs, so |vocab| ≤ |alphabet| + |merges| regardless of
+    corpus size — which is what makes collecting it to the driver (for
+    ``bpe_encode_ids``'s broadcast) safe at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    freq = (
+        bpe_encode_tokens(df.select(text_col), "__unused", text_col, merges)
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token").agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return freq.withColumn("tid", (F.row_number().over(w) - 1).cast("int")) \
+               .select("token", "tid", "freq")
+
+
+def bpe_encode_ids(df: DataFrame, id_col: str, text_col: str,
+                   merges: list[tuple[str, str]],
+                   vocab: dict[str, int],
+                   out_col: str = "token_ids") -> DataFrame:
+    """Per-document TOKEN-ID sequence — the final tokenizer artifact
+    (what a training-shard writer serializes). ``vocab`` is the
+    {token: id} map from ``bpe_vocab_ids`` (bounded, broadcast).
+    Tokens outside the vocab (impossible when encoding the training
+    corpus itself; possible on held-out text) map to -1, the
+    conventional unk sentinel."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    sc = df.sparkSession.sparkContext
+    br = sc.broadcast((ranks, dict(vocab)))
+    cols = df.columns
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    schema = f"{fields}, {out_col} array<int>"
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rk, vc = br.value
+        memo: dict[str, list[int]] = {}
+
+        def ids(text: str) -> list[int]:
+            out: list[int] = []
+            for w in _JAVA_WS.split((text or "").lower()):
+                if not w:
+                    continue
+                t = memo.get(w)
+                if t is None:
+                    t = [vc.get(tok, -1) for tok in encode_word(w, rk)]
+                    memo[w] = t
+                out.extend(t)
+            return out
+
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[out_col] = [ids(t) for t in pdf[text_col]]
+            yield out
+
+    return df.mapInPandas(part, schema=schema)
+
+
 def bpe_encode_counts(df: DataFrame, id_col: str, text_col: str,
                       merges: list[tuple[str, str]],
                       out_col: str = "n_bpe_tokens") -> DataFrame:

@@ -3261,6 +3261,136 @@ def q_bpe_trained_tokens(spark, sf_dir):
         .select("doc_id", "n_bpe_tokens")
 
 
+def _bpe_merge_table_sql(num_merges: int = 30) -> str:
+    """Twin of the TRAINED MERGE LIST itself (the tokenizer artifact a
+    user ships): the chain's ``b{{i}}`` single-row CTEs unioned with
+    their rank literals. A merge short of ``num_merges`` (best pair
+    under min_pair_count) yields an empty b{{i}} and contributes no
+    row, exactly like the trainer's early stop."""
+    chain = _bpe_trained_sql(num_merges)
+    head, _ = chain.rsplit("dw AS (", 1)
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, a, b FROM b{i}" for i in range(num_merges))
+    return head + f"m AS ({union})\nSELECT rank, a, b FROM m"
+
+
+@q("bpe_merge_table", _bpe_merge_table_sql(30),
+   doc="the trained BPE merge list as a table (rank, a, b) — the "
+       "artifact a tokenizer consumer actually persists and ships "
+       "(operators/bpe.py:bpe_train). Oracle: the _bpe_trained_sql "
+       "chain's per-iteration best-pair CTEs unioned with rank "
+       "literals, so the driver's gate hash-checks the EXACT merge "
+       "sequence, not just its downstream effects")
+def q_bpe_merge_table(spark, sf_dir):
+    from .operators.bpe import bpe_train
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, "text", num_merges=30)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        schema="rank int, a string, b string")
+
+
+def _bpe_vocab_sql(num_merges: int = 30) -> str:
+    """Twin of the trained VOCABULARY with corpus frequencies: each
+    word-occurrence's final segmentation (the chain's v{{N}}) unnested
+    and counted."""
+    chain = _bpe_trained_sql(num_merges)
+    head, _ = chain.rsplit("dw AS (", 1)
+    final = rf"""dw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents) t WHERE w <> '')
+SELECT tok AS token, CAST(count(*) AS BIGINT) AS freq
+FROM (SELECT unnest(vv.sym) AS tok
+      FROM dw JOIN v{num_merges} vv ON vv.w = dw.w)
+GROUP BY tok"""
+    return head + final
+
+
+@q("bpe_vocab", _bpe_vocab_sql(30),
+   doc="the trained BPE vocabulary with corpus token frequencies "
+       "(operators/bpe.py:bpe_encode_tokens → explode → count): the "
+       "third tokenizer artifact next to the merge table and the "
+       "encoded corpus — what a sampler weighting by token frequency "
+       "or a vocab-coverage report consumes. Distributed side is one "
+       "Arrow encode pass + one count groupBy; twin unnests the merge "
+       "chain's final per-word segmentation weighted by occurrence")
+def q_bpe_vocab(spark, sf_dir):
+    from .operators.bpe import bpe_encode_tokens, bpe_train
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, "text", num_merges=30)
+    return (
+        bpe_encode_tokens(docs, "doc_id", "text", merges)
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _bpe_doc_token_ids_sql(num_merges: int = 30) -> str:
+    """Twin of the id-encoded corpus: the chain's final segmentations,
+    mapped through the (freq DESC, token ASC)-ranked vocabulary,
+    fingerprinted as length + md5('|'-joined ids) + id sum (scalar
+    columns only — the dtype-portability rule)."""
+    chain = _bpe_trained_sql(num_merges)
+    head, _ = chain.rsplit("dw AS (", 1)
+    split = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+    final = rf"""dw AS (
+  SELECT doc_id, w, wpos FROM (
+    SELECT doc_id, unnest({split}) AS w,
+           generate_subscripts({split}, 1) AS wpos
+    FROM documents) t WHERE w <> ''),
+tl AS MATERIALIZED (
+  SELECT dw.doc_id, flatten(list(vv.sym ORDER BY dw.wpos)) AS toks
+  FROM dw JOIN v{num_merges} vv ON vv.w = dw.w
+  GROUP BY dw.doc_id),
+vocab AS MATERIALIZED (
+  SELECT tok AS token,
+         CAST(row_number() OVER (ORDER BY freq DESC, tok) - 1 AS INT)
+           AS tid
+  FROM (SELECT tok, count(*) AS freq
+        FROM (SELECT unnest(toks) AS tok FROM tl) GROUP BY tok) f),
+idl AS (
+  SELECT x.doc_id, list(v.tid ORDER BY x.p) AS ids
+  FROM (SELECT doc_id, unnest(toks) AS t,
+               generate_subscripts(toks, 1) AS p FROM tl) x
+  JOIN vocab v ON v.token = x.t
+  GROUP BY x.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(len(idl.ids), 0) AS BIGINT) AS n_toks,
+       md5(coalesce(array_to_string(idl.ids, '|'), '')) AS ids_md5,
+       CAST(coalesce(list_sum(idl.ids), 0) AS BIGINT) AS ids_sum
+FROM documents d LEFT JOIN idl ON idl.doc_id = d.doc_id"""
+    return head + final
+
+
+@q("bpe_doc_token_ids", _bpe_doc_token_ids_sql(30),
+   doc="id-encoded corpus under the trained tokenizer "
+       "(operators/bpe.py:bpe_vocab_ids + bpe_encode_ids): tokens map "
+       "to deterministic ids ranked by (corpus freq DESC, token ASC) — "
+       "the artifact a training-shard writer serializes. The vocab is "
+       "bounded by construction (chars + merge outputs), so the "
+       "driver collect + broadcast is safe at any corpus size; "
+       "sequences compare as length + md5('|'-joined) + id-sum "
+       "fingerprints (scalar columns, dtype-portable)")
+def q_bpe_doc_token_ids(spark, sf_dir):
+    from .operators.bpe import bpe_encode_ids, bpe_train, bpe_vocab_ids
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, "text", num_merges=30)
+    vocab = {r["token"]: r["tid"]
+             for r in bpe_vocab_ids(docs, "text", merges).collect()}
+    enc = bpe_encode_ids(docs, "doc_id", "text", merges, vocab)
+    sids = F.transform(F.col("token_ids"), lambda x: x.cast("string"))
+    return enc.select(
+        "doc_id",
+        F.size("token_ids").cast("long").alias("n_toks"),
+        F.md5(F.concat_ws("|", sids)).alias("ids_md5"),
+        F.aggregate("token_ids", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("ids_sum"),
+    )
+
+
 @q("bpe_doc_tokens", _bpe_doc_tokens_sql(30),
    doc="full per-doc token SEQUENCE under the corpus-trained 30-merge "
        "BPE vocabulary (operators/bpe.py:bpe_encode_tokens — the "

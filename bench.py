@@ -96,6 +96,8 @@ HEADLINE = [
     "bpe_top_pairs",
     "bpe_trained_tokens",
     "bpe_doc_tokens",
+    "bpe_vocab",
+    "bpe_doc_token_ids",
     "leakage_safe_split",
     "profile_documents",
     "tag_keywords",

@@ -156,3 +156,40 @@ def test_encode_tokens_matches_counts_and_order(spark):
     assert toks[1] == expect
     # word order: doc 2 = "lower lower" — tokens for 'lower' twice
     assert toks[2] == encode_word("lower", ranks) * 2
+
+
+def test_vocab_ids_and_id_encode(spark):
+    """bpe_vocab_ids: deterministic (freq DESC, token ASC) ids covering
+    exactly the encoded corpus's tokens; bpe_encode_ids round-trips
+    through the vocab (no -1 on the training corpus) and maps held-out
+    tokens to the unk sentinel."""
+    from ai_incident_analyst_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_encode_tokens,
+        bpe_vocab_ids,
+    )
+
+    docs = _corpus(spark)
+    merges = bpe_train(docs, "text", num_merges=5)
+    vdf = bpe_vocab_ids(docs, "text", merges).collect()
+    vocab = {r.token: r.tid for r in vdf}
+    # ids are 0..n-1, bijective, ranked by freq desc then token asc
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    ranked = sorted(vdf, key=lambda r: (-r.freq, r.token))
+    assert [r.tid for r in ranked] == list(range(len(vdf)))
+
+    toks = {r.doc_id: r.tokens
+            for r in bpe_encode_tokens(docs, "doc_id", "text",
+                                       merges).collect()}
+    ids = {r.doc_id: r.token_ids
+           for r in bpe_encode_ids(docs, "doc_id", "text", merges,
+                                   vocab).collect()}
+    inv = {v: k for k, v in vocab.items()}
+    for d in toks:
+        assert [inv[i] for i in ids[d]] == toks[d]   # exact round-trip
+        assert -1 not in ids[d]
+
+    # held-out text with a character the corpus never saw → unk id
+    held = spark.createDataFrame([(9, "zzz?")], "doc_id long, text string")
+    out = bpe_encode_ids(held, "doc_id", "text", merges, vocab).first()
+    assert -1 in out.token_ids
