@@ -91,9 +91,11 @@ def process_incident_batch(batch: DataFrame, corpus: DataFrame,
         .drop("__ts_ms")
     )
     entry, llm_out = run_rag_batch(entry_src, similar, llm_fn, notify_fn)
+    # namespace_name rides along so the stored table feeds the dashboard
+    # surfaces (history_filter / history_metrics) unmodified
     append_history_partitioned(
-        entry.select("timestamp", "container_name", "level",
-                     "batch_logs", "similar_logs", "llm_output",
+        entry.select("timestamp", "container_name", "namespace_name",
+                     "level", "batch_logs", "similar_logs", "llm_output",
                      "feedback"),
         history_path)
     return llm_out

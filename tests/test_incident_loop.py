@@ -127,3 +127,70 @@ def test_incident_loop_restart_equals_batch_replay(spark, tmp_path):
     # day partitioning on the ISO timestamp
     assert (spark.read.parquet(hist).select("__day").distinct().count()
             == 1)
+
+
+def test_streamed_history_feeds_dashboard_and_feedback(spark, tmp_path):
+    """The rest of the reference loop over the STREAMED history table:
+    dashboard filters/metrics (app.py GET / and /metrics) and the
+    partition-pruned feedback point-update run unmodified against what
+    the streaming job wrote."""
+    import os
+
+    from ai_incident_analyst_spark.operators.rag import (
+        history_filter,
+        history_metrics,
+        upsert_feedback_on_disk,
+    )
+    from ai_incident_analyst_spark.streaming.incident_loop import (
+        incident_stream,
+    )
+
+    fixture = str(tmp_path / "fixture.json")
+    with open(fixture, "w") as f:
+        json.dump(_rows(), f)
+    opts = {"fixture_path": fixture, "since_ms": str(T0),
+            "until_ms": str(T0 + 4 * HOUR), "batch_ms": str(HOUR)}
+    hist = str(tmp_path / "history")
+    ckpt = str(tmp_path / "ckpt")
+    marker_dir = os.path.join(ckpt, "history_markers")
+
+    q = incident_stream(spark, opts, _corpus(spark), hist, ckpt,
+                        lambda p: "RCA: x").start()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            n = (sum(1 for m in os.listdir(marker_dir)
+                     if open(os.path.join(marker_dir, m)).read())
+                 if os.path.isdir(marker_dir) else 0)
+            if n >= 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    stored = spark.read.parquet(hist)
+    assert stored.count() == 3
+
+    # dashboard list view: case-insensitive service filter + sort desc
+    svc = history_filter(stored, service="SVC-DB").collect()
+    assert len(svc) == 1 and svc[0].container_name == "svc-db"
+    # keyword search digs into the nested arrays via to_json
+    kw = history_filter(stored, keyword="oom killed").collect()
+    assert len(kw) == 1
+
+    # dashboard metrics: all four group-counts run over the streamed table
+    m = history_metrics(stored)
+    assert {r.container_name for r in m["by_service"].collect()} == \
+        {"svc-db", "svc-disk", "svc-net"}
+    assert m["by_day"].collect()[0]["count"] == 3
+    assert {r.level for r in m["by_level"].collect()} == {"error"}
+
+    # feedback point-update on one streamed entry (partition-pruned path)
+    ts = svc[0].timestamp
+    upsert_feedback_on_disk(spark, hist, ts, "up", "good catch")
+    again = spark.read.parquet(hist)
+    assert again.count() == 3
+    voted = again.filter(F.col("timestamp") == ts).first()
+    assert voted.feedback.vote == "up"
+    other = again.filter(F.col("timestamp") != ts).collect()
+    assert all(r.feedback is None for r in other)
