@@ -117,3 +117,53 @@ def write_webdataset_shards(df: DataFrame, path: str,
         data.groupBy("shard_id")
         .applyInPandas(write_shard, schema=MANIFEST_SCHEMA)
     )
+
+
+def read_webdataset_shards(spark, path: str) -> DataFrame:
+    """Ingest WebDataset tar shards back into a DataFrame — the
+    consume side of ``write_webdataset_shards`` (training pipelines
+    both emit and re-read this layout).
+
+    ``binaryFile`` gives one row per tar (parallelism = one task per
+    shard, which is the natural unit: a shard is budget-bounded, so a
+    task's working set is bounded); an Arrow pass untars each archive
+    and emits ``(shard_file, key, text, meta)`` with ``meta`` the raw
+    JSON member string (``F.get_json_object``/``from_json`` downstream —
+    schema-on-read, like the history source). Member pairing tolerates
+    missing halves: a key with no ``.txt`` yields text NULL, no
+    ``.json`` yields meta NULL — one malformed sample must not kill a
+    100 TB ingest.
+    """
+    import tarfile as _tarfile
+    from typing import Iterator as _Iterator
+
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.tar")
+             .load(path)
+             .select("path", "content"))
+
+    def untar(batches: "_Iterator[pd.DataFrame]") -> "_Iterator[pd.DataFrame]":
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                txts: dict[str, str] = {}
+                metas: dict[str, str] = {}
+                with _tarfile.open(fileobj=io.BytesIO(row.content)) as tar:
+                    for m in tar.getmembers():
+                        if m.name.endswith(".txt"):
+                            txts[m.name[:-4]] = \
+                                tar.extractfile(m).read().decode("utf-8")
+                        elif m.name.endswith(".json"):
+                            metas[m.name[:-5]] = \
+                                tar.extractfile(m).read().decode("utf-8")
+                keys = sorted(set(txts) | set(metas))
+                fname = os.path.basename(row.path)
+                yield pd.DataFrame({
+                    "shard_file": [fname] * len(keys),
+                    "key": keys,
+                    "text": [txts.get(k) for k in keys],
+                    "meta": [metas.get(k) for k in keys],
+                })
+
+    return files.mapInPandas(
+        untar, schema="shard_file string, key string, text string, "
+                      "meta string")

@@ -80,3 +80,52 @@ def test_export_is_byte_deterministic(spark, sf_dir, tmp_path):
     write_webdataset_shards(docs.repartition(7), b, budget=400).collect()
     ha, hb = _shard_md5s(a), _shard_md5s(b)
     assert ha and ha == hb  # identical bytes across partitionings
+
+
+def test_roundtrip_read_webdataset(spark, sf_dir, tmp_path):
+    """Export → ingest round-trip: every doc comes back with its exact
+    text and token count; a shard with an unpaired member yields a NULL
+    half instead of failing the read."""
+    from pyspark.sql import functions as F
+
+    from ai_incident_analyst_spark.operators.shard_export import (
+        read_webdataset_shards,
+    )
+
+    docs = _docs(spark, sf_dir, n=80)
+    out = str(tmp_path / "shards")
+    write_webdataset_shards(docs, out, budget=600,
+                            meta_cols=["lang"]).collect()
+
+    back = read_webdataset_shards(spark, out) \
+        .withColumn("doc_id", F.col("key").cast("long")) \
+        .withColumn("n_tok", F.get_json_object("meta", "$.n_tok")
+                    .cast("long")) \
+        .withColumn("lang", F.get_json_object("meta", "$.lang"))
+    got = {r.doc_id: r for r in back.collect()}
+    want = {r.doc_id: r for r in docs.collect()}
+    assert set(got) == set(want)
+    for d, w in want.items():
+        assert got[d].text == (w.text or "")
+        assert got[d].n_tok == w.n_tok
+        assert got[d].lang == w.lang
+
+    # unpaired member: txt with no json → meta NULL, read survives
+    import io as _io
+    import tarfile as _tarfile
+
+    from ai_incident_analyst_spark.operators.shard_export import (
+        _deterministic_member,
+    )
+    buf = _io.BytesIO()
+    with _tarfile.open(fileobj=buf, mode="w") as tar:
+        payload = b"orphan text"
+        tar.addfile(_deterministic_member("999999999999.txt", payload),
+                    _io.BytesIO(payload))
+    lone = str(tmp_path / "lone")
+    os.makedirs(lone)
+    with open(os.path.join(lone, "shard-999999.tar"), "wb") as f:
+        f.write(buf.getvalue())
+    orphan = read_webdataset_shards(spark, lone).collect()
+    assert len(orphan) == 1
+    assert orphan[0].text == "orphan text" and orphan[0].meta is None
