@@ -1,0 +1,105 @@
+"""Diverse subset selection over an embedding column (MMR greedy).
+
+The reference's vector side stops at exact flat search
+(``src/vector_db/faiss_db.py:43``); diverse *selection* — pick k items
+that are individually relevant but mutually dissimilar — is the
+data-curation counterpart a training pipeline needs (instruction-data
+selection, eval-set picking, dedup-aware sampling). This implements
+Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedily pick
+
+    argmax  lam * rel(x) - (1 - lam) * max_{s in S} sim(x, s)
+
+Scale design (100 TB rule):
+
+- Relevance is ONE corpus pass (cosine against a hash-anchored query
+  vector), lazily checkpointed and reused by every round.
+- Each greedy round is one scan of that frame: the selected set is k×d
+  doubles of driver state (the ``operators/clustering.py`` centroid
+  pattern), re-entering the plan as LITERAL arrays — so the per-round
+  max-similarity is a pure column expression (``F.greatest`` over <=k-1
+  rounded cosines), whole-stage codegen, no join, no shuffle; the only
+  driver traffic is the 1-row argmax per round.
+- Scores are discretized to ``round_dp`` decimals before every argmax
+  (ties broken by id) so the fixed-k greedy unrolls into a DuckDB twin
+  that reproduces the selection exactly cross-engine — the
+  kmeans/pagerank determinism recipe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def _lit_vec(vals: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def mmr_select(df: DataFrame, id_col: str, vec_col: str, k: int,
+               lam: float = 0.5, round_dp: int = 6,
+               rel_col: str | None = None) -> DataFrame:
+    """Greedy MMR selection of ``k`` rows; returns
+    ``(rank, <id_col>, rel, mmr)`` in selection order (rank 1..k).
+
+    Relevance: ``rel_col`` if given (the production shape — an external
+    per-item score such as a quality heuristic or retrieval score);
+    otherwise cosine to a hash-anchored query vector — the row with the
+    smallest ``md5(id)`` (deterministic, engine-portable, append-stable
+    — the ``operators/clustering.py:_init_centroids`` trick). Rank 1 is
+    the pure-relevance argmax (its ``mmr`` equals its ``rel``); later
+    ranks trade relevance against the max similarity to everything
+    already selected. Note the anchor default is self-referential
+    (rel(x) == sim(x, anchor)), so once the anchor is picked, round-2
+    scores compress toward ``(lam - (1-lam)) * rel`` — pass an external
+    ``rel_col`` when you want diversity to dominate the tail picks.
+    """
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("x"),
+                  *([F.col(rel_col).alias("__r")] if rel_col else []))
+    if rel_col is None:
+        anchor = (
+            v.withColumn("__h", F.md5(F.col("id").cast("string")))
+            .orderBy("__h", F.col("id").cast("string"))
+            .limit(1).select("x").collect()
+        )
+        if not anchor:
+            raise ValueError("mmr_select: empty input")
+        ax = list(anchor[0]["x"])
+        rel_expr = cosine_similarity(F.col("x"), _lit_vec(ax))
+    else:
+        rel_expr = F.col("__r").cast("double")
+
+    rel = (
+        v.withColumn("rel", F.round(rel_expr, round_dp))
+        .select("id", "x", "rel")
+        .localCheckpoint(eager=False)
+    )
+
+    picked: list[tuple] = []   # (rank, id, x, rel, mmr) — k rows, bounded
+    for rank in range(1, k + 1):
+        if not picked:
+            cand = rel.withColumn("mmr", F.col("rel"))
+        else:
+            sims = [F.round(cosine_similarity(F.col("x"), _lit_vec(px)),
+                            round_dp)
+                    for _, _, px, _, _ in picked]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            cand = (
+                rel.filter(~F.col("id").isin([p[1] for p in picked]))
+                .withColumn(
+                    "mmr",
+                    F.round(F.lit(lam) * F.col("rel")
+                            - F.lit(1.0 - lam) * maxsim, round_dp))
+            )
+        row = cand.orderBy(F.desc("mmr"), "id").limit(1).collect()
+        if not row:
+            break   # k exceeds distinct rows
+        r = row[0]
+        picked.append((rank, r["id"], list(r["x"]), r["rel"], r["mmr"]))
+
+    out = df.sparkSession.createDataFrame(
+        [(rk, i, rl, mm) for rk, i, _, rl, mm in picked],
+        schema="rank int, id long, rel double, mmr double")
+    return out.withColumnRenamed("id", id_col)

@@ -6762,3 +6762,195 @@ def q_frame_sample_fanout(spark, sf_dir):
     media = make_media_table(docs, "doc_id", "text", media_type="video",
                              fmt="mp4")
     return frame_sample(media, every_ms=500)
+
+
+# ===========================================================================
+# preference ranking: pairwise comparisons -> Bradley-Terry (RLHF prep)
+# ===========================================================================
+
+_BT_ITER_U = """
+  SELECT d.i AS entity, t.wins / sum(d.n / (si.s + sj.s)) AS s
+  FROM d
+  JOIN {prev} si ON si.entity = d.i
+  JOIN {prev} sj ON sj.entity = d.j
+  JOIN tot t ON t.entity = d.i
+  GROUP BY d.i, t.wins"""
+
+_BT_ITER_S = """
+  SELECT entity,
+         round(greatest(s * (SELECT count(*) FROM {u})
+                          / (SELECT sum(s) FROM {u}), 0.000001), 6) AS s
+  FROM {u}"""
+
+
+@q("bt_brand_scores", f"""
+WITH lines AS MATERIALIZED (
+  SELECT l.l_orderkey AS g, p.p_brand AS e, max(l.l_extendedprice) AS v
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2),
+m AS MATERIALIZED (
+  SELECT a.e AS ea, b.e AS eb,
+         sum(CASE WHEN a.v > b.v THEN 1 ELSE 0 END) AS wa,
+         sum(CASE WHEN b.v > a.v THEN 1 ELSE 0 END) AS wb
+  FROM lines a JOIN lines b ON a.g = b.g AND a.e < b.e
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN a.v > b.v THEN 1 ELSE 0 END)
+       + sum(CASE WHEN b.v > a.v THEN 1 ELSE 0 END) > 0),
+d AS MATERIALIZED (
+  SELECT ea AS i, eb AS j, wa + wb AS n, wa AS w FROM m
+  UNION ALL
+  SELECT eb, ea, wa + wb, wb FROM m),
+tot AS MATERIALIZED (
+  SELECT i AS entity, CAST(sum(w) AS BIGINT) AS wins,
+         CAST(sum(n) AS BIGINT) AS comparisons
+  FROM d GROUP BY 1),
+s0 AS MATERIALIZED (SELECT entity, 1.0 AS s FROM tot),
+u1 AS MATERIALIZED ({_BT_ITER_U.format(prev="s0")}),
+s1 AS MATERIALIZED ({_BT_ITER_S.format(u="u1")}),
+u2 AS MATERIALIZED ({_BT_ITER_U.format(prev="s1")}),
+s2 AS MATERIALIZED ({_BT_ITER_S.format(u="u2")})
+SELECT t.entity AS brand, t.wins, t.comparisons, s2.s AS score
+FROM tot t JOIN s2 ON s2.entity = t.entity
+ORDER BY score DESC, brand
+""", doc="Bradley-Terry preference ranking (operators/preference.py:"
+         "bradley_terry, Hunter 2004 MM; the Chatbot-Arena-style "
+         "pairwise->scalar ranking step of an RLHF pipeline). Matches: "
+         "within each order the higher-priced brand wins the pair "
+         "(pairwise_comparisons — within-group join only, Σ|order|², "
+         "per-(group,entity) pre-agg caps the input). 2 fixed MM "
+         "rounds, per-round mean-1 normalization + 6dp discretization "
+         "-> the whole fit unrolls into MATERIALIZED CTEs; iterations "
+         "run on the O(entities²) aggregate, corpus scale touches only "
+         "the one-off match extraction")
+def q_bt_brand_scores(spark, sf_dir):
+    from .operators.preference import bradley_terry, pairwise_comparisons
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    scored = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        F.col("l_orderkey").alias("g"), F.col("p_brand").alias("e"),
+        F.col("l_extendedprice").alias("v"))
+    matches = pairwise_comparisons(scored, "g", "e", "v")
+    return (
+        bradley_terry(matches, iterations=2, round_dp=6)
+        .select(F.col("entity").alias("brand"), "wins", "comparisons",
+                "score")
+        .orderBy(F.desc("score"), "brand")
+    )
+
+
+@q("preference_pairs_quality", r"""
+WITH t AS (
+  SELECT doc_id, lower(trim(text)) AS c FROM documents),
+m AS (
+  SELECT doc_id, c, length(c) AS n_chars,
+         CASE WHEN length(c) = 0 THEN 0
+              ELSE len(string_split_regex(c, '\s+')) END AS n_tok,
+         len(list_filter(string_split_regex(c, '\s+'),
+                         t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop,
+         length(regexp_replace(c, '[^a-z0-9]', '', 'g')) AS n_alnum
+  FROM t),
+q AS (
+  SELECT doc_id, round((
+    (CASE WHEN n_tok > 0 AND CAST(n_chars AS DOUBLE)/n_tok BETWEEN 3 AND 12
+          THEN 1.0 ELSE 0.0 END)
+    + least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok
+                 ELSE 0.0 END * 5.0, 1.0)
+    + CASE WHEN n_chars > 0 THEN CAST(n_alnum AS DOUBLE)/n_chars
+           ELSE 0.0 END) / 3.0, 6) AS q
+  FROM m),
+scored AS (
+  SELECT d.lang, d.source, d.doc_id, q.q
+  FROM documents d JOIN q ON q.doc_id = d.doc_id),
+ranked AS (
+  SELECT lang, source, doc_id, q,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY q DESC, doc_id ASC) AS rb,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY q ASC, doc_id ASC) AS rw
+  FROM scored)
+SELECT b.lang, b.source, b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+       b.q AS chosen_score, w.q AS rejected_score,
+       round(b.q - w.q, 6) AS margin
+FROM (SELECT * FROM ranked WHERE rb = 1) b
+JOIN (SELECT * FROM ranked WHERE rw = 1) w
+  ON b.lang = w.lang AND b.source = w.source
+WHERE b.q > w.q
+""", doc="DPO-style (chosen, rejected) pair construction (operators/"
+         "preference.py:preference_pairs): per (lang, source) group the "
+         "top- and bottom-quality doc (C4/Gopher-style heuristic score, "
+         "id tie-breaks) with a strictly positive margin. Spark side is "
+         "ONE min/max-struct groupBy — map-side combined, skew-proof; "
+         "the twin uses independent row_number windows, a genuinely "
+         "different formulation of the same semantics")
+def q_preference_pairs_quality(spark, sf_dir):
+    from .operators.preference import preference_pairs
+    from .operators.text_analysis import quality_score as _qs
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("lang", "source", "doc_id",
+                         F.round(_qs("text"), 6).alias("q"))
+    return (
+        preference_pairs(scored, ["lang", "source"], "doc_id", "q")
+        .orderBy("lang", "source")
+    )
+
+
+# ===========================================================================
+# MMR diverse subset selection (greedy, fixed k, unrolled twin)
+# ===========================================================================
+
+_MMR_COS = ("list_sum([p[1]*p[2] for p in list_zip({a}, {b})])"
+            " / (sqrt(list_sum([e*e for e in {a}]))"
+            " * sqrt(list_sum([e*e for e in {b}])))")
+
+
+def _mmr_sql(k: int, lam: float) -> str:
+    """Unroll the fixed-k greedy MMR into MATERIALIZED CTE rounds —
+    the kmeans/pagerank trained-twin recipe (one CTE chain per greedy
+    pick; MATERIALIZED is load-bearing, multiply-referenced chained
+    CTEs inline exponentially otherwise)."""
+    sim_rs = _MMR_COS.format(a="r.x", b="s.x")
+    parts = [f"""WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+anchor AS MATERIALIZED (
+  SELECT x AS ax FROM v
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 1),
+rel AS MATERIALIZED (
+  SELECT vec_id, x, round({_MMR_COS.format(a="x", b="ax")}, 6) AS rel
+  FROM v CROSS JOIN anchor),
+p1 AS MATERIALIZED (
+  SELECT 1 AS rank, vec_id, x, rel, rel AS mmr
+  FROM rel ORDER BY rel DESC, vec_id LIMIT 1),
+sel1 AS MATERIALIZED (SELECT * FROM p1)"""]
+    for t in range(2, k + 1):
+        parts.append(f"""c{t} AS MATERIALIZED (
+  SELECT r.vec_id, r.x, r.rel,
+         round({lam} * r.rel - {1.0 - lam} * max(round({sim_rs}, 6)), 6)
+           AS mmr
+  FROM rel r CROSS JOIN sel{t - 1} s
+  WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+  GROUP BY r.vec_id, r.x, r.rel),
+p{t} AS MATERIALIZED (
+  SELECT {t} AS rank, vec_id, x, rel, mmr FROM c{t}
+  ORDER BY mmr DESC, vec_id LIMIT 1),
+sel{t} AS MATERIALIZED (SELECT * FROM sel{t - 1} UNION ALL
+                        SELECT * FROM p{t})""")
+    body = ",\n".join(parts)
+    return (f"{body}\n"
+            f"SELECT CAST(rank AS INT) AS rank, vec_id, rel, mmr\n"
+            f"FROM sel{k} ORDER BY rank")
+
+
+@q("mmr_select_diverse", _mmr_sql(k=5, lam=0.5),
+   doc="MMR diverse subset selection (operators/selection.py:mmr_select,"
+       " Carbonell & Goldstein 1998): greedy k=5 picks maximizing "
+       "lam*relevance - (1-lam)*max-sim-to-selected; relevance = cosine "
+       "to the hash-anchored query vector (smallest md5(vec_id)). One "
+       "checkpointed relevance pass + one scan per round; selected set "
+       "is k x d driver literals so per-round max-sim is pure codegen "
+       "(F.greatest over rounded cosines) — no join, no shuffle; 6dp "
+       "score discretization + id tie-breaks make the greedy unroll "
+       "into MATERIALIZED CTE rounds exactly (kmeans/pagerank recipe)")
+def q_mmr_select_diverse(spark, sf_dir):
+    from .operators.selection import mmr_select
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_select(emb, "vec_id", "embedding", k=5, lam=0.5)

@@ -151,6 +151,9 @@ HEADLINE = [
     "corpus_pipeline",
     "audio_features_meta",
     "frame_sample_fanout",
+    "bt_brand_scores",
+    "preference_pairs_quality",
+    "mmr_select_diverse",
 ]
 
 
