@@ -1082,3 +1082,61 @@ def duplicate_span_removal(df: DataFrame, id_col: str, text_col: str,
             .alias("n_tokens_removed"),
         )
     )
+
+
+def group_overlap_minhash(df: DataFrame, group_col: str, id_col: str,
+                          text_col: str,
+                          num_perm: int = 64, n: int = 3,
+                          hash_fn: str = "md5",
+                          round_dp: int = 6) -> DataFrame:
+    """Pairwise content-overlap matrix between corpus SLICES: one MinHash
+    signature per ``group_col`` value (the min over ALL the group's
+    shingles — a group's signature is exactly the signature of the union
+    of its documents' shingle sets), then the agree-count Jaccard
+    estimate for every group pair.
+
+    The inter-source contamination report: "how much does crawl source A
+    share with source B" without an all-pairs document join. Shingling
+    stays per-DOCUMENT (``shingle_rows`` keyed on a (group, id) composite
+    — n-grams must never span document boundaries, and keying the window
+    on the group alone would make them, nondeterministically); only the
+    min-aggregation re-keys to the group. Scale shape: the signature agg
+    is the same map-side-combined groupBy as ``minhash_signature``
+    (shuffle = num_perm longs per GROUP, not per doc); the pair stage is
+    a broadcast self-join of a #groups-row frame with a JVM ``zip_with``
+    agree count — no explode, no shuffle.
+
+    ``hash_fn='md5'`` uses the portable affine family, so a DuckDB twin
+    reproduces every estimate bit-for-bit (``est_jaccard`` is an exact
+    integer ratio; ``round_dp`` only normalizes its textual width).
+
+    Returns ``(group_a, group_b, est_jaccard)``, ``group_a < group_b``.
+    """
+    keyed = df.select(
+        F.struct(F.col(group_col).alias("g"),
+                 F.col(id_col).alias("i")).alias("__gid"),
+        text_col)
+    exploded = shingle_rows(keyed, "__gid", text_col, n, distinct=False,
+                            hash_fn=hash_fn)
+    exploded = exploded.select(F.col("doc.g").alias("grp"), "s")
+    if hash_fn == "xxhash64":
+        aggs = [F.expr(f"min(xxhash64({i}, s))").alias(f"h{i}")
+                for i in range(num_perm)]
+    else:
+        pa, pb = minhash_affine_params(num_perm)
+        exploded = exploded.withColumn("__s1", F.expr(f"s % {_MINHASH_P}L"))
+        aggs = [F.expr(f"min(({pa[i]}L * __s1 + {pb[i]}L) % {_MINHASH_P}L)")
+                .alias(f"h{i}") for i in range(num_perm)]
+    sig = (exploded.groupBy("grp").agg(*aggs)
+           .select("grp", F.expr(
+               "array(" + ", ".join(f"h{i}" for i in range(num_perm)) + ")")
+               .alias("sig")))
+    a = sig.select(F.col("grp").alias("group_a"), F.col("sig").alias("sa"))
+    b = sig.select(F.col("grp").alias("group_b"), F.col("sig").alias("sb"))
+    agree = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    return (a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+            .select("group_a", "group_b",
+                    F.round(agree / F.lit(float(num_perm)), round_dp)
+                    .alias("est_jaccard")))

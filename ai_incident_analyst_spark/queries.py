@@ -6954,3 +6954,357 @@ def q_mmr_select_diverse(spark, sf_dir):
     from .operators.selection import mmr_select
     emb = _t(spark, sf_dir, "embeddings")
     return mmr_select(emb, "vec_id", "embedding", k=5, lam=0.5)
+
+
+# ===========================================================================
+# conversation / SFT assembly (operators/conversation.py)
+# ===========================================================================
+
+# role mapping for the events log: interactive event types are the "user"
+# side, system-emitted types the "assistant" side — deterministic CASE,
+# identical in both engines
+_ROLE_CASE_SQL = ("CASE WHEN event_type IN ('view','click') "
+                  "THEN 'user' ELSE 'assistant' END")
+_CONV_GAP = 14400  # 4 h: the events table averages ~3.6 h between a
+                   # user's events, so 4 h yields real multi-turn sessions
+
+_CONV_BASE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         {_ROLE_CASE_SQL} AS role,
+         concat(event_type, ':', props) AS content
+  FROM events),
+s AS (
+  -- floor(epoch) mirrors Spark's ts.cast("long") second-truncation so
+  -- gap comparisons at the 4 h boundary agree exactly cross-engine
+  SELECT *, CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT)
+                      - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                      > {_CONV_GAP}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS conv_seq
+  FROM s)"""
+
+
+@q("conversation_stats", _CONV_BASE_SQL + """
+SELECT user_id, CAST(conv_seq AS BIGINT) AS conv_seq,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (role = 'user') AS INT) AS n_user,
+       CAST(count(*) FILTER (role = 'assistant') AS INT) AS n_assistant,
+       CAST(sum(length(content)) AS BIGINT) AS total_chars,
+       round(sum(length(content)) / CAST(count(*) AS DOUBLE), 6)
+         AS avg_turn_chars
+FROM c GROUP BY user_id, conv_seq
+ORDER BY user_id, conv_seq
+""", doc="SFT conversation assembly + structural stats (operators/"
+         "conversation.py:assemble_conversations + conversation_stats): "
+         "gap-sessionized (4 h) per-user event turns collected into an "
+         "ordered array<struct<role,content>>, stats computed FROM the "
+         "array with JVM higher-order functions (filter/aggregate) — "
+         "the twin aggregates the flat rows directly, a genuinely "
+         "different formulation. One keyed shuffle total: the "
+         "sessionize window and the collect_list groupBy share the "
+         "user partitioning")
+def q_conversation_stats(spark, sf_dir):
+    from .operators.conversation import (assemble_conversations,
+                                         conversation_stats)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.when(F.col("event_type").isin("view", "click"), "user")
+         .otherwise("assistant").alias("role"),
+        F.concat_ws(":", "event_type", "props").alias("content"))
+    conv = assemble_conversations(ev, "user_id", "ts", "role", "content",
+                                  gap_seconds=_CONV_GAP,
+                                  tiebreak="event_id")
+    return (conversation_stats(conv)
+            .select("user_id", F.col("conv_seq").cast("long").alias("conv_seq"),
+                    "n_turns", "n_user", "n_assistant",
+                    "total_chars", "avg_turn_chars")
+            .orderBy("user_id", "conv_seq"))
+
+
+@q("chat_render", _CONV_BASE_SQL + """
+SELECT user_id, CAST(conv_seq AS BIGINT) AS conv_seq,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg('<|' || role || '|>' || content || '<|end|>', ''
+                  ORDER BY ts, event_id) AS chat_text
+FROM c GROUP BY user_id, conv_seq
+HAVING count(*) >= 3
+ORDER BY user_id, conv_seq
+""", doc="chat-template rendering (operators/conversation.py:render_chat):"
+         " each gap-sessionized conversation flattened to one "
+         "'<|role|>content<|end|>' training string via an F.aggregate "
+         "string fold over the ordered turns array (JVM codegen, no "
+         "UDF); >=3-turn conversations. Twin renders with ordered "
+         "string_agg over the flat rows")
+def q_chat_render(spark, sf_dir):
+    from .operators.conversation import assemble_conversations, render_chat
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.when(F.col("event_type").isin("view", "click"), "user")
+         .otherwise("assistant").alias("role"),
+        F.concat_ws(":", "event_type", "props").alias("content"))
+    conv = assemble_conversations(ev, "user_id", "ts", "role", "content",
+                                  gap_seconds=_CONV_GAP,
+                                  tiebreak="event_id")
+    return (render_chat(conv)
+            .where(F.col("n_turns") >= 3)
+            .select("user_id", F.col("conv_seq").cast("long").alias("conv_seq"),
+                    "n_turns", "chat_text")
+            .orderBy("user_id", "conv_seq"))
+
+
+@q("conversation_validate", _CONV_BASE_SQL + """
+, v AS (
+  SELECT *, lag(role) OVER (PARTITION BY user_id, conv_seq
+                            ORDER BY ts, event_id) AS prev_role,
+         row_number() OVER (PARTITION BY user_id, conv_seq
+                            ORDER BY ts, event_id) AS rn
+  FROM c)
+SELECT user_id, CAST(conv_seq AS BIGINT) AS conv_seq,
+       bool_and(rn <> 1 OR role = 'user') AS starts_ok,
+       bool_and(prev_role IS NULL OR role <> prev_role) AS alternates,
+       bool_and(length(trim(content)) > 0) AS no_empty,
+       bool_and(rn <> 1 OR role = 'user')
+         AND bool_and(prev_role IS NULL OR role <> prev_role)
+         AND bool_and(length(trim(content)) > 0) AS valid
+FROM v GROUP BY user_id, conv_seq
+ORDER BY user_id, conv_seq
+""", doc="conversation structural QA (operators/conversation.py:"
+         "validate_conversations): leading-role / strict-alternation / "
+         "non-empty-content flags computed over the turns array with "
+         "element_at + zip_with(head, tail) + forall — pure JVM array "
+         "expressions, no UDF, no extra shuffle (narrow projection after "
+         "assembly). Twin derives the same flags relationally with "
+         "lag/row_number windows over the flat rows")
+def q_conversation_validate(spark, sf_dir):
+    from .operators.conversation import (assemble_conversations,
+                                         validate_conversations)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.when(F.col("event_type").isin("view", "click"), "user")
+         .otherwise("assistant").alias("role"),
+        F.concat_ws(":", "event_type", "props").alias("content"))
+    conv = assemble_conversations(ev, "user_id", "ts", "role", "content",
+                                  gap_seconds=_CONV_GAP,
+                                  tiebreak="event_id")
+    return (validate_conversations(conv)
+            .select("user_id", F.col("conv_seq").cast("long").alias("conv_seq"),
+                    "starts_ok", "alternates", "no_empty", "valid")
+            .orderBy("user_id", "conv_seq"))
+
+
+# ===========================================================================
+# corpus distribution divergence (operators/divergence.py)
+# ===========================================================================
+
+# smoothed-distribution CTE shared by the divergence twins: p/q over the
+# union vocabulary with additive smoothing s=0.5 (identical formula to
+# categorical_divergence's SQL expressions; DuckDB ln = natural log,
+# matching Spark F.log)
+def _div_sql(cat_expr_a: str, cat_expr_b: str, pre: str = "") -> str:
+    return f"""
+WITH {pre}da AS (
+  SELECT cat, CAST(count(*) AS BIGINT) AS ca
+  FROM ({cat_expr_a}) GROUP BY cat),
+db AS (
+  SELECT cat, CAST(count(*) AS BIGINT) AS cb
+  FROM ({cat_expr_b}) GROUP BY cat),
+j AS (
+  SELECT coalesce(da.cat, db.cat) AS cat,
+         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM da FULL OUTER JOIN db ON da.cat = db.cat),
+t AS (
+  SELECT count(*) AS v, sum(ca) AS na, sum(cb) AS nb FROM j),
+pq AS (
+  SELECT (ca + 0.5) / (na + 0.5 * v) AS p,
+         (cb + 0.5) / (nb + 0.5 * v) AS q
+  FROM j CROSS JOIN t)
+SELECT round(sum(p * ln(p / q)), 6) AS kl_ab,
+       round(sum(q * ln(q / p)), 6) AS kl_ba,
+       round(sum((p * ln(p / ((p + q) / 2))
+                  + q * ln(q / ((p + q) / 2))) / 2), 6) AS js,
+       round(sum(abs(p - q) / 2), 6) AS tvd,
+       round(sum(-p * ln(q)), 6) AS xent_ab,
+       CAST(count(*) AS BIGINT) AS n_cats
+FROM pq"""
+
+
+@q("corpus_divergence_lang", _div_sql(
+    "SELECT lang AS cat FROM documents WHERE doc_id % 2 = 0",
+    "SELECT lang AS cat FROM documents WHERE doc_id % 2 = 1"),
+   doc="corpus mixture-drift gate (operators/divergence.py:"
+       "categorical_divergence): KL/JS/TVD/cross-entropy between the "
+       "language distributions of two corpus slices (even vs odd "
+       "doc_id), smoothed over the union vocabulary. Physical shape is "
+       "scale-proof: two categorical count aggs (one keyed shuffle "
+       "each), a vocab-sized full-outer join, one scalar agg — shuffled "
+       "bytes are O(|vocab|), independent of corpus rows; the 1-row "
+       "totals frame is the registry's standard broadcast scalar anchor")
+def q_corpus_divergence_lang(spark, sf_dir):
+    from .operators.divergence import categorical_divergence
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    return categorical_divergence(a, b, "lang")
+
+
+@q("slice_entropy_lang", """
+WITH counts AS (
+  SELECT source AS slc, lang AS cat, count(*) AS c
+  FROM documents GROUP BY source, lang),
+tot AS (
+  SELECT slc, sum(c) AS n, count(*) AS v FROM counts GROUP BY slc)
+SELECT counts.slc AS source,
+       CAST(n AS BIGINT) AS n_rows, CAST(v AS BIGINT) AS n_cats,
+       round(sum(-(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 6)
+         AS entropy,
+       round(CASE WHEN v > 1
+                  THEN sum(-(c / CAST(n AS DOUBLE))
+                           * ln(c / CAST(n AS DOUBLE))) / ln(CAST(v AS DOUBLE))
+                  ELSE 0.0 END, 6) AS entropy_norm
+FROM counts JOIN tot ON counts.slc = tot.slc
+GROUP BY counts.slc, n, v
+ORDER BY source
+""", doc="per-slice mixture-balance health (operators/divergence.py:"
+         "slice_entropy): Shannon entropy (nats) + normalized entropy of "
+         "each source's language distribution. Two keyed aggs over "
+         "category counts — no row-level data leaves the first "
+         "map-side-combined groupBy")
+def q_slice_entropy_lang(spark, sf_dir):
+    from .operators.divergence import slice_entropy
+    docs = _t(spark, sf_dir, "documents")
+    return slice_entropy(docs, "source", "lang").orderBy("source")
+
+
+_TOKS_SQL = r"""
+  SELECT tok AS cat
+  FROM (SELECT unnest(string_split_regex(lower(text), '\W+')) AS tok
+        FROM documents WHERE doc_id % 2 = {par}) u
+  JOIN vocab USING (tok)
+  WHERE length(tok) >= 2
+"""
+
+
+@q("token_divergence_halves", _div_sql(
+    _TOKS_SQL.format(par=0), _TOKS_SQL.format(par=1),
+    pre=r"""alltoks AS (
+  SELECT unnest(string_split_regex(lower(text), '\W+')) AS tok
+  FROM documents),
+vocab AS (
+  SELECT tok FROM alltoks WHERE length(tok) >= 2
+  GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 200),
+"""),
+   doc="unigram token-distribution drift (operators/divergence.py:"
+       "token_divergence): KL/JS/TVD/cross-entropy between the "
+       "top-200-token distributions of two corpus halves (even vs odd "
+       "doc_id; vocabulary = top-200 tokens of the UNION corpus, "
+       "count-then-token ordered). The top-N vocabulary bounds the "
+       "outer-join key space at scale; both slice filters are "
+       "broadcast semi-joins against the 200-row vocab")
+def q_token_divergence_halves(spark, sf_dir):
+    from .operators.divergence import token_divergence
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    return token_divergence(a, b, "text", top_n=200)
+
+
+# ===========================================================================
+# JL random projection (operators/projection.py)
+# ===========================================================================
+
+@q("rp_project_embeddings", r"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+flat AS (
+  SELECT vec_id, unnest(x) AS xi, generate_subscripts(x, 1) - 1 AS i
+  FROM v),
+s AS (
+  SELECT f.vec_id, j.j AS dim, f.xi,
+         CASE WHEN strpos('02468ace',
+                          substr(md5(concat(f.i, ':', j.j)), 1, 1)) > 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM flat f CROSS JOIN (SELECT unnest(range(16)) AS j) j)
+SELECT vec_id, CAST(dim AS INT) AS dim,
+       round(sum(sgn * xi) / 4.0, 6) AS value
+FROM s GROUP BY vec_id, dim
+ORDER BY vec_id, dim
+""", doc="Johnson-Lindenstrauss embedding compression (operators/"
+         "projection.py:rp_project, Achlioptas 2001 sign projection): "
+         "64-dim embeddings to 16 dims via the deterministic "
+         "md5-hex-parity +-1 matrix, y = xS/sqrt(16). Driver-built "
+         "50 KB broadcast matrix + ONE Arrow matmul pass, no shuffle; "
+         "the twin regenerates the sign matrix from the same md5 "
+         "parity rule and reduces relationally (unnest x range(16) "
+         "cross join) — a genuinely different formulation, identical "
+         "values at 6dp")
+def q_rp_project_embeddings(spark, sf_dir):
+    from .operators.projection import rp_project_long
+    emb = _t(spark, sf_dir, "embeddings")
+    return (rp_project_long(emb, "vec_id", "embedding",
+                            d_in=64, d_out=16)
+            .orderBy("vec_id", "dim"))
+
+
+# ===========================================================================
+# inter-source content overlap (operators/dedup.py:group_overlap_minhash)
+# ===========================================================================
+
+def _overlap_oracle_sql(num_perm: int = 64) -> str:
+    """DuckDB twin of the per-source MinHash overlap matrix: identical
+    word 3-gram shingles WITHIN each document (windows partition by
+    doc_id), the portable affine permutation family, min per SOURCE,
+    agree-count estimate per source pair — exact integer ratios."""
+    from .operators.dedup import _MINHASH_P, minhash_affine_params
+    pa, pb = minhash_affine_params(num_perm)
+    mins = ",\n       ".join(
+        f"min(({pa[i]}*s1+{pb[i]})%{_MINHASH_P}) AS h{i}"
+        for i in range(num_perm))
+    agree = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+                       for i in range(num_perm))
+    return rf"""
+WITH tk AS (
+  SELECT source AS g, doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+         generate_subscripts(
+           regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+  FROM documents),
+gr AS (
+  SELECT g, doc_id, tok,
+         lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2
+  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (
+  SELECT g,
+         CAST(('0x' || substring(md5(concat_ws(' ', tok, t1, t2)), 1, 15))
+              AS BIGINT) % {_MINHASH_P} AS s1
+  FROM gr WHERE t2 IS NOT NULL),
+sig AS (
+  SELECT g,
+       {mins}
+  FROM sh GROUP BY g)
+SELECT a.g AS group_a, b.g AS group_b,
+       round(({agree}) / {float(num_perm)!r}, 6) AS est_jaccard
+FROM sig a JOIN sig b ON a.g < b.g
+ORDER BY group_a, group_b
+"""
+
+
+@q("source_overlap_minhash", _overlap_oracle_sql(64),
+   doc="inter-source contamination matrix (operators/dedup.py:"
+       "group_overlap_minhash): one portable-family MinHash signature "
+       "per SOURCE (min over every document's shingles — exactly the "
+       "union-set signature) + agree-count Jaccard estimate for each "
+       "source pair. Signature agg shuffles num_perm longs per GROUP "
+       "(not per doc); the pair stage is a broadcast self-join of a "
+       "#sources-row frame with a JVM zip_with agree count — no "
+       "explode, no all-pairs document join anywhere")
+def q_source_overlap_minhash(spark, sf_dir):
+    from .operators.dedup import group_overlap_minhash
+    docs = _t(spark, sf_dir, "documents")
+    return (group_overlap_minhash(docs, "source", "doc_id", "text",
+                                  num_perm=64, n=3, hash_fn="md5")
+            .orderBy("group_a", "group_b"))
