@@ -1,0 +1,211 @@
+"""Graph-based approximate nearest neighbor: k-NN graph build + greedy
+beam search (the NSW/HNSW family's flat core, relationally).
+
+Completes the ANN spectrum alongside ``operators/knn.py``'s IVF / PQ /
+IVF-PQ / LSH paths: graph ANN answers queries by WALKING a precomputed
+neighborhood graph instead of scanning cells — the highest-recall-per-
+probe structure in the ANN literature (Malkov & Yashunin's NSW; HNSW
+adds layers atop exactly this greedy search). The reference's vector
+side is a flat exact index (``src/vector_db/faiss_db.py:43``); this is
+part of the beyond-reference ANN surface.
+
+Scale design:
+
+- The GRAPH is the persistent artifact: ``(src, dst, sim)`` adjacency,
+  k rows per node. ``build_knn_graph`` here is the exact n² reference
+  build (round-then-rank so the edge set is engine-portable) — right
+  for the ≤10⁵-node twin domain; at 100 TB you feed the same adjacency
+  schema from LSH/IVF candidate pairs (``minhash_lsh_neardup``,
+  ``ivf_knn_join``) or an NN-descent refinement, and persist it
+  partitioned by ``src`` so a search hop is a partition-pruned lookup.
+- SEARCH is inherently sequential per query (each hop depends on the
+  last), but embarrassingly parallel across queries — the distributed
+  shape is a batch of independent walks. The driver holds only the
+  frontier/visited id sets (≤ 1 + hops·beam ids — the MMR/kmeans
+  driver-state pattern); each hop is a narrow ``isin`` filter on the
+  adjacency (partition-prunable), one scan of the checkpointed scored
+  frame, and a beam-sized collect. No corpus-sized shuffle anywhere.
+- Determinism: every score is rounded to ``round_dp`` BEFORE every
+  argmax/rank (ties by id) — the established recipe that lets the
+  fixed-hop greedy unroll into a DuckDB twin exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def build_knn_graph(df: DataFrame, id_col: str, vec_col: str,
+                    k: int = 4, round_dp: int = 6) -> DataFrame:
+    """Exact k-NN adjacency ``(src, dst, sim)``: each node's ``k`` most
+    cosine-similar OTHER nodes, ``sim`` rounded to ``round_dp`` before
+    the rank (ties by dst id) so the edge set reproduces cross-engine.
+
+    n² reference build (broadcast one side); see the module docstring
+    for the 100 TB candidate-generation alternatives that share this
+    output schema.
+    """
+    a = df.select(F.col(id_col).alias("src"),
+                  F.col(vec_col).cast("array<double>").alias("__av"))
+    b = df.select(F.col(id_col).alias("dst"),
+                  F.col(vec_col).cast("array<double>").alias("__bv"))
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.col("dst"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("src") != F.col("dst"))
+        .withColumn("sim", F.round(
+            cosine_similarity(F.col("__av"), F.col("__bv")), round_dp))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("src", "dst", "sim")
+    )
+
+
+def _lit_vec(vals: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _anchor_vec(v: DataFrame, salt: str) -> tuple:
+    """(id, vector) of the row with the smallest ``md5(salt || id)`` —
+    the deterministic, engine-portable anchor pick."""
+    row = (
+        v.withColumn("__h", F.md5(F.concat(F.lit(salt),
+                                           F.col("id").cast("string"))))
+        .orderBy("__h", F.col("id").cast("string"))
+        .limit(1).select("id", "x").collect()
+    )
+    if not row:
+        raise ValueError("graph_ann: empty input")
+    return row[0]["id"], list(row[0]["x"])
+
+
+def graph_ann_search(graph: DataFrame, nodes: DataFrame, id_col: str,
+                     vec_col: str, query_vec: list[float] | None = None,
+                     entry_id=None, hops: int = 3, beam: int = 4,
+                     k: int = 5, round_dp: int = 6) -> DataFrame:
+    """Greedy beam search over a k-NN ``graph``: start at ``entry_id``,
+    expand each frontier's UNVISITED neighbors, keep the ``beam`` best
+    by (rounded) cosine to the query, repeat ``hops`` times; return the
+    global top-``k`` of everything visited as ``(rank, <id_col>, sim)``.
+
+    ``query_vec`` / ``entry_id`` default to hash-anchored picks
+    (smallest ``md5('q:'||id)`` / ``md5('e:'||id)``) so the whole walk
+    is reproducible with no external input. The frontier never
+    re-expands visited nodes (each hop strictly grows coverage), and an
+    exhausted frontier ends the walk early on both engines.
+    """
+    v = nodes.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("x"))
+    if query_vec is None:
+        _, query_vec = _anchor_vec(v, "q:")
+    if entry_id is None:
+        entry_id, _ = _anchor_vec(v, "e:")
+
+    scored = (
+        v.withColumn("s", F.round(
+            cosine_similarity(F.col("x"), _lit_vec(query_vec)), round_dp))
+        .select("id", "s")
+        .localCheckpoint(eager=False)
+    )
+
+    visited: list = [entry_id]
+    frontier: list = [entry_id]
+    for _ in range(hops):
+        if not frontier:
+            break
+        cand = (
+            graph.where(F.col("src").isin(frontier))
+            .select(F.col("dst").alias("id")).distinct()
+            .where(~F.col("id").isin(visited))
+            .join(scored, "id")
+            .orderBy(F.desc("s"), "id")
+            .limit(beam)
+            .collect()
+        )
+        frontier = [r["id"] for r in cand]
+        visited.extend(frontier)
+
+    out = (
+        scored.where(F.col("id").isin(visited))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("s"), "id")))
+        .where(F.col("rank") <= k)
+        .select("rank", F.col("id").alias(id_col), F.col("s").alias("sim"))
+        .orderBy("rank")
+    )
+    return out
+
+
+def _ring_init(v: DataFrame, k: int) -> DataFrame:
+    """Deterministic O(n·k) initial graph: nodes sorted by
+    ``(md5(id), id)`` form a ring; each node's first neighbors are the
+    next ``k`` nodes around it. The md5 order is a portable random
+    permutation (append-stable, engine-reproducible), so the ring is a
+    random circulant graph — the cheap diverse seeding NN-descent needs,
+    with no n² anywhere. The global rank comes from the two-phase
+    distributed prefix sum (``operators/packing.py:global_cumsum``),
+    never a single-task window."""
+    from .packing import global_cumsum
+
+    keyed = v.withColumn(
+        "__o", F.concat(F.md5(F.col("id").cast("string")),
+                        F.lit(":"),
+                        F.lpad(F.col("id").cast("string"), 20, "0")))
+    ranked = (global_cumsum(keyed.withColumn("__one", F.lit(1)),
+                            "__o", "__one", out_col="r")
+              .select("id", "r"))
+    n = ranked.count()
+    offs = F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)]))
+    edges = (ranked.select(F.col("id").alias("src"),
+                           F.col("r").alias("__r"),
+                           offs.alias("__j"))
+             .withColumn("__nr", (F.col("__r") - 1 + F.col("__j")) % n + 1))
+    return (edges.join(ranked.select(F.col("id").alias("dst"),
+                                     F.col("r").alias("__nr2")),
+                       F.col("__nr") == F.col("__nr2"))
+            .select("src", "dst"))
+
+
+def nn_descent_graph(df: DataFrame, id_col: str, vec_col: str,
+                     k: int = 4, rounds: int = 2,
+                     round_dp: int = 6) -> DataFrame:
+    """NN-descent k-NN graph build (Dong, Moses & Li 2011) — the scale
+    path that replaces ``build_knn_graph``'s n² scan: start from the
+    md5-ring seed graph and repeat "a neighbor of my neighbor is
+    probably my neighbor": each round scores the current edges, their
+    reverses, and all two-hop pairs, keeping the ``k`` best per node.
+
+    Cost per round is O(n·(2k)²) candidate edges — corpus-linear for
+    fixed k — versus O(n²) for the exact build; empirically a handful
+    of rounds reaches ≥90% recall (test-asserted on clustered data).
+    Determinism: rounded-then-ranked sims with dst tie-breaks and the
+    fixed round count unroll into a DuckDB twin (the kmeans/MMR
+    recipe). Returns ``(src, dst, sim)`` like ``build_knn_graph``.
+    """
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("x"))
+    g = _ring_init(v, k)
+    vx_src = v.select(F.col("id").alias("src"), F.col("x").alias("__ax"))
+    vx_dst = v.select(F.col("id").alias("dst"), F.col("x").alias("__bx"))
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.col("dst"))
+    for _ in range(rounds):
+        und = g.select("src", "dst").union(
+            g.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        two_hop = (und.alias("g1")
+                   .join(und.alias("g2"), F.col("g1.dst") == F.col("g2.src"))
+                   .select(F.col("g1.src").alias("src"),
+                           F.col("g2.dst").alias("dst")))
+        cand = (und.union(two_hop)
+                .where(F.col("src") != F.col("dst"))
+                .distinct())
+        g = (cand.join(vx_src, "src").join(vx_dst, "dst")
+             .withColumn("sim", F.round(
+                 cosine_similarity(F.col("__ax"), F.col("__bx")), round_dp))
+             .withColumn("__rn", F.row_number().over(w))
+             .where(F.col("__rn") <= k)
+             .select("src", "dst", "sim")
+             .localCheckpoint(eager=False))
+    return g

@@ -7308,3 +7308,172 @@ def q_source_overlap_minhash(spark, sf_dir):
     return (group_overlap_minhash(docs, "source", "doc_id", "text",
                                   num_perm=64, n=3, hash_fn="md5")
             .orderBy("group_a", "group_b"))
+
+
+# ===========================================================================
+# graph ANN: k-NN graph + greedy beam search (operators/graph_ann.py)
+# ===========================================================================
+
+def _graph_ann_sql(k_nb: int, hops: int, beam: int, k: int,
+                   cap: int) -> str:
+    """Unroll the fixed-hop greedy beam walk into MATERIALIZED CTE
+    rounds (the MMR/kmeans trained-twin recipe): hash-anchored query +
+    entry picks, round-then-rank adjacency, per-hop unvisited-neighbor
+    expansion + beam cut, final top-k over the visited set."""
+    cos_q = _MMR_COS.format(a="x", b="qx")
+    cos_ab = _MMR_COS.format(a="a.x", b="b.x")
+    parts = [f"""WITH v AS MATERIALIZED (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+  WHERE vec_id < {cap}),
+q AS MATERIALIZED (
+  SELECT x AS qx FROM v
+  ORDER BY md5('q:' || CAST(id AS VARCHAR)), CAST(id AS VARCHAR) LIMIT 1),
+e AS MATERIALIZED (
+  SELECT id FROM v
+  ORDER BY md5('e:' || CAST(id AS VARCHAR)), CAST(id AS VARCHAR) LIMIT 1),
+scored AS MATERIALIZED (
+  SELECT id, round({cos_q}, 6) AS s FROM v CROSS JOIN q),
+g AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.id AS src, b.id AS dst,
+           row_number() OVER (PARTITION BY a.id
+                              ORDER BY round({cos_ab}, 6) DESC, b.id) AS rn
+    FROM v a JOIN v b ON a.id <> b.id) t
+  WHERE rn <= {k_nb}),
+vis0 AS MATERIALIZED (SELECT id FROM e),
+f0 AS MATERIALIZED (SELECT id FROM e)"""]
+    for t in range(1, hops + 1):
+        parts.append(f"""c{t} AS MATERIALIZED (
+  SELECT DISTINCT g.dst AS id FROM f{t - 1} f JOIN g ON g.src = f.id
+  WHERE g.dst NOT IN (SELECT id FROM vis{t - 1})),
+f{t} AS MATERIALIZED (
+  SELECT c.id, s.s FROM c{t} c JOIN scored s ON s.id = c.id
+  ORDER BY s.s DESC, c.id LIMIT {beam}),
+vis{t} AS MATERIALIZED (SELECT id FROM vis{t - 1} UNION
+                        SELECT id FROM f{t})""")
+    body = ",\n".join(parts)
+    return (f"{body}\n"
+            f"SELECT CAST(row_number() OVER (ORDER BY s.s DESC, s.id)"
+            f" AS INT) AS rank,\n"
+            f"       s.id AS vec_id, s.s AS sim\n"
+            f"FROM vis{hops} vv JOIN scored s ON s.id = vv.id\n"
+            f"ORDER BY rank LIMIT {k}")
+
+
+@q("graph_ann_query", _graph_ann_sql(k_nb=4, hops=3, beam=4, k=5,
+                                     cap=2000),
+   doc="graph-based ANN (operators/graph_ann.py): exact round-then-rank "
+       "k-NN adjacency (4 neighbors/node) + greedy beam search — the "
+       "NSW/HNSW family's flat core. Entry and query are hash-anchored "
+       "(smallest md5('e:'||id) / md5('q:'||id)); 3 hops x beam 4 over "
+       "unvisited neighbors, global top-5 of the visited set. Driver "
+       "state is only the frontier/visited id sets (<=13 ids — the "
+       "MMR/kmeans pattern); each hop is a narrow isin filter on the "
+       "adjacency (partition-prunable when persisted by src) + a "
+       "beam-sized collect. 6dp score discretization + id tie-breaks "
+       "unroll the walk into MATERIALIZED CTE rounds exactly. The "
+       "vec_id<2000 cap bounds the n-squared reference build at larger "
+       "SFs; production graphs come from LSH/IVF candidate pairs "
+       "sharing the same (src, dst, sim) schema")
+def q_graph_ann_query(spark, sf_dir):
+    from .operators.graph_ann import build_knn_graph, graph_ann_search
+    emb = (_t(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") < 2000))
+    graph = build_knn_graph(emb, "vec_id", "embedding", k=4)
+    return graph_ann_search(graph, emb, "vec_id", "embedding",
+                            hops=3, beam=4, k=5)
+
+
+def _nn_descent_sql(k: int, rounds: int) -> str:
+    """Unroll the fixed-round NN-descent build into MATERIALIZED CTE
+    rounds: md5-ring seed graph, per-round (edges ∪ reverses ∪ two-hop)
+    candidates, round-then-rank top-k per node."""
+    cos_ab = _MMR_COS.format(a="a.x", b="b.x")
+    parts = [f"""WITH v AS MATERIALIZED (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+rk AS MATERIALIZED (
+  SELECT id, row_number() OVER (
+    ORDER BY md5(CAST(id AS VARCHAR)),
+             lpad(CAST(id AS VARCHAR), 20, '0')) AS r
+  FROM v),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM v),
+g0 AS MATERIALIZED (
+  SELECT a.id AS src, b.id AS dst
+  FROM rk a CROSS JOIN nn
+  CROSS JOIN (SELECT unnest(range(1, {k + 1})) AS j) js
+  JOIN rk b ON b.r = (a.r - 1 + js.j) % nn.n + 1)"""]
+    for t in range(1, rounds + 1):
+        prev_cols = "src, dst" if t == 1 else "src, dst"
+        parts.append(f"""u{t} AS MATERIALIZED (
+  SELECT {prev_cols} FROM g{t - 1}
+  UNION SELECT dst AS src, src AS dst FROM g{t - 1}),
+c{t} AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM u{t}
+    UNION ALL
+    SELECT g1.src, g2.dst FROM u{t} g1 JOIN u{t} g2 ON g1.dst = g2.src) z
+  WHERE src <> dst),
+g{t} AS MATERIALIZED (
+  SELECT src, dst, sim FROM (
+    SELECT src, dst, sim,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY sim DESC, dst) AS rn
+    FROM (SELECT c.src, c.dst, round({cos_ab}, 6) AS sim
+          FROM c{t} c JOIN v a ON a.id = c.src
+                      JOIN v b ON b.id = c.dst) s) t
+  WHERE rn <= {k})""")
+    body = ",\n".join(parts)
+    return (f"{body}\n"
+            f"SELECT src, dst, sim FROM g{rounds} ORDER BY src, dst")
+
+
+@q("graph_nn_descent", _nn_descent_sql(k=4, rounds=2),
+   doc="NN-descent k-NN graph build (operators/graph_ann.py:"
+       "nn_descent_graph, Dong-Moses-Li 2011) — the corpus-linear "
+       "replacement for the exact n-squared graph build: md5-ring seed "
+       "graph (global rank via the two-phase distributed prefix sum, "
+       "never a single-task window), then 2 rounds of 'a neighbor of my "
+       "neighbor is probably my neighbor' (edges + reverses + two-hop "
+       "pairs, O(n·(2k)^2) candidates per round), round-then-rank top-4 "
+       "per node. Feeds graph_ann_search the same (src, dst, sim) "
+       "adjacency; recall vs the exact graph is test-asserted")
+def q_graph_nn_descent(spark, sf_dir):
+    from .operators.graph_ann import nn_descent_graph
+    emb = _t(spark, sf_dir, "embeddings")
+    return (nn_descent_graph(emb, "vec_id", "embedding", k=4, rounds=2)
+            .orderBy("src", "dst"))
+
+
+@q("temperature_sample_lang", """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n
+  FROM documents GROUP BY lang),
+t AS (
+  SELECT sum(n) AS tot, sum(pow(n, 0.5)) AS z FROM c),
+r AS (
+  SELECT lang,
+         round(least(1.0, (pow(n, 0.5) / z) * tot / n), 6) AS rate
+  FROM c CROSS JOIN t),
+kept AS (
+  SELECT d.doc_id, d.lang
+  FROM documents d JOIN r ON d.lang = r.lang
+  WHERE CAST(('0x' || substring(md5('temp' || CAST(doc_id AS VARCHAR)),
+                                1, 8)) AS BIGINT)
+        < CAST(floor(rate * 4294967296.0) AS BIGINT))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY lang
+ORDER BY lang
+""", doc="temperature-based mixture rebalancing (operators/sampling.py:"
+         "temperature_sample, the mT5/XLM-R alpha-sampling recipe): "
+         "per-language acceptance rate min(1, (n^alpha/Z)*N/n) with "
+         "alpha=0.5 boosts low-resource languages toward the flattened "
+         "mixture at constant expected volume. Two tiny domain aggs + "
+         "the engine-exact md5-threshold narrow filter — no data "
+         "shuffle, append-stable")
+def q_temperature_sample_lang(spark, sf_dir):
+    from .operators.sampling import temperature_sample
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_sample(docs, "doc_id", "lang", alpha=0.5)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"))
+            .orderBy("lang"))

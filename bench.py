@@ -154,6 +154,14 @@ HEADLINE = [
     "bt_brand_scores",
     "preference_pairs_quality",
     "mmr_select_diverse",
+    "conversation_stats",
+    "chat_render",
+    "token_divergence_halves",
+    "rp_project_embeddings",
+    "source_overlap_minhash",
+    "graph_ann_query",
+    "graph_nn_descent",
+    "temperature_sample_lang",
 ]
 
 
