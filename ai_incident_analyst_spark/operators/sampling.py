@@ -278,3 +278,49 @@ def weighted_sample_no_replacement(df: DataFrame, key_col: str,
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def temperature_sample(df: DataFrame, key_col: str, domain_col: str,
+                       alpha: float = 0.5, budget_rows: float | None = None,
+                       salt: str = "temp") -> DataFrame:
+    """Temperature-based mixture rebalancing (the mT5 / XLM-R
+    α-sampling recipe): sample domains with probability ``q_d ∝ p_d^α``
+    where ``p_d`` is the domain's empirical row share. ``α = 1`` keeps
+    the natural mixture, ``α = 0`` flattens to uniform; the standard
+    low-resource-language boost is ``α ≈ 0.3–0.7``.
+
+    Realized as per-domain acceptance rates over a fixed corpus:
+    ``r_d = min(1, q_d·B / n_d)`` with ``B = budget_rows`` (default: the
+    corpus size, i.e. pure rebalancing at constant expected volume).
+    Same physical shape and determinism contract as
+    ``domain_mixture_sample``: two tiny domain-level aggs (counts, then
+    the ``Σ n^α`` normalizer via a 1-row cross join — the scalar-anchor
+    pattern), rates rounded to 6 dp, and the engine-exact
+    ``md5_int < floor(rate·2³²)`` narrow filter. No data shuffle;
+    append-stable per row for fixed rates.
+    """
+    counts = (df.groupBy(domain_col)
+              .agg(F.count(F.lit(1)).cast("double").alias("__n")))
+    tot = counts.agg(F.sum("__n").alias("__tot"),
+                     F.sum(F.pow("__n", F.lit(float(alpha))))
+                     .alias("__z"))
+    b = F.col("__tot") if budget_rows is None else F.lit(float(budget_rows))
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__rate",
+            F.round(F.least(
+                F.lit(1.0),
+                (F.pow("__n", F.lit(float(alpha))) / F.col("__z"))
+                * b / F.col("__n")), 6))
+        .select(domain_col, "__rate")
+    )
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        1, 8), 16, 10).cast("long")
+    thr = F.floor(F.col("__rate") * F.lit(float(16 ** 8))).cast("long")
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(h < thr)
+        .drop("__rate")
+    )

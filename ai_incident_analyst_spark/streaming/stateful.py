@@ -256,3 +256,88 @@ def streaming_neardup_gate(stream: DataFrame, id_col: str = "doc_id",
                                 outputMode="append",
                                 timeoutConf=timeout)
     )
+
+
+def streaming_conversations(stream: DataFrame, key: str = "user_id",
+                            ts_col: str = "ts", role_col: str = "role",
+                            content_col: str = "content",
+                            gap_seconds: int = 1800,
+                            eos: str = "<|end|>",
+                            state_timeout_ms: int = 0) -> DataFrame:
+    """Streaming analog of ``operators.conversation``'s assemble+render:
+    accumulate each key's turns in the state store and EMIT a rendered
+    conversation row when the gap rule CLOSES it (a later event arrives
+    more than ``gap_seconds`` after the last turn) — the session-window
+    emit-on-close pattern.
+
+    Semantics vs batch: a closed conversation's ``(conv_seq, n_turns,
+    chat_text)`` is byte-identical to the batch
+    ``assemble_conversations → render_chat`` output for the same events
+    (identity test-proven); the still-open tail conversation is not
+    emitted until a later trigger closes it (or the key's state times
+    out, which emits nothing — at-most-once for abandoned tails; wire
+    ``state_timeout_ms`` to the retention SLA).
+
+    State per key: (last_ts, conv_seq, roles[], contents[]) — bounded by
+    the open conversation's length, not history. Output: one row per
+    CLOSED conversation, append mode.
+    """
+    from pyspark.sql.types import ArrayType, StringType
+
+    out_schema = StructType([
+        StructField(key, LongType()),
+        StructField("conv_seq", LongType()),
+        StructField("n_turns", LongType()),
+        StructField("chat_text", StringType()),
+    ])
+    state_schema = StructType([
+        StructField("last_ts_epoch", LongType()),
+        StructField("conv_seq", LongType()),
+        StructField("roles", ArrayType(StringType())),
+        StructField("contents", ArrayType(StringType())),
+    ])
+
+    def render(roles, contents):
+        return "".join(f"<|{r}|>{c}{eos}"
+                       for r, c in zip(roles, contents))
+
+    def assemble(key_tuple: Any, pdfs: Iterable[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            last_ts, seq, roles, contents = state.get
+            roles, contents = list(roles), list(contents)
+        else:
+            last_ts, seq, roles, contents = None, 1, [], []
+        closed = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(ts_col)
+            epochs = (pdf[ts_col].astype("int64")
+                      // 1_000_000_000).to_numpy()
+            for e, role, content in zip(epochs, pdf[role_col],
+                                        pdf[content_col]):
+                if (last_ts is not None and e - last_ts > gap_seconds
+                        and roles):
+                    closed.append((key_tuple[0], seq, len(roles),
+                                   render(roles, contents)))
+                    seq += 1
+                    roles, contents = [], []
+                roles.append(str(role))
+                contents.append(str(content))
+                if last_ts is None or e > last_ts:
+                    last_ts = int(e)
+        state.update((last_ts, seq, roles, contents))
+        if state_timeout_ms > 0:
+            state.setTimeoutDuration(state_timeout_ms)
+        if closed:
+            yield pd.DataFrame(closed, columns=[key, "conv_seq",
+                                                "n_turns", "chat_text"])
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_timeout_ms > 0 else GroupStateTimeout.NoTimeout)
+    return stream.groupBy(key).applyInPandasWithState(
+        assemble, out_schema, state_schema, "append", timeout)

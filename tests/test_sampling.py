@@ -204,3 +204,34 @@ def test_domain_mixture_deterministic_and_append_stable(spark):
     b = {r["id"] for r in domain_mixture_sample(
         df.repartition(7), "id", "dom", "sz", **kw).collect()}
     assert a == b
+
+
+def test_temperature_sample_boosts_rare_domains(spark):
+    from ai_incident_analyst_spark.operators.sampling import (
+        temperature_sample)
+    rows = [(i, "big") for i in range(900)] + \
+           [(900 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    kept = temperature_sample(df, "id", "dom", alpha=0.5).collect()
+    from collections import Counter
+    got = Counter(r["dom"] for r in kept)
+    # alpha=0.5 targets q ∝ sqrt(n): q_small = 10/40 = 0.25 of the
+    # budget (1000 rows) = 250 > 100 available → rate clamps to 1.0,
+    # small keeps everything; big downsamples to ~q_big*N = 750
+    assert got["small"] == 100
+    assert 600 < got["big"] < 900
+    # alpha=1 keeps the natural mixture: every rate is 1.0
+    all_kept = temperature_sample(df, "id", "dom", alpha=1.0).count()
+    assert all_kept == 1000
+
+
+def test_temperature_sample_deterministic_and_append_stable(spark):
+    from ai_incident_analyst_spark.operators.sampling import (
+        temperature_sample)
+    rows = [(i, "a" if i % 4 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    k1 = {r["id"] for r in temperature_sample(df, "id", "dom",
+                                              alpha=0.5).collect()}
+    k2 = {r["id"] for r in temperature_sample(
+        df.repartition(7), "id", "dom", alpha=0.5).collect()}
+    assert k1 == k2

@@ -142,3 +142,73 @@ def test_streaming_neardup_gate_cross_trigger(spark, tmp_path):
         best2[r.doc] = max(best2.get(r.doc, 0.0), r.est_jaccard)
     assert flags2[3] is True and best2[3] >= 0.5, (flags2, best2)
     assert flags2[4] is False
+
+
+def test_streaming_conversations_close_and_identity(spark, tmp_path):
+    from ai_incident_analyst_spark.operators.conversation import (
+        assemble_conversations,
+        render_chat,
+    )
+    from ai_incident_analyst_spark.streaming.stateful import (
+        streaming_conversations,
+    )
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "csrc")
+    ckpt = str(tmp_path / "cckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, ts timestamp, role string, content string"
+
+    def write(rows):
+        pdf = pd.DataFrame(rows,
+                           columns=["user_id", "ts", "role", "content"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def run():
+        collected = []
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (streaming_conversations(stream, "user_id", "ts", "role",
+                                     "content", gap_seconds=1800)
+             .writeStream
+             .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return collected
+
+    b1 = [(1, "2024-01-01 10:00:00", "user", "hi"),
+          (1, "2024-01-01 10:05:00", "assistant", "hello"),
+          (2, "2024-01-01 10:00:00", "user", "ping")]
+    write(b1)
+    out1 = run()
+    assert out1 == []   # nothing closed yet
+
+    # batch 2: user 1's 12:00 event closes conversation 1 (gap 115 min);
+    # the open conversation spans the checkpoint restart
+    b2 = [(1, "2024-01-01 12:00:00", "user", "back"),
+          (2, "2024-01-01 10:10:00", "assistant", "pong")]
+    write(b2)
+    out2 = run()
+    got = {(r.user_id, r.conv_seq): (r.n_turns, r.chat_text) for r in out2}
+    assert got == {(1, 1): (
+        2, "<|user|>hi<|end|><|assistant|>hello<|end|>")}
+
+    # identity: closed streaming conversations == batch assemble+render
+    # over the same events (open tails excluded)
+    all_events = spark.createDataFrame(
+        pd.DataFrame(b1 + b2,
+                     columns=["user_id", "ts", "role", "content"])
+        .assign(ts=lambda d: pd.to_datetime(d.ts)))
+    conv = assemble_conversations(all_events, "user_id", "ts", "role",
+                                  "content", gap_seconds=1800)
+    batch = render_chat(conv)
+    last = conv.groupBy("user_id").agg(
+        F.max("conv_seq").alias("conv_seq"))
+    closed_batch = {(r["user_id"], r["conv_seq"]):
+                    (r["n_turns"], r["chat_text"])
+                    for r in batch.join(last, ["user_id", "conv_seq"],
+                                        "left_anti").collect()}
+    assert got == closed_batch
