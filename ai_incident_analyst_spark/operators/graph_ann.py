@@ -82,7 +82,7 @@ def _anchor_vec(v: DataFrame, salt: str) -> tuple:
     return row[0]["id"], list(row[0]["x"])
 
 
-def graph_ann_search(graph: DataFrame, nodes: DataFrame, id_col: str,
+def graph_ann_search(graph, nodes: DataFrame, id_col: str,
                      vec_col: str, query_vec: list[float] | None = None,
                      entry_id=None, hops: int = 3, beam: int = 4,
                      k: int = 5, round_dp: int = 6) -> DataFrame:
@@ -96,6 +96,11 @@ def graph_ann_search(graph: DataFrame, nodes: DataFrame, id_col: str,
     is reproducible with no external input. The frontier never
     re-expands visited nodes (each hop strictly grows coverage), and an
     exhausted frontier ends the walk early on both engines.
+
+    ``graph`` may be a DataFrame (each hop filters it on the frontier
+    ids) or a callable ``frontier_ids -> DataFrame`` returning the
+    frontier rows' adjacency — the hook ``graph_probe_index`` uses to
+    turn each hop into a partition-pruned read of the persisted index.
     """
     v = nodes.select(F.col(id_col).alias("id"),
                      F.col(vec_col).cast("array<double>").alias("x"))
@@ -111,13 +116,15 @@ def graph_ann_search(graph: DataFrame, nodes: DataFrame, id_col: str,
         .localCheckpoint(eager=False)
     )
 
+    fetch = graph if callable(graph) else (
+        lambda ids: graph.where(F.col("src").isin(ids)))
     visited: list = [entry_id]
     frontier: list = [entry_id]
     for _ in range(hops):
         if not frontier:
             break
         cand = (
-            graph.where(F.col("src").isin(frontier))
+            fetch(frontier)
             .select(F.col("dst").alias("id")).distinct()
             .where(~F.col("id").isin(visited))
             .join(scored, "id")
@@ -209,3 +216,111 @@ def nn_descent_graph(df: DataFrame, id_col: str, vec_col: str,
              .select("src", "dst", "sim")
              .localCheckpoint(eager=False))
     return g
+
+
+def graph_ann_search_batch(graph: DataFrame, nodes: DataFrame,
+                           queries: DataFrame, id_col: str, vec_col: str,
+                           query_id: str = "query_id",
+                           query_vec: str = "query_vec",
+                           entry: DataFrame | None = None,
+                           hops: int = 3, beam: int = 4, k: int = 5,
+                           round_dp: int = 6) -> DataFrame:
+    """The distributed form of ``graph_ann_search``: ALL queries walk
+    the graph together, each hop one relational stage — no driver state
+    at all, the whole ``hops``-deep walk is a single declarative plan.
+
+    Per hop: frontier ``(query_id, node)`` joins the adjacency (the
+    corpus-sized side of a small×large equi-join — AQE broadcasts the
+    frontier; with the adjacency persisted partitioned by ``src`` the
+    probe is partition-pruned), unvisited candidates score by cosine to
+    their OWN query vector (equi-joins to the node vectors and the
+    broadcast query set), and a per-query window keeps the ``beam``
+    best. The final top-``k`` per query reads the accumulated visited
+    set. Scales linearly in |queries| — the batch shape ANN serving at
+    100 TB actually runs — while the rounded-score/id-tie-break
+    discretization keeps every walk reproducible cross-engine.
+
+    ``entry``: optional 1+-row frame of entry node ids (column
+    ``id_col``); defaults to the global hash-anchored entry
+    (smallest ``md5('e:'||id)``) shared by all queries.
+    Returns ``(query_id, rank, <id_col>, sim)``.
+    """
+    v = nodes.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("x"))
+    qs = queries.select(F.col(query_id).alias("qid"),
+                        F.col(query_vec).cast("array<double>").alias("qx"))
+    if entry is None:
+        entry = (
+            v.withColumn("__h", F.md5(F.concat(F.lit("e:"),
+                                               F.col("id").cast("string"))))
+            .orderBy("__h", F.col("id").cast("string"))
+            .limit(1).select("id")
+        )
+    else:
+        entry = entry.select(F.col(id_col).alias("id"))
+
+    def score(cand: DataFrame) -> DataFrame:
+        """(qid, id) -> + rounded cosine to the candidate's own query."""
+        return (cand.join(v, "id")
+                .join(F.broadcast(qs), "qid")
+                .withColumn("s", F.round(
+                    cosine_similarity(F.col("x"), F.col("qx")), round_dp))
+                .select("qid", "id", "s"))
+
+    frontier = qs.select("qid").crossJoin(F.broadcast(entry))
+    visited = frontier
+    bw = Window.partitionBy("qid").orderBy(F.desc("s"), F.col("id"))
+    for _ in range(hops):
+        cand = (frontier.join(graph, frontier["id"] == graph["src"])
+                .select("qid", F.col("dst").alias("id")).distinct()
+                .join(visited, ["qid", "id"], "left_anti"))
+        frontier = (score(cand)
+                    .withColumn("__rn", F.row_number().over(bw))
+                    .where(F.col("__rn") <= beam)
+                    .select("qid", "id"))
+        # no checkpoint: even eager=False localCheckpoint launches jobs
+        # at build time (measured on 4.1.2), which would execute the
+        # walk prefix once per hop. The plan tree is bounded by the
+        # fixed hop count; shared subtrees dedup via ReuseExchange.
+        visited = visited.unionByName(frontier)
+    return (score(visited)
+            .withColumn("rank", F.row_number().over(bw))
+            .where(F.col("rank") <= k)
+            .select(F.col("qid").alias(query_id), "rank",
+                    F.col("id").alias(id_col), F.col("s").alias("sim"))
+            .orderBy(query_id, "rank"))
+
+
+def graph_write_index(graph: DataFrame, path: str,
+                      n_buckets: int = 64) -> None:
+    """Materialize the adjacency as a probe-able index: edges written
+    ``partitionBy(__bucket)`` with ``__bucket = src % n_buckets`` — one
+    directory per source-hash bucket, the graph analog of
+    ``ivf_write_index``'s inverted lists. A beam-search hop that expands
+    frontier ids {a, b} reads at most two directories, not the graph;
+    the reference rebuilds its index in memory per run
+    (``src/vector_db/faiss_db.py:24-43``), a persisted bucket layout
+    survives and prunes."""
+    (graph.withColumn("__bucket", F.pmod(F.col("src"), F.lit(n_buckets)))
+     .repartition(F.col("__bucket"))
+     .write.partitionBy("__bucket").mode("overwrite").parquet(path))
+
+
+def graph_probe_index(spark, path: str, nodes: DataFrame, id_col: str,
+                      vec_col: str, n_buckets: int = 64,
+                      **search_kwargs) -> DataFrame:
+    """Beam-search a PERSISTED graph index: identical results to
+    ``graph_ann_search`` over the same adjacency, but each hop reads
+    only the frontier's bucket directories — the frontier ids are
+    driver literals (≤ beam of them), so both the ``__bucket IN (...)``
+    partition filter and the ``src IN (...)`` row filter are static
+    predicates the parquet pruner consumes at planning time."""
+    index = spark.read.parquet(path)
+
+    def fetch(ids):
+        buckets = sorted({int(i) % n_buckets for i in ids})
+        return index.where(F.col("__bucket").isin(buckets)
+                           & F.col("src").isin(ids))
+
+    return graph_ann_search(fetch, nodes, id_col, vec_col,
+                            **search_kwargs)

@@ -633,3 +633,63 @@ def normalize_unicode(col, form: str = "NFC",
 
     c = F.col(col) if isinstance(col, str) else col
     return norm(c)
+
+
+def pmi_collocations(df: DataFrame, id_col: str, text_col: str = "text",
+                     min_count: int = 5, top_n: int = 50,
+                     round_dp: int = 6) -> DataFrame:
+    """Collocation extraction by pointwise mutual information: the
+    corpus's most-associated adjacent word pairs —
+    ``pmi = ln( p(xy) / (p(x)·p(y)) )`` over within-document bigrams,
+    restricted to pairs seen at least ``min_count`` times (the standard
+    low-count PMI-noise guard; rare pairs otherwise dominate).
+
+    The phrase-mining pass (Church & Hanks 1990) a tokenizer-training or
+    index-building pipeline runs to promote multi-word units. Plan
+    shape: one posexplode + per-doc ``lead`` window for bigrams (the
+    ``shingle_rows`` form — fully codegen'd), two count aggregations
+    (bigram, unigram — both map-side combined, vocabulary-sized
+    shuffles), two broadcast-friendly unigram joins back, and a
+    ``top_n`` rank on the ROUNDED pmi (word-pair tie-breaks) so the
+    returned list is deterministic cross-engine. Tokens: lowercased
+    ``\\W+`` splits of length ≥ 2.
+
+    Returns ``(w1, w2, n_pair, pmi)``, best-first.
+    """
+    from .util import spread
+
+    toks = F.split(F.lower(F.col(text_col)), r"\W+")
+    tk = (spread(df.select(id_col, text_col), id_col)
+          .select(F.col(id_col).alias("doc"),
+                  F.posexplode(toks).alias("pos", "w"))
+          .where(F.length("w") >= 2))
+    w = Window.partitionBy("doc").orderBy("pos")
+    bi = (tk.select("doc", F.col("w").alias("w1"),
+                    F.lead("w").over(w).alias("w2"))
+          .where(F.col("w2").isNotNull()))
+    # bigrams form over the FILTERED token sequence: dropped short
+    # tokens close ranks, so 'a' in "state a machine" does not block
+    # the (state, machine) pair — the twin filters before its lead()
+    # window too, so both engines share this convention
+    uni = tk.groupBy(F.col("w")).agg(F.count(F.lit(1)).alias("cu"))
+    n_uni = uni.agg(F.sum("cu").alias("nu"))
+    pairs = (bi.groupBy("w1", "w2")
+             .agg(F.count(F.lit(1)).alias("n_pair")))
+    n_bi = pairs.agg(F.sum("n_pair").alias("nb"))
+    out = (
+        pairs.where(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"),
+                         F.col("cu").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("cu").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .withColumn("pmi", F.round(F.log(
+            (F.col("n_pair") / F.col("nb"))
+            / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu")))),
+            round_dp))
+        .select("w1", "w2", "n_pair", "pmi")
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_n)
+    )
+    return out

@@ -7477,3 +7477,172 @@ def q_temperature_sample_lang(spark, sf_dir):
     return (kept.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_kept"))
             .orderBy("lang"))
+
+
+def _graph_ann_batch_sql(k_nb: int, hops: int, beam: int, k: int,
+                         nq: int, cap: int) -> str:
+    """Unrolled twin of the BATCHED beam walk: nq hash-anchored query
+    vectors advance together; every per-hop stage carries query_id."""
+    cos_ab = _MMR_COS.format(a="a.x", b="b.x")
+    cos_bq = _MMR_COS.format(a="b.x", b="q.qx")
+    parts = [f"""WITH v AS MATERIALIZED (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+  WHERE vec_id < {cap}),
+qs AS MATERIALIZED (
+  SELECT id AS qid, x AS qx FROM v
+  ORDER BY md5('q:' || CAST(id AS VARCHAR)), CAST(id AS VARCHAR)
+  LIMIT {nq}),
+e AS MATERIALIZED (
+  SELECT id FROM v
+  ORDER BY md5('e:' || CAST(id AS VARCHAR)), CAST(id AS VARCHAR) LIMIT 1),
+g AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.id AS src, b.id AS dst,
+           row_number() OVER (PARTITION BY a.id
+                              ORDER BY round({cos_ab}, 6) DESC, b.id) AS rn
+    FROM v a JOIN v b ON a.id <> b.id) t
+  WHERE rn <= {k_nb}),
+f0 AS MATERIALIZED (SELECT qid, id FROM qs CROSS JOIN e),
+vis0 AS MATERIALIZED (SELECT qid, id FROM f0)"""]
+    for t in range(1, hops + 1):
+        parts.append(f"""c{t} AS MATERIALIZED (
+  SELECT DISTINCT f.qid, g.dst AS id
+  FROM f{t - 1} f JOIN g ON g.src = f.id
+  WHERE NOT EXISTS (SELECT 1 FROM vis{t - 1} vv
+                    WHERE vv.qid = f.qid AND vv.id = g.dst)),
+s{t} AS MATERIALIZED (
+  SELECT c.qid, c.id, round({cos_bq}, 6) AS s
+  FROM c{t} c JOIN v b ON b.id = c.id JOIN qs q ON q.qid = c.qid),
+f{t} AS MATERIALIZED (
+  SELECT qid, id FROM (
+    SELECT qid, id,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rn
+    FROM s{t}) z
+  WHERE rn <= {beam}),
+vis{t} AS MATERIALIZED (SELECT qid, id FROM vis{t - 1} UNION
+                        SELECT qid, id FROM f{t})""")
+    body = ",\n".join(parts)
+    return (f"{body}\n"
+            f"SELECT qid AS query_id, CAST(rn AS INT) AS rank, id AS vec_id,"
+            f" s AS sim FROM (\n"
+            f"  SELECT w.qid, w.id, round({cos_bq}, 6) AS s,\n"
+            f"         row_number() OVER (PARTITION BY w.qid\n"
+            f"           ORDER BY round({cos_bq}, 6) DESC, w.id) AS rn\n"
+            f"  FROM vis{hops} w JOIN v b ON b.id = w.id\n"
+            f"                   JOIN qs q ON q.qid = w.qid) z\n"
+            f"WHERE rn <= {k}\n"
+            f"ORDER BY query_id, rank")
+
+
+@q("graph_ann_batch", _graph_ann_batch_sql(k_nb=4, hops=3, beam=4, k=5,
+                                           nq=3, cap=2000),
+   doc="BATCHED graph ANN (operators/graph_ann.py:graph_ann_search_batch)"
+       " — the distributed serving shape: 3 hash-anchored query vectors "
+       "walk the 4-NN graph together, each hop ONE relational stage "
+       "(frontier x adjacency equi-join, per-query cosine via joins to "
+       "the node vectors + broadcast query set, per-query beam window). "
+       "Zero driver state — the whole 3-hop walk is a single "
+       "declarative plan, linear in |queries|; with the adjacency "
+       "persisted by src each hop is partition-pruned. Same 6dp "
+       "discretization/tie-break contract as graph_ann_query")
+def q_graph_ann_batch(spark, sf_dir):
+    from .operators.graph_ann import (build_knn_graph,
+                                      graph_ann_search_batch)
+    emb = (_t(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") < 2000))
+    graph = build_knn_graph(emb, "vec_id", "embedding", k=4)
+    qs = (emb.withColumn(
+            "__h", F.md5(F.concat(F.lit("q:"),
+                                  F.col("vec_id").cast("string"))))
+          .orderBy("__h", F.col("vec_id").cast("string"))
+          .limit(3)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    return graph_ann_search_batch(graph, emb, qs, "vec_id", "embedding",
+                                  hops=3, beam=4, k=5)
+
+
+@q("pmi_collocations", r"""
+WITH tk AS (
+  SELECT doc_id AS doc, w, pos FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '\W+')) AS w,
+           generate_subscripts(
+             string_split_regex(lower(text), '\W+'), 1) AS pos
+    FROM documents) z
+  WHERE length(w) >= 2),
+bi AS (
+  SELECT doc, w AS w1, lead(w) OVER (PARTITION BY doc ORDER BY pos) AS w2
+  FROM tk),
+uni AS (SELECT w, count(*) AS cu FROM tk GROUP BY w),
+nu AS (SELECT sum(cu) AS nu FROM uni),
+pairs AS (
+  SELECT w1, w2, count(*) AS n_pair FROM bi
+  WHERE w2 IS NOT NULL GROUP BY w1, w2),
+nb AS (SELECT sum(n_pair) AS nb FROM pairs)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       round(ln((n_pair / CAST(nb AS DOUBLE))
+                / ((u1.cu / CAST(nu AS DOUBLE))
+                   * (u2.cu / CAST(nu AS DOUBLE)))), 6) AS pmi
+FROM pairs
+JOIN uni u1 ON u1.w = pairs.w1
+JOIN uni u2 ON u2.w = pairs.w2
+CROSS JOIN nu CROSS JOIN nb
+WHERE n_pair >= 5
+ORDER BY pmi DESC, w1, w2
+LIMIT 50
+""", doc="PMI collocation mining (operators/text_analysis.py:"
+         "pmi_collocations, Church-Hanks 1990): top-50 most-associated "
+         "adjacent word pairs (>=5 occurrences) by pointwise mutual "
+         "information over within-document bigrams — the phrase-mining "
+         "pass before tokenizer training / index building. One "
+         "posexplode + per-doc lead window, two vocabulary-sized count "
+         "aggs, scalar-anchor totals; rank on the ROUNDED pmi with "
+         "word tie-breaks")
+def q_pmi_collocations(spark, sf_dir):
+    from .operators.text_analysis import pmi_collocations
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "doc_id", "text",
+                            min_count=5, top_n=50)
+
+
+@q("jw_part_pairs", """
+WITH p AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS blk
+  FROM part),
+pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+  FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+SELECT round(jw, 2) AS jw_bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(('0x' || substring(md5(md5(CAST(id_a AS VARCHAR))
+                                       || md5(CAST(id_b AS VARCHAR))), 1, 8))
+                AS BIGINT)) AS BIGINT) AS pair_hash_sum
+FROM pairs WHERE jw >= 0.9
+GROUP BY round(jw, 2)
+ORDER BY jw_bucket
+""", doc="Jaro-Winkler record linkage (operators/linkage.py:"
+         "jaro_winkler_pairs, Winkler 1990): blocked name matching with "
+         "the prefix-weighted similarity record-linkage practice "
+         "prefers over raw edit distance. Same sum-of-block-squared "
+         "blocking + distinct-verify-then-expand skeleton as "
+         "fuzzy_part_pairs; the verifier is an Arrow pandas_udf "
+         "reference implementation verified equal to DuckDB's builtin "
+         "jaro_winkler_similarity (<1e-12 on 180 random pairs), scores "
+         "rounded to 6dp BEFORE the 0.9 threshold so the boundary is "
+         "engine-portable; value check via 2dp-bucketed counts + "
+         "order-insensitive pair hash sums")
+def q_jw_part_pairs(spark, sf_dir):
+    from .operators.linkage import jaro_winkler_pairs, last_token
+    part = _t(spark, sf_dir, "part")
+    pairs = jaro_winkler_pairs(part, "p_partkey", "p_name",
+                               last_token("p_name"), threshold=0.9)
+    pk = F.md5(F.concat(F.md5(F.col("id_a").cast("string")),
+                        F.md5(F.col("id_b").cast("string"))))
+    return (
+        pairs.groupBy(F.round("jw", 2).alias("jw_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum(F.conv(F.substring(pk, 1, 8), 16, 10).cast("long"))
+              .alias("pair_hash_sum"))
+        .orderBy("jw_bucket")
+    )

@@ -162,6 +162,9 @@ HEADLINE = [
     "graph_ann_query",
     "graph_nn_descent",
     "temperature_sample_lang",
+    "graph_ann_batch",
+    "pmi_collocations",
+    "jw_part_pairs",
 ]
 
 

@@ -148,3 +148,55 @@ def test_fuzzy_self_join_respects_non_text_blocker(spark):
                                           max_dist=2).collect())
     # only within-region pairs, each exactly once
     assert got == [(1, 3, 0), (2, 4, 0)]
+
+
+def test_jaro_winkler_reference_values():
+    from ai_incident_analyst_spark.operators.linkage import jaro_winkler
+    # canonical textbook values
+    assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-4)
+    assert jaro_winkler("DIXON", "DICKSONX") == pytest.approx(0.8133, abs=1e-4)
+    assert jaro_winkler("abc", "abc") == 1.0
+    assert jaro_winkler("abc", "xyz") == 0.0
+    assert jaro_winkler("", "abc") == 0.0
+
+
+def test_jaro_winkler_matches_duckdb():
+    import random
+    import string
+
+    import duckdb
+
+    from ai_incident_analyst_spark.operators.linkage import jaro_winkler
+    rng = random.Random(4)
+    words = ["".join(rng.choices(string.ascii_lowercase,
+                                 k=rng.randint(1, 14))) for _ in range(40)]
+    con = duckdb.connect()
+    for i in range(0, 40, 2):
+        a, b = words[i], words[i + 1]
+        d = con.execute("select jaro_winkler_similarity(?, ?)",
+                        [a, b]).fetchone()[0]
+        assert jaro_winkler(a, b) == pytest.approx(d, abs=1e-12), (a, b)
+
+
+def test_jaro_winkler_pairs_blocked(spark):
+    from pyspark.sql import functions as F
+
+    from ai_incident_analyst_spark.operators.linkage import (
+        jaro_winkler_pairs,
+        last_token,
+    )
+    df = spark.createDataFrame(
+        [(1, "green metallic box"), (2, "green metalic box"),
+         (3, "red metallic box"), (4, "blue shiny sphere"),
+         (5, "green metallic box")],
+        "id long, name string")
+    out = {(r["id_a"], r["id_b"]): r["jw"]
+           for r in jaro_winkler_pairs(df, "id", "name",
+                                       last_token("name"),
+                                       threshold=0.9).collect()}
+    assert out[(1, 5)] == 1.0                   # exact duplicates
+    assert (1, 2) in out and out[(1, 2)] >= 0.9  # near-duplicate spelling
+    assert (2, 5) in out
+    assert all(a < b for a, b in out)
+    # cross-block pair (sphere vs box) never compared
+    assert not any(4 in p for p in out)
