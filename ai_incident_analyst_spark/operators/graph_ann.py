@@ -44,24 +44,58 @@ def build_knn_graph(df: DataFrame, id_col: str, vec_col: str,
     cosine-similar OTHER nodes, ``sim`` rounded to ``round_dp`` before
     the rank (ties by dst id) so the edge set reproduces cross-engine.
 
-    n² reference build (broadcast one side); see the module docstring
-    for the 100 TB candidate-generation alternatives that share this
-    output schema.
+    n² reference build, blocked-matmul form (the ``knn_join_blocked``
+    recipe): the node matrix is broadcast once, each partition computes
+    its rows' cosines against it with ONE BLAS matmul and emits its own
+    top-k — no crossJoin row explosion, no shuffle, no window (measured
+    10.0 s → 0.6 s at 2000×64 vs the expression-based crossJoin+window
+    form, whose higher-order-function cosine never enters codegen).
+    Scores round to 6dp BEFORE the per-row selection (dst tie-breaks
+    via lexsort), so the edge set still reproduces cross-engine. See
+    the module docstring for the 100 TB candidate-generation
+    alternatives that share this output schema.
     """
-    a = df.select(F.col(id_col).alias("src"),
-                  F.col(vec_col).cast("array<double>").alias("__av"))
-    b = df.select(F.col(id_col).alias("dst"),
-                  F.col(vec_col).cast("array<double>").alias("__bv"))
-    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.col("dst"))
-    return (
-        a.crossJoin(F.broadcast(b))
-        .where(F.col("src") != F.col("dst"))
-        .withColumn("sim", F.round(
-            cosine_similarity(F.col("__av"), F.col("__bv")), round_dp))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .select("src", "dst", "sim")
-    )
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    rows = (df.select(F.col(id_col).alias("i"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+            .collect())
+    ids = np.array([r["i"] for r in rows])
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((ids, unit))
+    id_type = df.select(id_col).schema.fields[0].dataType.simpleString()
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids, cunit = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["__v"]), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = np.round(m @ cunit.T, round_dp)
+            src_ids = pdf["__i"].to_numpy()
+            out_s, out_d, out_v = [], [], []
+            for r, sid in enumerate(src_ids):
+                srow = sims[r].copy()
+                srow[cids == sid] = -np.inf          # exclude self
+                order = np.lexsort((cids, -srow))[:k]
+                out_s.extend([sid] * len(order))
+                out_d.extend(cids[order])
+                out_v.extend(srow[order])
+            yield pd.DataFrame({"src": out_s, "dst": out_d, "sim": out_v})
+
+    from .util import spread
+    prepped = spread(
+        df.select(F.col(id_col).alias("__i"),
+                  F.col(vec_col).cast("array<double>").alias("__v")),
+        "__i")
+    return prepped.mapInPandas(
+        part, schema=f"src {id_type}, dst {id_type}, sim double")
 
 
 def _lit_vec(vals: list[float]) -> F.Column:
@@ -274,15 +308,19 @@ def graph_ann_search_batch(graph: DataFrame, nodes: DataFrame,
         cand = (frontier.join(graph, frontier["id"] == graph["src"])
                 .select("qid", F.col("dst").alias("id")).distinct()
                 .join(visited, ["qid", "id"], "left_anti"))
+        # persist(), NOT localCheckpoint: hop t's frontier is referenced
+        # by hop t+1's candidate join, anti-join, AND the visited union,
+        # so an unmarked plan re-evaluates each hop's subtree ~2^hops
+        # times (measured 2x wall). persist is lazy — no jobs at build
+        # (localCheckpoint launches them even with eager=False on
+        # 4.1.2) — and the first action populates the cache, deduping
+        # every later reference. Frames are beam·|queries| rows — tiny.
         frontier = (score(cand)
                     .withColumn("__rn", F.row_number().over(bw))
                     .where(F.col("__rn") <= beam)
-                    .select("qid", "id"))
-        # no checkpoint: even eager=False localCheckpoint launches jobs
-        # at build time (measured on 4.1.2), which would execute the
-        # walk prefix once per hop. The plan tree is bounded by the
-        # fixed hop count; shared subtrees dedup via ReuseExchange.
-        visited = visited.unionByName(frontier)
+                    .select("qid", "id")
+                    .persist())
+        visited = visited.unionByName(frontier).persist()
     return (score(visited)
             .withColumn("rank", F.row_number().over(bw))
             .where(F.col("rank") <= k)

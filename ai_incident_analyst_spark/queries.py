@@ -7379,7 +7379,9 @@ def q_graph_ann_query(spark, sf_dir):
     from .operators.graph_ann import build_knn_graph, graph_ann_search
     emb = (_t(spark, sf_dir, "embeddings")
            .where(F.col("vec_id") < 2000))
-    graph = build_knn_graph(emb, "vec_id", "embedding", k=4)
+    # persist: three hops + the final rank each filter the adjacency —
+    # unmarked, every reference re-runs the build's matmul pass
+    graph = build_knn_graph(emb, "vec_id", "embedding", k=4).persist()
     return graph_ann_search(graph, emb, "vec_id", "embedding",
                             hops=3, beam=4, k=5)
 
@@ -7550,7 +7552,9 @@ def q_graph_ann_batch(spark, sf_dir):
                                       graph_ann_search_batch)
     emb = (_t(spark, sf_dir, "embeddings")
            .where(F.col("vec_id") < 2000))
-    graph = build_knn_graph(emb, "vec_id", "embedding", k=4)
+    # persist: the adjacency subtree (the n-squared build) is referenced
+    # by every hop's fetch join — unmarked, each hop re-runs it
+    graph = build_knn_graph(emb, "vec_id", "embedding", k=4).persist()
     qs = (emb.withColumn(
             "__h", F.md5(F.concat(F.lit("q:"),
                                   F.col("vec_id").cast("string"))))
@@ -7646,3 +7650,214 @@ def q_jw_part_pairs(spark, sf_dir):
               .alias("pair_hash_sum"))
         .orderBy("jw_bucket")
     )
+
+
+# ===========================================================================
+# DSIR importance resampling (operators/dsir.py)
+# ===========================================================================
+
+@q("dsir_select_docs", r"""
+WITH rawtoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\W+'),
+                     t -> length(t) >= 2) AS toks
+  FROM documents),
+tgtdocs AS (
+  SELECT doc_id, toks FROM rawtoks
+  WHERE doc_id IN (SELECT doc_id FROM documents
+                   WHERE lang = 'en' AND n_chars >= 300)),
+rawgrams AS (
+  SELECT doc_id,
+         unnest(list_concat(toks,
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+  FROM rawtoks),
+tgtgrams AS (
+  SELECT doc_id,
+         unnest(list_concat(toks,
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+  FROM tgtdocs),
+rawc AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('dsir' || gram), 1, 8)) AS BIGINT)
+           % 1024 AS bucket,
+         count(*) AS cnt
+  FROM rawgrams GROUP BY 1, 2),
+tgtc AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('dsir' || gram), 1, 8)) AS BIGINT)
+           % 1024 AS bucket,
+         count(*) AS cnt
+  FROM tgtgrams GROUP BY 1, 2),
+rc AS (SELECT bucket, sum(cnt) AS rc FROM rawc GROUP BY bucket),
+tc AS (SELECT bucket, sum(cnt) AS tc FROM tgtc GROUP BY bucket),
+lam AS (
+  SELECT rc.bucket,
+         ln((COALESCE(tc.tc, 0) + 1.0)
+            / (COALESCE((SELECT sum(tc) FROM tc), 0) + 1024.0))
+       - ln((rc.rc + 1.0)
+            / ((SELECT sum(rc) FROM rc) + 1024.0)) AS lam
+  FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket),
+scores AS (
+  SELECT f.doc_id, round(sum(f.cnt * l.lam), 6) AS logw
+  FROM rawc f JOIN lam l ON f.bucket = l.bucket
+  GROUP BY f.doc_id),
+keyed AS (
+  SELECT doc_id, logw,
+         round(logw - ln(-ln(
+           (CAST(('0x' || substring(md5('g:' || CAST(doc_id AS VARCHAR)),
+                                    1, 8)) AS BIGINT) + 1.0)
+           / 4294967297.0)), 6) AS gkey
+  FROM scores)
+SELECT doc_id, logw, gkey FROM keyed
+ORDER BY gkey DESC, doc_id LIMIT 100
+""", doc="DSIR data selection (operators/dsir.py, Xie et al. 2023): "
+         "score every document by its hashed-bigram log importance "
+         "weight toward a target slice (long English docs), then draw "
+         "100 docs ∝ weight via deterministic Gumbel top-k. One "
+         "corpus-keyed shuffle (the (doc,bucket) compaction — its "
+         "exchange is REUSED by the model fit), 1024-row broadcast "
+         "λ-table join, TakeOrderedAndProject selection; logw and the "
+         "Gumbel key round to 6dp before ranking (id tie-break) so "
+         "libm-ln ulps can't flip a boundary rank cross-engine")
+def q_dsir_select_docs(spark, sf_dir):
+    from .operators.dsir import dsir_select
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where((F.col("lang") == "en") & (F.col("n_chars") >= 300))
+    return dsir_select(docs, "doc_id", "text", target,
+                       k=100, buckets=1024)
+
+
+# ===========================================================================
+# sliding-window chunking (operators/chunking.py)
+# ===========================================================================
+
+@q("chunk_documents", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'),
+                     t -> length(t) > 0) AS toks
+  FROM documents),
+nz AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0),
+fan AS (
+  SELECT doc_id, toks,
+         unnest(range(CASE WHEN n <= 24 THEN 1
+                           ELSE 1 + (n - 24 + 15) // 16 END)) AS chunk_idx
+  FROM nz)
+SELECT doc_id, chunk_idx,
+       chunk_idx * 16 + 1 AS start_tok,
+       len(toks[chunk_idx*16 + 1 : chunk_idx*16 + 24]) AS n_tokens,
+       array_to_string(toks[chunk_idx*16 + 1 : chunk_idx*16 + 24],
+                       ' ') AS chunk_text
+FROM fan
+ORDER BY doc_id, chunk_idx
+""", doc="RAG sliding-window chunking (operators/chunking.py): every "
+         "document split into 24-token windows at stride 16 (8-token "
+         "overlap), with 1-based source offsets. One narrow "
+         "split/sequence/explode/slice pass — no shuffle, no UDF, "
+         "whole-stage codegen; chunk count is exact integer ceil-div "
+         "(1 + (n-W+S-1) div S) so both engines fan out identically")
+def q_chunk_documents(spark, sf_dir):
+    from .operators.chunking import chunk_documents
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", window=24, stride=16)
+
+
+# ===========================================================================
+# hard-negative mining (operators/mining.py)
+# ===========================================================================
+
+@q("hard_negative_mining", """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id >= 5
+), scored AS (
+  SELECT query_id, qlabel, vec_id, label,
+         round(list_sum([ x[1]*x[2] for x in list_zip(qv, cv) ])
+           / (sqrt(list_sum([ x*x for x in qv ]))
+              * sqrt(list_sum([ x*x for x in cv ]))), 6) AS sim
+  FROM q CROSS JOIN c
+), best AS (
+  SELECT query_id, max(sim) AS best FROM scored
+  WHERE label = qlabel GROUP BY query_id
+), cand AS (
+  SELECT s.query_id, s.vec_id, s.sim
+  FROM scored s JOIN best b USING (query_id)
+  WHERE s.label <> s.qlabel AND s.sim <= b.best - 0.05
+)
+SELECT query_id, vec_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id ASC) AS BIGINT)
+         AS rank
+FROM cand
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+""", doc="hard-negative mining for embedding-model training "
+         "(operators/mining.py): per query, the 5 most-cosine-similar "
+         "corpus items whose label differs (non-positives), with the "
+         "absolute-margin guard sim <= best_positive - 0.05 dropping "
+         "likely false negatives BEFORE the top-k. Broadcast query set, "
+         "corpus scanned once and never shuffled pre-window; positives "
+         "and margin anchors are broadcast joins; sims rounded to 6dp "
+         "before ranking (id tie-break) per the repo discretization "
+         "contract")
+def q_hard_negative_mining(spark, sf_dir):
+    from .operators.mining import mine_hard_negatives
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = (emb.where(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec"),
+                  F.col("label").alias("qlabel")))
+    corpus = emb.where(F.col("vec_id") >= 5)
+    positives = (qs.select("query_id", "qlabel")
+                 .join(corpus.select("vec_id", "label"),
+                       F.col("qlabel") == F.col("label"))
+                 .select("query_id", "vec_id"))
+    return mine_hard_negatives(qs, corpus, positives, k=5, margin=0.05)
+
+
+# ===========================================================================
+# curriculum ordering (operators/curriculum.py)
+# ===========================================================================
+
+@q("curriculum_interleave", """
+WITH b AS (
+  SELECT quantile_cont(n_chars, 0.25) AS b1,
+         quantile_cont(n_chars, 0.50) AS b2,
+         quantile_cont(n_chars, 0.75) AS b3
+  FROM documents
+), bucketed AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n_chars > b1 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > b2 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars > b3 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+  FROM documents CROSS JOIN b
+), ordered AS (
+  SELECT doc_id, bucket,
+         CAST(row_number() OVER (
+           PARTITION BY bucket
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+  FROM bucketed)
+SELECT doc_id, bucket, pos FROM ordered
+WHERE pos <= 25
+ORDER BY pos, bucket
+""", doc="interleaved curriculum order (operators/curriculum.py): "
+         "difficulty = n_chars quartile bucket via ONE exact-percentile "
+         "broadcast anchor (never ntile's single-task global window); "
+         "per-bucket position by md5-of-id (append-stable); reading in "
+         "(pos, bucket) order yields blocks spanning every difficulty "
+         "level. First 25 positions per bucket shown; the keyed window "
+         "is the only shuffle")
+def q_curriculum_interleave(spark, sf_dir):
+    from .operators.curriculum import difficulty_buckets, interleave_order
+    docs = _t(spark, sf_dir, "documents")
+    b = difficulty_buckets(docs, "n_chars", n_buckets=4)
+    ordered = interleave_order(b, "doc_id", "bucket")
+    return (ordered.where(F.col("pos") <= 25)
+            .select("doc_id", "bucket", "pos"))

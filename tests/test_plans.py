@@ -75,3 +75,47 @@ def test_fuzzy_dedup_plans_never_cartesian(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_conversation_assembly_single_keyed_shuffle(spark, sf_dir):
+    # the sessionize windows and the collect_list groupBy must share the
+    # user partitioning: exactly ONE hashpartitioning exchange (plus the
+    # spread round-robin and the final sort range exchange)
+    plan = _plan(spark, sf_dir, "conversation_stats")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_divergence_shuffles_are_vocab_sized(spark, sf_dir):
+    # both slice aggregations are map-side combined before their shuffle
+    plan = _plan(spark, sf_dir, "corpus_divergence_lang")
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_rp_projection_single_arrow_pass(spark, sf_dir):
+    # one Arrow pass, no keyed shuffle anywhere (the only exchange is
+    # the final ORDER BY's range partitioning)
+    plan = _plan(spark, sf_dir, "rp_project_embeddings")
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_temperature_sample_is_narrow_filter(spark, sf_dir):
+    # the corpus side must never shuffle: rates broadcast back, filter
+    # is a narrow predicate on md5 of the key
+    plan = _plan(spark, sf_dir, "temperature_sample_lang")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_graph_build_is_single_arrow_pass_no_shuffle(spark, sf_dir):
+    from ai_incident_analyst_spark.operators.graph_ann import (
+        build_knn_graph)
+    from ai_incident_analyst_spark.sources.tables import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = build_knn_graph(emb, "vec_id", "embedding", k=4)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    # no window, no crossJoin: the blocked form emits per-partition top-k
+    assert "Window" not in plan and "CartesianProduct" not in plan
