@@ -443,3 +443,160 @@ def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> Data
                                 "frame_ts_ms": tss})
 
     return df.select("media_id", "content").mapInPandas(part, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (dHash) + hamming near-dup
+# ---------------------------------------------------------------------------
+
+def _pack_dhash_bands(px: "np.ndarray") -> list[int]:
+    """(8, 9) integer grayscale grid → four 16-bit dHash bands.
+
+    Bit (r, c) is set when ``px[r, c+1] > px[r, c]`` (the classic
+    difference hash — gradient direction survives rescaling and
+    re-encoding); row r packs little-endian into bits 0..7, band b =
+    rows 2b (low byte) and 2b+1 (high byte). Bands instead of one
+    64-bit word keep every value positive and small — no sign-bit
+    overflow ambiguity across engines, and the bands ARE the LSH
+    blocking unit ``dhash_neardup`` joins on."""
+    bits = (px[:, 1:] > px[:, :-1]).astype(np.int64)          # (8, 8)
+    rowvals = (bits << np.arange(8, dtype=np.int64)).sum(axis=1)
+    return [int(rowvals[2 * b] + 256 * rowvals[2 * b + 1]) for b in range(4)]
+
+
+def image_dhash(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Per-image dHash signature: ``(media_id, band_0..band_3, dhash)``
+    with ``dhash`` the 16-hex-char display form (band_0 first).
+
+    ``fake=True`` (codec-less stand-in) derives the 8×9 grayscale grid
+    from the content hash — ``px(r,c) = int(md5(sha256(content) ‖
+    ':r:c')[:4hex]) % 256`` — as PURE relational expressions: no UDF, no
+    shuffle, and a DuckDB twin can replay it bit-for-bit (the repo's
+    md5-derived determinism contract, ``operators/dsir.py``). The
+    plumbing a real corpus needs — signature schema, banding, the
+    near-dup join — is identical either way.
+
+    ``fake=False`` decodes with PIL when importable, else the stdlib BMP
+    fallback (``_bmp_pixels``): integer ITU-601 luma ``(299r + 587g +
+    114b) // 1000``, block-mean resize to 8×9 on floor-boundary slabs
+    (nearest-neighbor when the source is smaller than the grid), same
+    band packing via ``_pack_dhash_bands``. Undecodable blobs yield
+    null bands (one corrupt file must not fail a 100 TB stage).
+    """
+    if fake:
+        sha = F.sha2(F.col("content").cast("binary"), 256)
+
+        def px(r: int, c: int):
+            h = F.md5(F.concat(sha, F.lit(f":{r}:{c}")))
+            return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 256
+
+        rows = [
+            sum(((px(r, c + 1) > px(r, c)).cast("long") * F.lit(1 << c)
+                 for c in range(8)), F.lit(0))
+            for r in range(8)
+        ]
+        bands = [rows[2 * b] + rows[2 * b + 1] * F.lit(256) for b in range(4)]
+        out = df.select(
+            "media_id",
+            *[b.alias(f"band_{i}") for i, b in enumerate(bands)])
+        return out.withColumn(
+            "dhash", F.format_string("%04x%04x%04x%04x",
+                                     "band_0", "band_1", "band_2", "band_3"))
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("band_0", T.LongType()),
+        T.StructField("band_1", T.LongType()),
+        T.StructField("band_2", T.LongType()),
+        T.StructField("band_3", T.LongType()),
+        T.StructField("dhash", T.StringType()),
+    ])
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import importlib.util
+        have_pil = importlib.util.find_spec("PIL") is not None
+        if have_pil:
+            import io
+
+            from PIL import Image
+
+        def grid_of(blob: bytes) -> "np.ndarray | None":
+            try:
+                if have_pil:
+                    img = Image.open(io.BytesIO(blob or b""))
+                    rgb = np.asarray(img.convert("RGB"), dtype=np.int64)
+                else:
+                    rgb = _bmp_pixels(blob).astype(np.int64)
+                gray = (rgb[..., 0] * 299 + rgb[..., 1] * 587
+                        + rgb[..., 2] * 114) // 1000
+                h, w = gray.shape
+                if h < 8 or w < 9:
+                    return _nn_grid(gray, 8, 9)
+                rb = [h * i // 8 for i in range(9)]
+                cb = [w * j // 9 for j in range(10)]
+                out = np.zeros((8, 9), dtype=np.int64)
+                for i in range(8):
+                    for j in range(9):
+                        blk = gray[rb[i]:rb[i + 1], cb[j]:cb[j + 1]]
+                        out[i, j] = int(blk.sum()) // blk.size
+                return out
+            except Exception:
+                return None
+
+        for pdf in batches:
+            recs = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                g = grid_of(blob)
+                if g is None:
+                    recs.append((mid, None, None, None, None, None))
+                else:
+                    b = _pack_dhash_bands(g)
+                    recs.append((mid, *b,
+                                 "%04x%04x%04x%04x" % tuple(b)))
+            yield pd.DataFrame(recs, columns=[f.name for f in out_schema])
+
+    return df.select("media_id", "content").mapInPandas(part, out_schema)
+
+
+def dhash_neardup(sig: DataFrame, threshold: int = 3) -> DataFrame:
+    """Near-duplicate image pairs from ``image_dhash`` signatures:
+    ``(id_a, id_b, hamming)`` with total dHash hamming distance ≤
+    ``threshold``.
+
+    Banded-LSH blocking, the MinHash recipe over hamming space: two
+    signatures within hamming 3 of each other differ in at most 3 of
+    the 4 bands, so BY PIGEONHOLE they agree exactly on ≥1 band —
+    candidates are the equi-join on (band_idx, band_value), recall 1.0
+    for ``threshold`` ≤ 3. The corpus-sized frame is shuffled once by
+    band value (O(n·4) rows), never self-joined all-pairs; the hamming
+    verify is ``bit_count(xor)`` over the four 16-bit bands — JVM
+    integer ops, engine-exact."""
+    if not 0 <= threshold <= 3:
+        raise ValueError(f"banded recall guarantee needs 0<=t<=3, "
+                         f"got {threshold}")
+    bcols = [f"band_{i}" for i in range(4)]
+    bands = sig.select(
+        "media_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band_idx"),
+                     F.col(c).cast("long").alias("val"))
+            for i, c in enumerate(bcols)])).alias("b")
+    ).select("media_id", "b.band_idx", "b.val")
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.band_idx") == F.col("b.band_idx"))
+                  & (F.col("a.val") == F.col("b.val"))
+                  & (F.col("a.media_id") < F.col("b.media_id")))
+            .select(F.col("a.media_id").alias("id_a"),
+                    F.col("b.media_id").alias("id_b"))
+            .distinct())
+    sa = sig.select(F.col("media_id").alias("id_a"),
+                    *[F.col(c).alias(f"a_{c}") for c in bcols])
+    sb = sig.select(F.col("media_id").alias("id_b"),
+                    *[F.col(c).alias(f"b_{c}") for c in bcols])
+    ham = sum((F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+               for c in bcols), F.lit(0))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("hamming", ham.cast("long"))
+            .where(F.col("hamming") <= threshold)
+            .select("id_a", "id_b", "hamming"))

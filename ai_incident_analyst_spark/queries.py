@@ -7861,3 +7861,103 @@ def q_curriculum_interleave(spark, sf_dir):
     ordered = interleave_order(b, "doc_id", "bucket")
     return (ordered.where(F.col("pos") <= 25)
             .select("doc_id", "bucket", "pos"))
+
+
+
+
+# ===========================================================================
+# perceptual image hashing + hamming near-dup (operators/multimodal.py)
+# ===========================================================================
+
+_DHASH_GRID_SQL = """
+grid AS (
+  SELECT media_id, r, c,
+         CAST(('0x' || substring(md5(sha || ':' || CAST(r AS VARCHAR)
+                                      || ':' || CAST(c AS VARCHAR)), 1, 4))
+              AS BIGINT) % 256 AS px
+  FROM media, range(8) t1(r), range(9) t2(c)),
+bits AS (
+  SELECT a.media_id, a.r, a.c,
+         CASE WHEN b.px > a.px THEN 1 ELSE 0 END AS bit
+  FROM grid a JOIN grid b
+    ON b.media_id = a.media_id AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8),
+rowvals AS (
+  SELECT media_id, r, sum(bit * (1::BIGINT << c)) AS rowval
+  FROM bits GROUP BY media_id, r),
+bands AS (
+  SELECT media_id, r // 2 AS band_idx,
+         sum(CASE WHEN r % 2 = 0 THEN rowval ELSE 256 * rowval END) AS val
+  FROM rowvals GROUP BY media_id, r // 2),
+sig AS (
+  SELECT media_id,
+         CAST(max(CASE WHEN band_idx = 0 THEN val END) AS BIGINT) AS band_0,
+         CAST(max(CASE WHEN band_idx = 1 THEN val END) AS BIGINT) AS band_1,
+         CAST(max(CASE WHEN band_idx = 2 THEN val END) AS BIGINT) AS band_2,
+         CAST(max(CASE WHEN band_idx = 3 THEN val END) AS BIGINT) AS band_3
+  FROM bands GROUP BY media_id)
+"""
+
+
+@q("image_dhash_bands", f"""
+WITH media AS (
+  SELECT doc_id AS media_id, sha256(text) AS sha FROM documents),
+{_DHASH_GRID_SQL}
+SELECT media_id, band_0, band_1, band_2, band_3,
+       printf('%04x%04x%04x%04x', band_0, band_1, band_2, band_3) AS dhash
+FROM sig ORDER BY media_id
+""", doc="perceptual image hash (operators/multimodal.py:image_dhash): "
+         "dHash gradient signature per media blob as four positive "
+         "16-bit bands + hex display. The codec-less fake derives the "
+         "8x9 grayscale grid from md5(sha256(content)‖':r:c') — pure "
+         "relational expressions, NO UDF and NO shuffle on the Spark "
+         "side, bit-for-bit replayable in SQL; the real branch (PIL or "
+         "the stdlib BMP fallback) shares the band-packing kernel and "
+         "is value-asserted in tests/test_templates-style fixtures")
+def q_image_dhash_bands(spark, sf_dir):
+    from .operators.multimodal import image_dhash
+    docs = _t(spark, sf_dir, "documents")
+    media = make_media_table(docs, "doc_id", "text")
+    return image_dhash(media, fake=True)
+
+
+@q("image_neardup_dhash", f"""
+WITH media AS (
+  SELECT doc_id AS media_id, sha256(text) AS sha FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS media_id, sha256(text) AS sha
+  FROM documents WHERE doc_id < 20),
+{_DHASH_GRID_SQL},
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.val = b.val
+   AND a.media_id < b.media_id)
+SELECT id_a, id_b,
+       bit_count(xor(sa.band_0, sb.band_0))
+     + bit_count(xor(sa.band_1, sb.band_1))
+     + bit_count(xor(sa.band_2, sb.band_2))
+     + bit_count(xor(sa.band_3, sb.band_3)) AS hamming
+FROM cand
+JOIN sig sa ON sa.media_id = cand.id_a
+JOIN sig sb ON sb.media_id = cand.id_b
+WHERE bit_count(xor(sa.band_0, sb.band_0))
+    + bit_count(xor(sa.band_1, sb.band_1))
+    + bit_count(xor(sa.band_2, sb.band_2))
+    + bit_count(xor(sa.band_3, sb.band_3)) <= 3
+ORDER BY id_a, id_b
+""", doc="image near-dup by dHash hamming distance "
+         "(operators/multimodal.py:dhash_neardup): banded-LSH blocking "
+         "— hamming<=3 over 4 bands pigeonholes to >=1 exactly-equal "
+         "band, so candidates are ONE equi-join on (band_idx, value) "
+         "(O(4n) rows shuffled, never all-pairs), verified by "
+         "bit_count(xor) JVM integer ops. Corpus = documents plus a "
+         "re-keyed copy of the first 20 (planted exact duplicates -> "
+         "hamming 0), the standard injected-truth near-dup harness")
+def q_image_neardup_dhash(spark, sf_dir):
+    from .operators.multimodal import dhash_neardup, image_dhash
+    docs = _t(spark, sf_dir, "documents")
+    dup = (docs.where(F.col("doc_id") < 20)
+           .withColumn("doc_id", F.col("doc_id") + 100000))
+    media = make_media_table(docs.unionByName(dup), "doc_id", "text")
+    return dhash_neardup(image_dhash(media, fake=True), threshold=3)
