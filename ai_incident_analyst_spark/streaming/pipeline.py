@@ -488,3 +488,55 @@ def streaming_scd2_sink(stream: DataFrame, path: str, checkpoint: str,
         return untouched.unionByName(merged)
 
     return _merge_swap_sink(stream, path, checkpoint, build, merge)
+
+
+def streaming_ivf_sink(stream: DataFrame, path: str, checkpoint: str,
+                       centroids: DataFrame,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       centroid_id: str = "centroid_id",
+                       centroid_vec: str = "centroid",
+                       round_dp: int | None = None):
+    """Streaming VECTOR index: maintain the persisted IVF inverted file
+    (``operators/knn.ivf_write_index`` layout) incrementally — the
+    FAISS ``index.add`` loop as a stream sink, and the vector sibling of
+    ``streaming_index_sink``.
+
+    Centroids are FIXED (trained once, offline — ``clustering.
+    kmeans_fit`` — exactly how production FAISS deployments add forever
+    to a once-trained coarse quantizer; incremental retraining would
+    silently remap cells and invalidate every previously written list).
+    Each micro-batch runs the zero-shuffle ``assign_cells`` Arrow pass
+    and lands in ``path/__cell=<c>/__batch=<b>/`` — the batch's rows
+    only, O(batch) work regardless of corpus size, never a store
+    rewrite (the growing-corpus reason this does NOT use
+    ``_merge_swap_sink``, whose per-batch full rewrite is right for
+    fixed-size aggregates only).
+
+    ``ivf_probe_index`` reads the store unchanged: ``__cell`` stays the
+    leading partition directory, so static-IN probe pruning skips
+    unprobed cells at planning time; the inner ``__batch=`` level adds
+    at-least-once safety — a replayed batch dynamically overwrites ITS
+    OWN (cell, batch) partitions instead of appending duplicates, and
+    commits no marker files a reader could trip on.
+    """
+    from ..operators.knn import _centroid_arrays, assign_cells
+
+    ids, mat, ctype = _centroid_arrays(centroids, centroid_id, centroid_vec)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (assign_cells(batch_df.select(id_col, vec_col), vec_col, ids, mat,
+                      n=1, cell_type=ctype, round_dp=round_dp)
+         .withColumn("__batch", F.lit(int(batch_id)))
+         .repartition(F.col("__cell"))
+         .write.partitionBy("__cell", "__batch")
+         .option("partitionOverwriteMode", "dynamic")
+         .mode("overwrite").parquet(path))
+
+    return (
+        stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+    )

@@ -673,3 +673,57 @@ def test_streaming_scd2_sink_rejects_late_changes(spark):
         with pytest.raises(Exception, match="older than the stored"):
             q.awaitTermination(120)
             raise AssertionError("stream should have failed")
+
+
+def test_streaming_ivf_sink_matches_batch_and_replays(spark, sf_dir):
+    """Incrementally-added IVF store must probe identically to the
+    one-shot batch index over the same fixed centroids, and a full
+    checkpoint-reset replay must overwrite its own (cell, batch)
+    partitions instead of appending duplicates."""
+    import shutil
+    import tempfile
+
+    from ai_incident_analyst_spark.operators.knn import (
+        ivf_probe_index,
+        ivf_write_index,
+    )
+    from ai_incident_analyst_spark.streaming.pipeline import streaming_ivf_sink
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200) \
+        .select("vec_id", "embedding")
+    cents = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(64)]) for i in range(4)],
+        "centroid_id long, centroid array<double>")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+
+    def probe(path):
+        return sorted(
+            (r.query_id, r.vec_id, round(r.distance, 9))
+            for r in ivf_probe_index(spark, path, queries, cents,
+                                     k=5, nprobe=2).collect())
+
+    with tempfile.TemporaryDirectory() as tmp:
+        emb.repartition(3).write.parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(emb.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in")
+        q = streaming_ivf_sink(stream, f"{tmp}/ivf", f"{tmp}/ck", cents) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+        ivf_write_index(emb, cents, f"{tmp}/ivf_batch")
+        assert probe(f"{tmp}/ivf") == probe(f"{tmp}/ivf_batch")
+        n_rows = spark.read.parquet(f"{tmp}/ivf").count()
+        assert n_rows == 200
+
+        # replay from scratch: same files, same batch ids -> the sink
+        # overwrites its own partitions, the store does not double
+        shutil.rmtree(f"{tmp}/ck")
+        stream2 = spark.readStream.schema(emb.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in")
+        q2 = streaming_ivf_sink(stream2, f"{tmp}/ivf", f"{tmp}/ck", cents) \
+            .trigger(availableNow=True).start()
+        q2.awaitTermination(120)
+        assert spark.read.parquet(f"{tmp}/ivf").count() == 200
+        assert probe(f"{tmp}/ivf") == probe(f"{tmp}/ivf_batch")
