@@ -575,6 +575,13 @@ def dhash_neardup(sig: DataFrame, threshold: int = 3) -> DataFrame:
         raise ValueError(f"banded recall guarantee needs 0<=t<=3, "
                          f"got {threshold}")
     bcols = [f"band_{i}" for i in range(4)]
+    # the signature subtree is referenced FOUR times below (both sides of
+    # the band join + both verify joins); unmarked, Spark re-runs the
+    # upstream hash/decode pass per reference. Signatures are 5 narrow
+    # ints per image — orders of magnitude smaller than the media blobs —
+    # so caching them is safe at any corpus scale (spills to disk, never
+    # re-decodes). Unpersisted when the plan is GC'd.
+    sig = sig.persist()
     bands = sig.select(
         "media_id",
         F.explode(F.array(*[
