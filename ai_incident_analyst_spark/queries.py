@@ -7961,3 +7961,80 @@ def q_image_neardup_dhash(spark, sf_dir):
            .withColumn("doc_id", F.col("doc_id") + 100000))
     media = make_media_table(docs.unionByName(dup), "doc_id", "text")
     return dhash_neardup(image_dhash(media, fake=True), threshold=3)
+
+
+# ===========================================================================
+# chunked passage retrieval — chunking × BM25 composition
+# ===========================================================================
+
+@q("chunk_bm25_passages", r"""
+WITH toksrc AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'),
+                     t -> length(t) > 0) AS tk
+  FROM documents),
+nz AS (SELECT doc_id, tk, len(tk) AS n FROM toksrc WHERE len(tk) > 0),
+fan AS (
+  SELECT doc_id, tk,
+         unnest(range(CASE WHEN n <= 24 THEN 1
+                           ELSE 1 + (n - 24 + 15) // 16 END)) AS chunk_idx
+  FROM nz),
+chunks AS (
+  SELECT doc_id, chunk_idx, doc_id * 1000 + chunk_idx AS pid,
+         tk[chunk_idx*16 + 1 : chunk_idx*16 + 24] AS ctk
+  FROM fan),
+toks AS (SELECT pid, lower(unnest(ctk)) AS term FROM chunks),
+idx AS (SELECT term, pid, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT pid, count(*) AS dl FROM toks GROUP BY 1),
+scal AS (
+  SELECT (SELECT count(*) FROM chunks) AS n,
+         (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+           / (SELECT count(*) FROM chunks) AS avg_len),
+post AS (SELECT * FROM idx WHERE term IN ('scan', 'merge')),
+dfs AS (SELECT term, count(DISTINCT pid) AS df FROM post GROUP BY 1),
+scored AS (
+  SELECT p.pid,
+         round(sum(
+           ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * CAST(p.tf AS DOUBLE) * 2.2
+           / (CAST(p.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * l.dl / s.avg_len))), 6) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN dl l USING (pid)
+  CROSS JOIN scal s
+  GROUP BY p.pid),
+top AS (
+  SELECT pid, score FROM scored
+  QUALIFY row_number() OVER (ORDER BY score DESC, pid ASC) <= 10)
+SELECT t.pid, c.doc_id, c.chunk_idx, t.score
+FROM top t JOIN chunks c USING (pid)
+ORDER BY t.score DESC, t.pid
+""", doc="chunked passage retrieval — the RAG retrieval pipeline as one "
+         "composition: chunk_documents (24-token windows, stride 16) -> "
+         "build_inverted_index over PASSAGES -> BM25 top-10 passages "
+         "mapped back to (doc_id, chunk_idx). Retrieval at passage "
+         "granularity is what makes RAG context windows usable: the hit "
+         "is the 24-token span, not a whole document. Same physical "
+         "contracts as the components: narrow chunk fan-out, "
+         "postings-only BM25 joins, rank on the 6dp-rounded score")
+def q_chunk_bm25_passages(spark, sf_dir):
+    from .operators.chunking import chunk_documents
+    from .operators.search import bm25_rank, build_inverted_index
+    docs = _t(spark, sf_dir, "documents")
+    passages = (chunk_documents(docs, "doc_id", "text",
+                                window=24, stride=16)
+                .select((F.col("doc_id") * 1000 + F.col("chunk_idx"))
+                        .alias("pid"),
+                        "doc_id", "chunk_idx", "chunk_text")
+                .localCheckpoint(eager=False))
+    idx = build_inverted_index(passages, "pid", "chunk_text") \
+        .localCheckpoint(eager=False)
+    toks_n = idx.agg(F.sum("tf")).first()[0]
+    n_p = passages.count()
+    dl = idx.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    top = (bm25_rank(idx, dl, ["scan", "merge"],
+                     n_docs=n_p, avg_len=float(toks_n) / n_p, topn=10)
+           .select(F.col("doc_id").alias("pid"), "score"))
+    return (top.join(passages.select("pid", "doc_id", "chunk_idx"), "pid")
+            .select("pid", "doc_id", "chunk_idx", "score"))
