@@ -181,3 +181,50 @@ def k_anonymity_report(df: DataFrame, quasi_identifiers: list[str],
                             / F.col("n_rows"), 9))
         .withColumn("anonymous", F.col("n_violating_rows") == 0)
     )
+
+
+def l_diversity_report(df: DataFrame, quasi_identifiers: list[str],
+                       sensitive_col: str, l: int = 2) -> DataFrame:
+    """Privacy gate, step two: distinct l-diversity (Machanavajjhala et
+    al. 2007) of a release candidate — every quasi-identifier
+    equivalence class must contain ≥ ``l`` DISTINCT values of the
+    sensitive attribute. k-anonymity alone is defeated by the
+    homogeneity attack: a class of 50 indistinguishable rows that all
+    share one sensitive value still discloses it; ``k_anonymity_report``
+    cannot see that failure mode because it never looks at the
+    sensitive column.
+
+    Returns one row: ``(l, min_diversity, n_classes,
+    n_violating_classes, n_violating_rows, diverse)`` — violating rows
+    sit in classes with fewer than ``l`` distinct sensitive values.
+
+    Plan: ONE groupBy over the quasi-identifier tuple with
+    ``count(*)`` + ``count(distinct sensitive)`` (Spark expands the
+    distinct agg to a two-phase partial — still a single keyed
+    shuffle), then a tiny aggregate of the class table; exact integers,
+    SQL-twin checkable. Same shape and scale behavior as
+    ``k_anonymity_report``.
+    """
+    if not quasi_identifiers:
+        raise ValueError("need at least one quasi-identifier column")
+    if sensitive_col in quasi_identifiers:
+        raise ValueError(
+            f"sensitive column {sensitive_col!r} cannot also be a "
+            f"quasi-identifier (diversity would be degenerate)")
+    classes = (
+        df.groupBy(*quasi_identifiers)
+        .agg(F.count("*").alias("__sz"),
+             F.countDistinct(sensitive_col).alias("__div"))
+    )
+    return (
+        classes.agg(
+            F.lit(l).alias("l"),
+            F.min("__div").alias("min_diversity"),
+            F.count("*").alias("n_classes"),
+            F.sum(F.when(F.col("__div") < l, 1).otherwise(0))
+            .alias("n_violating_classes"),
+            F.sum(F.when(F.col("__div") < l, F.col("__sz"))
+                  .otherwise(F.lit(0))).alias("n_violating_rows"),
+        )
+        .withColumn("diverse", F.col("n_violating_rows") == 0)
+    )

@@ -8038,3 +8038,41 @@ def q_chunk_bm25_passages(spark, sf_dir):
            .select(F.col("doc_id").alias("pid"), "score"))
     return (top.join(passages.select("pid", "doc_id", "chunk_idx"), "pid")
             .select("pid", "doc_id", "chunk_idx", "score"))
+
+
+@q("l_diversity_customers", """
+WITH tagged AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'neg'
+              WHEN c_acctbal < 5000 THEN 'mid'
+              ELSE 'high' END AS bal_band
+  FROM customer),
+classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         count(*) AS sz, count(DISTINCT bal_band) AS div
+  FROM tagged GROUP BY 1, 2)
+SELECT 3 AS l,
+       CAST(min(div) AS BIGINT) AS min_diversity,
+       count(*) AS n_classes,
+       CAST(sum(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(sum(CASE WHEN div < 3 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_violating_rows,
+       sum(CASE WHEN div < 3 THEN sz ELSE 0 END) = 0 AS diverse
+FROM classes
+""", doc="distinct l-diversity privacy gate (operators/validation.py:"
+         "l_diversity_report, l=3, sensitive = account-balance band): "
+         "the homogeneity-attack check k-anonymity cannot give — a "
+         "large indistinguishable class whose members all share one "
+         "sensitive value still discloses it. One groupBy over the "
+         "quasi-identifiers with count + count(distinct sensitive), "
+         "then a tiny class aggregate; exact integers")
+def q_l_diversity_customers(spark, sf_dir):
+    from .operators.validation import l_diversity_report
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high"))
+    return l_diversity_report(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", l=3)

@@ -99,3 +99,42 @@ def test_k_anonymity_report(spark):
     assert ok["anonymous"]
     with pytest.raises(ValueError):
         k_anonymity_report(df, [], k=3)
+
+
+def test_l_diversity_hand_computed(spark):
+    from ai_incident_analyst_spark.operators.validation import (
+        l_diversity_report,
+    )
+
+    rows = [
+        # class (a): sensitive values {x, y} -> diversity 2
+        ("a", "x"), ("a", "y"), ("a", "x"),
+        # class (b): homogeneous -> diversity 1, 2 rows violate at l=2
+        ("b", "x"), ("b", "x"),
+        # class (c): {x, y, z} -> diversity 3
+        ("c", "x"), ("c", "y"), ("c", "z"),
+    ]
+    df = spark.createDataFrame(rows, "qi string, s string")
+    r = l_diversity_report(df, ["qi"], "s", l=2).first()
+    assert (r["l"], r["min_diversity"], r["n_classes"]) == (2, 1, 3)
+    assert (r["n_violating_classes"], r["n_violating_rows"]) == (1, 2)
+    assert r["diverse"] is False
+    r3 = l_diversity_report(df, ["qi"], "s", l=3).first()
+    assert r3["n_violating_classes"] == 2
+    assert r3["n_violating_rows"] == 5
+    ok = l_diversity_report(df, ["qi"], "s", l=1).first()
+    assert ok["diverse"] is True
+
+
+def test_l_diversity_guards(spark):
+    import pytest as _pt
+
+    from ai_incident_analyst_spark.operators.validation import (
+        l_diversity_report,
+    )
+
+    df = spark.createDataFrame([("a", "x")], "qi string, s string")
+    with _pt.raises(ValueError):
+        l_diversity_report(df, [], "s")
+    with _pt.raises(ValueError):
+        l_diversity_report(df, ["qi", "s"], "s")
