@@ -693,3 +693,45 @@ def pmi_collocations(df: DataFrame, id_col: str, text_col: str = "text",
         .limit(top_n)
     )
     return out
+
+
+def vocab_coverage(df: DataFrame, text_col: str,
+                   tops: list[int]) -> DataFrame:
+    """Vocabulary coverage curve: for each cutoff N in ``tops``, the
+    fraction of all corpus TOKEN OCCURRENCES covered by the N most
+    frequent terms — the Zipf-curve summary that sizes a tokenizer
+    vocabulary (BPE merge count, ``operators/bpe.py``) and quantifies
+    the long tail a fixed vocab will shatter into sub-word pieces.
+
+    Returns ``(n_top, covered_tokens, total_tokens, coverage)`` — one
+    row per cutoff that is ≤ the vocabulary size, coverage rounded to
+    6 dp of an exact integer ratio.
+
+    Plan: tokenize → ONE map-side-combined term count (the only
+    corpus-sized shuffle); everything after runs on the VOCAB-sized
+    count table, ranked by (count desc, term asc) through
+    ``packing.global_cumsum`` — the two-phase distributed prefix sum,
+    never a single-task global window even when the vocabulary itself
+    is large. The descending-count order rides a single ascending sort
+    key (zero-padded ``10^12 − cnt`` ‖ term), unique by construction so
+    the prefix sum is deterministic.
+    """
+    from .packing import global_cumsum
+
+    toks = (df.select(F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+            .alias("term"))
+            .where(F.length("term") > 0))
+    counts = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    key = F.concat(
+        F.lpad((F.lit(10 ** 12) - F.col("cnt")).cast("string"), 13, "0"),
+        F.col("term"))
+    d = counts.withColumn("__key", key).withColumn("__one", F.lit(1))
+    d = global_cumsum(d, "__key", "cnt", "covered_tokens")
+    d = global_cumsum(d, "__key", "__one", "n_top")
+    total = toks.agg(F.count("*").alias("total_tokens"))
+    return (d.where(F.col("n_top").isin([int(n) for n in tops]))
+            .crossJoin(F.broadcast(total))
+            .select("n_top", "covered_tokens", "total_tokens",
+                    F.round(F.col("covered_tokens")
+                            / F.col("total_tokens"), 6).alias("coverage")))

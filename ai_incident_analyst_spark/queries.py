@@ -8076,3 +8076,37 @@ def q_l_diversity_customers(spark, sf_dir):
         .otherwise("high"))
     return l_diversity_report(
         cust, ["c_nationkey", "c_mktsegment"], "bal_band", l=3)
+
+
+@q("vocab_coverage", r"""
+WITH tk AS (
+  SELECT t.tok AS term
+  FROM documents,
+       unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(tok)
+  WHERE length(t.tok) > 0),
+counts AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
+ranked AS (
+  SELECT cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT)
+           AS n_top,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS covered_tokens
+  FROM counts)
+SELECT n_top, covered_tokens,
+       (SELECT count(*) FROM tk) AS total_tokens,
+       round(covered_tokens / CAST((SELECT count(*) FROM tk) AS DOUBLE), 6)
+         AS coverage
+FROM ranked WHERE n_top IN (10, 100, 1000)
+ORDER BY n_top
+""", doc="vocabulary coverage curve (operators/text_analysis.py:"
+         "vocab_coverage): token mass covered by the top-10/100/1000 "
+         "terms — the Zipf summary that sizes a BPE vocab. One "
+         "corpus-sized term-count shuffle; the rank and running "
+         "coverage run on the VOCAB-sized table via the two-phase "
+         "distributed prefix sum (packing.global_cumsum), never a "
+         "single-task window; exact integer ratios rounded at 6dp")
+def q_vocab_coverage(spark, sf_dir):
+    from .operators.text_analysis import vocab_coverage
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "text", [10, 100, 1000])

@@ -209,3 +209,46 @@ def test_interleave_determinism_under_repartition(spark):
     b = sorted(map(tuple,
                    interleave_order(df.repartition(11), "id", "k").collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage
+# ---------------------------------------------------------------------------
+
+def test_vocab_coverage_hand_computed(spark):
+    from ai_incident_analyst_spark.operators.text_analysis import (
+        vocab_coverage,
+    )
+
+    # counts: a=4, b=3, c=2, d=1  (total 10); rank order a,b,c,d
+    df = spark.createDataFrame(
+        [("a a b c",), ("a b c d",), ("A b",)], "text string")
+    got = {r["n_top"]: (r["covered_tokens"], r["total_tokens"],
+                        r["coverage"])
+           for r in vocab_coverage(df, "text", [1, 2, 4]).collect()}
+    assert got == {1: (4, 10, 0.4), 2: (7, 10, 0.7), 4: (10, 10, 1.0)}
+
+
+def test_vocab_coverage_tie_break_and_oversize_cutoff(spark):
+    from ai_incident_analyst_spark.operators.text_analysis import (
+        vocab_coverage,
+    )
+
+    # x and y tie at 2; term order breaks the tie -> top-1 covers x
+    df = spark.createDataFrame([("y x",), ("x y",)], "text string")
+    got = {r["n_top"]: r["covered_tokens"]
+           for r in vocab_coverage(df, "text", [1, 2, 99]).collect()}
+    assert got == {1: 2, 2: 4}          # cutoff 99 > vocab -> no row
+
+
+def test_vocab_coverage_partitioning_invariance(spark):
+    from ai_incident_analyst_spark.operators.text_analysis import (
+        vocab_coverage,
+    )
+
+    rows = [(f"tok{i % 7} tok{i % 3} filler{i}",) for i in range(60)]
+    df = spark.createDataFrame(rows, "text string")
+    a = sorted(map(tuple, vocab_coverage(df, "text", [5, 20]).collect()))
+    b = sorted(map(tuple, vocab_coverage(
+        df.repartition(13), "text", [5, 20]).collect()))
+    assert a == b
