@@ -112,3 +112,48 @@ def doc_quality_features(text: Column | str) -> dict[str, Column]:
                 / (n_tok.cast("double") + F.lit(1.0))) / F.lit(10.0)
     return {"x_len": x_len, "x_the": x_the,
             "x_digit": x_digit, "x_toklen": x_toklen}
+
+
+def calibration_report(df: DataFrame, score_col: str, label_col: str,
+                       n_bins: int = 10, round_dp: int = 6) -> DataFrame:
+    """Reliability diagram + expected calibration error for a
+    probabilistic classifier — the deployment check ``lr_score`` needs
+    before its scores gate a corpus (a quality filter that says 0.9 but
+    is right 60% of the time silently skews the training mixture).
+
+    Returns one row per non-empty score bin:
+    ``(bin, n, mean_score, pos_rate, ece)`` — ``bin`` =
+    ``min(floor(score·n_bins), n_bins−1)``, ``mean_score`` the average
+    predicted probability in the bin, ``pos_rate`` the empirical label
+    rate, and ``ece`` the bin-weighted |mean_score − pos_rate| summary
+    (Guo et al. 2017), identical on every row (a 1-row broadcast
+    anchor, so the frame is self-contained for a dashboard).
+
+    Determinism contract: per-row scores are rounded to ``round_dp``
+    BEFORE binning and summation (binning boundaries then cut identical
+    values in every engine), bin sums re-round at ``round_dp`` to
+    absorb fold-order ulps, and ``pos_rate`` is an exact integer ratio.
+    Plan: one map-side-combined groupBy(bin) — a ≤``n_bins``-row
+    result — plus the scalar ECE anchor; corpus scanned once.
+    """
+    s = F.round(F.col(score_col), round_dp)
+    y = F.col(label_col).cast("double")
+    binned = df.select(
+        F.least(F.floor(s * n_bins), F.lit(n_bins - 1))
+        .cast("long").alias("bin"),
+        s.alias("__s"), y.alias("__y"))
+    bins = (binned.groupBy("bin")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("__s"), round_dp).alias("__ssum"),
+                 F.sum("__y").cast("long").alias("__pos"))
+            .select(
+                "bin", "n",
+                F.round(F.col("__ssum") / F.col("n"), round_dp)
+                .alias("mean_score"),
+                F.round(F.col("__pos") / F.col("n"), round_dp)
+                .alias("pos_rate")))
+    ece = (bins.agg(F.round(
+        F.sum(F.col("n") * F.abs(F.col("mean_score") - F.col("pos_rate")))
+        / F.sum("n"), round_dp).alias("ece")))
+    return bins.crossJoin(F.broadcast(ece)) \
+        .select("bin", "n", "mean_score", "pos_rate", "ece")

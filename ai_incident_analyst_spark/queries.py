@@ -8110,3 +8110,54 @@ def q_vocab_coverage(spark, sf_dir):
     from .operators.text_analysis import vocab_coverage
     docs = _t(spark, sf_dir, "documents")
     return vocab_coverage(docs, "text", [10, 100, 1000])
+
+
+@q("lr_calibration", """
+WITH scored AS (
+  SELECT round(1/(1+exp(-(
+           -1.5*1.0 + 0.8*(least(length(text), 2000) / 2000.0)
+           + 2.5*(((length(text) - length(replace(text, ' the ', ''))) / 5.0)
+                  * 100.0 / (length(text) + 1.0))
+           - 3.0*((length(text)
+                   - length(regexp_replace(text, '[0-9]', '', 'g')))
+                  / (length(text) + 1.0))
+           + 0.6*((length(text) / (len(string_split(text, ' ')) + 1.0))
+                  / 10.0)))), 6) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+bins AS (
+  SELECT CAST(least(floor(s * 10), 9) AS BIGINT) AS bin,
+         count(*) AS n,
+         round(round(sum(s), 6) / count(*), 6) AS mean_score,
+         round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+  FROM scored GROUP BY 1),
+e AS (
+  SELECT round(sum(n * abs(mean_score - pos_rate)) / sum(n), 6) AS ece
+  FROM bins)
+SELECT bin, n, mean_score, pos_rate, ece
+FROM bins CROSS JOIN e
+ORDER BY bin
+""", doc="classifier reliability diagram + ECE (operators/classifier.py:"
+         "calibration_report over the fixed-weight quality lr_score, "
+         "label = lang='en'): per score-decile mean predicted "
+         "probability vs empirical positive rate, plus the bin-weighted "
+         "expected calibration error as a 1-row broadcast anchor. "
+         "Per-row scores round to 6dp BEFORE binning so both engines "
+         "cut bins identically; pos_rate is an exact integer ratio. One "
+         "map-side-combined groupBy(bin) — corpus scanned once")
+def q_lr_calibration(spark, sf_dir):
+    from .operators.classifier import (
+        calibration_report,
+        doc_quality_features,
+        lr_score,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    feats = doc_quality_features("text")
+    frame = docs.select(
+        F.lit(1.0).alias("x0"),
+        feats["x_len"].alias("x1"), feats["x_the"].alias("x2"),
+        feats["x_digit"].alias("x3"), feats["x_toklen"].alias("x4"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"))
+    scored = lr_score(frame, ["x0", "x1", "x2", "x3", "x4"],
+                      [-1.5, 0.8, 2.5, -3.0, 0.6])
+    return calibration_report(scored, "score", "y", n_bins=10)

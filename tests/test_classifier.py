@@ -107,3 +107,40 @@ def test_doc_quality_features_bounded(spark):
         for k in ("x_len", "x_digit"):
             assert 0.0 <= r[k] <= 1.0
         assert r["x_the"] >= 0.0 and r["x_toklen"] >= 0.0
+
+
+def test_calibration_report_hand_computed(spark):
+    from ai_incident_analyst_spark.operators.classifier import (
+        calibration_report,
+    )
+
+    # bin 0: scores .02/.04, labels 0,0 -> mean .03, rate 0
+    # bin 9: scores .92/.98, labels 1,0 -> mean .95, rate .5
+    # score 1.0 clamps into bin 9 (least(floor(10), 9))
+    rows = [(0.02, 0), (0.04, 0), (0.92, 1), (0.98, 0), (1.0, 1)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    got = {r["bin"]: r for r in
+           calibration_report(df, "score", "y").collect()}
+    assert set(got) == {0, 9}
+    assert got[0]["n"] == 2 and got[0]["mean_score"] == 0.03
+    assert got[0]["pos_rate"] == 0.0
+    assert got[9]["n"] == 3
+    assert got[9]["mean_score"] == round((0.92 + 0.98 + 1.0) / 3, 6)
+    assert got[9]["pos_rate"] == round(2 / 3, 6)
+    # ece = (2*|.03-0| + 3*|mean9-rate9|)/5, identical on every row
+    m9, r9 = got[9]["mean_score"], got[9]["pos_rate"]
+    want_ece = round((2 * 0.03 + 3 * abs(m9 - r9)) / 5, 6)
+    assert {r["ece"] for r in got.values()} == {want_ece}
+
+
+def test_calibration_perfectly_calibrated_degenerate(spark):
+    from ai_incident_analyst_spark.operators.classifier import (
+        calibration_report,
+    )
+
+    # constant score .5, half positive -> single bin, ece = 0
+    rows = [(0.5, i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    r = calibration_report(df, "score", "y").collect()
+    assert len(r) == 1
+    assert r[0]["bin"] == 5 and r[0]["ece"] == 0.0
