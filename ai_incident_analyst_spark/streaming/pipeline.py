@@ -540,3 +540,41 @@ def streaming_ivf_sink(stream: DataFrame, path: str, checkpoint: str,
         .option("checkpointLocation", checkpoint)
         .foreachBatch(write_batch)
     )
+
+
+def compact_ivf_store(spark, path: str) -> None:
+    """Maintenance companion of ``streaming_ivf_sink``: fold the
+    accumulated per-batch partitions into one ``__batch=-1`` partition
+    per cell. A long-running stream leaves one directory (and >=1 small
+    file) per (cell, batch); probes prune on ``__cell`` but still open
+    every batch file inside each probed cell, so read amplification
+    grows linearly with stream age. Compaction restores O(1) files per
+    cell while keeping the two-level ``__cell=/__batch=`` layout —
+    partition discovery requires uniform depth, so the compacted rows
+    keep a reserved batch id rather than collapsing to one level.
+
+    Reader safety uses the store's pointer protocol: the compacted
+    store is written to a fresh versioned directory and a symlink flip
+    makes it live atomically (``_swap_pointer``; a plain directory from
+    direct sink writes is migrated first by ``_recover_store``).
+    Subsequent micro-batches keep writing through the pointer.
+
+    Contract: do NOT reset the stream's checkpoint after compacting —
+    a replayed batch id whose rows were folded into ``__batch=-1``
+    would re-add them (its own partition overwrite can no longer see
+    them). Same reprocessing caveat as any log-structured compaction.
+    """
+    import os
+
+    p = path.rstrip("/")
+    _recover_store(p)
+    n = 0
+    while os.path.exists(f"{p}.v-compact-{n}"):
+        n += 1
+    staged = f"{p}.v-compact-{n}"
+    (spark.read.parquet(p)
+     .withColumn("__batch", F.lit(-1))
+     .repartition(F.col("__cell"))
+     .write.partitionBy("__cell", "__batch")
+     .mode("overwrite").parquet(staged))
+    _swap_pointer(p, staged)

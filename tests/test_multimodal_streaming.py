@@ -727,3 +727,66 @@ def test_streaming_ivf_sink_matches_batch_and_replays(spark, sf_dir):
         q2.awaitTermination(120)
         assert spark.read.parquet(f"{tmp}/ivf").count() == 200
         assert probe(f"{tmp}/ivf") == probe(f"{tmp}/ivf_batch")
+
+
+def test_compact_ivf_store_preserves_probes_and_shrinks(spark, sf_dir):
+    """Compaction folds per-batch partitions into __batch=-1 per cell:
+    probe results are unchanged, the store keeps working as a sink
+    target afterwards, and the batch-dir count drops."""
+    import glob
+    import tempfile
+
+    from ai_incident_analyst_spark.operators.knn import ivf_probe_index
+    from ai_incident_analyst_spark.streaming.pipeline import (
+        compact_ivf_store,
+        streaming_ivf_sink,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    first = emb.where(F.col("vec_id") < 150)
+    second = emb.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 200))
+    cents = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(64)]) for i in range(4)],
+        "centroid_id long, centroid array<double>")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+
+    def probe(path):
+        return sorted(
+            (r.query_id, r.vec_id, round(r.distance, 9))
+            for r in ivf_probe_index(spark, path, queries, cents,
+                                     k=5, nprobe=4).collect())
+
+    def run_sink(src_dir, store, ck):
+        stream = spark.readStream.schema(emb.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src_dir)
+        q = streaming_ivf_sink(stream, store, ck, cents) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        first.repartition(3).write.parquet(f"{tmp}/in")
+        run_sink(f"{tmp}/in", f"{tmp}/ivf", f"{tmp}/ck")
+        before = probe(f"{tmp}/ivf")
+        n_dirs_before = len(glob.glob(f"{tmp}/ivf/__cell=*/__batch=*"))
+
+        compact_ivf_store(spark, f"{tmp}/ivf")
+        assert probe(f"{tmp}/ivf") == before
+        n_dirs_after = len(glob.glob(f"{tmp}/ivf/__cell=*/__batch=*"))
+        assert n_dirs_after < n_dirs_before
+        assert spark.read.parquet(f"{tmp}/ivf").count() == 150
+
+        # the compacted store keeps accepting new batches (same ck)
+        second.repartition(2).write.mode("append").parquet(f"{tmp}/in")
+        run_sink(f"{tmp}/in", f"{tmp}/ivf", f"{tmp}/ck")
+        assert spark.read.parquet(f"{tmp}/ivf").count() == 200
+
+        # a second compaction over the mixed store is stable too
+        compact_ivf_store(spark, f"{tmp}/ivf")
+        assert spark.read.parquet(f"{tmp}/ivf").count() == 200
+        got = {r.vec_id for r in
+               spark.read.parquet(f"{tmp}/ivf").select("vec_id").collect()}
+        assert got == {r.vec_id for r in
+                       emb.where(F.col("vec_id") < 200).collect()}
