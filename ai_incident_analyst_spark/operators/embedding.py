@@ -70,3 +70,74 @@ def embed_text(df: DataFrame, fields: list[str],
     → batched encode → attach ``embedding`` array<float> column."""
     text = F.concat_ws(" ", *[F.col(f) for f in fields])
     return df.withColumn(out_col, make_embed_udf(dim, make_model)(text))
+
+
+def embed_plan(snapshot: DataFrame, stored: DataFrame, id_col: str,
+               text_col: str) -> DataFrame:
+    """Incremental-embedding work plan: compare a corpus snapshot
+    against the stored embedding table BY CONTENT HASH and classify
+    every id — ``(id_col, action)`` with action ∈ ``keep`` (content
+    unchanged, reuse the stored vector), ``embed`` (content changed,
+    re-encode), ``new`` (no stored row), ``drop`` (stored row whose id
+    left the snapshot).
+
+    At 100 TB the encoder is the pipeline's dominant cost — GPU-hours
+    per full pass — while this plan is ONE full-outer equi-join on the
+    id (the only shuffle) with md5 content hashes computed in the scan
+    projections. The reference re-embeds its whole corpus every run
+    (``src/embeddings/embedder.py`` has no notion of a prior state);
+    skipping the unchanged 99% is the difference between a nightly and
+    a quarterly refresh.
+
+    ``stored`` must carry ``(id_col, __content_md5)`` — the hash
+    ``incremental_embed`` persists alongside each vector.
+    """
+    snap = snapshot.select(
+        F.col(id_col),
+        F.md5(F.col(text_col).cast("string")).alias("__snap_md5"))
+    st = stored.select(F.col(id_col), F.col("__content_md5"))
+    return (snap.join(st, id_col, "full_outer")
+            .select(
+                id_col,
+                F.when(F.col("__snap_md5").isNull(), F.lit("drop"))
+                .when(F.col("__content_md5").isNull(), F.lit("new"))
+                .when(F.col("__snap_md5") == F.col("__content_md5"),
+                      F.lit("keep"))
+                .otherwise(F.lit("embed")).alias("action")))
+
+
+def incremental_embed(snapshot: DataFrame, stored: DataFrame | None,
+                      id_col: str, text_col: str,
+                      dim: int = DEFAULT_DIM,
+                      make_model=None) -> DataFrame:
+    """Refresh the embedding table for ``snapshot``, re-encoding ONLY
+    changed/new content: unchanged rows pass through from ``stored``
+    byte-identically (the encoder never sees them), departed ids drop.
+    Returns ``(id_col, __content_md5, embedding)`` — the same shape
+    ``stored`` must have, so refreshes chain:
+    ``t2 = incremental_embed(snap2, t1, ...)``.
+
+    Plan: the ``embed_plan`` classification join, a broadcast-friendly
+    semi-join splitting the snapshot into reuse/encode halves, the
+    Arrow-batched encoder (``make_embed_udf``) over the encode half
+    only, and a union. Determinism: the fake encoder is content-keyed,
+    so reused and re-encoded vectors agree whenever content agrees —
+    ``tests/test_embedding.py`` asserts refresh ≡ full re-embed.
+    """
+    snap_hashed = snapshot.select(
+        F.col(id_col),
+        F.md5(F.col(text_col).cast("string")).alias("__content_md5"),
+        F.col(text_col))
+    if stored is None:
+        return (embed_text(snap_hashed, [text_col], dim=dim,
+                           make_model=make_model)
+                .select(id_col, "__content_md5", "embedding"))
+    plan = embed_plan(snapshot, stored, id_col, text_col)
+    keep_ids = plan.where(F.col("action") == "keep").select(id_col)
+    reused = stored.join(keep_ids, id_col, "left_semi") \
+        .select(id_col, "__content_md5", "embedding")
+    todo = snap_hashed.join(keep_ids, id_col, "left_anti")
+    encoded = embed_text(todo, [text_col], dim=dim,
+                         make_model=make_model) \
+        .select(id_col, "__content_md5", "embedding")
+    return reused.unionByName(encoded)

@@ -8161,3 +8161,41 @@ def q_lr_calibration(spark, sf_dir):
     scored = lr_score(frame, ["x0", "x1", "x2", "x3", "x4"],
                       [-1.5, 0.8, 2.5, -3.0, 0.6])
     return calibration_report(scored, "score", "y", n_bins=10)
+
+
+@q("embed_plan_actions", """
+WITH snap AS (SELECT doc_id, md5(text) AS sm FROM documents),
+stored AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 10 = 0 THEN text || 'x' ELSE text END) AS cm
+  FROM documents WHERE doc_id < 400
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, md5(text) AS cm
+  FROM documents WHERE doc_id < 30)
+SELECT doc_id,
+       CASE WHEN sm IS NULL THEN 'drop'
+            WHEN cm IS NULL THEN 'new'
+            WHEN sm = cm THEN 'keep'
+            ELSE 'embed' END AS action
+FROM snap FULL OUTER JOIN stored USING (doc_id)
+ORDER BY doc_id
+""", doc="incremental-embedding work plan (operators/embedding.py:"
+         "embed_plan): classify every id keep/embed/new/drop by "
+         "content-hash comparison against the stored embedding table — "
+         "ONE full-outer id join, hashes computed in the scan "
+         "projections. At 100 TB the encoder dominates pipeline cost; "
+         "skipping the unchanged mass is the nightly-vs-quarterly "
+         "refresh difference. Harness plants changed content for every "
+         "10th stored id, 100 new ids beyond 400, and 30 departed ids")
+def q_embed_plan_actions(spark, sf_dir):
+    from .operators.embedding import embed_plan
+    docs = _t(spark, sf_dir, "documents")
+    prior = docs.where(F.col("doc_id") < 400).select(
+        "doc_id",
+        F.md5(F.when(F.col("doc_id") % 10 == 0,
+                     F.concat(F.col("text"), F.lit("x")))
+              .otherwise(F.col("text"))).alias("__content_md5"))
+    departed = docs.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.md5(F.col("text")).alias("__content_md5"))
+    return embed_plan(docs, prior.unionByName(departed), "doc_id", "text")

@@ -81,3 +81,52 @@ def test_embed_real_sentence_transformer(spark):
     rows = embed_text(df, ["message", "event"], dim=384,
                       make_model=make_model).collect()
     assert all(len(r.embedding) == 384 for r in rows)
+
+
+def test_embed_plan_classification(spark):
+    from ai_incident_analyst_spark.operators.embedding import embed_plan
+
+    snap = spark.createDataFrame(
+        [(1, "same"), (2, "changed-now"), (3, "brand new")],
+        "doc_id long, text string")
+    import hashlib
+    stored = spark.createDataFrame(
+        [(1, hashlib.md5(b"same").hexdigest()),
+         (2, hashlib.md5(b"changed-before").hexdigest()),
+         (9, hashlib.md5(b"gone").hexdigest())],
+        "doc_id long, __content_md5 string")
+    got = {r["doc_id"]: r["action"]
+           for r in embed_plan(snap, stored, "doc_id", "text").collect()}
+    assert got == {1: "keep", 2: "embed", 3: "new", 9: "drop"}
+
+
+def test_incremental_embed_equals_full_and_chains(spark):
+    from ai_incident_analyst_spark.operators.embedding import (
+        incremental_embed,
+    )
+
+    v1 = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(8)],
+        "doc_id long, text string")
+    t1 = incremental_embed(v1, None, "doc_id", "text", dim=16)
+    assert t1.count() == 8
+
+    # v2: doc 0 changed, doc 8 new, doc 7 departed
+    v2 = spark.createDataFrame(
+        [(0, "doc number zero CHANGED")]
+        + [(i, f"doc number {i}") for i in range(1, 7)]
+        + [(8, "doc number 8")],
+        "doc_id long, text string")
+    t2 = incremental_embed(v2, t1, "doc_id", "text", dim=16)
+    full = incremental_embed(v2, None, "doc_id", "text", dim=16)
+    a = {r["doc_id"]: (r["__content_md5"], tuple(r["embedding"]))
+         for r in t2.collect()}
+    b = {r["doc_id"]: (r["__content_md5"], tuple(r["embedding"]))
+         for r in full.collect()}
+    assert a == b                     # refresh == full re-embed
+    assert 7 not in a                 # departed id dropped
+    # chaining a no-change snapshot is a fixed point
+    t3 = incremental_embed(v2, t2, "doc_id", "text", dim=16)
+    c = {r["doc_id"]: (r["__content_md5"], tuple(r["embedding"]))
+         for r in t3.collect()}
+    assert c == a
