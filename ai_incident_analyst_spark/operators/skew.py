@@ -85,3 +85,44 @@ def top_frequent_keys(df: DataFrame, key: str, n: int = 20) -> DataFrame:
         .orderBy(F.col("count").desc())
         .limit(n)
     )
+
+
+def key_skew_report(df: DataFrame, key: str,
+                    top_n: int = 10) -> DataFrame:
+    """Join/agg-key skew diagnostic — the measurement that decides
+    WHEN ``salted_join``/``salted_agg`` (above) or AQE skew splitting
+    is worth its overhead, instead of salting by folklore.
+
+    Returns one row: ``(n_rows, n_keys, max_key_rows, median_key_rows,
+    max_key_frac, top10_frac, skew_ratio)`` — ``skew_ratio`` is the
+    hottest key's size over the mean key size (1.0 = perfectly uniform;
+    a shuffle partition holding a key at ratio R finishes ~R× later
+    than the average task, which is exactly the straggler salting
+    removes). ``top10_frac`` (really top-``top_n``) is the row mass of
+    the ``top_n`` hottest keys — high values mean AQE's split of a few
+    giant partitions suffices; a long heavy tail argues for salting.
+
+    Plan: ONE map-side-combined groupBy(key) (the same shuffle the join
+    under diagnosis would pay), a single aggregate over the key-count
+    table (exact counts + interpolated median), and a
+    ``TakeOrderedAndProject`` top-``top_n`` — no global window over the
+    key table, so the report scales to any key cardinality.
+    """
+    ks = df.groupBy(F.col(key).alias("__k")) \
+        .agg(F.count("*").alias("__c"))
+    topk = (ks.orderBy(F.desc("__c"), F.col("__k").asc()).limit(top_n)
+            .agg(F.sum("__c").alias("__top")))
+    stats = ks.agg(
+        F.sum("__c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("__c").alias("max_key_rows"),
+        F.percentile(F.col("__c"), F.lit(0.5)).alias("median_key_rows"))
+    return (stats.crossJoin(F.broadcast(topk))
+            .select(
+                "n_rows", "n_keys", "max_key_rows", "median_key_rows",
+                F.round(F.col("max_key_rows") / F.col("n_rows"), 6)
+                .alias("max_key_frac"),
+                F.round(F.col("__top") / F.col("n_rows"), 6)
+                .alias("top10_frac"),
+                F.round(F.col("max_key_rows") * F.col("n_keys")
+                        / F.col("n_rows"), 6).alias("skew_ratio")))

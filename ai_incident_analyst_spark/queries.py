@@ -8199,3 +8199,32 @@ def q_embed_plan_actions(spark, sf_dir):
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.md5(F.col("text")).alias("__content_md5"))
     return embed_plan(docs, prior.unionByName(departed), "doc_id", "text")
+
+
+@q("key_skew_report", """
+WITH ks AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+topk AS (
+  SELECT sum(c) AS top FROM (
+    SELECT c FROM ks ORDER BY c DESC, k ASC LIMIT 10)),
+stats AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+         count(*) AS n_keys,
+         max(c) AS max_key_rows,
+         quantile_cont(c, 0.5) AS median_key_rows
+  FROM ks)
+SELECT n_rows, n_keys, max_key_rows, median_key_rows,
+       round(max_key_rows / CAST(n_rows AS DOUBLE), 6) AS max_key_frac,
+       round(top / CAST(n_rows AS DOUBLE), 6) AS top10_frac,
+       round(max_key_rows * n_keys / CAST(n_rows AS DOUBLE), 6)
+         AS skew_ratio
+FROM stats CROSS JOIN topk
+""", doc="join-key skew diagnostic (operators/skew.py:key_skew_report "
+         "over events.user_id): hottest-key mass, top-10 concentration, "
+         "and the hot/mean skew ratio that predicts the straggler a "
+         "salted join (operators/skew.py:salted_join) would remove. One "
+         "keyed groupBy + one aggregate + TakeOrderedAndProject — no "
+         "global window over the key table at any cardinality")
+def q_key_skew_report(spark, sf_dir):
+    from .operators.skew import key_skew_report
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id", top_n=10)

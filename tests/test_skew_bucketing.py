@@ -87,3 +87,25 @@ def test_salted_join_rejects_unsupported_how(spark):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(big, small, "k", how=how)
     assert salted_join(big, small, "k", how="left").count() == 1
+
+
+def test_key_skew_report_hand_computed(spark):
+    from ai_incident_analyst_spark.operators.skew import key_skew_report
+
+    # key a: 6 rows, b: 2, c: 2  -> n=10, keys=3, max=6, median=2
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_report(df, "k", top_n=2).first()
+    assert (r["n_rows"], r["n_keys"], r["max_key_rows"]) == (10, 3, 6)
+    assert r["median_key_rows"] == 2.0
+    assert r["max_key_frac"] == 0.6
+    assert r["top10_frac"] == 0.8          # top-2 keys: a(6) + b(2)
+    assert r["skew_ratio"] == 1.8          # 6 / (10/3)
+
+
+def test_key_skew_report_uniform(spark):
+    from ai_incident_analyst_spark.operators.skew import key_skew_report
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(8)], "k string")
+    r = key_skew_report(df, "k").first()
+    assert r["skew_ratio"] == 1.0 and r["max_key_rows"] == 1
