@@ -77,7 +77,13 @@ def mine_hard_negatives(queries: DataFrame, corpus: DataFrame,
     cand = scored.join(F.broadcast(pos), ["query_id", "vec_id"],
                        "left_anti")
     if margin is not None:
-        best = (scored.join(F.broadcast(pos), ["query_id", "vec_id"])
+        # score ONLY the positive pairs for the margin anchor — an
+        # equi-join of the tiny positives list against corpus + queries,
+        # |positives| rows of work — instead of referencing the full
+        # |Q|x|C| scored frame a second time (which re-ran the corpus
+        # cross-join scoring pass at any scale)
+        best = (pos.join(c, "vec_id").join(q, "query_id")
+                .withColumn("sim", sim)
                 .groupBy("query_id")
                 .agg(F.max("sim").alias("__best")))
         cand = (cand.join(F.broadcast(best), "query_id")
