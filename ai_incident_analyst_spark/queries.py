@@ -8228,3 +8228,61 @@ def q_key_skew_report(spark, sf_dir):
     from .operators.skew import key_skew_report
     ev = _t(spark, sf_dir, "events")
     return key_skew_report(ev, "user_id", top_n=10)
+
+
+@q("image_dup_clusters", f"""
+WITH RECURSIVE media AS (
+  SELECT doc_id AS media_id, sha256(text) AS sha FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS media_id, sha256(text) AS sha
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id + 200000 AS media_id, sha256(text) AS sha
+  FROM documents WHERE doc_id < 20),
+{_DHASH_GRID_SQL},
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.val = b.val
+   AND a.media_id < b.media_id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sig sa ON sa.media_id = cand.id_a
+  JOIN sig sb ON sb.media_id = cand.id_b
+  WHERE bit_count(xor(sa.band_0, sb.band_0))
+      + bit_count(xor(sa.band_1, sb.band_1))
+      + bit_count(xor(sa.band_2, sb.band_2))
+      + bit_count(xor(sa.band_3, sb.band_3)) <= 3),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+labels AS (
+  SELECT u, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT u AS node, cluster_id FROM labels
+ORDER BY node
+""", doc="transitive image-duplicate clustering: dHash banded near-dup "
+         "pairs (image_neardup_dhash pipeline) -> connected components "
+         "(hash-min label propagation, operators/dedup.py:"
+         "connected_components). Harness plants each of the first 20 "
+         "payloads TWICE more (re-keyed +100000/+200000), so every "
+         "planted group is a hamming-0 triangle and the expected "
+         "clusters are 3-cliques labeled by their smallest id. Oracle "
+         "replays the closure as a recursive CTE")
+def q_image_dup_clusters(spark, sf_dir):
+    from .operators.dedup import connected_components
+    from .operators.multimodal import dhash_neardup, image_dhash
+    docs = _t(spark, sf_dir, "documents")
+    dup1 = (docs.where(F.col("doc_id") < 20)
+            .withColumn("doc_id", F.col("doc_id") + 100000))
+    dup2 = (docs.where(F.col("doc_id") < 20)
+            .withColumn("doc_id", F.col("doc_id") + 200000))
+    media = make_media_table(docs.unionByName(dup1).unionByName(dup2),
+                             "doc_id", "text")
+    pairs = dhash_neardup(image_dhash(media, fake=True), threshold=3) \
+        .select("id_a", "id_b")
+    return connected_components(pairs)
