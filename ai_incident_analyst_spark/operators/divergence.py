@@ -143,3 +143,72 @@ def entropy_of(counts: list[int]) -> float:
     """Driver-side helper for tests: exact entropy of a count vector."""
     n = float(sum(counts))
     return -sum((c / n) * math.log(c / n) for c in counts if c > 0)
+
+
+def psi_report(baseline: DataFrame, current: DataFrame, value_col: str,
+               n_bins: int = 10, alpha: float = 0.5,
+               round_dp: int = 6) -> DataFrame:
+    """Population Stability Index over a NUMERIC feature — the
+    production drift monitor for scores and measurements (credit-risk
+    folklore thresholds: <0.1 stable, 0.1–0.25 drifting, >0.25 act),
+    complementing ``categorical_divergence`` (above), which compares
+    CATEGORY distributions and has no notion of a baseline-anchored
+    binning.
+
+    Bins are the baseline's ``i/n_bins`` interpolated percentiles (the
+    PSI convention: the monitored window is judged against the
+    baseline's own quantile grid, so a stable-but-shifted current
+    window lights up); a value's bin is the count of boundaries it
+    strictly exceeds — ties fall low, integer-exact in every engine
+    (the ``curriculum.difficulty_buckets`` rule). Empty bins on either
+    side get additive ``alpha`` smoothing so the log ratio stays
+    finite.
+
+    Returns one row per bin: ``(bin, n_base, n_cur, psi_contrib,
+    psi)`` — ``psi_contrib = (p_b − q_b)·ln(p_b/q_b)`` rounded at
+    ``round_dp``; ``psi`` is the total (sum of the ROUNDED contribs,
+    re-rounded — a 1-row broadcast anchor, deterministic cross-engine).
+
+    Plan: one tiny percentile aggregate over the baseline (broadcast),
+    one map-side-combined groupBy per side (each collapses to
+    ≤``n_bins`` rows — the only corpus-sized work is the two scans),
+    an outer join on the dense ``spark.range(n_bins)`` bin spine, and
+    the scalar total.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    spark = baseline.sparkSession
+    v = F.col(value_col)
+    bounds = baseline.agg(*[
+        F.percentile(v, F.lit(i / n_bins)).alias(f"__b{i}")
+        for i in range(1, n_bins)])
+    bucket = sum(
+        (F.when(v > F.col(f"__b{i}"), 1).otherwise(0)
+         for i in range(1, n_bins)),
+        F.lit(0)).cast("long")
+
+    def side_counts(df: DataFrame, out: str) -> DataFrame:
+        return (df.crossJoin(F.broadcast(bounds))
+                .select(bucket.alias("bin"))
+                .groupBy("bin").agg(F.count("*").alias(out)))
+
+    spine = spark.range(n_bins).select(F.col("id").alias("bin"))
+    joined = (spine
+              .join(side_counts(baseline, "n_base"), "bin", "left")
+              .join(side_counts(current, "n_cur"), "bin", "left")
+              .select("bin",
+                      F.coalesce("n_base", F.lit(0)).alias("n_base"),
+                      F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+    tot = joined.agg(F.sum("n_base").alias("__tb"),
+                     F.sum("n_cur").alias("__tc"))
+    a = float(alpha)
+    an = a * n_bins
+    p = (F.col("n_base") + F.lit(a)) / (F.col("__tb") + F.lit(an))
+    q = (F.col("n_cur") + F.lit(a)) / (F.col("__tc") + F.lit(an))
+    contrib = joined.crossJoin(F.broadcast(tot)).select(
+        "bin", "n_base", "n_cur",
+        F.round((p - q) * F.log(p / q), round_dp).alias("psi_contrib"))
+    total = contrib.agg(
+        F.round(F.sum("psi_contrib"), round_dp).alias("psi"))
+    return (contrib.crossJoin(F.broadcast(total))
+            .select("bin", "n_base", "n_cur", "psi_contrib", "psi"))

@@ -979,3 +979,40 @@ def ivfpq_probe_index(spark, path: str, queries: DataFrame, k: int = 5,
                .sortWithinPartitions("vec_id"))
     return _ivfpq_scan(encoded, luts, m, k,
                        qtype=queries.schema[query_id].dataType.simpleString())
+
+
+def mutual_knn_pairs(df: DataFrame, id_col: str, vec_col: str,
+                     k: int = 4, metric: str = "cosine",
+                     round_dp: int | None = 6) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs: ``(id_a, id_b, distance)``
+    where each side is in the OTHER's top-k — the symmetric pruning
+    that separates genuine semantic twins from hub-induced one-way
+    matches (a generic hub document sits in thousands of top-k lists;
+    almost none of them sit in ITS list, so the mutuality test drops
+    hub edges at no model cost — the rNN trick from image-matching and
+    SemDeDup-style curation).
+
+    Built from the exact ``knn_join`` of the corpus against itself
+    (self-matches excluded before ranking by taking k+1 and dropping
+    the self edge): one broadcast-scored pass, then the directed edge
+    list joins ITSELF on the reversed pair — edge-list-sized work, no
+    second scoring pass. ``round_dp`` rounds scores before ranking per
+    the repo discretization contract. For corpora past the exact-kNN
+    envelope, feed the directed edges from ``ivf_knn_join`` instead;
+    the mutuality join is identical.
+    """
+    q = df.select(F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("query_vec"))
+    edges = (knn_join(q, df, k=k + 1, metric=metric,
+                      corpus_id=id_col, corpus_vec=vec_col)
+             .where(F.col("query_id") != F.col("vec_id")))
+    if round_dp is not None:
+        edges = edges.withColumn("distance",
+                                 F.round("distance", round_dp))
+    back = edges.select(F.col("query_id").alias("vec_id"),
+                        F.col("vec_id").alias("query_id"))
+    return (edges.join(back, ["query_id", "vec_id"], "left_semi")
+            .where(F.col("query_id") < F.col("vec_id"))
+            .select(F.col("query_id").alias("id_a"),
+                    F.col("vec_id").alias("id_b"),
+                    "distance"))

@@ -8286,3 +8286,111 @@ def q_image_dup_clusters(spark, sf_dir):
     pairs = dhash_neardup(image_dhash(media, fake=True), threshold=3) \
         .select("id_a", "id_b")
     return connected_components(pairs)
+
+
+@q("mutual_knn_pairs", """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 300
+), scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vid,
+         list_sum([ x[1]*x[2] for x in list_zip(a.v, b.v) ])
+           / (sqrt(list_sum([ x*x for x in a.v ]))
+              * sqrt(list_sum([ x*x for x in b.v ]))) AS sim
+  FROM e a CROSS JOIN e b
+), ranked AS (
+  SELECT qid, vid, sim FROM scored
+  QUALIFY row_number() OVER (PARTITION BY qid
+                             ORDER BY sim DESC, vid ASC) <= 5
+), edges AS (
+  SELECT qid, vid, round(sim, 6) AS sim FROM ranked WHERE qid <> vid
+)
+SELECT a.qid AS id_a, a.vid AS id_b, a.sim AS distance
+FROM edges a JOIN edges b ON a.qid = b.vid AND a.vid = b.qid
+WHERE a.qid < a.vid
+ORDER BY id_a, id_b
+""", doc="reciprocal nearest neighbors (operators/knn.py:"
+         "mutual_knn_pairs, k=4 cosine over 300 vectors): pairs where "
+         "EACH side is in the other's top-k — the symmetric pruning "
+         "that drops hub-induced one-way matches from semantic-twin "
+         "candidates. Contract: rank top-(k+1) including self, drop "
+         "the self edge (the FAISS-user recipe), then a left-semi join "
+         "of the directed edge list on its own reversal — edge-sized "
+         "work, the corpus is scored once")
+def q_mutual_knn_pairs(spark, sf_dir):
+    from .operators.knn import mutual_knn_pairs
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return mutual_knn_pairs(emb, "vec_id", "embedding", k=4,
+                            metric="cosine")
+
+
+@q("psi_orderprice_drift", """
+WITH base AS (
+  SELECT o_totalprice AS val FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+cur AS (
+  SELECT o_totalprice AS val FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+b AS (
+  SELECT quantile_cont(val, 0.1) AS b1, quantile_cont(val, 0.2) AS b2,
+         quantile_cont(val, 0.3) AS b3, quantile_cont(val, 0.4) AS b4,
+         quantile_cont(val, 0.5) AS b5, quantile_cont(val, 0.6) AS b6,
+         quantile_cont(val, 0.7) AS b7, quantile_cont(val, 0.8) AS b8,
+         quantile_cont(val, 0.9) AS b9
+  FROM base),
+bc AS (
+  SELECT CAST((CASE WHEN val > b1 THEN 1 ELSE 0 END)
+       + (CASE WHEN val > b2 THEN 1 ELSE 0 END)
+       + (CASE WHEN val > b3 THEN 1 ELSE 0 END)
+       + (CASE WHEN val > b4 THEN 1 ELSE 0 END)
+       + (CASE WHEN val > b5 THEN 1 ELSE 0 END)
+       + (CASE WHEN val > b6 THEN 1 ELSE 0 END)
+       + (CASE WHEN val > b7 THEN 1 ELSE 0 END)
+       + (CASE WHEN val > b8 THEN 1 ELSE 0 END)
+       + (CASE WHEN val > b9 THEN 1 ELSE 0 END) AS BIGINT) AS bin
+  FROM base CROSS JOIN b),
+cc AS (
+  SELECT CAST((CASE WHEN val > b1 THEN 1 ELSE 0 END)
+       + (CASE WHEN val > b2 THEN 1 ELSE 0 END)
+       + (CASE WHEN val > b3 THEN 1 ELSE 0 END)
+       + (CASE WHEN val > b4 THEN 1 ELSE 0 END)
+       + (CASE WHEN val > b5 THEN 1 ELSE 0 END)
+       + (CASE WHEN val > b6 THEN 1 ELSE 0 END)
+       + (CASE WHEN val > b7 THEN 1 ELSE 0 END)
+       + (CASE WHEN val > b8 THEN 1 ELSE 0 END)
+       + (CASE WHEN val > b9 THEN 1 ELSE 0 END) AS BIGINT) AS bin
+  FROM cur CROSS JOIN b),
+bn AS (SELECT bin, count(*) AS n_base FROM bc GROUP BY bin),
+cn AS (SELECT bin, count(*) AS n_cur FROM cc GROUP BY bin),
+spine AS (SELECT unnest(range(10)) AS bin),
+j AS (
+  SELECT s.bin,
+         COALESCE(bn.n_base, 0) AS n_base,
+         COALESCE(cn.n_cur, 0) AS n_cur
+  FROM spine s LEFT JOIN bn USING (bin) LEFT JOIN cn USING (bin)),
+t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j),
+contrib AS (
+  SELECT bin, n_base, n_cur,
+         round(((n_base + 0.5) / (tb + 5.0) - (n_cur + 0.5) / (tc + 5.0))
+               * ln(((n_base + 0.5) / (tb + 5.0))
+                    / ((n_cur + 0.5) / (tc + 5.0))), 6) AS psi_contrib
+  FROM j CROSS JOIN t)
+SELECT bin, n_base, n_cur, psi_contrib,
+       (SELECT round(sum(psi_contrib), 6) FROM contrib) AS psi
+FROM contrib
+ORDER BY bin
+""", doc="population stability index drift monitor (operators/"
+         "divergence.py:psi_report): order totals after 1998 judged "
+         "against the pre-1998 baseline's own decile grid — the "
+         "baseline-anchored numeric-feature drift check that "
+         "complements the categorical divergence family. Ties fall "
+         "low (strict >, integer-exact); additive 0.5 smoothing keeps "
+         "empty bins finite; contribs round at 6dp before the total. "
+         "Two scans, two <=10-row aggs, a dense bin spine join")
+def q_psi_orderprice_drift(spark, sf_dir):
+    from .operators.divergence import psi_report
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    base = orders.where(F.col("o_orderdate") < cut)
+    cur = orders.where(F.col("o_orderdate") >= cut)
+    return psi_report(base, cur, "o_totalprice", n_bins=10, alpha=0.5)

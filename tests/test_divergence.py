@@ -81,3 +81,48 @@ def test_token_divergence_vocab_cap(spark):
     assert row["n_cats"] == 3
     exp = _expected({"alpha": 3, "beta": 6}, {"alpha": 6, "delta": 3})
     assert row["js"] == pytest.approx(exp["js"], abs=1e-6)
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from ai_incident_analyst_spark.operators.divergence import psi_report
+
+    rows = [(float(i % 50),) for i in range(500)]
+    df = spark.createDataFrame(rows, "v double")
+    out = psi_report(df, df, "v", n_bins=5).collect()
+    assert len(out) == 5
+    # identical sides: p == q in every bin -> each contrib 0, psi 0
+    assert all(r["psi_contrib"] == 0.0 for r in out)
+    assert out[0]["psi"] == 0.0
+
+
+def test_psi_shift_detected_and_hand_checked(spark):
+    import math
+
+    from ai_incident_analyst_spark.operators.divergence import psi_report
+
+    base = spark.createDataFrame([(float(i),) for i in range(100)],
+                                 "v double")
+    # hard shift: everything above the baseline's max -> all current
+    # mass lands in the top bin
+    cur = spark.createDataFrame([(1000.0 + i,) for i in range(50)],
+                                "v double")
+    out = {r["bin"]: r for r in
+           psi_report(base, cur, "v", n_bins=4, alpha=0.5).collect()}
+    assert [out[b]["n_cur"] for b in range(4)] == [0, 0, 0, 50]
+    assert [out[b]["n_base"] for b in range(4)] == [25, 25, 25, 25]
+    # hand-check bin 0's contribution
+    p0 = (25 + 0.5) / (100 + 2.0)
+    q0 = (0 + 0.5) / (50 + 2.0)
+    want = round((p0 - q0) * math.log(p0 / q0), 6)
+    assert out[0]["psi_contrib"] == want
+    assert out[0]["psi"] > 0.25     # folklore "act" threshold
+
+
+def test_psi_guard(spark):
+    import pytest as _pt
+
+    from ai_incident_analyst_spark.operators.divergence import psi_report
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with _pt.raises(ValueError):
+        psi_report(df, df, "v", n_bins=1)

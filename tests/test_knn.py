@@ -217,3 +217,39 @@ def test_lsh_cosine_string_ids(spark, sf_dir):
                                    plane_fn="md5").collect()
     assert {(r.query_id, r.vec_id) for r in out} \
         == {(f"v{r.query_id:04d}", f"v{r.vec_id:04d}") for r in long_out}
+
+
+def test_mutual_knn_pairs_symmetry_and_hub_drop(spark):
+    """A tight pair is mutual; a hub that everyone points at but that
+    points back at only its own top-k is not paired with the far
+    nodes."""
+    from ai_incident_analyst_spark.operators.knn import mutual_knn_pairs
+
+    # 2-d: 0 and 1 nearly parallel (mutual twins); 2 is a distant
+    # direction whose nearest are still 0/1, but with k=1 neither 0 nor
+    # 1 points back at 2
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.05]), (2, [0.3, 1.0])],
+        "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             mutual_knn_pairs(df, "vec_id", "embedding", k=1).collect()}
+    assert pairs == {(0, 1)}
+    # with k=2 everyone fits in everyone's list: all 3 pairs mutual
+    pairs2 = {(r["id_a"], r["id_b"]) for r in
+              mutual_knn_pairs(df, "vec_id", "embedding", k=2).collect()}
+    assert pairs2 == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_mutual_knn_pairs_canonical_and_deterministic(spark):
+    from ai_incident_analyst_spark.operators.knn import mutual_knn_pairs
+
+    rows = [(i, [float((i * 7) % 13), float((i * 5) % 11), 1.0])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple,
+                   mutual_knn_pairs(df, "vec_id", "embedding", k=3).collect()))
+    b = sorted(map(tuple,
+                   mutual_knn_pairs(df.repartition(7), "vec_id",
+                                    "embedding", k=3).collect()))
+    assert a == b and len(a) > 0
+    assert all(ia < ib for ia, ib, _ in a)
