@@ -444,7 +444,8 @@ def ivf_probe_index(spark, path: str, queries: DataFrame,
                     corpus_id: str = "vec_id", corpus_vec: str = "embedding",
                     centroid_id: str = "centroid_id",
                     centroid_vec: str = "centroid",
-                    round_dp: int | None = None) -> DataFrame:
+                    round_dp: int | None = None,
+                    where=None) -> DataFrame:
     """Probe a persisted IVF index: identical results to ``ivf_knn_join``
     over the same centroids, but the corpus scan is restricted to the
     probed cells with a STATIC ``IN`` predicate so parquet partition
@@ -456,6 +457,15 @@ def ivf_probe_index(spark, path: str, queries: DataFrame,
     read all partitions. The probed-queries frame is localCheckpointed so
     its Arrow pass runs once, not once for the cell collect and again in
     the join.
+
+    ``where`` (optional Column over the index's metadata columns) makes
+    this FILTERED vector search: the predicate lands on the pruned
+    parquet scan (PushedFilters — row groups skip before decode), and
+    because cell assignment is row-local the result is identical to
+    probing an index built from the pre-filtered corpus. Top-k is taken
+    AFTER the filter, so every returned hit satisfies it (the
+    metadata-filtered-ANN contract, not a lossy post-filter of an
+    unfiltered top-k).
     """
     ids, mat, ctype = _centroid_arrays(centroids, centroid_id, centroid_vec)
     q = queries.select(F.col(query_id).alias("query_id"),
@@ -465,6 +475,8 @@ def ivf_probe_index(spark, path: str, queries: DataFrame,
         .localCheckpoint(eager=True)
     cells = [r["__cell"] for r in probed.select("__cell").distinct().collect()]
     index = spark.read.parquet(path).filter(F.col("__cell").isin(cells))
+    if where is not None:
+        index = index.filter(where)
 
     scored = (
         F.broadcast(probed)

@@ -326,3 +326,50 @@ def fill_gaps(df: DataFrame, key: str, ts_col: str, value_col: str,
                 F.col("__tick").cast("timestamp").alias(ts_col),
                 value_col, "is_observed")
     )
+
+
+def funnel_steps(df: DataFrame, user_col: str, ts_col: str,
+                 type_col: str, steps: list[str],
+                 within: str | None = None) -> DataFrame:
+    """Ordered conversion funnel: per user, the earliest strictly-
+    increasing timestamp chain through ``steps`` (first step-1 event,
+    then the first step-2 event AFTER it, ...), optionally requiring
+    the whole chain to complete ``within`` an interval of step 1
+    (e.g. ``"7 days"``). The classic product-analytics primitive the
+    reference's flat event counts (A4–A8) cannot express, because each
+    stage is conditioned on the PREVIOUS stage's per-user timestamp.
+
+    Returns ``(user_col, t_1..t_k)`` — one row per user who completed
+    step 1, later stage timestamps null where the chain broke. Earliest-
+    chain semantics ("first qualifying event after the previous stage")
+    is the standard greedy funnel; it completes whenever any chain does
+    for ≥2-step suffixes anchored at the first step-1 event.
+
+    Plan: stage i is one join of the (user, t_{i-1}) frame onto the
+    step-i events plus a min-aggregate — every stage keys on the user
+    id, so all shuffles share one partitioning (co-partitioned joins,
+    AQE broadcasts the shrinking funnel frame when it fits). Left joins
+    keep drop-offs so conversion RATES fall out of one count aggregate
+    (see the ``funnel_conversion`` registry query).
+    """
+    if len(steps) < 2:
+        raise ValueError(f"a funnel needs >= 2 steps, got {len(steps)}")
+    u, t = F.col(user_col), F.col(ts_col)
+    ev = df.select(u.alias("__u"), t.alias("__t"),
+                   F.col(type_col).alias("__e"))
+    cur = (ev.where(F.col("__e") == steps[0])
+           .groupBy("__u").agg(F.min("__t").alias("t_1")))
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (ev.where(F.col("__e") == step)
+               .join(cur.select("__u", F.col(f"t_{i-1}").alias("__prev"))
+                     .where(F.col("__prev").isNotNull()), "__u")
+               .where(F.col("__t") > F.col("__prev"))
+               .groupBy("__u").agg(F.min("__t").alias(f"t_{i}")))
+        cur = cur.join(nxt, "__u", "left")
+    if within is not None:
+        k = len(steps)
+        deadline = F.col("t_1") + F.expr(f"INTERVAL {within}")
+        cur = cur.withColumn(
+            f"t_{k}",
+            F.when(F.col(f"t_{k}") <= deadline, F.col(f"t_{k}")))
+    return cur.withColumnRenamed("__u", user_col)

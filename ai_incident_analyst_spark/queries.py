@@ -8394,3 +8394,110 @@ def q_psi_orderprice_drift(spark, sf_dir):
     base = orders.where(F.col("o_orderdate") < cut)
     cur = orders.where(F.col("o_orderdate") >= cut)
     return psi_report(base, cur, "o_totalprice", n_bins=10, alpha=0.5)
+
+
+@q("funnel_conversion", """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+f AS (
+  SELECT v.user_id, v.t1, c.t2,
+         CASE WHEN p.t3 <= v.t1 + INTERVAL 7 DAY THEN p.t3 END AS t3
+  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+SELECT count(t1) AS n_view,
+       count(t2) AS n_click,
+       count(t3) AS n_purchase,
+       round(count(t2) / CAST(count(t1) AS DOUBLE), 6) AS view_to_click,
+       round(count(t3) / CAST(count(t2) AS DOUBLE), 6) AS click_to_purchase,
+       round(count(t3) / CAST(count(t1) AS DOUBLE), 6) AS full_funnel
+FROM f
+""", doc="ordered conversion funnel (operators/temporal.py:"
+         "funnel_steps): earliest strictly-increasing "
+         "view->click->purchase chain per user, the purchase counted "
+         "only if the whole chain completes within 7 days of the first "
+         "view. Each stage conditions on the PREVIOUS stage's per-user "
+         "timestamp — the thing flat event counts (reference A4-A8) "
+         "cannot express. All stages key on user_id: co-partitioned "
+         "joins sharing one partitioning, exact min-timestamp chain, "
+         "integer-ratio conversion rates")
+def q_funnel_conversion(spark, sf_dir):
+    from .operators.temporal import funnel_steps
+    ev = _t(spark, sf_dir, "events")
+    f = funnel_steps(ev, "user_id", "ts", "event_type",
+                     ["view", "click", "purchase"], within="7 DAYS")
+    return f.agg(
+        F.count("t_1").alias("n_view"),
+        F.count("t_2").alias("n_click"),
+        F.count("t_3").alias("n_purchase"),
+        F.round(F.count("t_2") / F.count("t_1"), 6).alias("view_to_click"),
+        F.round(F.count("t_3") / F.count("t_2"), 6)
+        .alias("click_to_purchase"),
+        F.round(F.count("t_3") / F.count("t_1"), 6).alias("full_funnel"))
+
+
+@q("knn_ivf_filtered", """
+WITH cent AS (
+  SELECT label AS centroid_id, list(av ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(v) AS av
+        FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+        GROUP BY label, pos)
+  GROUP BY label
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id >= 5 AND label % 2 = 0
+), qcell AS (
+  SELECT query_id, qv, centroid_id AS cell
+  FROM q CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY round(list_sum([ y*y for y in centroid ])
+             - 2*list_sum([ x[1]*x[2] for x in list_zip(qv, centroid) ]),
+             6) ASC,
+             centroid_id ASC) <= 2
+), ccell AS (
+  SELECT vec_id, cv, centroid_id AS cell
+  FROM c CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY round(list_sum([ y*y for y in centroid ])
+             - 2*list_sum([ x[1]*x[2] for x in list_zip(cv, centroid) ]),
+             6) ASC,
+             centroid_id ASC) = 1
+)
+SELECT query_id, vec_id,
+       round(list_sum([ (x[1]-x[2])*(x[1]-x[2])
+                        for x in list_zip(qv, cv) ]), 6) AS distance
+FROM qcell a JOIN ccell b ON a.cell = b.cell
+QUALIFY row_number() OVER (
+  PARTITION BY query_id
+  ORDER BY list_sum([ (x[1]-x[2])*(x[1]-x[2])
+                      for x in list_zip(qv, cv) ]) ASC, vec_id ASC) <= 5
+""", doc="metadata-FILTERED approximate vector search (knn_ivf with "
+         "corpus predicate label %% 2 = 0): top-k taken AFTER the "
+         "filter so every hit satisfies it — the filtered-ANN "
+         "contract, not a lossy post-filter of an unfiltered top-k. "
+         "Cell assignment is row-local, so pre-filtering the corpus "
+         "equals filtering inside the index; on the persisted path "
+         "ivf_probe_index(where=...) pushes the same predicate into "
+         "the cell-pruned parquet scan (PushedFilters proof in "
+         "tests/test_knn.py)")
+def q_knn_ivf_filtered(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _label_centroids(emb)
+    q_, c_ = _qc_split(spark, sf_dir)
+    c_f = c_.where(F.col("label") % 2 == 0)
+    return ivf_knn_join(q_, c_f, cents, k=5, nprobe=2, round_dp=6) \
+        .withColumn("distance", F.round("distance", 6))

@@ -4,6 +4,7 @@ blocked path equivalence, IVF recall."""
 import numpy as np
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from ai_incident_analyst_spark.operators.knn import (
     ivf_knn_join,
@@ -253,3 +254,39 @@ def test_mutual_knn_pairs_canonical_and_deterministic(spark):
                                     "embedding", k=3).collect()))
     assert a == b and len(a) > 0
     assert all(ia < ib for ia, ib, _ in a)
+
+
+def test_ivf_probe_where_filtered_identity_and_pushdown(spark, sf_dir,
+                                                        tmp_path):
+    """Filtered probe of the FULL persisted index == inline IVF over the
+    pre-filtered corpus (cell assignment is row-local), and a pushable
+    predicate reaches the parquet scan's PushedFilters."""
+    from ai_incident_analyst_spark.operators.knn import (
+        ivf_knn_join,
+        ivf_probe_index,
+        ivf_write_index,
+    )
+    from ai_incident_analyst_spark.queries import _label_centroids
+    from ai_incident_analyst_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(emb).localCheckpoint(eager=True)
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    corpus = emb.where(F.col("vec_id") >= 3)
+    path = str(tmp_path / "ivf_full")
+    ivf_write_index(corpus, cents, path, round_dp=6)
+
+    probed = ivf_probe_index(spark, path, queries, cents, k=5, nprobe=2,
+                             round_dp=6, where=F.col("label") == 2)
+    inline = ivf_knn_join(queries, corpus.where(F.col("label") == 2),
+                          cents, k=5, nprobe=2, round_dp=6)
+    a = sorted((r.query_id, r.vec_id, round(r.distance, 6))
+               for r in probed.collect())
+    b = sorted((r.query_id, r.vec_id, round(r.distance, 6))
+               for r in inline.collect())
+    assert a == b and len(a) > 0
+
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(label,2)" in plan

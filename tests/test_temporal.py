@@ -203,3 +203,68 @@ def test_fill_gaps_tick_dedup_latest_wins(spark):
     out = sorted((r["ts"], r["v"]) for r in
                  fill_gaps(df, "k", "ts", "v", 3600).collect())
     assert [v for _, v in out] == [2.0, 5.0]
+
+
+def test_funnel_steps_chain_semantics(spark):
+    from datetime import datetime as DT
+
+    from ai_incident_analyst_spark.operators.temporal import funnel_steps
+
+    def ts(d, h=0):
+        return DT(2024, 1, d, h)
+
+    rows = [
+        # u1 completes in order
+        (1, ts(1), "view"), (1, ts(2), "click"), (1, ts(3), "purchase"),
+        # u2: purchase BEFORE click -> chain breaks at purchase
+        (2, ts(1), "view"), (2, ts(3), "click"), (2, ts(2), "purchase"),
+        # u3: view only
+        (3, ts(1), "view"),
+        # u4: click with no prior view -> not even step 1
+        (4, ts(1), "click"),
+        # u5: completes but outside the 7-day window
+        (5, ts(1), "view"), (5, ts(2), "click"), (5, ts(20), "purchase"),
+        # u6: earliest-chain check — second view is irrelevant; the
+        # click between the views still counts (after FIRST view)
+        (6, ts(1), "view"), (6, ts(2), "click"), (6, ts(4), "view"),
+        (6, ts(5), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "event_type string")
+    out = {r["user_id"]: r for r in
+           funnel_steps(df, "user_id", "ts", "event_type",
+                        ["view", "click", "purchase"],
+                        within="7 DAYS").collect()}
+    assert set(out) == {1, 2, 3, 5, 6}
+    assert out[1]["t_3"] == ts(3)
+    assert out[2]["t_2"] == ts(3) and out[2]["t_3"] is None
+    assert out[3]["t_2"] is None and out[3]["t_3"] is None
+    assert out[5]["t_3"] is None            # 7-day window missed
+    assert out[6]["t_2"] == ts(2) and out[6]["t_3"] == ts(5)
+
+
+def test_funnel_steps_equal_ts_not_counted(spark):
+    from datetime import datetime as DT
+
+    from ai_incident_analyst_spark.operators.temporal import funnel_steps
+
+    # strictly-increasing contract: click at the same instant as the
+    # view does not advance the funnel
+    rows = [(1, DT(2024, 1, 1), "view"), (1, DT(2024, 1, 1), "click")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "event_type string")
+    out = funnel_steps(df, "user_id", "ts", "event_type",
+                       ["view", "click"]).collect()
+    assert out[0]["t_2"] is None
+
+
+def test_funnel_steps_guard(spark):
+    import pytest as _pt
+
+    from ai_incident_analyst_spark.operators.temporal import funnel_steps
+
+    df = spark.createDataFrame([(1, None, "view")],
+                               "user_id long, ts timestamp, "
+                               "event_type string")
+    with _pt.raises(ValueError):
+        funnel_steps(df, "user_id", "ts", "event_type", ["view"])
