@@ -8501,3 +8501,123 @@ def q_knn_ivf_filtered(spark, sf_dir):
     c_f = c_.where(F.col("label") % 2 == 0)
     return ivf_knn_join(q_, c_f, cents, k=5, nprobe=2, round_dp=6) \
         .withColumn("distance", F.round("distance", 6))
+
+
+@q("langid_confusion", r"""
+WITH s AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, t -> t IN ('the','and','of','is')))   AS s_en,
+         len(list_filter(toks, t -> t IN ('el','la','de','que')))    AS s_es,
+         len(list_filter(toks, t -> t IN ('der','die','und','ist'))) AS s_de,
+         len(list_filter(toks, t -> t IN ('le','la','et','est')))    AS s_fr,
+         len(list_filter(toks, t -> t IN ('de5','shi4','he2','zai4'))) AS s_zh
+  FROM s
+), pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+              WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+              ELSE 'zh' END AS lang_pred
+  FROM h
+), cm AS (
+  SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2
+), acc AS (
+  SELECT round(sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END)
+               / CAST(sum(n) AS DOUBLE), 6) AS accuracy
+  FROM cm)
+SELECT lang, lang_pred, n, accuracy
+FROM cm CROSS JOIN acc
+ORDER BY lang, lang_pred
+""", doc="language-ID confusion matrix: the lang_id marker-word "
+         "heuristic evaluated against the documents table's ground-"
+         "truth lang column, with overall accuracy as a 1-row broadcast "
+         "anchor — the eval loop every heuristic classifier in the "
+         "curation pipeline needs before its output gates a corpus. "
+         "One groupBy over (actual, predicted); exact integer counts")
+def q_langid_confusion(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    cm = (docs.select("lang", lang_id("text").alias("lang_pred"))
+          .groupBy("lang", "lang_pred").agg(F.count("*").alias("n")))
+    acc = cm.agg(F.round(
+        F.sum(F.when(F.col("lang") == F.col("lang_pred"), F.col("n"))
+              .otherwise(0)) / F.sum("n"), 6).alias("accuracy"))
+    return cm.crossJoin(F.broadcast(acc)) \
+        .select("lang", "lang_pred", "n", "accuracy")
+
+
+@q("pii_density_by_source", r"""
+WITH payload AS (
+  SELECT source,
+         COALESCE(CASE WHEN doc_id % 3 = 0
+              THEN 'reach me at ' || source || '.user@example.com ' END, '')
+         || COALESCE(CASE WHEN doc_id % 5 = 0
+                 THEN 'card 4111 1111 1111 1111 ' END, '')
+         || text AS body
+  FROM documents
+), red AS (
+  SELECT source,
+         regexp_replace(
+           regexp_replace(body, '[\w\.-]+@[\w\.-]+',
+                          '[REDACTED_EMAIL]', 'g'),
+           '\b(?:\d[ -]*?){13,16}\b', '[REDACTED_CARD]', 'g') AS r
+  FROM payload
+), hits AS (
+  SELECT source,
+         (length(r) - length(replace(r, '[REDACTED_EMAIL]', ''))) // 16
+           AS n_email,
+         (length(r) - length(replace(r, '[REDACTED_CARD]', ''))) // 15
+           AS n_card
+  FROM red)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS n_email,
+       CAST(sum(n_card) AS BIGINT) AS n_card,
+       round(sum(CASE WHEN n_email + n_card > 0 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS frac_docs_with_pii
+FROM hits GROUP BY source
+ORDER BY source
+""", doc="PII density report: per-source counts of email/card hits "
+         "measured by running the redaction pass "
+         "(functions/redaction.py DEFAULT_PATTERNS) and counting its "
+         "markers — the MEASUREMENT side of redact(): what a release "
+         "review reads before and after. Marker counting is exact "
+         "integer length arithmetic, so the proven-portable redaction "
+         "regexes are the only pattern dependency. Harness injects "
+         "synthetic PII on id-modular schedules; one scan, one groupBy")
+def q_pii_density_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.coalesce(
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("reach me at "), F.col("source"),
+                            F.lit(".user@example.com "))),
+            F.lit("")),
+        F.coalesce(
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("card 4111 1111 1111 1111 ")),
+            F.lit("")),
+        F.col("text"))
+    red = redact(body, DEFAULT_PATTERNS)
+
+    def marks(marker):
+        return ((F.length(red)
+                 - F.length(F.replace(red, F.lit(marker), F.lit(""))))
+                / F.lit(len(marker))).cast("long")
+
+    hits = docs.select(
+        "source",
+        marks("[REDACTED_EMAIL]").alias("n_email"),
+        marks("[REDACTED_CARD]").alias("n_card"))
+    return (hits.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_card").alias("n_card"),
+        F.round(F.sum(F.when(F.col("n_email") + F.col("n_card") > 0, 1)
+                      .otherwise(0)) / F.count("*"), 6)
+        .alias("frac_docs_with_pii")))
