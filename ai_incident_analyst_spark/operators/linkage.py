@@ -274,9 +274,22 @@ def jaro_winkler_pairs(df: DataFrame, id_col: str, text_col: str,
     # case); expansion to id pairs then normalizes by id order — the
     # (ta, tb) orientation is unique per text pair so no pair repeats,
     # and the equal-text diagonal dedups via the id_a < id_b branch
+    cand = a.join(b, "__b").where(F.col("ta") <= F.col("tb"))
+    # PROVABLE length-ratio prefilter, JVM-side, ahead of the Python
+    # verifier (the per-pair cost in this operator is the Arrow UDF):
+    # jaro ≤ (min_len/max_len + 2)/3 (m ≤ min_len, transposition term
+    # ≤ 1), and with the standard p=0.1, l ≤ 4 prefix boost
+    # jw ≤ 0.6·jaro + 0.4 — so jw ≥ T forces
+    # min_len/max_len ≥ 3·(T − 0.4)/0.6 − 2. Pairs failing the bound
+    # CANNOT reach the threshold; dropping them changes nothing.
+    jmin = (float(threshold) - 0.4) / 0.6
+    ratio = 3.0 * jmin - 2.0
+    if ratio > 0.0:
+        cand = cand.where(
+            F.least(F.length("ta"), F.length("tb"))
+            >= F.lit(ratio) * F.greatest(F.length("ta"), F.length("tb")))
     verified = (
-        a.join(b, "__b")
-        .where(F.col("ta") <= F.col("tb"))
+        cand
         .withColumn("jw", F.round(jw_udf("ta", "tb"), round_dp))
         .where(F.col("jw") >= threshold)
     )

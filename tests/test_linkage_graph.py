@@ -200,3 +200,33 @@ def test_jaro_winkler_pairs_blocked(spark):
     assert all(a < b for a, b in out)
     # cross-block pair (sphere vs box) never compared
     assert not any(4 in p for p in out)
+
+
+def test_jw_length_prefilter_is_lossless(spark):
+    """The threshold-derived length-ratio prefilter must drop only pairs
+    that provably cannot reach the threshold: brute-force JW over all
+    pairs (no filter path, threshold=0) agrees with the filtered
+    operator at threshold .9."""
+    from ai_incident_analyst_spark.operators.linkage import (
+        jaro_winkler,
+        jaro_winkler_pairs,
+    )
+
+    names = ["midnight blue lace", "midnight blue lance",
+             "mid", "midnight blue lace extra words making it long",
+             "aquamarine dust", "aquamarine rust"]
+    rows = [(i, t) for i, t in enumerate(names)]
+    df = spark.createDataFrame(rows, "pid long, name string")
+    got = {(r["id_a"], r["id_b"]): r["jw"]
+           for r in jaro_winkler_pairs(df, "pid", "name",
+                                       F.lit("all"),
+                                       threshold=0.9).collect()}
+    want = {}
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            jw = round(jaro_winkler(names[i], names[j]), 6)
+            if jw >= 0.9:
+                want[(i, j)] = jw
+    assert got == want
+    # sanity: the fixture includes a pair the bound actually prunes
+    assert (2, 3) not in want and len(want) >= 2
