@@ -8621,3 +8621,71 @@ def q_pii_density_by_source(spark, sf_dir):
         F.round(F.sum(F.when(F.col("n_email") + F.col("n_card") > 0, 1)
                       .otherwise(0)) / F.count("*"), 6)
         .alias("frac_docs_with_pii")))
+
+
+@q("unigram_segment_stats", r"""
+WITH RECURSIVE words AS (
+  SELECT w, count(*) AS wc FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              t -> length(t) > 0 AND length(t) <= 12)) AS w
+    FROM documents) GROUP BY w),
+subs AS (
+  SELECT substr(w, st, l) AS piece, sum(wc) AS cnt
+  FROM words, range(1, 13) t1(st), range(1, 5) t2(l)
+  WHERE st + l - 1 <= length(w)
+  GROUP BY 1),
+topk AS (
+  SELECT piece, cnt FROM subs
+  ORDER BY cnt DESC, piece ASC LIMIT 200),
+chars AS (SELECT piece, cnt FROM subs WHERE length(piece) = 1),
+-- DISTINCT over UNION ALL, not bare UNION: inside a WITH RECURSIVE
+-- block DuckDB leaves this (non-recursive) CTE's UNION undeduplicated,
+-- which silently double-counts the char floor into tot
+vocab0 AS (SELECT DISTINCT piece, cnt FROM (
+  SELECT piece, cnt FROM topk UNION ALL SELECT piece, cnt FROM chars)),
+tot AS (SELECT sum(cnt) AS tot FROM vocab0),
+vocab AS (
+  SELECT piece,
+         CAST(round(-ln(cnt / tot) * 1e6) AS BIGINT) * 1000 + 1 AS ek
+  FROM vocab0 CROSS JOIN tot),
+paths(w, pos, acc) AS (
+  SELECT w, 0, CAST(0 AS BIGINT) FROM words
+  UNION
+  SELECT p.w, p.pos + length(v.piece), p.acc + v.ek
+  FROM paths p JOIN vocab v
+    ON substr(p.w, p.pos + 1, length(v.piece)) = v.piece
+  WHERE p.pos < length(p.w)),
+best AS (
+  SELECT w, min(acc) AS key FROM paths
+  JOIN words USING (w) WHERE pos = length(w) GROUP BY w),
+docw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              t -> length(t) > 0 AND length(t) <= 12)) AS w
+    FROM documents))
+SELECT doc_id,
+       count(*) AS n_words,
+       CAST(sum(key % 1000) AS BIGINT) AS n_pieces,
+       CAST(sum(key) AS BIGINT) AS total_key
+FROM docw JOIN best USING (w)
+GROUP BY doc_id
+ORDER BY doc_id
+""", doc="SentencePiece-style unigram segmentation "
+         "(operators/unigram.py): max-likelihood word splitting under "
+         "a deterministic count-based piece vocabulary (top-200 "
+         "substrings <=4 chars + the single-char floor). The Viterbi "
+         "DP is EXACT INTEGER — edge weight = micro-nat cost * 1000 + "
+         "1, so one min() jointly minimizes (cost, n_pieces) with no "
+         "FP accumulation and no tie ambiguity — which is what lets a "
+         "recursive-CTE twin hash-match a dynamic program. Corpus "
+         "collapses to its DISTINCT word table before the DP (bounded "
+         "by the language, the BPE-training argument); per-doc stats "
+         "join the word keys back")
+def q_unigram_segment_stats(spark, sf_dir):
+    from .operators.unigram import unigram_encode_stats, unigram_vocab
+    docs = _t(spark, sf_dir, "documents")
+    vocab = unigram_vocab(docs, "text", max_piece=4, top_k=200,
+                          max_word_len=12)
+    return unigram_encode_stats(docs, "doc_id", "text", vocab,
+                                max_word_len=12)
