@@ -193,12 +193,17 @@ def psi_report(baseline: DataFrame, current: DataFrame, value_col: str,
                 .groupBy("bin").agg(F.count("*").alias(out)))
 
     spine = spark.range(n_bins).select(F.col("id").alias("bin"))
+    # localCheckpoint the ≤n_bins-row bin table: it feeds the totals
+    # anchor, the contrib projection AND the final total — unmarked,
+    # each reference re-runs both corpus scans (static plan showed 16
+    # scans / 35 shuffles for a 10-bin report)
     joined = (spine
               .join(side_counts(baseline, "n_base"), "bin", "left")
               .join(side_counts(current, "n_cur"), "bin", "left")
               .select("bin",
                       F.coalesce("n_base", F.lit(0)).alias("n_base"),
-                      F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+                      F.coalesce("n_cur", F.lit(0)).alias("n_cur"))
+              .localCheckpoint(eager=False))
     tot = joined.agg(F.sum("n_base").alias("__tb"),
                      F.sum("n_cur").alias("__tc"))
     a = float(alpha)

@@ -1021,6 +1021,10 @@ def mutual_knn_pairs(df: DataFrame, id_col: str, vec_col: str,
     if round_dp is not None:
         edges = edges.withColumn("distance",
                                  F.round("distance", round_dp))
+    # the edge list feeds both sides of the mutuality semi-join; cut
+    # lineage so the scoring pass runs once, not once per reference
+    # (it is n·k rows — tiny next to the scored cross product)
+    edges = edges.localCheckpoint(eager=False)
     back = edges.select(F.col("query_id").alias("vec_id"),
                         F.col("vec_id").alias("query_id"))
     return (edges.join(back, ["query_id", "vec_id"], "left_semi")

@@ -360,6 +360,13 @@ def funnel_steps(df: DataFrame, user_col: str, ts_col: str,
     cur = (ev.where(F.col("__e") == steps[0])
            .groupBy("__u").agg(F.min("__t").alias("t_1")))
     for i, step in enumerate(steps[1:], start=2):
+        # cut lineage per stage: ``cur`` feeds both the next stage's
+        # semi-structure and the left join below, and stage i's plan
+        # otherwise embeds stage i-1's twice — event scans grew
+        # quadratically in the step count (static plan: 7 scans for a
+        # 3-step funnel). The checkpointed frame is per-user, already
+        # far smaller than the event stream.
+        cur = cur.localCheckpoint(eager=False)
         nxt = (ev.where(F.col("__e") == step)
                .join(cur.select("__u", F.col(f"t_{i-1}").alias("__prev"))
                      .where(F.col("__prev").isNotNull()), "__u")
