@@ -217,3 +217,62 @@ def psi_report(baseline: DataFrame, current: DataFrame, value_col: str,
         F.round(F.sum("psi_contrib"), round_dp).alias("psi"))
     return (contrib.crossJoin(F.broadcast(total))
             .select("bin", "n_base", "n_cur", "psi_contrib", "psi"))
+
+
+def psi_bucket_expr(baseline: DataFrame, value_col: str,
+                    n_bins: int = 10):
+    """The FROZEN-grid form of ``psi_report``'s binning: compute the
+    baseline's interpolated quantile boundaries ONCE (a tiny aggregate,
+    collected — n_bins−1 doubles) and return the integer bucket Column
+    they define, usable on any frame carrying ``value_col``. This is
+    the deployment contract streaming monitors need
+    (``streaming/pipeline.streaming_psi_sink``): the grid must not be
+    re-derived per batch, or the monitor silently re-anchors and hides
+    drift. Same ties-fall-low strict-``>`` rule as ``psi_report``."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    row = baseline.agg(*[
+        F.percentile(F.col(value_col), F.lit(i / n_bins)).alias(f"b{i}")
+        for i in range(1, n_bins)]).first()
+    return sum(
+        (F.when(F.col(value_col) > F.lit(float(row[f"b{i}"])), 1)
+         .otherwise(0) for i in range(1, n_bins)),
+        F.lit(0)).cast("long")
+
+
+def psi_report_from_counts(baseline: DataFrame, cur_counts: DataFrame,
+                           value_col: str, n_bins: int = 10,
+                           alpha: float = 0.5,
+                           round_dp: int = 6) -> DataFrame:
+    """``psi_report`` when the CURRENT side arrives as pre-aggregated
+    ``(bin, n_cur)`` counts (a ``streaming_psi_sink`` store) instead of
+    raw rows. The baseline is re-binned under its own frozen grid; the
+    report columns and 6dp integer-ratio contract match ``psi_report``
+    exactly, so streamed-then-scored equals the one-shot batch report
+    by bin-count additivity."""
+    spark = baseline.sparkSession
+    bucket = psi_bucket_expr(baseline, value_col, n_bins)
+    base = (baseline.select(bucket.alias("bin"))
+            .groupBy("bin").agg(F.count("*").alias("n_base")))
+    spine = spark.range(n_bins).select(F.col("id").alias("bin"))
+    joined = (spine
+              .join(base, "bin", "left")
+              .join(cur_counts.groupBy("bin")
+                    .agg(F.sum("n_cur").alias("n_cur")), "bin", "left")
+              .select("bin",
+                      F.coalesce("n_base", F.lit(0)).alias("n_base"),
+                      F.coalesce("n_cur", F.lit(0)).alias("n_cur"))
+              .localCheckpoint(eager=False))
+    tot = joined.agg(F.sum("n_base").alias("__tb"),
+                     F.sum("n_cur").alias("__tc"))
+    a = float(alpha)
+    an = a * n_bins
+    p = (F.col("n_base") + F.lit(a)) / (F.col("__tb") + F.lit(an))
+    q = (F.col("n_cur") + F.lit(a)) / (F.col("__tc") + F.lit(an))
+    contrib = joined.crossJoin(F.broadcast(tot)).select(
+        "bin", "n_base", "n_cur",
+        F.round((p - q) * F.log(p / q), round_dp).alias("psi_contrib"))
+    total = contrib.agg(
+        F.round(F.sum("psi_contrib"), round_dp).alias("psi"))
+    return (contrib.crossJoin(F.broadcast(total))
+            .select("bin", "n_base", "n_cur", "psi_contrib", "psi"))

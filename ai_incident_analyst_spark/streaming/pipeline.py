@@ -578,3 +578,53 @@ def compact_ivf_store(spark, path: str) -> None:
      .write.partitionBy("__cell", "__batch")
      .mode("overwrite").parquet(staged))
     _swap_pointer(p, staged)
+
+
+def streaming_psi_sink(stream: DataFrame, baseline: DataFrame,
+                       value_col: str, path: str, checkpoint: str,
+                       n_bins: int = 10):
+    """Streaming drift monitor: maintain the CURRENT window's bin-count
+    table for ``operators/divergence.psi_report`` semantics against a
+    FIXED baseline — the production deployment shape of PSI, where the
+    baseline is a frozen training-time snapshot and the monitored
+    distribution arrives as a stream.
+
+    At sink construction the baseline's interpolated quantile grid is
+    computed ONCE (one tiny aggregate, collected — n_bins−1 doubles)
+    and frozen into the sink, exactly like the IVF sink freezes its
+    centroids: re-deriving the grid per batch would silently re-anchor
+    the monitor and hide drift. Each micro-batch collapses map-side to
+    ≤``n_bins`` bin-count rows merged into the store by sum
+    (``_merge_swap_sink`` swap/retry + replay-guard protocol) — O(bins)
+    state forever, the stream is never reprocessed.
+
+    Read side: ``psi_from_store`` recomputes the report from the store
+    at any moment; streamed-then-scored equals the one-shot batch
+    ``psi_report`` by the additivity of bin counts (identity test).
+    """
+    from ..operators.divergence import psi_bucket_expr
+
+    bucket = psi_bucket_expr(baseline, value_col, n_bins)
+
+    def build(b: DataFrame) -> DataFrame:
+        return (b.select(bucket.alias("bin"))
+                .groupBy("bin").agg(F.count("*").alias("n_cur")))
+
+    return _merge_swap_sink(
+        stream, path, checkpoint, build,
+        lambda stored, part: (
+            stored.unionByName(part)
+            .groupBy("bin").agg(F.sum("n_cur").alias("n_cur"))))
+
+
+def psi_from_store(spark, path: str, baseline: DataFrame, value_col: str,
+                   n_bins: int = 10, alpha: float = 0.5,
+                   round_dp: int = 6) -> DataFrame:
+    """The ``psi_report`` frame computed from a ``streaming_psi_sink``
+    store — same columns, same 6dp integer-ratio contract."""
+    from ..operators.divergence import psi_report_from_counts
+
+    cur = spark.read.parquet(path)
+    return psi_report_from_counts(baseline, cur, value_col,
+                                  n_bins=n_bins, alpha=alpha,
+                                  round_dp=round_dp)

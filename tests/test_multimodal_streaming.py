@@ -790,3 +790,36 @@ def test_compact_ivf_store_preserves_probes_and_shrinks(spark, sf_dir):
                spark.read.parquet(f"{tmp}/ivf").select("vec_id").collect()}
         assert got == {r.vec_id for r in
                        emb.where(F.col("vec_id") < 200).collect()}
+
+
+def test_streaming_psi_sink_matches_batch_report(spark):
+    """PSI over a streamed current window (frozen baseline grid, bin
+    counts merged incrementally) must equal the one-shot batch
+    psi_report over the same data."""
+    import tempfile
+
+    from ai_incident_analyst_spark.operators.divergence import psi_report
+    from ai_incident_analyst_spark.streaming.pipeline import (
+        psi_from_store,
+        streaming_psi_sink,
+    )
+
+    base = spark.createDataFrame([(float(i % 100),) for i in range(400)],
+                                 "v double")
+    cur = spark.createDataFrame([(float((i % 80) + 30),) for i in range(300)],
+                                "v double")
+    with tempfile.TemporaryDirectory() as tmp:
+        cur.repartition(3).write.parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(cur.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in")
+        q = streaming_psi_sink(stream, base, "v", f"{tmp}/psi",
+                               f"{tmp}/ck", n_bins=5) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+        streamed = sorted(map(tuple, psi_from_store(
+            spark, f"{tmp}/psi", base, "v", n_bins=5).collect()))
+        batch = sorted(map(tuple, psi_report(base, cur, "v",
+                                             n_bins=5).collect()))
+        assert streamed == batch
+        assert len(streamed) == 5
