@@ -204,3 +204,59 @@ def phrase_search(pindex: DataFrame, phrase: str) -> DataFrame:
         )
         base = base.join(nxt, ["doc_id", "__start"])
     return base.groupBy("doc_id").agg(F.count("*").alias("n_occurrences"))
+
+
+def ql_rank(index: DataFrame, doc_lens: DataFrame, terms: list[str],
+            collection_tokens: int, mu: float = 2000.0,
+            topn: int = 10, round_dp: int = 6) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    Lafferty 2001) — the language-modeling alternative to BM25, and the
+    second ranking function a retrieval stack A/B-tests (they disagree
+    most on long documents, where BM25's length normalization and
+    Dirichlet's ``|d| + μ`` denominator pull differently).
+
+    ``score(q, d) = Σ_t ln((tf_{t,d} + μ·P(t|C)) / (|d| + μ))`` with
+    ``P(t|C) = cf_t / collection_tokens``. The zero-tf terms decompose
+    out (``ln((tf+μP)/(|d|+μ)) = ln(μP) − ln(|d|+μ) + ln(1+tf/(μP))``),
+    so the computation stays POSTINGS-ONLY: a document's score needs
+    its matched postings plus its length — the corpus is never
+    rescanned. Documents matching NO query term are not ranked (the
+    standard candidate-set contract, same as ``bm25_rank``).
+
+    Scores round to ``round_dp`` before the (score desc, doc_id asc)
+    rank so a libm-ln ulp can't flip a boundary — the BM25 contract.
+    Returns ``(doc_id, score)``, top ``topn``.
+    """
+    t = sorted({s.lower() for s in terms})
+    postings = index.filter(F.col("term").isin(t))
+    cf = postings.groupBy("term").agg(F.sum("tf").alias("cf"))
+    # per-term smoothing mass μ·P(t|C); the Σ ln(μP_t) constant rides in
+    # as a broadcast scalar so the returned score is the full QL value,
+    # not a rank-equivalent surrogate
+    mup = cf.select(
+        "term",
+        (F.lit(float(mu)) * F.col("cf")
+         / F.lit(float(collection_tokens))).alias("mup"))
+    # query terms absent from the collection have P(t|C) = 0 and would
+    # contribute −inf to EVERY candidate equally; the convention is to
+    # ignore them, so the term count in the length penalty comes from
+    # the same anchor aggregate, not len(terms)
+    const = mup.agg(F.sum(F.log("mup")).alias("__c"),
+                    F.count("*").alias("__nq"))
+    scored = (
+        postings.join(F.broadcast(mup), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.log(F.lit(1.0) + F.col("tf") / F.col("mup")))
+             .alias("__match"))
+        .join(doc_lens, "doc_id")
+        .crossJoin(F.broadcast(const))
+        .select(
+            "doc_id",
+            F.round(F.col("__c") + F.col("__match")
+                    - F.col("__nq")
+                    * F.log(F.col("dl") + F.lit(float(mu))), round_dp)
+            .alias("score")))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= topn)
+            .select("doc_id", "score"))

@@ -8689,3 +8689,44 @@ def q_unigram_segment_stats(spark, sf_dir):
                           max_word_len=12)
     return unigram_encode_stats(docs, "doc_id", "text", vocab,
                                 max_word_len=12)
+
+
+@q("ql_search", f"""
+WITH {_SEARCH_TOKS},
+idx AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+ct AS (SELECT CAST(count(*) AS DOUBLE) AS ct FROM toks),
+post AS (SELECT * FROM idx WHERE term IN ('scan', 'merge')),
+cf AS (SELECT term, sum(tf) AS cf FROM post GROUP BY 1),
+mup AS (
+  SELECT term, 2000.0 * cf / (SELECT ct FROM ct) AS mup FROM cf),
+konst AS (
+  SELECT sum(ln(mup)) AS c, count(*) AS nq FROM mup),
+scored AS (
+  SELECT p.doc_id,
+         round((SELECT c FROM konst)
+               + sum(ln(1.0 + p.tf / m.mup))
+               - (SELECT nq FROM konst) * ln(l.dl + 2000.0), 6) AS score
+  FROM post p
+  JOIN mup m USING (term)
+  JOIN dl l USING (doc_id)
+  GROUP BY p.doc_id, l.dl)
+SELECT doc_id, score FROM scored
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= 10
+""", doc="query-likelihood retrieval with Dirichlet smoothing "
+         "(operators/search.py:ql_rank, mu=2000 — Zhai & Lafferty "
+         "2001): the language-modeling ranking function next to BM25; "
+         "zero-tf terms decompose into broadcast anchors so scoring "
+         "stays postings-only, and the returned score is the full QL "
+         "value, not a rank surrogate. Rank on the 6dp-rounded score "
+         "with doc-id tie-break (the BM25 contract)")
+def q_ql_search(spark, sf_dir):
+    from .operators.search import build_inverted_index, ql_rank
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs, "doc_id", "text").localCheckpoint(
+        eager=False)
+    toks_n = int(idx.agg(F.sum("tf")).first()[0])
+    dl = idx.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return ql_rank(idx, dl, ["scan", "merge"],
+                   collection_tokens=toks_n, mu=2000.0, topn=10)

@@ -103,3 +103,53 @@ def test_phrase_search_consecutive_only(spark):
     import pytest as _p
     with _p.raises(ValueError):
         phrase_search(pidx, "   ")
+
+
+def test_ql_rank_hand_computed(spark):
+    """QL score against the straight-line Dirichlet formula on a tiny
+    corpus, including the zero-tf decomposition (a doc matching only
+    one of two query terms must still score the full two-term value)."""
+    import math
+
+    from ai_incident_analyst_spark.operators.search import (
+        build_inverted_index,
+        ql_rank,
+    )
+
+    rows = [(0, "cat cat dog"), (1, "cat fish fish fish"), (2, "bird bird")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_inverted_index(df, "doc_id", "text")
+    dl = idx.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    ct = 9  # total tokens
+    mu = 10.0
+    got = {r["doc_id"]: r["score"]
+           for r in ql_rank(idx, dl, ["cat", "dog"], collection_tokens=ct,
+                            mu=mu, topn=10).collect()}
+
+    def ql(tfs, dln):
+        # full formula: sum_t ln((tf + mu*cf_t/ct) / (dln + mu))
+        cf = {"cat": 3, "dog": 1}
+        return round(sum(
+            math.log((tfs.get(t, 0) + mu * cf[t] / ct) / (dln + mu))
+            for t in cf), 6)
+
+    assert got[0] == ql({"cat": 2, "dog": 1}, 3)
+    assert got[1] == ql({"cat": 1}, 4)       # zero-tf dog term included
+    assert 2 not in got                       # no query term -> unranked
+    assert got[0] > got[1]
+
+
+def test_ql_rank_absent_term_ignored(spark):
+    from ai_incident_analyst_spark.operators.search import (
+        build_inverted_index,
+        ql_rank,
+    )
+
+    df = spark.createDataFrame([(0, "cat cat")], "doc_id long, text string")
+    idx = build_inverted_index(df, "doc_id", "text")
+    dl = idx.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    with_zx = ql_rank(idx, dl, ["cat", "zxq"], collection_tokens=2,
+                      mu=10.0).collect()
+    without = ql_rank(idx, dl, ["cat"], collection_tokens=2,
+                      mu=10.0).collect()
+    assert [tuple(r) for r in with_zx] == [tuple(r) for r in without]
