@@ -318,7 +318,8 @@ def lsh_cosine_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
                         corpus_id: str = "vec_id",
                         corpus_vec: str = "embedding",
                         dim: int | None = None,
-                        plane_fn: str = "gaussian") -> DataFrame:
+                        plane_fn: str = "gaussian",
+                        n_probes: int = 0) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH bucketing.
 
     ``n_tables`` independent hash tables; in each, a vector's bucket is the
@@ -339,6 +340,17 @@ def lsh_cosine_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
     O(n·tables) candidate generation exactly like ``minhash_lsh_neardup``.
     Recall grows with n_tables, precision (candidate sparsity) with
     n_planes.
+
+    ``n_probes`` enables MULTI-PROBE LSH (Lv et al. 2007): the QUERY
+    side additionally probes the buckets reached by flipping each of
+    its ``n_probes`` lowest-margin sign bits — the planes whose dot
+    product sits closest to zero are exactly the ones a true neighbor
+    most likely landed on the other side of, so each extra probe buys
+    near-table-level recall at probe-row cost instead of re-hashing the
+    CORPUS into another table (the memory-free recall knob). Margins
+    are rounded to 6 dp before the flip ordering (stable argsort,
+    plane-index tie-break) so the probe set is engine-portable; the
+    corpus side is untouched — still one row per (vector, table).
     """
     import numpy as np
 
@@ -353,8 +365,12 @@ def lsh_cosine_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
     sc = corpus.sparkSession.sparkContext
     bp = sc.broadcast(planes)
 
+    if not 0 <= n_probes < n_planes:
+        raise ValueError(
+            f"n_probes must be in [0, n_planes), got {n_probes}")
+
     def bucketize(id_name: str, vec_name: str, out_vec: str,
-                  id_type: str):
+                  id_type: str, probes: int = 0):
         # id keeps its input type (long, string, …) — same contract as
         # knn_join_blocked / pq_encode after the r4 ADVICE fix
         out_schema = (f"{id_name} {id_type}, __table int, __bucket long, "
@@ -372,19 +388,33 @@ def lsh_cosine_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
                 mat = np.array(list(pdf[vec_name]), dtype=np.float64)
                 frames = []
                 for t in range(n_t):
-                    bits = (mat @ pl[t].T) > 0  # (n, planes)
+                    dots = mat @ pl[t].T  # (n, planes)
+                    bits = dots > 0
                     buckets = bits @ weights
                     frames.append(pd.DataFrame({
                         id_name: ids, "__table": t, "__bucket": buckets,
                         out_vec: list(mat),
                     }))
+                    if probes:
+                        # stable argsort over 6dp-rounded |margins|:
+                        # ties resolve to the lower plane index in any
+                        # engine — the multi-probe flip order contract
+                        order = np.argsort(np.round(np.abs(dots), 6),
+                                           axis=1, kind="stable")
+                        for j in range(probes):
+                            flipped = buckets ^ weights[order[:, j]]
+                            frames.append(pd.DataFrame({
+                                id_name: ids, "__table": t,
+                                "__bucket": flipped, out_vec: list(mat),
+                            }))
                 yield pd.concat(frames, ignore_index=True)
 
         return part, out_schema
 
     qpart, qschema = bucketize(
         "query_id", "__qv", "__qvec",
-        queries.schema[query_id].dataType.simpleString())
+        queries.schema[query_id].dataType.simpleString(),
+        probes=n_probes)
     cpart, cschema = bucketize(
         "vec_id", "__cv", "__cvec",
         corpus.schema[corpus_id].dataType.simpleString())

@@ -8730,3 +8730,76 @@ def q_ql_search(spark, sf_dir):
     dl = idx.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     return ql_rank(idx, dl, ["scan", "merge"],
                    collection_tokens=toks_n, mu=2000.0, topn=10)
+
+
+@q("knn_lsh_multiprobe", """
+WITH idx AS (
+  SELECT t.t, p.p, i.i
+  FROM (SELECT unnest(range(0, 4)) AS t) t,
+       (SELECT unnest(range(0, 4)) AS p) p,
+       (SELECT unnest(range(0, 64)) AS i) i),
+planes AS (
+  SELECT t, p, i,
+         (CAST(('0x' || substring(
+              md5('plane:' || t || ':' || p || ':' || i), 1, 8)) AS BIGINT)
+          % 2001 - 1000) / 1000.0 AS w
+  FROM idx),
+vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+comp AS (
+  SELECT vec_id, unnest(v) AS x,
+         CAST(generate_subscripts(v, 1) AS BIGINT) - 1 AS i
+  FROM vecs),
+dots AS (
+  SELECT c.vec_id, pl.t, pl.p, sum(c.x * pl.w) AS dot
+  FROM comp c JOIN planes pl ON pl.i = c.i
+  GROUP BY 1, 2, 3),
+buckets AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN dot > 0
+                  THEN CAST(1 AS BIGINT) << CAST(p AS INT)
+                  ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1, 2),
+qflip AS (
+  SELECT d.vec_id, d.t,
+         xor(b.bucket, CAST(1 AS BIGINT) << CAST(d.p AS INT)) AS bucket
+  FROM dots d JOIN buckets b ON b.vec_id = d.vec_id AND b.t = d.t
+  WHERE d.vec_id < 5
+  QUALIFY row_number() OVER (
+    PARTITION BY d.vec_id, d.t
+    ORDER BY round(abs(d.dot), 6) ASC, d.p ASC) <= 2),
+qprobes AS (
+  SELECT vec_id, t, bucket FROM buckets WHERE vec_id < 5
+  UNION ALL SELECT vec_id, t, bucket FROM qflip),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM qprobes q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE c.vec_id >= 5),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         list_sum([ z[1]*z[2] for z in list_zip(qv.v, cv.v) ])
+           / (sqrt(list_sum([ y*y for y in qv.v ]))
+              * sqrt(list_sum([ y*y for y in cv.v ]))) AS sim
+  FROM cand
+  JOIN vecs qv ON qv.vec_id = cand.query_id
+  JOIN vecs cv ON cv.vec_id = cand.vec_id)
+SELECT query_id, vec_id, round(sim, 6) AS distance
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, vec_id ASC) <= 5
+""", doc="MULTI-PROBE hyperplane LSH (operators/knn.py:"
+         "lsh_cosine_knn_join(n_probes=2), Lv et al. 2007): each query "
+         "also probes the buckets reached by flipping its two "
+         "lowest-|margin| sign bits — the planes a true neighbor most "
+         "likely straddles — buying near-table-level recall with 4 "
+         "tables instead of 16, at probe-row cost and ZERO extra "
+         "corpus hashing or index memory. Flip order ranks 6dp-rounded "
+         "margins with plane-index tie-break (engine-portable); md5 "
+         "plane family puts buckets, probes, candidates and the "
+         "re-ranked top-k inside the oracle gate")
+def q_knn_lsh_multiprobe(spark, sf_dir):
+    from .operators.knn import lsh_cosine_knn_join
+    q_, c_ = _qc_split(spark, sf_dir)
+    return lsh_cosine_knn_join(q_, c_, k=5, n_planes=4, n_tables=4,
+                               dim=64, plane_fn="md5", n_probes=2) \
+        .withColumn("distance", F.round("distance", 6))

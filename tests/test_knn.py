@@ -290,3 +290,55 @@ def test_ivf_probe_where_filtered_identity_and_pushdown(spark, sf_dir,
 
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "EqualTo(label,2)" in plan
+
+
+def test_lsh_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe candidates are a superset of the zero-probe ones per
+    table count, so recall vs exact kNN can only improve; with few
+    tables the improvement must be visible on real data."""
+    from ai_incident_analyst_spark.operators.knn import (
+        knn_join,
+        lsh_cosine_knn_join,
+    )
+    from ai_incident_analyst_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    corpus = emb.where(F.col("vec_id") >= 8)
+    exact = {(r.query_id, r.vec_id) for r in
+             knn_join(queries, corpus, k=5, metric="cosine").collect()}
+
+    def recall(n_probes):
+        got = {(r.query_id, r.vec_id) for r in lsh_cosine_knn_join(
+            queries, corpus, k=5, n_planes=6, n_tables=2, dim=64,
+            plane_fn="md5", n_probes=n_probes).collect()}
+        return len(got & exact) / len(exact)
+
+    # each extra probe only ADDS query buckets, so the candidate set —
+    # and therefore recall — is monotone in n_probes
+    r0, r2, r4 = recall(0), recall(2), recall(4)
+    assert r0 <= r2 <= r4
+    # on this data the probes must actually recover misses, not tie
+    assert r4 > r0
+    assert r4 >= 0.3
+
+
+def test_lsh_multiprobe_guard_and_determinism(spark, sf_dir):
+    from ai_incident_analyst_spark.operators.knn import lsh_cosine_knn_join
+    from ai_incident_analyst_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(60)
+    queries = (emb.limit(3)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    with pytest.raises(ValueError):
+        lsh_cosine_knn_join(queries, emb, n_planes=4, n_probes=4)
+    a = sorted(map(tuple, lsh_cosine_knn_join(
+        queries, emb, k=3, n_planes=4, n_tables=2, dim=64,
+        plane_fn="md5", n_probes=2).collect()))
+    b = sorted(map(tuple, lsh_cosine_knn_join(
+        queries, emb.repartition(7), k=3, n_planes=4, n_tables=2,
+        dim=64, plane_fn="md5", n_probes=2).collect()))
+    assert a == b
