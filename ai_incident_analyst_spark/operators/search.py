@@ -260,3 +260,46 @@ def ql_rank(index: DataFrame, doc_lens: DataFrame, terms: list[str],
     return (scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= topn)
             .select("doc_id", "score"))
+
+
+def best_snippet(df: DataFrame, id_col: str, text_col: str,
+                 terms: list[str], window: int = 10) -> DataFrame:
+    """Highlight extraction: for every document containing a query
+    term, the ``window``-token span with the most query-term hits —
+    the display final-mile after ``bm25_rank``/``ql_rank`` (a search
+    result is unusable without the passage that matched).
+
+    Deterministic contract: candidate spans START AT A HIT (an optimal
+    window can always be shifted right onto its first hit without
+    losing hits), densities tie-break to the EARLIEST start, and the
+    snippet re-joins the original tokens with single spaces.
+
+    Plan: positions come from one narrow ``posexplode``; the density
+    of every candidate span is ONE range-frame window over the
+    hit rows ordered by position (count of hits in [pos, pos+W−1]) —
+    per-document work is O(hits), never O(tokens²); the winning span
+    re-slices the token array in a scan-stage projection. One keyed
+    sort is the only shuffle.
+    """
+    t = sorted({s.lower() for s in terms})
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    hits = (base.select(
+        "doc_id",
+        F.posexplode("__toks").alias("__pos", "__tok"))
+        .where(F.col("__tok").isin(t)))
+    w = (Window.partitionBy("doc_id").orderBy("__pos")
+         .rangeBetween(0, window - 1))
+    ranked = (hits.withColumn("n_hits", F.count("*").over(w))
+              .withColumn("__rn", F.row_number().over(
+                  Window.partitionBy("doc_id")
+                  .orderBy(F.desc("n_hits"), F.col("__pos").asc())))
+              .where(F.col("__rn") == 1)
+              .select("doc_id", (F.col("__pos") + 1).alias("start_tok"),
+                      "n_hits"))
+    return (ranked.join(base, "doc_id")
+            .select("doc_id", "start_tok",
+                    F.col("n_hits").cast("long").alias("n_hits"),
+                    F.array_join(
+                        F.slice(F.col("__toks"), F.col("start_tok"),
+                                window), " ").alias("snippet")))

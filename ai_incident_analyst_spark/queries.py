@@ -8803,3 +8803,45 @@ def q_knn_lsh_multiprobe(spark, sf_dir):
     return lsh_cosine_knn_join(q_, c_, k=5, n_planes=4, n_tables=4,
                                dim=64, plane_fn="md5", n_probes=2) \
         .withColumn("distance", F.round("distance", 6))
+
+
+@q("search_snippets", r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+hits AS (
+  SELECT doc_id, CAST(t.pos AS BIGINT) - 1 AS pos
+  FROM (SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS pos
+        FROM base) t(doc_id, tok, pos)
+  WHERE tok IN ('scan', 'merge')),
+dens AS (
+  SELECT doc_id, pos,
+         CAST(count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                             RANGE BETWEEN CURRENT ROW
+                             AND 9 FOLLOWING) AS BIGINT) AS n_hits
+  FROM hits),
+ranked AS (
+  SELECT doc_id, pos + 1 AS start_tok, n_hits
+  FROM dens
+  QUALIFY row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY n_hits DESC, pos ASC) = 1)
+SELECT r.doc_id, r.start_tok, r.n_hits,
+       array_to_string(b.toks[r.start_tok : r.start_tok + 9],
+                       ' ') AS snippet
+FROM ranked r JOIN base b USING (doc_id)
+ORDER BY r.doc_id
+""", doc="search-hit snippet extraction (operators/search.py:"
+         "best_snippet, W=10): the densest query-term window per "
+         "matching document — candidate spans start at a hit, density "
+         "is ONE range-frame window over hit rows (O(hits) per doc, "
+         "never O(tokens^2)), ties break to the earliest start, and "
+         "the winning span re-slices the token array in a scan-stage "
+         "projection. The display final-mile after BM25/QL ranking")
+def q_search_snippets(spark, sf_dir):
+    from .operators.search import best_snippet
+    docs = _t(spark, sf_dir, "documents")
+    return best_snippet(docs, "doc_id", "text", ["scan", "merge"],
+                        window=10)

@@ -153,3 +153,32 @@ def test_ql_rank_absent_term_ignored(spark):
     without = ql_rank(idx, dl, ["cat"], collection_tokens=2,
                       mu=10.0).collect()
     assert [tuple(r) for r in with_zx] == [tuple(r) for r in without]
+
+
+def test_best_snippet_densest_window_and_ties(spark):
+    from ai_incident_analyst_spark.operators.search import best_snippet
+
+    rows = [
+        # hits at tokens 2, 9, 10 (1-based); W=4: window starting at 9
+        # holds 2 hits — the densest; the early lone hit loses
+        (0, "a cat b c d e f g cat cat k l"),
+        # tie: two 1-hit windows -> earliest start wins
+        (1, "x cat y z q w e r cat t"),
+        (2, "no query words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           best_snippet(df, "doc_id", "text", ["cat"], window=4).collect()}
+    assert set(got) == {0, 1}
+    assert (got[0]["start_tok"], got[0]["n_hits"]) == (9, 2)
+    assert got[0]["snippet"] == "cat cat k l"
+    assert (got[1]["start_tok"], got[1]["n_hits"]) == (2, 1)
+    assert got[1]["snippet"] == "cat y z q"
+
+
+def test_best_snippet_window_clamps_at_doc_end(spark):
+    from ai_incident_analyst_spark.operators.search import best_snippet
+
+    df = spark.createDataFrame([(0, "a b cat")], "doc_id long, text string")
+    r = best_snippet(df, "doc_id", "text", ["cat"], window=5).first()
+    assert r["snippet"] == "cat" and r["start_tok"] == 3
