@@ -8845,3 +8845,102 @@ def q_search_snippets(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return best_snippet(docs, "doc_id", "text", ["scan", "merge"],
                         window=10)
+
+
+@q("star_integrity_report", """
+WITH checks AS (
+  SELECT 'lineitem.l_orderkey->orders' AS fk,
+         (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+          ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+           AS n_orphans,
+         (SELECT count(*) FROM lineitem) AS n_rows
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         (SELECT count(*) FROM lineitem l LEFT JOIN part p
+          ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL),
+         (SELECT count(*) FROM lineitem)
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier',
+         (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+          ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL),
+         (SELECT count(*) FROM lineitem)
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+         (SELECT count(*) FROM orders o LEFT JOIN customer c
+          ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+         (SELECT count(*) FROM orders)
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation',
+         (SELECT count(*) FROM customer c LEFT JOIN nation n
+          ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL),
+         (SELECT count(*) FROM customer)
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation',
+         (SELECT count(*) FROM supplier s LEFT JOIN nation n
+          ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL),
+         (SELECT count(*) FROM supplier)
+  UNION ALL
+  SELECT 'nation.n_regionkey->region',
+         (SELECT count(*) FROM nation n LEFT JOIN region r
+          ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey IS NULL),
+         (SELECT count(*) FROM nation))
+SELECT fk, CAST(n_orphans AS BIGINT) AS n_orphans,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       n_orphans = 0 AS intact
+FROM checks ORDER BY fk
+""", doc="whole-star referential-integrity sweep: every foreign key in "
+         "the schema checked by one LEFT-JOIN orphan count "
+         "(operators/validation.py referential-check plumbing applied "
+         "across the star in a single report) — the pre-flight a "
+         "star-join workload runs after every load. Each check is one "
+         "anti-join-shaped aggregate; dims broadcast under AQE")
+def q_star_integrity_report(spark, sf_dir):
+    # exact anti-join orphan counts (NOT reconstructed from the rounded
+    # violation fraction, which loses integer exactness past ~1e9 rows);
+    # a null FK never equi-matches, so the anti-join counts it as an
+    # orphan — the same semantics as the twin's LEFT JOIN ... IS NULL
+    fks = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    rows = []
+    for tab, col, rtab, rcol in fks:
+        fact = _t(spark, sf_dir, tab)
+        ref = _t(spark, sf_dir, rtab).select(rcol)
+        n_orphans = fact.join(ref, fact[col] == ref[rcol],
+                              "left_anti").count()
+        n_rows = fact.count()
+        rows.append((f"{tab}.{col}->{rtab}", n_orphans, n_rows,
+                     n_orphans == 0))
+    return spark.createDataFrame(
+        rows, "fk string, n_orphans long, n_rows long, intact boolean")
+
+
+@q("corpus_fingerprint", """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(CAST(('0x' || substring(md5(text), 1, 12)) AS BIGINT))
+            AS BIGINT) AS content_sum
+FROM documents
+GROUP BY source ORDER BY source
+""", doc="corpus content fingerprint: per-source doc/char counts plus "
+         "an order-insensitive content checksum (sum of 48-bit md5 "
+         "prefixes — commutative, so partition layout and row order "
+         "cannot change it). The reproducibility audit line a "
+         "training-data release ships next to its shard manifest: two "
+         "pipelines that claim the same input prove it by matching "
+         "fingerprints before diffing anything expensive")
+def q_corpus_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("text")), 1, 12), 16, 10) \
+        .cast("long")
+    return (docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum(h).alias("content_sum")))
