@@ -8908,17 +8908,25 @@ def q_star_integrity_report(spark, sf_dir):
         ("supplier", "s_nationkey", "nation", "n_nationkey"),
         ("nation", "n_regionkey", "region", "r_regionkey"),
     ]
-    rows = []
+    parts = []
     for tab, col, rtab, rcol in fks:
         fact = _t(spark, sf_dir, tab)
         ref = _t(spark, sf_dir, rtab).select(rcol)
-        n_orphans = fact.join(ref, fact[col] == ref[rcol],
-                              "left_anti").count()
-        n_rows = fact.count()
-        rows.append((f"{tab}.{col}->{rtab}", n_orphans, n_rows,
-                     n_orphans == 0))
-    return spark.createDataFrame(
-        rows, "fk string, n_orphans long, n_rows long, intact boolean")
+        orph = (fact.join(ref, fact[col] == ref[rcol], "left_anti")
+                .agg(F.count("*").alias("n_orphans")))
+        tot = fact.agg(F.count("*").alias("n_rows"))
+        parts.append(
+            orph.crossJoin(tot).select(
+                F.lit(f"{tab}.{col}->{rtab}").alias("fk"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                (F.col("n_orphans") == 0).alias("intact")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # one lazy plan — all seven checks run as a single job instead of
+    # fourteen sequential driver actions
+    return out
 
 
 @q("corpus_fingerprint", """
