@@ -8952,3 +8952,132 @@ def q_corpus_fingerprint(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("n_chars"),
         F.sum(h).alias("content_sum")))
+
+
+@q("rolling_active_users", """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events),
+days AS (SELECT DISTINCT d FROM ud)
+SELECT days.d AS day,
+       CAST(count(DISTINCT ud.user_id) AS BIGINT) AS active_7d
+FROM days JOIN ud
+  ON ud.d <= days.d AND ud.d >= days.d - INTERVAL 6 DAY
+GROUP BY days.d
+ORDER BY days.d
+""", doc="rolling 7-day active users — the dashboard metric a trailing "
+         "window of DISTINCT counts needs (a plain window frame cannot "
+         "do distinct-over-range): the (user, day) table collapses "
+         "first (one distinct — the only corpus-sized shuffle), then a "
+         "day-spine range join fans each user-day into <=7 trailing "
+         "days, and the final distinct count is over O(users x 7) "
+         "rows, corpus-size independent")
+def q_rolling_active_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ud = (ev.select("user_id",
+                    F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
+          .distinct())
+    days = ud.select("d").distinct().select(F.col("d").alias("day"))
+    return (days.join(
+        ud, (F.col("d") <= F.col("day"))
+        & (F.col("d") >= F.date_sub(F.col("day"), 6)))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d")))
+
+
+@q("abc_part_revenue", """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT sum(cents) AS tot FROM rev),
+ranked AS (
+  SELECT l_partkey, cents,
+         sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM rev),
+classed AS (
+  SELECT cents,
+         CASE WHEN cum / CAST(tot AS DOUBLE) <= 0.80 THEN 'A'
+              WHEN cum / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked CROSS JOIN tot)
+SELECT abc, count(*) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       round(sum(cents) / CAST((SELECT tot FROM tot) AS DOUBLE), 6)
+         AS rev_share
+FROM classed GROUP BY abc ORDER BY abc
+""", doc="ABC / Pareto revenue classification: parts ranked by exact "
+         "integer-cent revenue, running share via the two-phase "
+         "distributed prefix sum (packing.global_cumsum — never a "
+         "single-task window over the part table), classes cut at "
+         "80/95% cumulative share. All arithmetic integer until the "
+         "final share division of identical int64s — both engines "
+         "compute the same double, so the class boundary is exact. "
+         "The inventory-curation shape (which 20% of items carry 80% "
+         "of mass) reused for corpus curation: which sources carry "
+         "the token budget")
+def q_abc_part_revenue(spark, sf_dir):
+    from .operators.packing import global_cumsum
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    rev = (li.groupBy("l_partkey")
+           .agg(F.sum(cents).alias("cents")))
+    key = F.concat(
+        F.lpad((F.lit(10 ** 15) - F.col("cents")).cast("string"), 16, "0"),
+        F.lpad(F.col("l_partkey").cast("string"), 12, "0"))
+    ranked = global_cumsum(rev.withColumn("__key", key), "__key",
+                           "cents", "cum")
+    tot = rev.agg(F.sum("cents").alias("__tot"))
+    classed = (ranked.crossJoin(F.broadcast(tot))
+               .withColumn(
+                   "abc",
+                   F.when(F.col("cum") / F.col("__tot") <= 0.80, "A")
+                   .when(F.col("cum") / F.col("__tot") <= 0.95, "B")
+                   .otherwise("C")))
+    return (classed.groupBy("abc")
+            .agg(F.count("*").alias("n_parts"),
+                 F.sum("cents").alias("revenue_cents"),
+                 F.round(F.sum("cents") / F.first("__tot"), 6)
+                 .alias("rev_share")))
+
+
+@q("gini_user_activity", """
+WITH c AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+ranked AS (
+  SELECT cnt,
+         CAST(row_number() OVER (ORDER BY cnt ASC, user_id ASC)
+              AS BIGINT) AS i
+  FROM c)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cnt) AS BIGINT) AS n_events,
+       round(2.0 * sum(i * cnt) / (count(*) * CAST(sum(cnt) AS DOUBLE))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+""", doc="Gini coefficient of per-user event mass — the inequality "
+         "summary that tells a curation pipeline whether a corpus (or "
+         "a shuffle key) is dominated by a few heavy producers (0 = "
+         "uniform, ->1 = one user is the dataset). Ranks ride the "
+         "two-phase distributed prefix sum (ascending (count, id) "
+         "key), Σ i·x is exact int64, and the closed-form G = "
+         "2Σi·x/(nΣx) − (n+1)/n divides identical integers — both "
+         "engines compute the same double, rounded at 6dp")
+def q_gini_user_activity(spark, sf_dir):
+    from .operators.packing import global_cumsum
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    key = F.concat(
+        F.lpad(F.col("cnt").cast("string"), 12, "0"),
+        F.lpad(F.col("user_id").cast("string"), 12, "0"))
+    ranked = (global_cumsum(
+        c.withColumn("__key", key).withColumn("__one", F.lit(1)),
+        "__key", "__one", "i"))
+    return ranked.agg(
+        F.count("*").alias("n_users"),
+        F.sum("cnt").alias("n_events"),
+        F.round(F.lit(2.0) * F.sum(F.col("i") * F.col("cnt"))
+                / (F.count("*") * F.sum("cnt"))
+                - (F.count("*") + F.lit(1.0)) / F.count("*"), 6)
+        .alias("gini"))
