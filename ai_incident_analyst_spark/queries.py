@@ -9081,3 +9081,50 @@ def q_gini_user_activity(spark, sf_dir):
                 / (F.count("*") * F.sum("cnt"))
                 - (F.count("*") + F.lit(1.0)) / F.count("*"), 6)
         .alias("gini"))
+
+
+@q("funnel_latency_quantiles", """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+lat AS (
+  SELECT CAST(epoch_ms(p.t3) - epoch_ms(v.t1) AS BIGINT) / 1000.0
+           AS sec_to_convert
+  FROM v JOIN c USING (user_id) JOIN p USING (user_id))
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(sec_to_convert, 0.5), 4) AS p50_sec,
+       round(quantile_cont(sec_to_convert, 0.9), 4) AS p90_sec,
+       round(max(sec_to_convert), 4) AS max_sec
+FROM lat
+""", doc="funnel latency distribution: exact interpolated p50/p90 of "
+         "view->purchase completion time over the funnel_steps chain — "
+         "the how-long companion to funnel_conversion's how-many "
+         "(Spark percentile ≡ DuckDB quantile_cont, the robust.py "
+         "parity; latencies are exact millisecond integers before the "
+         "one division)")
+def q_funnel_latency_quantiles(spark, sf_dir):
+    from .operators.temporal import funnel_steps
+    ev = _t(spark, sf_dir, "events")
+    f = funnel_steps(ev, "user_id", "ts", "event_type",
+                     ["view", "click", "purchase"])
+    # integer milliseconds on both sides (duckdb epoch_ms ≡ unix_millis)
+    # — a raw timestamp→double cast keeps microseconds and shifts the
+    # interpolated percentile at the 3rd decimal
+    lat = (f.where(F.col("t_3").isNotNull())
+           .select(((F.unix_millis("t_3") - F.unix_millis("t_1"))
+                    / F.lit(1000.0)).alias("sec_to_convert")))
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("sec_to_convert", F.lit(0.5)), 4)
+        .alias("p50_sec"),
+        F.round(F.percentile("sec_to_convert", F.lit(0.9)), 4)
+        .alias("p90_sec"),
+        F.round(F.max("sec_to_convert"), 4).alias("max_sec"))
