@@ -129,12 +129,11 @@ def bm25_rank(index: DataFrame, doc_lens: DataFrame, terms: list[str],
         .groupBy("doc_id")
         .agg(F.round(F.sum(contrib), 6).alias("score"))
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= topn)
-        .select("doc_id", "score")
-    )
+    # global top-n via sort-limit (TakeOrderedAndProject): per-partition
+    # partial top-n merged on the driver — a global row_number window
+    # would funnel every scored candidate through one task
+    return (scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(topn).select("doc_id", "score"))
 
 
 def rrf_fuse(ranked_lists: list[DataFrame], id_col: str = "doc_id",
@@ -256,10 +255,9 @@ def ql_rank(index: DataFrame, doc_lens: DataFrame, terms: list[str],
                     - F.col("__nq")
                     * F.log(F.col("dl") + F.lit(float(mu))), round_dp)
             .alias("score")))
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= topn)
-            .select("doc_id", "score"))
+    # sort-limit top-n, same rationale as bm25_rank
+    return (scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(topn).select("doc_id", "score"))
 
 
 def best_snippet(df: DataFrame, id_col: str, text_col: str,
