@@ -87,9 +87,10 @@ def frequent_item_pairs(baskets: DataFrame, basket_col: str,
         )
     )
     if topn is not None:
-        from pyspark.sql import Window
-        w = Window.orderBy(F.col("n_pair").desc(),
-                           F.col("item_a").asc(), F.col("item_b").asc())
-        out = (out.withColumn("__rn", F.row_number().over(w))
-               .filter(F.col("__rn") <= topn).drop("__rn"))
+        # sort-limit (TakeOrderedAndProject): per-partition partial
+        # top-n — a global row_number window would single-task the
+        # whole pair-count table
+        out = out.orderBy(F.col("n_pair").desc(),
+                          F.col("item_a").asc(),
+                          F.col("item_b").asc()).limit(topn)
     return out

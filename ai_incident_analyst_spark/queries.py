@@ -1079,15 +1079,17 @@ QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
          "itself performs")
 def q_kmeans_init_ids(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
+    # sort-limit FIRST (TakeOrderedAndProject), then rank the 4
+    # survivors — ranking before limiting funneled the corpus through
+    # one window task
+    top = (emb.select("vec_id",
+                      F.col("vec_id").cast("string").alias("__i"))
+           .withColumn("__h", F.md5(F.col("__i")))
+           .orderBy("__h", "__i").limit(4))
     w = Window.orderBy("__h", "__i")
-    return (
-        emb.select("vec_id",
-                   F.col("vec_id").cast("string").alias("__i"))
-        .withColumn("__h", F.md5(F.col("__i")))
-        .withColumn("cluster", (F.row_number().over(w) - 1).cast("int"))
-        .filter(F.col("cluster") < 4)
-        .select("cluster", "vec_id")
-    )
+    return (top.withColumn("cluster",
+                           (F.row_number().over(w) - 1).cast("int"))
+            .select("cluster", "vec_id"))
 
 
 _KMEANS_V8_SQL = """
