@@ -9130,3 +9130,59 @@ def q_funnel_latency_quantiles(spark, sf_dir):
         F.round(F.percentile("sec_to_convert", F.lit(0.9)), 4)
         .alias("p90_sec"),
         F.round(F.max("sec_to_convert"), 4).alias("max_sec"))
+
+
+@q("ivf_cell_stats", """
+WITH cent AS (
+  SELECT label AS centroid_id, list(av ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(v) AS av
+        FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+        GROUP BY label, pos)
+  GROUP BY label
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), ccell AS (
+  SELECT vec_id, centroid_id AS cell
+  FROM c CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY round(list_sum([ y*y for y in centroid ])
+             - 2*list_sum([ x[1]*x[2] for x in list_zip(cv, centroid) ]),
+             6) ASC,
+             centroid_id ASC) = 1
+), sizes AS (
+  SELECT cell, count(*) AS n_vecs FROM ccell GROUP BY cell
+)
+SELECT CAST(cell AS BIGINT) AS cell, n_vecs,
+       round(n_vecs * (SELECT count(*) FROM sizes)
+             / CAST((SELECT sum(n_vecs) FROM sizes) AS DOUBLE), 6)
+         AS balance_ratio
+FROM sizes ORDER BY cell
+""", doc="IVF index-health report: per-cell inverted-list sizes and "
+         "the cell/mean balance ratio under the shared label-centroid "
+         "quantizer (assign_cells, round_dp=6 — the exact assignment "
+         "knn_ivf/ivf_write_index use). Balance is what sets the "
+         "nprobe/recall tradeoff: a cell at ratio R makes probes that "
+         "hit it R x more expensive, and ratios >> 1 say re-train the "
+         "coarse quantizer (kmeans_fit) or split hot cells. One Arrow "
+         "assignment pass + one map-side-combined count")
+def q_ivf_cell_stats(spark, sf_dir):
+    from .operators.knn import _centroid_arrays, assign_cells
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _label_centroids(emb)
+    ids, mat, ctype = _centroid_arrays(cents, "centroid_id", "centroid")
+    assigned = assign_cells(
+        emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("embedding")),
+        "embedding", ids, mat, n=1, cell_type=ctype, round_dp=6)
+    sizes = (assigned.groupBy(F.col("__cell").alias("cell"))
+             .agg(F.count("*").alias("n_vecs"))
+             .localCheckpoint(eager=False))
+    tot = sizes.agg(F.sum("n_vecs").alias("__t"),
+                    F.count("*").alias("__k"))
+    return (sizes.crossJoin(F.broadcast(tot))
+            .select(F.col("cell").cast("long").alias("cell"), "n_vecs",
+                    F.round(F.col("n_vecs") * F.col("__k")
+                            / F.col("__t"), 6).alias("balance_ratio")))
