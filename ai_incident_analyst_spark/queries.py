@@ -9186,3 +9186,87 @@ def q_ivf_cell_stats(spark, sf_dir):
             .select(F.col("cell").cast("long").alias("cell"), "n_vecs",
                     F.round(F.col("n_vecs") * F.col("__k")
                             / F.col("__t"), 6).alias("balance_ratio")))
+
+
+@q("top_movers_daily", """
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+ch AS (
+  SELECT event_type, day, n,
+         n - lag(n) OVER (PARTITION BY event_type ORDER BY day)
+           AS delta
+  FROM d)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       CAST(delta AS BIGINT) AS delta
+FROM ch WHERE delta IS NOT NULL
+QUALIFY row_number() OVER (ORDER BY abs(delta) DESC, event_type ASC,
+                           day ASC) <= 10
+ORDER BY abs(delta) DESC, event_type, day
+""", doc="day-over-day top movers: the 10 largest absolute daily count "
+         "swings per event type — the dashboard 'what changed' panel. "
+         "One keyed (type, day) agg, a per-type lag window sharing the "
+         "same partitioning, and a sort-limit global top-10 "
+         "(TakeOrderedAndProject); all integers")
+def q_top_movers_daily(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    d = (ev.groupBy("event_type",
+                    F.to_date(F.date_trunc("day", F.col("ts")))
+                    .alias("day"))
+         .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    ch = (d.withColumn("delta", F.col("n") - F.lag("n").over(w))
+          .where(F.col("delta").isNotNull()))
+    return (ch.orderBy(F.abs(F.col("delta")).desc(),
+                       F.col("event_type").asc(), F.col("day").asc())
+            .limit(10)
+            .select("event_type", "day", "n", "delta"))
+
+
+@q("vocab_growth_curve", r"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents,
+       unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(tok)
+  WHERE length(t.tok) > 0),
+firsts AS (
+  SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY term),
+cps AS (SELECT unnest([50, 100, 200, 400]) AS n_docs)
+SELECT n_docs,
+       CAST((SELECT count(*) FROM firsts WHERE first_doc < n_docs)
+            AS BIGINT) AS vocab_size,
+       CAST((SELECT count(*) FROM toks WHERE doc_id < n_docs)
+            AS BIGINT) AS tokens_seen
+FROM cps ORDER BY n_docs
+""", doc="Heaps-law vocabulary growth curve: distinct-term count after "
+         "the first N documents (by id), at N = 50/100/200/400 — the "
+         "sublinearity check that predicts how a tokenizer vocabulary "
+         "and the inverted index's term table grow with corpus scale. "
+         "Each term collapses to its FIRST document (one term-keyed "
+         "agg); every checkpoint is then a bounded count over the "
+         "term table — the corpus is tokenized once, never per "
+         "checkpoint")
+def q_vocab_growth_curve(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "doc_id",
+        F.explode(F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: F.length(t) > 0)).alias("term"))
+        .localCheckpoint(eager=False))
+    firsts = (toks.groupBy("term")
+              .agg(F.min("doc_id").alias("first_doc"))
+              .localCheckpoint(eager=False))
+    spark_ = docs.sparkSession
+    cps = spark_.createDataFrame([(50,), (100,), (200,), (400,)],
+                                 "n_docs long")
+    vocab = (cps.join(firsts, F.col("first_doc") < F.col("n_docs"))
+             .groupBy("n_docs").agg(F.count("*").alias("vocab_size")))
+    seen = (cps.join(toks, F.col("doc_id") < F.col("n_docs"))
+            .groupBy("n_docs").agg(F.count("*").alias("tokens_seen")))
+    return (cps.join(vocab, "n_docs", "left").join(seen, "n_docs", "left")
+            .select("n_docs",
+                    F.coalesce("vocab_size", F.lit(0)).alias("vocab_size"),
+                    F.coalesce("tokens_seen", F.lit(0))
+                    .alias("tokens_seen")))
