@@ -9270,3 +9270,45 @@ def q_vocab_growth_curve(spark, sf_dir):
                     F.coalesce("vocab_size", F.lit(0)).alias("vocab_size"),
                     F.coalesce("tokens_seen", F.lit(0))
                     .alias("tokens_seen")))
+
+
+@q("tokenizer_fertility_by_lang", r"""
+WITH t AS (
+  SELECT lang, n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_extract_all(trim(text),
+                   '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'))
+         END AS n_tok,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0)) AS n_words
+  FROM documents)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       round(sum(n_chars) / CAST(sum(n_tok) AS DOUBLE), 6)
+         AS chars_per_token,
+       round(sum(n_tok) / CAST(sum(n_words) AS DOUBLE), 6)
+         AS fertility
+FROM t GROUP BY lang ORDER BY lang
+""", doc="tokenizer fertility / compression by language: chars-per-"
+         "token and tokens-per-word under the BPE-style pretokenizer — "
+         "the fairness metric multilingual tokenizer work optimizes "
+         "(a language at 2x fertility pays 2x context and 2x compute "
+         "per sentence). Exact integer sums per language, two ratios "
+         "rounded at 6dp; one scan, one groupBy")
+def q_tokenizer_fertility_by_lang(spark, sf_dir):
+    from .operators.text_analysis import bpe_token_count
+    docs = _t(spark, sf_dir, "documents")
+    words = F.size(F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda x: F.length(x) > 0))
+    t = docs.select(
+        "lang", "n_chars",
+        bpe_token_count("text").cast("long").alias("n_tok"),
+        words.cast("long").alias("n_words"))
+    return (t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(F.sum("n_chars") / F.sum("n_tok"), 6)
+        .alias("chars_per_token"),
+        F.round(F.sum("n_tok") / F.sum("n_words"), 6).alias("fertility")))
