@@ -58,9 +58,14 @@ def assemble_conversations(df: DataFrame, key: str, ts_col: str,
         "__conv_seq",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding,
                                          Window.currentRow)))
-    # sort key leads each struct so array_sort orders by (ts, tiebreak)
+    # sort key leads each struct so array_sort orders by (ts, tiebreak).
+    # Micros precision, NOT ts.cast("long"): the cast truncates to
+    # seconds, which would fall back to the tiebreak inside a same-second
+    # group while a SQL twin's ORDER BY ts keeps sub-second order — a
+    # silent divergence on sub-second event logs. (Gap detection above
+    # intentionally stays second-truncated; twins mirror floor(epoch).)
     turn = F.struct(
-        F.col(ts_col).cast("long").alias("ts"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts"),
         *( [F.col(tiebreak).cast("long").alias("tb")] if tiebreak else [] ),
         F.col(role_col).cast("string").alias("role"),
         F.col(content_col).cast("string").alias("content"),

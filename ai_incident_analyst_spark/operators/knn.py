@@ -51,19 +51,25 @@ def _score_col(metric: str, qv: str, cv: str):
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
              metric: str = "l2_sq",
              query_id: str = "query_id", query_vec: str = "query_vec",
-             corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> DataFrame:
+             corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+             round_dp: int | None = None) -> DataFrame:
     """Exact top-k join: for each query row, the k best corpus rows.
 
     Returns (query_id, vec_id, distance) — ``distance`` is squared L2
     (ascending best) or cosine similarity (descending best). Ties broken
     by corpus id for determinism (FAISS breaks ties by insertion order,
     faiss_db.py:56; an explicit id is the distributed equivalent).
+    ``round_dp`` rounds the score BEFORE the top-k window per the
+    repo-wide round-then-rank discretization contract, so exact-duplicate
+    vectors (float-noise ties) rank identically across engines.
     """
     q = F.broadcast(queries.select(F.col(query_id).alias("query_id"),
                                    F.col(query_vec).alias("__qv")))
     c = corpus.select(F.col(corpus_id).alias("vec_id"),
                       F.col(corpus_vec).alias("__cv"))
     score, order = _score_col(metric, "__qv", "__cv")
+    if round_dp is not None:
+        score = F.round(score, round_dp)
     scored = q.crossJoin(c).withColumn("distance", score)
     w = Window.partitionBy("query_id").orderBy(order, F.col("vec_id").asc())
     return (
@@ -1038,19 +1044,21 @@ def mutual_knn_pairs(df: DataFrame, id_col: str, vec_col: str,
     (self-matches excluded before ranking by taking k+1 and dropping
     the self edge): one broadcast-scored pass, then the directed edge
     list joins ITSELF on the reversed pair — edge-list-sized work, no
-    second scoring pass. ``round_dp`` rounds scores before ranking per
-    the repo discretization contract. For corpora past the exact-kNN
-    envelope, feed the directed edges from ``ivf_knn_join`` instead;
-    the mutuality join is identical.
+    second scoring pass. ``round_dp`` rounds scores BEFORE the
+    top-(k+1) ranking (passed through to ``knn_join``) per the repo
+    round-then-rank discretization contract, matching
+    ``build_knn_graph``/``nn_descent_graph`` — a float-noise tie
+    (e.g. duplicate vectors) would otherwise pick different edges in
+    Spark vs a SQL twin that also ranks rounded sims. For corpora past
+    the exact-kNN envelope, feed the directed edges from
+    ``ivf_knn_join`` instead; the mutuality join is identical.
     """
     q = df.select(F.col(id_col).alias("query_id"),
                   F.col(vec_col).alias("query_vec"))
     edges = (knn_join(q, df, k=k + 1, metric=metric,
-                      corpus_id=id_col, corpus_vec=vec_col)
+                      corpus_id=id_col, corpus_vec=vec_col,
+                      round_dp=round_dp)
              .where(F.col("query_id") != F.col("vec_id")))
-    if round_dp is not None:
-        edges = edges.withColumn("distance",
-                                 F.round("distance", round_dp))
     # the edge list feeds both sides of the mutuality semi-join; cut
     # lineage so the scoring pass runs once, not once per reference
     # (it is n·k rows — tiny next to the scored cross product)

@@ -7982,7 +7982,10 @@ fan AS (
                            ELSE 1 + (n - 24 + 15) // 16 END)) AS chunk_idx
   FROM nz),
 chunks AS (
-  SELECT doc_id, chunk_idx, doc_id * 1000 + chunk_idx AS pid,
+  -- 2^20 stride: collision-free passage id for any doc under ~16.8M
+  -- chunks (doc_id*1000 would merge postings across docs at >=1000
+  -- chunks, i.e. ~16k whitespace tokens — silently, in both engines)
+  SELECT doc_id, chunk_idx, doc_id * 1048576 + chunk_idx AS pid,
          tk[chunk_idx*16 + 1 : chunk_idx*16 + 24] AS ctk
   FROM fan),
 toks AS (SELECT pid, lower(unnest(ctk)) AS term FROM chunks),
@@ -8024,11 +8027,16 @@ def q_chunk_bm25_passages(spark, sf_dir):
     from .operators.chunking import chunk_documents
     from .operators.search import bm25_rank, build_inverted_index
     docs = _t(spark, sf_dir, "documents")
+    # collision-free composite pid: 2^20 stride holds ~16.8M chunks per
+    # doc; assert_true fails the job loudly (never silently merges two
+    # documents' postings) if a pathological doc ever exceeds it
+    pid = (F.col("doc_id") * (1 << 20) + F.col("chunk_idx")).alias("pid")
+    guard = F.assert_true(F.col("chunk_idx") < (1 << 20),
+                          F.lit("chunk_idx overflows pid stride 2^20"))
     passages = (chunk_documents(docs, "doc_id", "text",
                                 window=24, stride=16)
-                .select((F.col("doc_id") * 1000 + F.col("chunk_idx"))
-                        .alias("pid"),
-                        "doc_id", "chunk_idx", "chunk_text")
+                .where(guard.isNull())
+                .select(pid, "doc_id", "chunk_idx", "chunk_text")
                 .localCheckpoint(eager=False))
     idx = build_inverted_index(passages, "pid", "chunk_text") \
         .localCheckpoint(eager=False)
@@ -8301,11 +8309,12 @@ WITH e AS (
               * sqrt(list_sum([ x*x for x in b.v ]))) AS sim
   FROM e a CROSS JOIN e b
 ), ranked AS (
-  SELECT qid, vid, sim FROM scored
+  SELECT qid, vid, round(sim, 6) AS sim
+  FROM scored
   QUALIFY row_number() OVER (PARTITION BY qid
-                             ORDER BY sim DESC, vid ASC) <= 5
+                             ORDER BY round(sim, 6) DESC, vid ASC) <= 5
 ), edges AS (
-  SELECT qid, vid, round(sim, 6) AS sim FROM ranked WHERE qid <> vid
+  SELECT qid, vid, sim FROM ranked WHERE qid <> vid
 )
 SELECT a.qid AS id_a, a.vid AS id_b, a.sim AS distance
 FROM edges a JOIN edges b ON a.qid = b.vid AND a.vid = b.qid
@@ -9361,3 +9370,4 @@ def q_doclen_moments_by_source(spark, sf_dir):
                     F.round(mean, 6).alias("mean_chars"),
                     F.round(std, 6).alias("std_chars"),
                     F.round(skew, 6).alias("skewness"))
+

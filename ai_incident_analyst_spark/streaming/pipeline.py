@@ -519,20 +519,43 @@ def streaming_ivf_sink(stream: DataFrame, path: str, checkpoint: str,
     OWN (cell, batch) partitions instead of appending duplicates, and
     commits no marker files a reader could trip on.
     """
+    import os
+
     from ..operators.knn import _centroid_arrays, assign_cells
 
     ids, mat, ctype = _centroid_arrays(centroids, centroid_id, centroid_vec)
+    p = path.rstrip("/")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        (assign_cells(batch_df.select(id_col, vec_col), vec_col, ids, mat,
-                      n=1, cell_type=ctype, round_dp=round_dp)
-         .withColumn("__batch", F.lit(int(batch_id)))
-         .repartition(F.col("__cell"))
-         .write.partitionBy("__cell", "__batch")
-         .option("partitionOverwriteMode", "dynamic")
-         .mode("overwrite").parquet(path))
+        assigned = (
+            assign_cells(batch_df.select(id_col, vec_col), vec_col, ids,
+                         mat, n=1, cell_type=ctype, round_dp=round_dp)
+            .withColumn("__batch", F.lit(int(batch_id)))
+            .repartition(F.col("__cell")))
+        # Concurrent-compaction safety: write into the RESOLVED version
+        # directory, then revalidate the pointer. If compact_ivf_store
+        # flipped the pointer mid-write, this batch landed in the
+        # superseded version (compaction's snapshot may not contain it,
+        # and _recover_store GCs that directory after the grace window)
+        # — so retry through the new pointer. The rewrite is idempotent:
+        # dynamic partition overwrite replaces exactly this batch's own
+        # (cell, batch) partitions, including any partial rescue copies
+        # compaction carried over (see compact_ivf_store).
+        for _ in range(5):
+            target = os.path.realpath(p) if os.path.islink(p) else p
+            (assigned
+             .write.partitionBy("__cell", "__batch")
+             .option("partitionOverwriteMode", "dynamic")
+             .mode("overwrite").parquet(target))
+            now = os.path.realpath(p) if os.path.islink(p) else p
+            if now == target:
+                return
+        raise RuntimeError(
+            "streaming_ivf_sink: store pointer kept moving during batch "
+            f"{batch_id} commit (5 retries) — a compactor is flipping "
+            "the pointer continuously; throttle compaction")
 
     return (
         stream.writeStream
@@ -557,27 +580,72 @@ def compact_ivf_store(spark, path: str) -> None:
     store is written to a fresh versioned directory and a symlink flip
     makes it live atomically (``_swap_pointer``; a plain directory from
     direct sink writes is migrated first by ``_recover_store``).
-    Subsequent micro-batches keep writing through the pointer.
+
+    Safe against a LIVE ``streaming_ivf_sink`` (no quiesce needed):
+
+    * the batch-id set is SNAPSHOTTED before reading and only those
+      batches are folded into ``__batch=-1`` — the compacted output is
+      a deterministic set, whatever lands mid-compaction;
+    * after the flip, batch partitions that appeared in the old version
+      AFTER the snapshot (a batch committed between read and flip) are
+      rescued — copied as-is into the live version, so no committed
+      micro-batch is ever lost to the old directory's GC;
+    * a batch still mid-write at flip time revalidates the pointer in
+      ``write_batch`` and rewrites itself through the new pointer
+      (idempotent dynamic overwrite replaces any partial rescue copy).
 
     Contract: do NOT reset the stream's checkpoint after compacting —
     a replayed batch id whose rows were folded into ``__batch=-1``
     would re-add them (its own partition overwrite can no longer see
     them). Same reprocessing caveat as any log-structured compaction.
+    Single compactor at a time (it is a maintenance job, not a sink).
     """
+    import glob
     import os
+    import shutil
 
     p = path.rstrip("/")
     _recover_store(p)
+    cur = os.path.realpath(p) if os.path.islink(p) else p
+
+    def batch_dirs(version_dir):
+        out = {}
+        for d in glob.glob(os.path.join(version_dir, "__cell=*",
+                                        "__batch=*")):
+            b = int(d.rsplit("=", 1)[1])
+            out.setdefault(b, []).append(d)
+        return out
+
+    # snapshot FIRST; compact exactly this set (partition pruning on
+    # __batch keeps the scan to the snapshot even if new dirs appear)
+    snap = batch_dirs(cur)
+    snap_ids = list(snap)
     n = 0
     while os.path.exists(f"{p}.v-compact-{n}"):
         n += 1
     staged = f"{p}.v-compact-{n}"
-    (spark.read.parquet(p)
+    (spark.read.parquet(cur)
+     .where(F.col("__batch").isin(snap_ids))
      .withColumn("__batch", F.lit(-1))
      .repartition(F.col("__cell"))
      .write.partitionBy("__cell", "__batch")
      .mode("overwrite").parquet(staged))
     _swap_pointer(p, staged)
+    # rescue: batches committed into the old version between snapshot
+    # and flip. Copy (never move — an in-flight reader may still be
+    # scanning the old version within the GC grace window), skipping
+    # uncommitted task temp dirs; a batch mid-write rescues partially
+    # here and then rewrites itself completely via write_batch's
+    # pointer revalidation.
+    for b, dirs in batch_dirs(cur).items():
+        if b in snap:
+            continue
+        for d in dirs:
+            cell = os.path.basename(os.path.dirname(d))
+            dst = os.path.join(staged, cell, f"__batch={b}")
+            shutil.copytree(
+                d, dst, dirs_exist_ok=True,
+                ignore=shutil.ignore_patterns("_temporary", "_*", ".*"))
 
 
 def streaming_psi_sink(stream: DataFrame, baseline: DataFrame,

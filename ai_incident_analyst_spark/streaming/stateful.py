@@ -273,14 +273,22 @@ def streaming_conversations(stream: DataFrame, key: str = "user_id",
     Semantics vs batch: a closed conversation's ``(conv_seq, n_turns,
     chat_text)`` is byte-identical to the batch
     ``assemble_conversations → render_chat`` output for the same events
-    (identity test-proven); the still-open tail conversation is not
-    emitted until a later trigger closes it (or the key's state times
-    out, which emits nothing — at-most-once for abandoned tails; wire
-    ``state_timeout_ms`` to the retention SLA).
+    (identity test-proven) as long as disorder stays WITHIN the open
+    conversation: turns are buffered as ``(ts_us, role, content)``
+    tuples and sorted by ``(ts, arrival order)`` only at emit time, so
+    an event that arrives in a later micro-batch with an earlier
+    timestamp than already-buffered turns still renders in timestamp
+    order. (An event older than an already-CLOSED boundary cannot be
+    merged — emit-on-close is eager; route such data through the batch
+    rebuild, same contract as ``streaming_scd2_sink``.) The still-open
+    tail conversation is not emitted until a later trigger closes it
+    (or the key's state times out, which emits nothing — at-most-once
+    for abandoned tails; wire ``state_timeout_ms`` to the retention
+    SLA).
 
-    State per key: (last_ts, conv_seq, roles[], contents[]) — bounded by
-    the open conversation's length, not history. Output: one row per
-    CLOSED conversation, append mode.
+    State per key: (last_ts, conv_seq, ts_us[], roles[], contents[]) —
+    bounded by the open conversation's length, not history. Output: one
+    row per CLOSED conversation, append mode.
     """
     from pyspark.sql.types import ArrayType, StringType
 
@@ -293,13 +301,18 @@ def streaming_conversations(stream: DataFrame, key: str = "user_id",
     state_schema = StructType([
         StructField("last_ts_epoch", LongType()),
         StructField("conv_seq", LongType()),
+        StructField("ts_us", ArrayType(LongType())),
         StructField("roles", ArrayType(StringType())),
         StructField("contents", ArrayType(StringType())),
     ])
 
-    def render(roles, contents):
-        return "".join(f"<|{r}|>{c}{eos}"
-                       for r, c in zip(roles, contents))
+    def render(ts_us, roles, contents):
+        # emit-time ordering: (ts, arrival order) — the stable sort's
+        # tiebreak is arrival order, matching the batch array_sort
+        # whose struct key leads with micros-precision ts
+        order = sorted(range(len(ts_us)), key=lambda i: ts_us[i])
+        return "".join(f"<|{roles[i]}|>{contents[i]}{eos}"
+                       for i in order)
 
     def assemble(key_tuple: Any, pdfs: Iterable[pd.DataFrame],
                  state: GroupState) -> Iterator[pd.DataFrame]:
@@ -307,30 +320,33 @@ def streaming_conversations(stream: DataFrame, key: str = "user_id",
             state.remove()
             return
         if state.exists:
-            last_ts, seq, roles, contents = state.get
-            roles, contents = list(roles), list(contents)
+            last_ts, seq, ts_us, roles, contents = state.get
+            ts_us, roles, contents = list(ts_us), list(roles), list(contents)
         else:
-            last_ts, seq, roles, contents = None, 1, [], []
+            last_ts, seq, ts_us, roles, contents = None, 1, [], [], []
         closed = []
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values(ts_col)
-            epochs = (pdf[ts_col].astype("int64")
-                      // 1_000_000_000).to_numpy()
-            for e, role, content in zip(epochs, pdf[role_col],
-                                        pdf[content_col]):
+            pdf = pdf.sort_values(ts_col, kind="stable")
+            ns = pdf[ts_col].astype("int64").to_numpy()
+            # gap rule stays second-truncated (batch parity: ts.cast
+            # long); buffered order key keeps micros precision
+            for nse, role, content in zip(ns, pdf[role_col],
+                                          pdf[content_col]):
+                e = int(nse) // 1_000_000_000
                 if (last_ts is not None and e - last_ts > gap_seconds
                         and roles):
                     closed.append((key_tuple[0], seq, len(roles),
-                                   render(roles, contents)))
+                                   render(ts_us, roles, contents)))
                     seq += 1
-                    roles, contents = [], []
+                    ts_us, roles, contents = [], [], []
+                ts_us.append(int(nse) // 1_000)
                 roles.append(str(role))
                 contents.append(str(content))
                 if last_ts is None or e > last_ts:
                     last_ts = int(e)
-        state.update((last_ts, seq, roles, contents))
+        state.update((last_ts, seq, ts_us, roles, contents))
         if state_timeout_ms > 0:
             state.setTimeoutDuration(state_timeout_ms)
         if closed:

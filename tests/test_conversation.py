@@ -100,3 +100,23 @@ def test_no_python_udf_in_plan(convs):
                render_chat(convs)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+def test_subsecond_order_survives_without_tiebreak(spark):
+    # sub-second timestamps inside the same second must order by the
+    # micros-precision ts (advice r7: ts.cast("long") truncated to
+    # seconds and silently fell back to the tiebreak / struct tail)
+    from datetime import datetime
+
+    def us(micro):
+        return datetime(2024, 1, 1, 12, 0, 0, micro)
+
+    rows = [(1, 1, us(900_000), "assistant", "third"),
+            (1, 2, us(100_000), "user", "first"),
+            (1, 3, us(500_000), "assistant", "second")]
+    out = assemble_conversations(_log(spark, rows), "user_id", "ts",
+                                 "role", "content",
+                                 gap_seconds=1800).collect()
+    assert len(out) == 1
+    assert [t["content"] for t in out[0]["turns"]] == [
+        "first", "second", "third"]

@@ -823,3 +823,72 @@ def test_streaming_psi_sink_matches_batch_report(spark):
                                              n_bins=5).collect()))
         assert streamed == batch
         assert len(streamed) == 5
+
+
+def test_compact_ivf_store_rescues_batch_committed_mid_compaction(
+        spark, sf_dir, monkeypatch):
+    """A micro-batch that commits into the OLD version directory between
+    compaction's snapshot and its pointer flip (advice r7: that batch
+    landed in a directory _recover_store later GCs, and its checkpoint
+    entry was already committed so it never replayed) must be rescued
+    into the live compacted store."""
+    import os
+    import tempfile
+
+    from ai_incident_analyst_spark.streaming import pipeline as pl
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    first = emb.where(F.col("vec_id") < 100)
+    racer = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 130))
+    cents = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(64)]) for i in range(4)],
+        "centroid_id long, centroid array<double>")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store, ck = f"{tmp}/ivf", f"{tmp}/ck"
+        first.repartition(2).write.parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(emb.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in")
+        q = pl.streaming_ivf_sink(stream, store, ck, cents) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        assert spark.read.parquet(store).count() == 100
+
+        # simulate the race: just before the flip, a sink batch commits
+        # into the (already-snapshotted) current version directory
+        real_swap = pl._swap_pointer
+
+        def racing_swap(p, target):
+            if ".v-compact" not in target:
+                # migration flips inside _recover_store route through the
+                # same module global — only the compaction flip races
+                return real_swap(p, target)
+            cur = os.path.realpath(p) if os.path.islink(p) else p
+            from ai_incident_analyst_spark.operators.knn import (
+                _centroid_arrays,
+                assign_cells,
+            )
+            ids, mat, ctype = _centroid_arrays(cents, "centroid_id",
+                                               "centroid")
+            (assign_cells(racer, "embedding", ids, mat, n=1,
+                          cell_type=ctype)
+             .withColumn("__batch", F.lit(99))
+             .write.partitionBy("__cell", "__batch")
+             .option("partitionOverwriteMode", "dynamic")
+             .mode("overwrite").parquet(cur))
+            real_swap(p, target)
+
+        monkeypatch.setattr(pl, "_swap_pointer", racing_swap)
+        pl.compact_ivf_store(spark, store)
+        monkeypatch.setattr(pl, "_swap_pointer", real_swap)
+
+        # the racing batch's 30 rows survived the flip
+        assert spark.read.parquet(store).count() == 130
+        got = {r.vec_id for r in
+               spark.read.parquet(store).select("vec_id").collect()}
+        assert got == {r.vec_id for r in
+                       emb.where(F.col("vec_id") < 130).collect()}
+        # and a follow-up compaction folds it into __batch=-1 cleanly
+        pl.compact_ivf_store(spark, store)
+        assert spark.read.parquet(store).count() == 130

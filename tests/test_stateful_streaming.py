@@ -212,3 +212,73 @@ def test_streaming_conversations_close_and_identity(spark, tmp_path):
                     for r in batch.join(last, ["user_id", "conv_seq"],
                                         "left_anti").collect()}
     assert got == closed_batch
+
+
+def test_streaming_conversations_cross_batch_disorder(spark, tmp_path):
+    """A turn arriving in a LATER micro-batch with an EARLIER timestamp
+    than already-buffered turns of the open conversation must still
+    render in timestamp order at close time (advice r7: turns were
+    appended in arrival order, so chat_text diverged from the batch
+    array_sort semantics under cross-batch disorder)."""
+    from ai_incident_analyst_spark.operators.conversation import (
+        assemble_conversations,
+        render_chat,
+    )
+    from ai_incident_analyst_spark.streaming.stateful import (
+        streaming_conversations,
+    )
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "dsrc")
+    ckpt = str(tmp_path / "dckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, ts timestamp, role string, content string"
+
+    def write(rows):
+        pdf = pd.DataFrame(rows,
+                           columns=["user_id", "ts", "role", "content"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def run():
+        collected = []
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (streaming_conversations(stream, "user_id", "ts", "role",
+                                     "content", gap_seconds=1800)
+             .writeStream
+             .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return collected
+
+    b1 = [(1, "2024-01-01 10:00:00", "user", "first"),
+          (1, "2024-01-01 10:06:00", "user", "third")]
+    write(b1)
+    assert run() == []
+    # 10:03 arrives AFTER 10:06 was buffered; 13:00 closes the conv
+    b2 = [(1, "2024-01-01 10:03:00", "assistant", "second"),
+          (1, "2024-01-01 13:00:00", "user", "opens next")]
+    write(b2)
+    out = run()
+    got = {(r.user_id, r.conv_seq): (r.n_turns, r.chat_text) for r in out}
+    assert got == {(1, 1): (
+        3, "<|user|>first<|end|><|assistant|>second<|end|>"
+           "<|user|>third<|end|>")}
+
+    # identity vs batch over the same events (open tail excluded)
+    all_events = spark.createDataFrame(
+        pd.DataFrame(b1 + b2,
+                     columns=["user_id", "ts", "role", "content"])
+        .assign(ts=lambda d: pd.to_datetime(d.ts)))
+    conv = assemble_conversations(all_events, "user_id", "ts", "role",
+                                  "content", gap_seconds=1800)
+    last = conv.groupBy("user_id").agg(F.max("conv_seq").alias("conv_seq"))
+    closed_batch = {(r["user_id"], r["conv_seq"]):
+                    (r["n_turns"], r["chat_text"])
+                    for r in render_chat(conv)
+                    .join(last, ["user_id", "conv_seq"], "left_anti")
+                    .collect()}
+    assert got == closed_batch
