@@ -87,3 +87,18 @@ def int_l2_sq(a: Column | str, b: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def truncate_renorm(col: Column | str, dims: int) -> Column:
+    """Matryoshka truncation: keep the first ``dims`` components and
+    L2-renormalize — the MRL deployment trick (Kusupati et al. 2022):
+    an embedding trained with nested objectives stays usable at a
+    prefix of its dimensions, so the corpus can be scanned at (say)
+    16/64 of the scan bandwidth and re-ranked at full precision only
+    for the shortlist. Pure JVM array math (slice + aggregate), exact
+    same IEEE ops in a SQL twin."""
+    t = F.slice(to_double_array(col), 1, dims)
+    n = F.sqrt(F.aggregate(
+        F.zip_with(t, t, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return F.transform(t, lambda v: v / n)

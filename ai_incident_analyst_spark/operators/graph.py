@@ -197,3 +197,107 @@ def graph_stats(edges: DataFrame, src: str = "src",
             .otherwise(F.lit(0)).alias("global_clustering_1e6"),
         )
     )
+
+
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         iterations: int = 2, round_dp: int = 6) -> DataFrame:
+    """Kleinberg HITS with a fixed iteration count: ``(node, hub,
+    authority)`` for every node in the edge list.
+
+    Classic mutual reinforcement on the directed simple graph —
+    ``authority(v) = Σ_{u→v} hub(u)``, ``hub(u) = Σ_{u→v} authority(v)``
+    — with MAX normalization after each half-step (scores scale to
+    max=1). Max, not the textbook L2 or an L1 sum, because max over
+    doubles is associativity-FREE: a global Σ of doubles can associate
+    differently across engines/partitionings and flip a 6-dp rounding
+    boundary, while max is exact under any order — and any positive
+    rescaling preserves the HITS ranking identically. Fixed
+    ``iterations`` rather than a convergence tolerance, same
+    determinism contract as ``pagerank``.
+
+    Physical shape: the deduped edge table is checkpointed once; each
+    half-step is one equi-join (scores → edges) + one groupBy sum + a
+    1-row scalar-subquery broadcast for the normalizer — node-cardinality
+    shuffles only, no driver data, no Python. Hot hubs/authorities (the
+    power-law tail) are plain groupBy keys, so AQE skew splitting
+    applies.
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=False))
+
+    def _nmax(df, col):
+        tot = df.agg(F.max(col).alias("__t"))
+        return (df.crossJoin(F.broadcast(tot))
+                .select("node", (F.col(col) / F.col("__t")).alias(col)))
+
+    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        auth = (e.join(hubs, e["src"] == hubs["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("authority")))
+        auth = _nmax(auth, "authority").localCheckpoint(eager=False)
+        hubs = (e.join(auth, e["dst"] == auth["node"])
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("authority").alias("hub")))
+        hubs = _nmax(hubs, "hub").localCheckpoint(eager=False)
+    return (nodes
+            .join(hubs, "node", "left")
+            .join(auth, "node", "left")
+            .select("node",
+                    F.round(F.coalesce("hub", F.lit(0.0)),
+                            round_dp).alias("hub"),
+                    F.round(F.coalesce("authority", F.lit(0.0)),
+                            round_dp).alias("authority")))
+
+
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", iterations: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    undirected simple graph: ``(node, label)`` after a fixed number of
+    rounds. Each round every node adopts the label held by the PLURALITY
+    of its neighbors, ties broken by the smallest label — both choices
+    make the algorithm deterministic (the usual async/random-order LPA
+    is not reproducible, which disqualifies it for a pipeline whose
+    outputs must be auditable), and a fixed round count lets an unrolled
+    SQL twin hash-match. Isolated direction: a node keeps its current
+    label when it has no neighbors (cannot happen here — every node in
+    an edge list has degree ≥ 1 on the undirected closure).
+
+    vs ``connected_components``: CC merges everything reachable; LPA
+    finds *denser-than-surroundings* groups inside a component — the
+    community structure a curation pipeline uses to diversify sampling
+    within a connected near-dup blob.
+
+    Physical shape per round: one join (labels → undirected edges) + one
+    (node, label) count groupBy + one per-node argmax window — all keyed
+    on node ids, lineage truncated per round like ``pagerank``. Integer
+    labels end-to-end: exact cross-engine.
+    """
+    from pyspark.sql import Window
+
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .union(edges.select(F.col(dst).alias("u"),
+                               F.col(src).alias("v")))
+           .filter(F.col("u") != F.col("v"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    labels = (und.select(F.col("u").alias("node")).distinct()
+              .select("node", F.col("node").alias("label")))
+    w = Window.partitionBy("node").orderBy(F.col("n").desc(),
+                                           F.col("label").asc())
+    for _ in range(iterations):
+        neigh = (und.join(labels, und["v"] == labels["node"])
+                 .select(F.col("u").alias("node"), "label"))
+        counts = neigh.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("n"))
+        labels = (counts.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .select("node", "label")
+                  .localCheckpoint(eager=False))
+    return labels

@@ -313,3 +313,61 @@ def jaro_winkler_pairs(df: DataFrame, id_col: str, text_col: str,
              .otherwise(F.col("ta")).alias("text_b"),
             "jw")
     )
+
+
+def _deletion_variants(col: Column | str) -> Column:
+    """The word plus every single-character-deletion of it — the
+    SymSpell blocking key set. |word|+1 variants per word, so the
+    blocking fan-out is linear in corpus characters."""
+    c = F.col(col) if isinstance(col, str) else col
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.concat(c.substr(F.lit(1), i - 1),
+                           c.substr(i + 1, F.length(c))))
+    return F.array_union(F.array(c), dels)
+
+
+def spell_suggest(word_counts: DataFrame, word_col: str, freq_col: str,
+                  min_vocab_freq: int = 5,
+                  max_unknown_freq: int = 1,
+                  max_word_len: int = 24) -> DataFrame:
+    """'Did you mean' for corpus cleanup: for each rare token (freq ≤
+    ``max_unknown_freq``, the presumed-typo tail), the best vocabulary
+    word (freq ≥ ``min_vocab_freq``) at Damerau-free edit distance
+    EXACTLY 1 — ``(word, suggestion, suggestion_freq)``, one row per
+    correctable word (unmatched words are dropped; ties broken by
+    frequency desc then suggestion asc).
+
+    Candidate generation is the SymSpell deletion trick, not an
+    all-pairs distance join: two words are within levenshtein 1 only if
+    they share a member of each other's 1-deletion neighborhood (the
+    word itself + each single-char deletion), so an EQUI-join on
+    exploded variants finds every candidate — O(Σ|word|) blocking keys
+    versus the O(|unknown|·|vocab|) cross product a naive fuzzy join
+    pays. The shared-variant filter is complete for distance ≤ 1 and
+    then JVM ``levenshtein`` verifies == 1 exactly (the variant join
+    also admits some distance-2 pairs, e.g. transpositions — verify
+    removes them). ``max_word_len`` bounds per-word fan-out; hot
+    variants (short strings) are plain join keys, AQE skew-split.
+    """
+    base = (word_counts
+            .select(F.col(word_col).alias("w"),
+                    F.col(freq_col).cast("long").alias("f"))
+            .filter(F.length("w").between(1, max_word_len)))
+    unk = base.filter(F.col("f") <= max_unknown_freq)
+    voc = base.filter(F.col("f") >= min_vocab_freq)
+    if min_vocab_freq <= max_unknown_freq:
+        raise ValueError("vocab and unknown bands must not overlap")
+    uv = unk.select("w", F.explode(_deletion_variants("w")).alias("__k"))
+    vv = voc.select(F.col("w").alias("s"), F.col("f").alias("sf"),
+                    F.explode(_deletion_variants("w")).alias("__k"))
+    cand = (uv.join(vv, "__k")
+            .select("w", "s", "sf").distinct()
+            .filter(F.levenshtein("w", "s") == 1))
+    win = Window.partitionBy("w").orderBy(F.col("sf").desc(),
+                                          F.col("s").asc())
+    return (cand.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("w").alias("word"),
+                    F.col("s").alias("suggestion"),
+                    F.col("sf").alias("suggestion_freq")))

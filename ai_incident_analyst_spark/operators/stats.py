@@ -11,7 +11,7 @@ without even the interpolation subtlety).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -102,3 +102,140 @@ def chi_squared(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         ((F.col("ka") - 1) * (F.col("kb") - 1)).cast("long").alias("dof"),
         "n",
     )
+
+
+def welch_t_test(df: DataFrame, group_col: str, value_col: str,
+                 group_a, group_b) -> DataFrame:
+    """Two-sample Welch t-test (unequal variances) between two named
+    groups: one row ``(group_a, group_b, n_a, n_b, mean_a, mean_b, t,
+    df)``. The A/B-testing primitive a curation pipeline runs on every
+    intervention ("did the new filter change mean doc quality?") —
+    Welch's form because corpus segments almost never share variance.
+
+    Sufficient statistics only (n, Σx, Σx² per group → sample means and
+    Bessel-corrected variances), so the whole test is ONE aggregation
+    pass with map-side combine; df is Welch–Satterthwaite. Outputs
+    rounded 6 dp; t is NULL when either group has n < 2 (variance
+    undefined) — surfacing NULL beats a fake statistic.
+    """
+    from .util import complete_case
+
+    v = F.col(value_col).cast("double")
+    df = complete_case(df.filter(F.col(group_col).isin(group_a, group_b)),
+                       [v])
+    agg = (df.groupBy(F.col(group_col).alias("g"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(v).alias("s"), F.sum(v * v).alias("ss")))
+    a = agg.filter(F.col("g") == group_a).alias("a")
+    b = agg.filter(F.col("g") == group_b).alias("b")
+    j = a.crossJoin(b)
+
+    def m(side):
+        return F.col(f"{side}.s") / F.col(f"{side}.n")
+
+    def var(side):  # Bessel-corrected sample variance
+        n = F.col(f"{side}.n")
+        return F.when(n >= 2,
+                      (F.col(f"{side}.ss") - n * m(side) * m(side))
+                      / (n - 1))
+
+    va_n = var("a") / F.col("a.n")
+    vb_n = var("b") / F.col("b.n")
+    se2 = va_n + vb_n
+    t = (m("a") - m("b")) / F.sqrt(se2)
+    dof = (se2 * se2) / (va_n * va_n / (F.col("a.n") - 1)
+                         + vb_n * vb_n / (F.col("b.n") - 1))
+    return j.select(
+        F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b"),
+        F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"),
+        F.round(m("a"), 6).alias("mean_a"),
+        F.round(m("b"), 6).alias("mean_b"),
+        F.round(t, 6).alias("t"),
+        F.round(dof, 6).alias("df"))
+
+
+def benford_report(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law: 9 rows
+    ``(digit, n_obs, p_obs, p_benford, chi2_term)`` over the strictly
+    positive values of ``value_col``. The standard forensic screen for
+    fabricated or machine-generated numeric columns (synthetic data
+    injected into a scraped corpus rarely Benford-distributes) — a data
+    quality gate, not a proof.
+
+    First digit extracted ARITHMETICALLY (``x / 10^floor(log10 x)``),
+    never via string formatting (locale/scientific-notation traps);
+    expected mass is ``log10(1 + 1/d)``. One groupBy(digit) over a
+    projection — scan-bound at any scale. 6 dp rounding.
+    """
+    x = F.col(value_col).cast("double")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
+    per = (df.filter(x > 0)
+           .select(digit.cast("int").alias("digit"))
+           .groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs")))
+    tot = per.agg(F.sum("n_obs").alias("n"))
+    p_obs = F.col("n_obs") / F.col("n")
+    p_ben = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("digit", "n_obs",
+                    F.round(p_obs, 6).alias("p_obs"),
+                    F.round(p_ben, 6).alias("p_benford"),
+                    F.round(F.col("n") * (p_obs - p_ben) * (p_obs - p_ben)
+                            / p_ben, 6).alias("chi2_term")))
+
+
+def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
+                       id_col: str, round_dp: int = 6) -> DataFrame:
+    """Map every group's value distribution onto the GLOBAL distribution
+    — rank-based quantile normalization (the microarray-normalization
+    classic, reused in corpus curation to make per-source quality scores
+    comparable: source A's "0.8" and source B's "0.8" rarely mean the
+    same thing, but their 90th percentiles do).
+
+    Each row's within-group percent-rank ``pr = (rank−1)/(n_g−1)``
+    (singleton groups pin to 0.5) is mapped to the fractional global
+    position ``1 + pr·(N−1)`` and linearly interpolated between the
+    global order statistics at ``floor``/``ceil`` — exactly the
+    'linear' quantile convention, evaluated against the full global
+    sort. Returns the input keys plus ``normalized``.
+
+    Scale shape: the global order statistics come from
+    ``packing.global_cumsum`` (two-phase distributed prefix sum — never
+    a single-task global window); the two order-statistic lookups are
+    EQUALITY joins on integer positions, not range joins. Within-group
+    ranks are ordinary per-group windows. Ties order by ``id_col`` so
+    every rank is deterministic cross-engine.
+    """
+    from .packing import global_cumsum
+
+    v = F.col(value_col).cast("double")
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(group_col).alias("grp"), v.alias("val"))
+            .withColumn("__one", F.lit(1))
+            .withColumn("__ord", F.struct(F.col("val"), F.col("id"))))
+    pos = (global_cumsum(base, "__ord", "__one", "__pos")
+           .localCheckpoint(eager=False))
+    n_total = pos.count()
+    gw = Window.partitionBy("grp").orderBy("val", "id")
+    ranked = (pos
+              .withColumn("__rk", F.row_number().over(gw))
+              .withColumn("__ng", F.count(F.lit(1)).over(
+                  Window.partitionBy("grp"))))
+    pr = F.when(F.col("__ng") > 1,
+                (F.col("__rk") - 1) / (F.col("__ng") - 1)).otherwise(0.5)
+    p = pr * F.lit(float(n_total - 1)) + 1.0
+    ranked = (ranked.withColumn("__lo", F.floor(p).cast("long"))
+              .withColumn("__hi", F.ceil(p).cast("long"))
+              .withColumn("__frac", p - F.floor(p)))
+    stats = pos.select(F.col("__pos").alias("__k"),
+                       F.col("val").alias("__sv"))
+    lo = stats.withColumnRenamed("__sv", "__vlo")
+    hi = (stats.withColumnRenamed("__sv", "__vhi")
+          .withColumnRenamed("__k", "__k2"))
+    return (ranked
+            .join(lo, ranked["__lo"] == lo["__k"])
+            .join(hi, ranked["__hi"] == hi["__k2"])
+            .select(F.col("id").alias(id_col), F.col("grp").alias(group_col),
+                    F.col("val").alias(value_col),
+                    F.round(F.col("__vlo") + F.col("__frac")
+                            * (F.col("__vhi") - F.col("__vlo")),
+                            round_dp).alias("normalized")))

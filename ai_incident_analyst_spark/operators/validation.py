@@ -23,7 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -228,3 +228,70 @@ def l_diversity_report(df: DataFrame, quasi_identifiers: list[str],
         )
         .withColumn("diverse", F.col("n_violating_rows") == 0)
     )
+
+
+def t_closeness_report(df: DataFrame, quasi_identifiers: list[str],
+                       sensitive_col: str, t: float = 0.2) -> DataFrame:
+    """Privacy gate, step three: t-closeness (Li, Li & Venkatasubramanian
+    2007) with the ordered-distance EMD — every quasi-identifier
+    equivalence class's distribution over the sensitive attribute must
+    sit within earth-mover's distance ``t`` of the GLOBAL distribution.
+    l-diversity is defeated by skewness/similarity attacks: a class can
+    hold l distinct sensitive values that are all rare-globally (or all
+    semantically adjacent) and still disclose; closeness compares whole
+    distributions, not value counts.
+
+    EMD over the ordered value domain (the paper's numeric-attribute
+    form): values ranked globally, ``EMD(P, Q) = Σ_j |Σ_{i≤j}(P_i −
+    Q_i)| / (m − 1)`` — the L1 of cumulative differences, normalized by
+    the m−1 unit ground distance. One row out: ``(t_1e6, m_values,
+    n_classes, max_emd, n_violating_classes, n_violating_rows, close)``.
+
+    Plan: one groupBy for per-class sizes, one for per-(class, value)
+    counts, a class × value-domain fill (broadcast — the sensitive
+    DOMAIN is small even when the table is not), a per-class cumulative
+    window, and a tiny report aggregate. The only per-row shuffles key
+    on the class tuple; the window partitions by class — no global
+    single-task stage anywhere. 6 dp rounding on EMD.
+    """
+    if not quasi_identifiers:
+        raise ValueError("need at least one quasi-identifier column")
+    if sensitive_col in quasi_identifiers:
+        raise ValueError(
+            f"sensitive column {sensitive_col!r} cannot also be a "
+            f"quasi-identifier (closeness would be degenerate)")
+    qi = [F.col(c) for c in quasi_identifiers]
+    n_total = df.count()
+    dom = (df.groupBy(F.col(sensitive_col).alias("__v"))
+           .agg((F.count(F.lit(1)) / F.lit(n_total)).alias("__q"))
+           .localCheckpoint(eager=False))
+    m = dom.count()
+    if m < 2:
+        raise ValueError("sensitive attribute needs >= 2 distinct values")
+    cls = (df.groupBy(*qi).agg(F.count(F.lit(1)).alias("__sz"))
+           .localCheckpoint(eager=False))
+    cv = (df.groupBy(*qi, F.col(sensitive_col).alias("__v"))
+          .agg(F.count(F.lit(1)).alias("__c")))
+    full = (cls.join(F.broadcast(dom))
+            .join(cv, quasi_identifiers + ["__v"], "left")
+            .withColumn("__p", F.coalesce(F.col("__c"), F.lit(0))
+                        / F.col("__sz")))
+    w = (Window.partitionBy(*quasi_identifiers)
+         .orderBy("__v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    emd = (full
+           .withColumn("__cum", F.sum(F.col("__p") - F.col("__q")).over(w))
+           .groupBy(*qi, "__sz")
+           .agg(F.round(F.sum(F.abs("__cum")) / F.lit(m - 1), 6)
+                .alias("__emd")))
+    return emd.agg(
+        F.lit(int(round(t * 1e6))).alias("t_1e6"),
+        F.lit(m).alias("m_values"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.max("__emd").alias("max_emd"),
+        F.sum(F.when(F.col("__emd") > t, 1).otherwise(0))
+        .alias("n_violating_classes"),
+        F.sum(F.when(F.col("__emd") > t, F.col("__sz")).otherwise(0))
+        .alias("n_violating_rows"),
+        (F.sum(F.when(F.col("__emd") > t, 1).otherwise(0)) == 0)
+        .alias("close"))

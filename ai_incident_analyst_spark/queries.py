@@ -9371,3 +9371,411 @@ def q_doclen_moments_by_source(spark, sf_dir):
                     F.round(std, 6).alias("std_chars"),
                     F.round(skew, 6).alias("skewness"))
 
+
+
+# ===========================================================================
+# round 8: HITS + label propagation, matryoshka recall, Welch t-test,
+# Benford audit, t-closeness, quantile normalization, spell suggest
+# ===========================================================================
+
+_HITS_EDGES_SQL = """
+clicks AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         ts, event_id
+  FROM events WHERE event_type = 'click'
+), seq AS (
+  SELECT item,
+         lead(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM clicks
+), e AS (
+  SELECT DISTINCT item AS src, nxt AS dst FROM seq WHERE nxt IS NOT NULL
+), nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+)"""
+
+
+@q("hits_items", f"""
+WITH {_HITS_EDGES_SQL},
+h0 AS (SELECT node, 1.0 AS hub FROM nodes),
+a1r AS (SELECT e.dst AS node, sum(h.hub) AS a
+        FROM e JOIN h0 h ON h.node = e.src GROUP BY e.dst),
+a1 AS (SELECT node, a / (SELECT max(a) FROM a1r) AS a FROM a1r),
+h1r AS (SELECT e.src AS node, sum(a1.a) AS h
+        FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+h1 AS (SELECT node, h / (SELECT max(h) FROM h1r) AS h FROM h1r),
+a2r AS (SELECT e.dst AS node, sum(h1.h) AS a
+        FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+a2 AS (SELECT node, a / (SELECT max(a) FROM a2r) AS a FROM a2r),
+h2r AS (SELECT e.src AS node, sum(a2.a) AS h
+        FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+h2 AS (SELECT node, h / (SELECT max(h) FROM h2r) AS h FROM h2r)
+SELECT n.node,
+       round(coalesce(h2.h, 0), 6) AS hub,
+       round(coalesce(a2.a, 0), 6) AS authority
+FROM nodes n
+LEFT JOIN h2 ON h2.node = n.node
+LEFT JOIN a2 ON a2.node = n.node
+ORDER BY authority DESC, n.node LIMIT 25
+""", doc="Kleinberg HITS (operators/graph.py:hits, 2 fixed iterations) "
+         "over the same item-transition click graph as pagerank_items: "
+         "hubs point at good authorities, authorities are pointed at by "
+         "good hubs — the complementary centrality PageRank's single "
+         "score conflates. MAX-normalized half-steps (max over doubles "
+         "is associativity-free, unlike an L1 sum, so the unrolled twin "
+         "matches at 6 dp); per half-step one equi-join + one groupBy, "
+         "1-row scalar broadcast for the normalizer")
+def q_hits_items(spark, sf_dir):
+    from .operators.graph import hits
+    h = hits(_click_edges(spark, sf_dir), iterations=2)
+    return h.orderBy(F.desc("authority"), "node").limit(25)
+
+
+_LPA_ITER = """
+SELECT node, label FROM (
+  SELECT und.u AS node, l.label, count(*) AS n
+  FROM und JOIN {prev} l ON l.node = und.v GROUP BY 1, 2)
+QUALIFY row_number() OVER (PARTITION BY node
+                           ORDER BY n DESC, label ASC) = 1
+"""
+
+
+@q("lpa_communities", f"""
+WITH {_HITS_EDGES_SQL},
+und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM e
+    UNION ALL SELECT dst, src FROM e) WHERE u <> v
+),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+l1 AS ({_LPA_ITER.format(prev="l0")}),
+l2 AS ({_LPA_ITER.format(prev="l1")}),
+l3 AS ({_LPA_ITER.format(prev="l2")})
+SELECT node, label FROM l3 ORDER BY node
+""", doc="synchronous label-propagation communities (operators/graph.py:"
+         "label_propagation, 3 fixed rounds, plurality label with "
+         "smallest-label tie-break) over the undirected closure of the "
+         "click-transition graph — finds denser-than-surroundings "
+         "groups INSIDE a connected component, where "
+         "connected_components can only say 'reachable'. Deterministic "
+         "by construction (the usual async/random-order LPA is not "
+         "auditable); integer labels end-to-end; per round one join + "
+         "one (node,label) count + one per-node argmax window")
+def q_lpa_communities(spark, sf_dir):
+    from .operators.graph import label_propagation
+    return (label_propagation(_click_edges(spark, sf_dir), iterations=3)
+            .orderBy("node"))
+
+
+@q("matryoshka_recall", """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 300
+),
+q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 20),
+fullr AS (
+  SELECT q.qid, e.vec_id AS vid
+  FROM q CROSS JOIN e
+  QUALIFY row_number() OVER (
+    PARTITION BY q.qid
+    ORDER BY round(
+      list_sum([ x[1]*x[2] for x in list_zip(q.v, e.v) ])
+        / (sqrt(list_sum([ x*x for x in q.v ]))
+           * sqrt(list_sum([ x*x for x in e.v ]))), 6) DESC,
+    e.vec_id ASC) <= 10
+),
+et AS (
+  SELECT vec_id,
+         list_transform(v[1:16],
+           x -> x / sqrt(list_sum([ y*y for y in v[1:16] ]))) AS t
+  FROM e
+),
+qt AS (SELECT vec_id AS qid, t FROM et WHERE vec_id < 20),
+truncr AS (
+  SELECT qt.qid, et.vec_id AS vid
+  FROM qt CROSS JOIN et
+  QUALIFY row_number() OVER (
+    PARTITION BY qt.qid
+    ORDER BY round(
+      list_sum([ x[1]*x[2] for x in list_zip(qt.t, et.t) ])
+        / (sqrt(list_sum([ x*x for x in qt.t ]))
+           * sqrt(list_sum([ x*x for x in et.t ]))), 6) DESC,
+    et.vec_id ASC) <= 10
+)
+SELECT f.qid AS query_id,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       round(count(*) / 10.0, 6) AS recall
+FROM fullr f JOIN truncr t ON t.qid = f.qid AND t.vid = f.vid
+GROUP BY f.qid ORDER BY query_id
+""", doc="matryoshka-embedding retrieval quality (functions/vectors.py:"
+         "truncate_renorm): top-10 cosine kNN at the FULL 64 dims vs the "
+         "16-dim truncated-and-renormalized prefix, per-query overlap "
+         "recall — the measurement behind the MRL deployment decision "
+         "(scan the corpus at 1/4 bandwidth, re-rank the shortlist at "
+         "full precision). Both rankings round-then-rank at 6 dp "
+         "(knn_join round_dp) so ties are engine-stable; slice+renorm "
+         "is pure JVM array math")
+def q_matryoshka_recall(spark, sf_dir):
+    from .functions.vectors import truncate_renorm
+    from .operators.knn import knn_join
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    q_ = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    full = knn_join(q_, emb, k=10, metric="cosine", round_dp=6)
+    tq = q_.select("query_id",
+                   truncate_renorm("query_vec", 16).alias("query_vec"))
+    tc = emb.select("vec_id", truncate_renorm("embedding", 16)
+                    .alias("embedding"))
+    tr = knn_join(tq, tc, k=10, metric="cosine", round_dp=6)
+    return (full.join(tr, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .select("query_id", "n_overlap",
+                    F.round(F.col("n_overlap") / 10.0, 6).alias("recall"))
+            .orderBy("query_id"))
+
+
+@q("welch_click_vs_view", """
+WITH s AS (
+  SELECT event_type AS g, count(*) AS n,
+         sum(value) AS s, sum(value * value) AS ss
+  FROM events
+  WHERE event_type IN ('click', 'view')
+    AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1
+)
+SELECT a.g AS group_a, b.g AS group_b,
+       a.n AS n_a, b.n AS n_b,
+       round(a.s / a.n, 6) AS mean_a,
+       round(b.s / b.n, 6) AS mean_b,
+       round((a.s / a.n - b.s / b.n)
+             / sqrt(((a.ss - a.n * (a.s / a.n) * (a.s / a.n)) / (a.n - 1)) / a.n
+                    + ((b.ss - b.n * (b.s / b.n) * (b.s / b.n)) / (b.n - 1)) / b.n),
+             6) AS t,
+       round(
+         (((a.ss - a.n * (a.s / a.n) * (a.s / a.n)) / (a.n - 1)) / a.n
+          + ((b.ss - b.n * (b.s / b.n) * (b.s / b.n)) / (b.n - 1)) / b.n)
+         * (((a.ss - a.n * (a.s / a.n) * (a.s / a.n)) / (a.n - 1)) / a.n
+            + ((b.ss - b.n * (b.s / b.n) * (b.s / b.n)) / (b.n - 1)) / b.n)
+         / ((((a.ss - a.n * (a.s / a.n) * (a.s / a.n)) / (a.n - 1)) / a.n)
+            * (((a.ss - a.n * (a.s / a.n) * (a.s / a.n)) / (a.n - 1)) / a.n)
+            / (a.n - 1)
+            + (((b.ss - b.n * (b.s / b.n) * (b.s / b.n)) / (b.n - 1)) / b.n)
+              * (((b.ss - b.n * (b.s / b.n) * (b.s / b.n)) / (b.n - 1)) / b.n)
+              / (b.n - 1)),
+         6) AS df
+FROM s a CROSS JOIN s b
+WHERE a.g = 'click' AND b.g = 'view'
+""", doc="two-sample Welch t-test (operators/stats.py:welch_t_test): "
+         "does mean event value differ between click and view events? "
+         "The A/B-testing primitive every curation intervention needs. "
+         "Sufficient statistics only (n, Σx, Σx² per group — one "
+         "map-side-combined aggregation pass); Welch–Satterthwaite df; "
+         "the twin replays the exact same expression tree so the "
+         "doubles agree bit-for-bit before the 6 dp rounding")
+def q_welch_click_vs_view(spark, sf_dir):
+    from .operators.stats import welch_t_test
+    ev = _t(spark, sf_dir, "events")
+    return welch_t_test(ev, "event_type", "value", "click", "view")
+
+
+@q("benford_order_totals", """
+WITH pos AS (
+  SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice))))
+              AS INT) AS digit
+  FROM orders WHERE o_totalprice > 0),
+per AS (SELECT digit, count(*) AS n_obs FROM pos GROUP BY 1),
+tot AS (SELECT sum(n_obs) AS n FROM per)
+SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+       round(n_obs / n, 6) AS p_obs,
+       round(log10(1.0 + 1.0 / digit), 6) AS p_benford,
+       round(n * (n_obs / n - log10(1.0 + 1.0 / digit))
+               * (n_obs / n - log10(1.0 + 1.0 / digit))
+             / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+FROM per CROSS JOIN tot ORDER BY digit
+""", doc="Benford first-significant-digit audit (operators/stats.py:"
+         "benford_report) of order totals: observed digit mass vs "
+         "log10(1+1/d) with per-digit chi-squared contributions — the "
+         "forensic screen for fabricated/synthetic numeric columns in "
+         "an ingested corpus. Digit extracted arithmetically "
+         "(x/10^floor(log10 x)), never via string formatting; one "
+         "groupBy(digit) over a projection, scan-bound at any scale")
+def q_benford_order_totals(spark, sf_dir):
+    from .operators.stats import benford_report
+    return (benford_report(_t(spark, sf_dir, "orders"), "o_totalprice")
+            .orderBy("digit"))
+
+
+@q("t_closeness_customers", """
+WITH tagged AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'neg'
+              WHEN c_acctbal < 5000 THEN 'mid'
+              ELSE 'high' END AS band
+  FROM customer),
+tot AS (SELECT count(*) AS n FROM tagged),
+dom AS (SELECT band AS v, count(*) / (SELECT n FROM tot) AS q
+        FROM tagged GROUP BY 1),
+cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz
+        FROM tagged GROUP BY 1, 2),
+cv AS (SELECT c_nationkey, c_mktsegment, band AS v, count(*) AS c
+       FROM tagged GROUP BY 1, 2, 3),
+filled AS (
+  SELECT cls.c_nationkey, cls.c_mktsegment, cls.sz, dom.v, dom.q,
+         coalesce(cv.c, 0) / cls.sz AS p
+  FROM cls CROSS JOIN dom
+  LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+              AND cv.c_mktsegment = cls.c_mktsegment
+              AND cv.v = dom.v),
+cum AS (
+  SELECT c_nationkey, c_mktsegment, sz,
+         sum(p - q) OVER (PARTITION BY c_nationkey, c_mktsegment
+                          ORDER BY v ROWS UNBOUNDED PRECEDING) AS cd
+  FROM filled),
+emd AS (
+  SELECT c_nationkey, c_mktsegment, sz,
+         round(sum(abs(cd)) / ((SELECT count(*) FROM dom) - 1), 6) AS emd
+  FROM cum GROUP BY 1, 2, 3)
+SELECT 200000 AS t_1e6,
+       (SELECT count(*) FROM dom) AS m_values,
+       count(*) AS n_classes,
+       max(emd) AS max_emd,
+       CAST(sum(CASE WHEN emd > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(sum(CASE WHEN emd > 0.2 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_violating_rows,
+       sum(CASE WHEN emd > 0.2 THEN 1 ELSE 0 END) = 0 AS close
+FROM emd
+""", doc="t-closeness privacy gate (operators/validation.py:"
+         "t_closeness_report, t=0.2, ordered-distance EMD over "
+         "account-balance bands): the skewness/similarity-attack check "
+         "l-diversity cannot give — a class with l distinct but "
+         "globally-rare sensitive values still discloses. Per-class "
+         "cumulative-difference EMD against the global distribution; "
+         "class-keyed shuffles + a broadcast of the (small) sensitive "
+         "domain; completes the k-anonymity → l-diversity → t-closeness "
+         "release ladder")
+def q_t_closeness_customers(spark, sf_dir):
+    from .operators.validation import t_closeness_report
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "band",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high"))
+    return t_closeness_report(
+        cust, ["c_nationkey", "c_mktsegment"], "band", t=0.2)
+
+
+@q("quantile_normalize_doclen", """
+WITH d AS (
+  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS val
+  FROM documents WHERE doc_id < 2000),
+nt AS (SELECT count(*) AS n FROM d),
+pos AS (
+  SELECT doc_id, source, val,
+         row_number() OVER (ORDER BY val, doc_id) AS pos
+  FROM d),
+g AS (
+  SELECT doc_id, source, val,
+         row_number() OVER (PARTITION BY source ORDER BY val, doc_id)
+           AS rk,
+         count(*) OVER (PARTITION BY source) AS ng
+  FROM d),
+x AS (
+  SELECT doc_id, source, val,
+         CASE WHEN ng > 1 THEN (rk - 1) / CAST(ng - 1 AS DOUBLE)
+              ELSE 0.5 END
+           * CAST((SELECT n FROM nt) - 1 AS DOUBLE) + 1.0 AS p
+  FROM g)
+SELECT x.doc_id, x.source, x.val AS n_chars,
+       round(lo.val + (x.p - floor(x.p)) * (hi.val - lo.val), 6)
+         AS normalized
+FROM x
+JOIN pos lo ON lo.pos = CAST(floor(x.p) AS BIGINT)
+JOIN pos hi ON hi.pos = CAST(ceil(x.p) AS BIGINT)
+ORDER BY x.doc_id
+""", doc="rank-based quantile normalization (operators/stats.py:"
+         "quantile_normalize): per-source document-length scores mapped "
+         "onto the GLOBAL length distribution via within-source "
+         "percent-rank → interpolated global order statistic — makes "
+         "per-source quality/length scores comparable before mixing. "
+         "Global positions come from packing.global_cumsum (two-phase "
+         "distributed prefix sum, never a single-task window); order-"
+         "statistic lookups are integer EQUALITY joins; deterministic "
+         "(val, id) tie order in both engines")
+def q_quantile_normalize_doclen(spark, sf_dir):
+    from .operators.stats import quantile_normalize
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    return (quantile_normalize(docs, "source", "n_chars", "doc_id")
+            .orderBy("doc_id"))
+
+
+@q("spell_suggest_docs", r"""
+WITH tk AS (
+  SELECT lower(t.tok) AS w
+  FROM documents,
+       unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(tok)
+  WHERE t.tok ~ '^[a-z]+$' AND length(t.tok) BETWEEN 4 AND 24),
+rawc AS (SELECT w, count(*) AS f FROM tk GROUP BY w),
+-- the synthetic corpus draws from a tiny fixed vocabulary with no typo
+-- tail, so inject deterministic typos: each vocab word with its 2nd
+-- char deleted (freq 1), excluding collisions with real words — the
+-- query then checks spell_suggest round-trips them to their source
+typos AS (
+  SELECT DISTINCT substr(w, 1, 1) || substr(w, 3, length(w)) AS w
+  FROM rawc WHERE f >= 5),
+counts AS (
+  SELECT w, f FROM rawc
+  UNION ALL
+  SELECT t.w, 1 AS f FROM typos t
+  WHERE NOT EXISTS (SELECT 1 FROM rawc r WHERE r.w = t.w)),
+unk AS (SELECT w FROM counts WHERE f <= 1),
+voc AS (SELECT w, f FROM counts WHERE f >= 5),
+uv AS (
+  SELECT w, unnest(list_concat([w],
+           list_transform(range(1, length(w) + 1),
+             i -> substr(w, 1, i - 1) || substr(w, i + 1, length(w)))))
+           AS k
+  FROM unk),
+vv AS (
+  SELECT w AS s, f AS sf, unnest(list_concat([w],
+           list_transform(range(1, length(w) + 1),
+             i -> substr(w, 1, i - 1) || substr(w, i + 1, length(w)))))
+           AS k
+  FROM voc),
+cand AS (
+  SELECT DISTINCT uv.w, vv.s, vv.sf
+  FROM uv JOIN vv USING (k)
+  WHERE levenshtein(uv.w, vv.s) = 1)
+SELECT w AS word, s AS suggestion, CAST(sf AS BIGINT) AS suggestion_freq
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY w ORDER BY sf DESC, s ASC) = 1
+ORDER BY word
+""", doc="SymSpell-style spell suggestion (operators/linkage.py:"
+         "spell_suggest): rare tokens (freq<=1, the presumed-typo tail) "
+         "matched to vocabulary words (freq>=5) at levenshtein EXACTLY "
+         "1 via the 1-deletion-neighborhood equi-join — O(corpus chars) "
+         "blocking keys instead of the |unknown|x|vocab| cross product; "
+         "JVM levenshtein verifies candidates (the variant join admits "
+         "some distance-2 pairs, e.g. transpositions). Best suggestion "
+         "by frequency desc, word asc")
+def q_spell_suggest_docs(spark, sf_dir):
+    from .operators.linkage import spell_suggest
+    docs = _t(spark, sf_dir, "documents")
+    tok = (docs.select(F.explode(F.split(F.lower(F.trim("text")),
+                                         r"\s+")).alias("w"))
+           .filter(F.col("w").rlike("^[a-z]+$")
+                   & F.length("w").between(4, 24)))
+    rawc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    typos = (rawc.filter(F.col("f") >= 5)
+             .select(F.concat(F.substring("w", 1, 1),
+                              F.col("w").substr(F.lit(3), F.length("w")))
+                     .alias("w"))
+             .distinct()
+             .join(rawc, "w", "left_anti")
+             .withColumn("f", F.lit(1)))
+    counts = rawc.unionByName(typos)
+    return (spell_suggest(counts, "w", "f", min_vocab_freq=5,
+                          max_unknown_freq=1)
+            .orderBy("word"))

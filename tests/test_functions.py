@@ -82,3 +82,14 @@ def test_format_log_line(spark):
     out = df.select(format_log_line("ts", "svc", "lvl", "msg").alias("o")).first().o
     assert out == ("- 2025-07-25T10:00:00Z | svc-db | error | "
                    "Database connection timeout on service X")
+
+
+def test_truncate_renorm_matryoshka(spark):
+    from ai_incident_analyst_spark.functions.vectors import truncate_renorm
+
+    import math
+    df = spark.createDataFrame([([3.0, 4.0, 100.0, -7.0],)],
+                               "v array<double>")
+    out = df.select(truncate_renorm("v", 2).alias("t")).collect()[0]["t"]
+    assert out == pytest.approx([0.6, 0.8], abs=1e-12)
+    assert math.isclose(sum(x * x for x in out), 1.0, abs_tol=1e-12)

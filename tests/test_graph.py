@@ -76,3 +76,101 @@ def test_pagerank_deterministic_across_partitionings(spark):
     assert a.keys() == b.keys()
     for k in a:
         assert a[k] == pytest.approx(b[k], rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# HITS + label propagation (round 8)
+# ---------------------------------------------------------------------------
+
+def _numpy_hits(edges, iters=2):
+    nodes = sorted({u for u, v in edges} | {v for u, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    a_mat = np.zeros((n, n))
+    for u, v in set(edges):
+        a_mat[idx[u], idx[v]] = 1.0
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = a_mat.T @ h
+        a = a / a.max()
+        h = a_mat @ a
+        h = h / h.max()
+    return {nodes[i]: (round(h[i], 6), round(a[i], 6)) for i in range(n)}
+
+
+def test_hits_numpy_parity(spark):
+    from ai_incident_analyst_spark.operators.graph import hits
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 2), (2, 3)]
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(spark.createDataFrame(
+               edges, "src long, dst long"), iterations=2).collect()}
+    want = _numpy_hits(edges)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=2e-6), n
+    # node 4 points at everything, is pointed at by nothing: pure hub
+    assert got[4][1] == 0.0 and got[4][0] > 0
+    # node 3 is the most-pointed-at: top authority, normalized to 1
+    assert got[3][1] == 1.0
+
+
+def test_hits_deterministic_across_partitionings(spark):
+    from ai_incident_analyst_spark.operators.graph import hits
+
+    edges = [(i, (i * 7 + 3) % 23) for i in range(60)] + \
+            [(i, (i * 5 + 1) % 23) for i in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, hits(df.repartition(1)).collect()))
+    b = sorted(map(tuple, hits(df.repartition(13)).collect()))
+    assert a == b
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    from ai_incident_analyst_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by one bridge edge: LPA must give each clique
+    # one label and not merge them across the bridge (CC would)
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = c1 + c2 + [(3, 10)]
+    got = {r["node"]: r["label"]
+           for r in label_propagation(
+               spark.createDataFrame(edges, "src long, dst long"),
+               iterations=3).collect()}
+    assert len({got[n] for n in range(4)}) == 1
+    assert len({got[n] for n in range(10, 14)}) == 1
+    assert got[0] != got[10]
+
+
+def test_label_propagation_python_replay(spark):
+    from ai_incident_analyst_spark.operators.graph import label_propagation
+
+    edges = [(i, (i * 3 + 1) % 11) for i in range(30)]
+
+    def replay(es, iters=3):
+        und = set()
+        for u, v in es:
+            if u != v:
+                und.add((u, v))
+                und.add((v, u))
+        nodes = {u for u, _ in und}
+        lab = {n: n for n in nodes}
+        for _ in range(iters):
+            new = {}
+            for n in nodes:
+                cnt = {}
+                for u, v in und:
+                    if u == n:
+                        cnt[lab[v]] = cnt.get(lab[v], 0) + 1
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[n] = best[0]
+            lab = new
+        return lab
+
+    got = {r["node"]: r["label"]
+           for r in label_propagation(
+               spark.createDataFrame(edges, "src long, dst long"),
+               iterations=3).collect()}
+    assert got == replay(edges)

@@ -230,3 +230,72 @@ def test_jw_length_prefilter_is_lossless(spark):
     assert got == want
     # sanity: the fixture includes a pair the bound actually prunes
     assert (2, 3) not in want and len(want) >= 2
+
+
+# ---------------------------------------------------------------------------
+# SymSpell deletion-blocked spell suggestion (round 8)
+# ---------------------------------------------------------------------------
+
+def test_spell_suggest_basic_and_ties(spark):
+    from ai_incident_analyst_spark.operators.linkage import spell_suggest
+
+    rows = [
+        ("spark", 100), ("shark", 100), ("stark", 40),
+        ("table", 80), ("cable", 80),
+        ("sark", 1),      # deletion of both spark and shark: freq tie ->
+                          # alphabetical: shark
+        ("tble", 1),      # deletion of table AND cable (sub at pos 1 vs 1)?
+                          # lev(tble,table)=1 (insert a), lev(tble,cable)=2
+        ("zzzz", 1),      # no candidate -> dropped
+        ("sparkk", 1),    # insertion -> spark
+        ("spbrk", 1),     # substitution -> spark
+    ]
+    df = spark.createDataFrame(rows, "w string, f long")
+    got = {r["word"]: (r["suggestion"], r["suggestion_freq"])
+           for r in spell_suggest(df, "w", "f", min_vocab_freq=5,
+                                  max_unknown_freq=1).collect()}
+    assert got["sark"] == ("shark", 100)     # tie: freq equal, 'shark'<'spark'
+    assert got["tble"] == ("table", 80)
+    assert got["sparkk"] == ("spark", 100)
+    assert got["spbrk"] == ("spark", 100)
+    assert "zzzz" not in got
+    # vocab words never appear as corrections targets of themselves
+    assert "spark" not in got
+
+
+def test_spell_suggest_matches_bruteforce(spark):
+    from ai_incident_analyst_spark.operators.linkage import spell_suggest
+
+    vocab = ["merge", "query", "table", "spark", "shard", "short",
+             "float", "group"]
+    unknowns = ["merg", "qery", "tble", "spak", "shart", "flot",
+                "xxxx", "groupp", "sharde"]
+    rows = [(w, 50) for w in vocab] + [(w, 1) for w in unknowns]
+    df = spark.createDataFrame(rows, "w string, f long")
+    got = {r["word"]: r["suggestion"]
+           for r in spell_suggest(df, "w", "f", min_vocab_freq=5,
+                                  max_unknown_freq=1).collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {}
+    for u in unknowns:
+        cands = sorted((w for w in vocab if lev(u, w) == 1))
+        if cands:
+            want[u] = cands[0]   # all vocab freq equal: alphabetical
+    assert got == want
+
+
+def test_spell_suggest_rejects_overlapping_bands(spark):
+    from ai_incident_analyst_spark.operators.linkage import spell_suggest
+
+    df = spark.createDataFrame([("a", 3)], "w string, f long")
+    with pytest.raises(ValueError):
+        spell_suggest(df, "w", "f", min_vocab_freq=2, max_unknown_freq=2)

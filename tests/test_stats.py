@@ -85,3 +85,94 @@ def test_ols_null_rows_excluded_entirely(spark):
     assert r["n"] == 2           # complete cases only
     assert r["slope"] == pytest.approx(1.0)
     assert r["intercept"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# Welch t-test / Benford / quantile normalization (round 8)
+# ---------------------------------------------------------------------------
+
+def test_welch_t_test_known_answer(spark):
+    from ai_incident_analyst_spark.operators.stats import welch_t_test
+
+    a = [2.1, 2.5, 2.3, 2.7, 2.4]
+    b = [1.9, 2.0, 2.2, 1.8]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + \
+        [("c", 99.0), ("a", None), ("b", float("nan"))]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = welch_t_test(df, "g", "v", "a", "b").collect()
+    assert len(out) == 1
+    r = out[0]
+    # closed-form reference (numpy, Bessel-corrected)
+    import numpy as np
+    xa, xb = np.array(a), np.array(b)
+    va, vb = xa.var(ddof=1) / len(a), xb.var(ddof=1) / len(b)
+    t_ref = (xa.mean() - xb.mean()) / np.sqrt(va + vb)
+    df_ref = (va + vb) ** 2 / (va ** 2 / (len(a) - 1)
+                               + vb ** 2 / (len(b) - 1))
+    assert r["n_a"] == 5 and r["n_b"] == 4          # null/NaN dropped
+    assert r["t"] == pytest.approx(t_ref, abs=1e-6)
+    assert r["df"] == pytest.approx(df_ref, abs=1e-6)
+
+
+def test_welch_t_test_small_group_nulls(spark):
+    from ai_incident_analyst_spark.operators.stats import welch_t_test
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double")
+    r = welch_t_test(df, "g", "v", "a", "b").collect()[0]
+    assert r["t"] is None and r["df"] is None       # n_a = 1: undefined
+
+
+def test_benford_report_mass_and_digits(spark):
+    from ai_incident_analyst_spark.operators.stats import benford_report
+
+    vals = [1.0, 12.5, 0.19, 199.0, 2.5, 25.0, 3.14, 9000.0,
+            -5.0, 0.0]  # negatives / zeros excluded
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r["digit"]: r for r in benford_report(df, "x").collect()}
+    assert set(rows) == {1, 2, 3, 9}
+    assert rows[1]["n_obs"] == 4           # 1.0, 12.5, 0.19, 199.0
+    assert rows[2]["n_obs"] == 2
+    assert sum(r["n_obs"] for r in rows.values()) == 8
+    assert sum(r["p_obs"] for r in rows.values()) == pytest.approx(1.0, abs=1e-5)
+    import math
+    assert rows[1]["p_benford"] == pytest.approx(math.log10(2), abs=1e-6)
+
+
+def test_quantile_normalize_matches_numpy(spark):
+    from ai_incident_analyst_spark.operators.stats import quantile_normalize
+
+    import numpy as np
+    rng = [("g1", i, float(v)) for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6])]
+    rng += [("g2", 100 + i, float(v)) for i, v in
+            enumerate([100, 50, 75, 25])]
+    rng += [("g3", 200, 7.0)]   # singleton group -> pr = 0.5
+    df = spark.createDataFrame(rng, "g string, id long, v double")
+    out = {r["id"]: r["normalized"]
+           for r in quantile_normalize(df, "g", "v", "id").collect()}
+
+    allv = sorted((v, i) for g, i, v in rng)
+    gvals = np.array([v for v, _ in allv])
+    n = len(gvals)
+
+    def ref(group):
+        items = sorted((v, i) for g, i, v in rng if g == group)
+        ng = len(items)
+        res = {}
+        for rk, (v, i) in enumerate(items, start=1):
+            pr = (rk - 1) / (ng - 1) if ng > 1 else 0.5
+            p = pr * (n - 1)  # 0-based fractional position
+            lo, hi = int(np.floor(p)), int(np.ceil(p))
+            frac = p - lo
+            res[i] = gvals[lo] + frac * (gvals[hi] - gvals[lo])
+        return res
+
+    want = {}
+    for g in ("g1", "g2", "g3"):
+        want.update(ref(g))
+    assert set(out) == set(want)
+    for i in want:
+        assert out[i] == pytest.approx(want[i], abs=1e-6), i
+    # extremes of each multi-row group hit the global min/max
+    assert out[103] == pytest.approx(gvals[0], abs=1e-9)    # g2 min (25)
+    assert out[5] == pytest.approx(gvals[-1], abs=1e-9)     # g1 max value 9

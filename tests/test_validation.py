@@ -138,3 +138,53 @@ def test_l_diversity_guards(spark):
         l_diversity_report(df, [], "s")
     with _pt.raises(ValueError):
         l_diversity_report(df, ["qi", "s"], "s")
+
+
+def test_t_closeness_report_hand_computed(spark):
+    from ai_incident_analyst_spark.operators.validation import (
+        t_closeness_report,
+    )
+
+    # global: a=4, b=2, c=2 over 8 rows -> Q = (.5, .25, .25)
+    # class X (qi=1): a,a,b,c -> P=(.5,.25,.25)  EMD=0
+    # class Y (qi=2): a,a,b,c -> same            EMD=0
+    # replace one: class Z (qi=3) all 'a'        EMD = (|.5|+|.75|)/2
+    rows = [(1, "a"), (1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "a"), (2, "b"), (2, "c"),
+            (3, "a"), (3, "a"), (3, "a"), (3, "a")]
+    df = spark.createDataFrame(rows, "qi int, s string")
+    r = t_closeness_report(df, ["qi"], "s", t=0.2).collect()[0]
+    # recompute Q with class Z included: a=8/12, b=2/12, c=2/12
+    # class 1/2 P=(.5,.25,.25): cum diffs (-1/6, -1/12+1/12... ) do the math:
+    # Q=(2/3,1/6,1/6); P=(1/2,1/4,1/4): cum=(-1/6,-1/12,0) -> EMD=(1/6+1/12)/2=0.125
+    # class 3 P=(1,0,0): cum=(1/3,1/6,0) -> EMD=(1/3+1/6)/2=0.25
+    assert r["m_values"] == 3
+    assert r["n_classes"] == 3
+    assert r["max_emd"] == pytest.approx(0.25, abs=1e-6)
+    assert r["n_violating_classes"] == 1
+    assert r["n_violating_rows"] == 4
+    assert bool(r["close"]) is False
+
+
+def test_t_closeness_identical_distributions_close(spark):
+    from ai_incident_analyst_spark.operators.validation import (
+        t_closeness_report,
+    )
+
+    rows = [(q, s) for q in (1, 2) for s in ("a", "a", "b")]
+    df = spark.createDataFrame(rows, "qi int, s string")
+    r = t_closeness_report(df, ["qi"], "s", t=0.05).collect()[0]
+    assert r["max_emd"] == 0.0
+    assert bool(r["close"]) is True
+
+
+def test_t_closeness_rejects_degenerate_args(spark):
+    from ai_incident_analyst_spark.operators.validation import (
+        t_closeness_report,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "qi int, s string")
+    with pytest.raises(ValueError):
+        t_closeness_report(df, [], "s")
+    with pytest.raises(ValueError):
+        t_closeness_report(df, ["s"], "s")
