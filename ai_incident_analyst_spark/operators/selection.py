@@ -103,3 +103,58 @@ def mmr_select(df: DataFrame, id_col: str, vec_col: str, k: int,
         [(rk, i, rl, mm) for rk, i, _, rl, mm in picked],
         schema="rank int, id long, rel double, mmr double")
     return out.withColumnRenamed("id", id_col)
+
+
+def k_center_select(df: DataFrame, id_col: str, vec_col: str, k: int,
+                    round_dp: int = 6) -> DataFrame:
+    """Greedy k-center (farthest-point / Gonzalez 1985) coreset
+    selection: pick ``k`` rows so every corpus point is close to some
+    pick — the 2-approximation to the optimal covering radius, and the
+    standard geometric coreset for embedding-space curation (eval-set
+    seeding, diverse fine-tuning subsets, active-learning batch picks).
+    Where ``mmr_select`` trades relevance against redundancy, k-center
+    is pure coverage: each round picks the point FARTHEST from the
+    current set (max-min squared L2).
+
+    Returns ``(rank, <id_col>, dist)`` in selection order; ``dist`` is
+    the squared-L2 distance to the nearest already-selected center at
+    pick time (the covering radius shrinks monotonically with rank) —
+    NULL for rank 1 (nothing selected yet; the seed is the
+    hash-anchored row with the smallest ``md5(id)``, the
+    ``clustering._init_centroids`` determinism trick).
+
+    Scale shape: identical to ``mmr_select`` — selected centers are k×d
+    doubles of driver state re-entering the plan as literal arrays, so
+    each round's min-distance is a pure codegen column expression
+    (``F.least`` over ≤k-1 rounded squared-L2 terms) over one cached
+    corpus scan; no join, no shuffle, 1-row argmax per round. Scores
+    discretize to ``round_dp`` before every argmax (ties by id) so the
+    fixed-k greedy unrolls into a SQL twin exactly.
+    """
+    from ..functions.vectors import l2_sq
+
+    v = (df.select(F.col(id_col).alias("id"),
+                   F.col(vec_col).cast("array<double>").alias("x"))
+         .localCheckpoint(eager=False))
+    seed = (v.withColumn("__h", F.md5(F.col("id").cast("string")))
+            .orderBy("__h", F.col("id").cast("string"))
+            .limit(1).collect())
+    if not seed:
+        raise ValueError("k_center_select: empty input")
+    picked: list[tuple] = [(1, seed[0]["id"], list(seed[0]["x"]), None)]
+    for rank in range(2, k + 1):
+        dists = [F.round(l2_sq(F.col("x"), _lit_vec(px)), round_dp)
+                 for _, _, px, _ in picked]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        row = (v.filter(~F.col("id").isin([p[1] for p in picked]))
+               .withColumn("dist", mind)
+               .orderBy(F.desc("dist"), "id")
+               .limit(1).collect())
+        if not row:
+            break   # k exceeds distinct rows
+        r = row[0]
+        picked.append((rank, r["id"], list(r["x"]), r["dist"]))
+    out = df.sparkSession.createDataFrame(
+        [(rk, i, d) for rk, i, _, d in picked],
+        schema="rank int, id long, dist double")
+    return out.withColumnRenamed("id", id_col)

@@ -9779,3 +9779,49 @@ def q_spell_suggest_docs(spark, sf_dir):
     return (spell_suggest(counts, "w", "f", min_vocab_freq=5,
                           max_unknown_freq=1)
             .orderBy("word"))
+
+
+def _k_center_sql(k: int) -> str:
+    """Unroll the fixed-k greedy k-center into MATERIALIZED CTE rounds
+    (the _mmr_sql recipe). NOTE the l2 term is spelled (x-y)*(x-y) to
+    mirror Spark's zip_with fold exactly."""
+    l2 = ("list_sum([ (p[1]-p[2])*(p[1]-p[2]) "
+          "for p in list_zip(r.x, s.x) ])")
+    parts = [f"""WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+p1 AS MATERIALIZED (
+  SELECT 1 AS rank, vec_id, x, CAST(NULL AS DOUBLE) AS dist FROM v
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) LIMIT 1),
+sel1 AS MATERIALIZED (SELECT * FROM p1)"""]
+    for t in range(2, k + 1):
+        parts.append(f"""c{t} AS MATERIALIZED (
+  SELECT r.vec_id, r.x, min(round({l2}, 6)) AS dist
+  FROM v r CROSS JOIN sel{t - 1} s
+  WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+  GROUP BY r.vec_id, r.x),
+p{t} AS MATERIALIZED (
+  SELECT {t} AS rank, vec_id, x, dist FROM c{t}
+  ORDER BY dist DESC, vec_id LIMIT 1),
+sel{t} AS MATERIALIZED (SELECT * FROM sel{t - 1} UNION ALL
+                        SELECT * FROM p{t})""")
+    body = ",\n".join(parts)
+    return (f"{body}\n"
+            f"SELECT CAST(rank AS INT) AS rank, vec_id, dist\n"
+            f"FROM sel{k} ORDER BY rank")
+
+
+@q("k_center_coreset", _k_center_sql(k=6),
+   doc="greedy k-center / farthest-point coreset (operators/selection."
+       "py:k_center_select, Gonzalez 1985 2-approximation): k=6 picks, "
+       "each round selecting the point with the MAXIMUM min-squared-L2 "
+       "to the already-selected set — pure geometric coverage, the "
+       "diversity complement to mmr_select's relevance trade-off; dist "
+       "column is the covering radius at pick time (monotone non-"
+       "increasing). Selected centers are k x d driver literals, each "
+       "round one codegen scan (F.least over rounded l2 terms), no "
+       "join/shuffle; 6dp discretization + id tie-breaks unroll into "
+       "MATERIALIZED CTE rounds")
+def q_k_center_coreset(spark, sf_dir):
+    from .operators.selection import k_center_select
+    emb = _t(spark, sf_dir, "embeddings")
+    return k_center_select(emb, "vec_id", "embedding", k=6)

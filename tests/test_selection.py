@@ -96,3 +96,66 @@ def test_mmr_registry_query(spark, sf_dir):
     assert len({r.vec_id for r in rows}) == 5
     # rank 1 is the pure-relevance argmax: mmr == rel there
     assert rows[0].mmr == rows[0].rel
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center coreset (round 8)
+# ---------------------------------------------------------------------------
+
+def test_k_center_matches_python_replay(spark):
+    from ai_incident_analyst_spark.operators.selection import (
+        k_center_select,
+    )
+
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = {i: rng.normal(0, 1, 8).round(3).tolist() for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>")
+    got = [(r["rank"], r["vec_id"], r["dist"])
+           for r in k_center_select(df, "vec_id", "embedding", k=5)
+           .orderBy("rank").collect()]
+
+    def replay(k=5):
+        seed = min(vecs, key=lambda i: (hashlib.md5(
+            str(i).encode()).hexdigest(), str(i)))
+        picked = [(1, seed, None)]
+        while len(picked) < k:
+            best = None
+            for i in sorted(vecs):
+                if i in {p[1] for p in picked}:
+                    continue
+                d = min(round(sum((a - b) * (a - b) for a, b in
+                                  zip(vecs[i], vecs[p[1]])), 6)
+                        for p in picked)
+                if best is None or d > best[1] or (d == best[1]
+                                                   and i < best[0]):
+                    if best is None or d > best[1]:
+                        best = (i, d)
+            picked.append((len(picked) + 1, best[0], best[1]))
+        return picked
+
+    assert got == replay()
+    # covering radius is monotone non-increasing after rank 2
+    ds = [d for _, _, d in got[1:]]
+    assert all(a >= b for a, b in zip(ds, ds[1:]))
+
+
+def test_k_center_spreads_clusters(spark):
+    from ai_incident_analyst_spark.operators.selection import (
+        k_center_select,
+    )
+
+    # three tight blobs far apart: the first 3 picks must hit 3 blobs
+    rows = []
+    for b, center in enumerate([0.0, 100.0, -100.0]):
+        for j in range(10):
+            rows.append((b * 10 + j, [center + j * 0.01, center]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    picks = [r["vec_id"] for r in
+             k_center_select(df, "vec_id", "embedding", k=3).collect()]
+    assert {p // 10 for p in picks} == {0, 1, 2}
