@@ -295,3 +295,42 @@ def t_closeness_report(df: DataFrame, quasi_identifiers: list[str],
         .alias("n_violating_rows"),
         (F.sum(F.when(F.col("__emd") > t, 1).otherwise(0)) == 0)
         .alias("close"))
+
+
+def fd_report(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs: for
+    each ``(lhs, rhs)``, does ``lhs -> rhs`` hold (every lhs value maps
+    to exactly one rhs value)? The data-profiling primitive behind key
+    detection, denormalization checks, and "is this column derivable"
+    questions a curation pipeline asks before dropping or joining
+    columns. Returns one row per pair: ``(lhs, rhs, n_lhs, n_pairs,
+    n_violating_lhs, holds)`` — ``n_violating_lhs`` counts lhs values
+    mapping to >1 distinct rhs (``holds`` iff 0). NULL rhs values are
+    ignored by the distinct count (standard SQL semantics in both
+    engines); NULL lhs groups like any other value.
+
+    Per pair: ONE groupBy(lhs) with count_distinct(rhs) — a keyed
+    shuffle the optimizer partial-aggregates map-side; pairs are
+    independent aggregates unioned at the end, so the scan is shared by
+    Catalyst only when caching is on — at 100 TB run pairs in one pass
+    with a multi-agg rewrite if the table is scan-bound.
+    """
+    if not pairs:
+        raise ValueError("need at least one (lhs, rhs) candidate pair")
+    outs = []
+    for lhs, rhs in pairs:
+        g = (df.groupBy(lhs)
+             .agg(F.countDistinct(rhs).alias("__k"),
+                  F.count(F.lit(1)).alias("__n")))
+        outs.append(g.agg(
+            F.lit(lhs).alias("lhs"), F.lit(rhs).alias("rhs"),
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.sum("__k").alias("n_pairs"),
+            F.sum(F.when(F.col("__k") > 1, 1).otherwise(0))
+            .alias("n_violating_lhs"),
+            (F.sum(F.when(F.col("__k") > 1, 1).otherwise(0)) == 0)
+            .alias("holds")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -9825,3 +9825,147 @@ def q_k_center_coreset(spark, sf_dir):
     from .operators.selection import k_center_select
     emb = _t(spark, sf_dir, "embeddings")
     return k_center_select(emb, "vec_id", "embedding", k=6)
+
+
+@q("fd_orders", """
+WITH g1 AS (
+  SELECT o_orderkey AS l, count(DISTINCT o_custkey) AS k FROM orders
+  GROUP BY 1),
+g2 AS (
+  SELECT o_custkey AS l, count(DISTINCT o_orderstatus) AS k FROM orders
+  GROUP BY 1),
+g3 AS (
+  SELECT o_orderdate AS l, count(DISTINCT o_orderpriority) AS k
+  FROM orders GROUP BY 1)
+SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+       count(*) AS n_lhs, CAST(sum(k) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_lhs,
+       sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM g1
+UNION ALL
+SELECT 'o_custkey', 'o_orderstatus', count(*), CAST(sum(k) AS BIGINT),
+       CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
+FROM g2
+UNION ALL
+SELECT 'o_orderdate', 'o_orderpriority', count(*),
+       CAST(sum(k) AS BIGINT),
+       CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
+FROM g3
+""", doc="functional-dependency discovery (operators/validation.py:"
+         "fd_report) over three candidate pairs on orders: the PK pair "
+         "o_orderkey->o_custkey must hold, o_custkey->o_orderstatus "
+         "must fail (customers have orders in several states), "
+         "o_orderdate->o_orderpriority must fail (priorities are drawn "
+         "independently of date). Per pair one groupBy(lhs) + "
+         "count_distinct(rhs); exact integers, engine-portable")
+def q_fd_orders(spark, sf_dir):
+    from .operators.validation import fd_report
+    return fd_report(_t(spark, sf_dir, "orders"),
+                     [("o_orderkey", "o_custkey"),
+                      ("o_custkey", "o_orderstatus"),
+                      ("o_orderdate", "o_orderpriority")])
+
+
+def _ivf_recall_sql(nprobes=(1, 2, 4), k=10) -> str:
+    """Recall-vs-nprobe sweep twin: the knn_ivf twin's cent/q/c/ccell
+    CTEs shared across per-nprobe probe lists; recall aggregates integer
+    overlap counts so the final division is the only FP op."""
+    head = f"""WITH cent AS (
+  SELECT label AS centroid_id, list(av ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(v) AS av
+        FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+        GROUP BY label, pos)
+  GROUP BY label
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id >= 5
+), exact AS (
+  SELECT query_id, vec_id
+  FROM q CROSS JOIN c
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY list_sum([ (x[1]-x[2])*(x[1]-x[2])
+                        for x in list_zip(qv, cv) ]) ASC, vec_id ASC)
+    <= {k}
+), ccell AS (
+  SELECT vec_id, cv, centroid_id AS cell
+  FROM c CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY round(list_sum([ y*y for y in centroid ])
+             - 2*list_sum([ x[1]*x[2] for x in list_zip(cv, centroid) ]),
+             6) ASC,
+             centroid_id ASC) = 1
+)"""
+    parts, selects = [head], []
+    for p in nprobes:
+        parts.append(f""", qcell{p} AS (
+  SELECT query_id, qv, centroid_id AS cell
+  FROM q CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY round(list_sum([ y*y for y in centroid ])
+             - 2*list_sum([ x[1]*x[2] for x in list_zip(qv, centroid) ]),
+             6) ASC,
+             centroid_id ASC) <= {p}
+), ivf{p} AS (
+  SELECT query_id, vec_id
+  FROM qcell{p} a JOIN ccell b ON a.cell = b.cell
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY list_sum([ (x[1]-x[2])*(x[1]-x[2])
+                        for x in list_zip(qv, cv) ]) ASC, vec_id ASC)
+    <= {k}
+), ov{p} AS (
+  SELECT count(*) AS n_hit
+  FROM exact e JOIN ivf{p} i
+    ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+)""")
+        selects.append(
+            f"SELECT {p} AS nprobe, (SELECT count(*) FROM q) AS n_queries,"
+            f" CAST(n_hit AS BIGINT) AS n_hit,"
+            f" round(n_hit / ((SELECT count(*) FROM q) * {k}.0), 6)"
+            f" AS recall FROM ov{p}")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects) \
+        + "\nORDER BY nprobe"
+
+
+@q("ivf_nprobe_recall", _ivf_recall_sql(),
+   doc="ANN capacity planning: recall@10 of the IVF index vs the exact "
+       "scan as nprobe sweeps 1/2/4 over the label-centroid coarse "
+       "quantizer — the curve that decides the latency/recall operating "
+       "point before deploying an IVF index (FAISS-user recipe). "
+       "Aggregates INTEGER overlap counts per nprobe (the only FP op is "
+       "the final ratio), probe/assignment scores 6dp-discretized on "
+       "both sides like knn_ivf; corpus cell assignment computed once "
+       "and shared across the sweep")
+def q_ivf_nprobe_recall(spark, sf_dir):
+    from .operators.knn import ivf_knn_join, knn_join
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _label_centroids(emb)
+    q_, c_ = _qc_split(spark, sf_dir)
+    exact = knn_join(q_, c_, k=10).select("query_id", "vec_id") \
+        .localCheckpoint(eager=False)
+    n_q = q_.count()
+    outs = []
+    for p in (1, 2, 4):
+        ivf = ivf_knn_join(q_, c_, cents, k=10, nprobe=p, round_dp=6)
+        outs.append(
+            exact.join(ivf, ["query_id", "vec_id"])
+            .agg(F.lit(p).alias("nprobe"),
+                 F.lit(n_q).alias("n_queries"),
+                 F.count(F.lit(1)).alias("n_hit"),
+                 F.round(F.count(F.lit(1)) / F.lit(n_q * 10.0), 6)
+                 .alias("recall")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("nprobe")

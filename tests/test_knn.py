@@ -342,3 +342,29 @@ def test_lsh_multiprobe_guard_and_determinism(spark, sf_dir):
         queries, emb.repartition(7), k=3, n_planes=4, n_tables=2,
         dim=64, plane_fn="md5", n_probes=2).collect()))
     assert a == b
+
+
+def test_ivf_recall_improves_with_nprobe(spark, sf_dir):
+    """The registry sweep's structural invariant: recall@10 is
+    non-decreasing in nprobe and hits 1.0 when every cell is probed."""
+    from ai_incident_analyst_spark.operators.knn import (
+        ivf_knn_join,
+        knn_join,
+    )
+    from ai_incident_analyst_spark.queries import (
+        _label_centroids,
+        _qc_split,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(emb)
+    n_cells = cents.count()
+    q_, c_ = _qc_split(spark, sf_dir)
+    exact = knn_join(q_, c_, k=10).select("query_id", "vec_id")
+    exact.localCheckpoint(eager=False)
+    hits = []
+    for p in (1, 2, int(n_cells)):
+        ivf = ivf_knn_join(q_, c_, cents, k=10, nprobe=p, round_dp=6)
+        hits.append(exact.join(ivf, ["query_id", "vec_id"]).count())
+    assert hits[0] <= hits[1] <= hits[2]
+    assert hits[2] == exact.count()   # full probe == exact scan

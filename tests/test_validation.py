@@ -188,3 +188,24 @@ def test_t_closeness_rejects_degenerate_args(spark):
         t_closeness_report(df, [], "s")
     with pytest.raises(ValueError):
         t_closeness_report(df, ["s"], "s")
+
+
+def test_fd_report_hand_truths(spark):
+    from ai_incident_analyst_spark.operators.validation import fd_report
+
+    rows = [(1, "a", 10), (2, "a", 10), (3, "b", 20), (3, "b", 20),
+            (4, "c", 20), (4, "d", 20)]
+    df = spark.createDataFrame(rows, "k int, s string, v int")
+    out = {(r["lhs"], r["rhs"]): r for r in fd_report(
+        df, [("k", "s"), ("s", "v"), ("v", "k")]).collect()}
+    # k -> s fails only at k=4 ({'c','d'})
+    r = out[("k", "s")]
+    assert (r["n_lhs"], r["n_violating_lhs"], bool(r["holds"])) == (4, 1, False)
+    # s -> v holds: a->10, b->20, c->20, d->20
+    r = out[("s", "v")]
+    assert (r["n_lhs"], r["n_violating_lhs"], bool(r["holds"])) == (4, 0, True)
+    # v -> k fails twice: 10 -> {1, 2} and 20 -> {3, 4}
+    r = out[("v", "k")]
+    assert (r["n_violating_lhs"], bool(r["holds"])) == (2, False)
+    with pytest.raises(ValueError):
+        fd_report(df, [])
