@@ -165,6 +165,18 @@ HEADLINE = [
     "graph_ann_batch",
     "pmi_collocations",
     "jw_part_pairs",
+    # round 8
+    "hits_items",
+    "lpa_communities",
+    "matryoshka_recall",
+    "welch_click_vs_view",
+    "benford_order_totals",
+    "t_closeness_customers",
+    "quantile_normalize_doclen",
+    "spell_suggest_docs",
+    "k_center_coreset",
+    "fd_orders",
+    "ivf_nprobe_recall",
 ]
 
 
