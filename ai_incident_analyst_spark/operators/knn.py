@@ -253,7 +253,8 @@ def ivf_knn_join(queries: DataFrame, corpus: DataFrame,
                  corpus_id: str = "vec_id", corpus_vec: str = "embedding",
                  centroid_id: str = "centroid_id",
                  centroid_vec: str = "centroid",
-                 round_dp: int | None = None) -> DataFrame:
+                 round_dp: int | None = None,
+                 corpus_cells: DataFrame | None = None) -> DataFrame:
     """Approximate k-NN via inverted-file (IVF) partitioning.
 
     Corpus rows are assigned to their nearest centroid and each query
@@ -268,16 +269,24 @@ def ivf_knn_join(queries: DataFrame, corpus: DataFrame,
     top-k window. The corpus is scanned exactly once and never shuffled
     before the (candidate-only) window — at 100 TB the whole cost is the
     one corpus pass plus a window over ≤ |Q|·nprobe·|cell| candidates.
+
+    ``corpus_cells``: a pre-assigned ``(vec_id, __cv, __cell)`` frame
+    from a previous ``assign_cells(..., n=1)`` pass under the SAME
+    centroids — pass it when probing the same corpus repeatedly (an
+    nprobe sweep, many query batches) so the corpus Arrow pass runs
+    once, not once per call; ``ivf_probe_index`` is the persisted-store
+    equivalent.
     """
     ids, mat, ctype = _centroid_arrays(centroids, centroid_id, centroid_vec)
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(query_vec).alias("__qv"))
     probed = assign_cells(q, "__qv", ids, mat, n=nprobe, cell_type=ctype,
                           round_dp=round_dp)
-    corpus_cells = assign_cells(
-        corpus.select(F.col(corpus_id).alias("vec_id"),
-                      F.col(corpus_vec).alias("__cv")),
-        "__cv", ids, mat, n=1, cell_type=ctype, round_dp=round_dp)
+    if corpus_cells is None:
+        corpus_cells = assign_cells(
+            corpus.select(F.col(corpus_id).alias("vec_id"),
+                          F.col(corpus_vec).alias("__cv")),
+            "__cv", ids, mat, n=1, cell_type=ctype, round_dp=round_dp)
     scored = (
         F.broadcast(probed).join(corpus_cells, "__cell")
         .withColumn("distance", l2_sq("__qv", "__cv"))

@@ -239,3 +239,81 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
                     F.round(F.col("__vlo") + F.col("__frac")
                             * (F.col("__vhi") - F.col("__vlo")),
                             round_dp).alias("normalized")))
+
+
+def cuped_adjust(df: DataFrame, unit_col: str, metric_col: str,
+                 covariate_col: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): regress the
+    experiment metric on a pre-experiment covariate and analyze the
+    residualized metric ``y' = y − θ(x − x̄)`` — the standard trick that
+    cuts A/B variance by the covariate's R², i.e. weeks off experiment
+    runtime, with zero bias when the covariate predates assignment.
+
+    Returns the input keys plus ``theta`` (broadcast constant) and
+    ``metric_adj``. θ = cov(x,y)/var(x) from ONE sufficient-statistics
+    aggregation pass (the ``ols_by_group`` slope over the whole frame);
+    the adjustment itself is a scan-stage projection. Rows with NULL/NaN
+    metric or covariate are dropped (complete-case, shared contract).
+    """
+    from .util import complete_case
+
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    base = complete_case(df, [y, x]).select(
+        F.col(unit_col).alias("unit"), y.alias("y"), x.alias("x"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    theta = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    consts = stats.select(theta.alias("__theta"),
+                          (F.col("sx") / F.col("n")).alias("__xbar"))
+    return (base.crossJoin(F.broadcast(consts))
+            .select(F.col("unit").alias(unit_col),
+                    F.col("y").alias(metric_col),
+                    F.col("x").alias(covariate_col),
+                    F.round("__theta", 6).alias("theta"),
+                    F.round(F.col("y") - F.col("__theta")
+                            * (F.col("x") - F.col("__xbar")), 6)
+                    .alias("metric_adj")))
+
+
+def ratio_metric_ci(df: DataFrame, unit_col: str, num_col: str,
+                    den_col: str, z: float = 1.96) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (revenue per
+    session, CTR per user): the unit of analysis is the randomization
+    unit, so ``R = Σnum/Σden`` is a ratio of unit means and its variance
+    needs the delta method — naively treating row-level ratios as iid
+    understates variance whenever units contribute unequal denominators
+    (the classic A/B mistake).
+
+    One row out: ``(n_units, ratio, se, ci_lo, ci_hi)`` with
+    ``Var(R̂) ≈ (s_y² − 2R·s_yd + R²·s_d²) / (n·d̄²)`` from one
+    sufficient-statistics pass over per-unit sums (Bessel-corrected
+    sample moments). NULL se when n < 2. 6 dp rounding.
+    """
+    per_unit = (df.groupBy(F.col(unit_col).alias("unit"))
+                .agg(F.sum(F.col(num_col).cast("double")).alias("y"),
+                     F.sum(F.col(den_col).cast("double")).alias("d")))
+    s = per_unit.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"), F.sum("d").alias("sd"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("y") * F.col("d")).alias("syd"))
+    n = F.col("n")
+    ybar, dbar = F.col("sy") / n, F.col("sd") / n
+    r = ybar / dbar
+    s_yy = (F.col("syy") - n * ybar * ybar) / (n - 1)
+    s_dd = (F.col("sdd") - n * dbar * dbar) / (n - 1)
+    s_yd = (F.col("syd") - n * ybar * dbar) / (n - 1)
+    var = (s_yy - 2.0 * r * s_yd + r * r * s_dd) / (n * dbar * dbar)
+    se = F.when(n >= 2, F.sqrt(var))
+    return s.select(
+        n.alias("n_units"),
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(r - z * se, 6).alias("ci_lo"),
+        F.round(r + z * se, 6).alias("ci_hi"))

@@ -9948,16 +9948,30 @@ def _ivf_recall_sql(nprobes=(1, 2, 4), k=10) -> str:
        "both sides like knn_ivf; corpus cell assignment computed once "
        "and shared across the sweep")
 def q_ivf_nprobe_recall(spark, sf_dir):
-    from .operators.knn import ivf_knn_join, knn_join
+    from .operators.knn import (
+        _centroid_arrays,
+        assign_cells,
+        ivf_knn_join,
+        knn_join,
+    )
     emb = _t(spark, sf_dir, "embeddings")
     cents = _label_centroids(emb)
     q_, c_ = _qc_split(spark, sf_dir)
     exact = knn_join(q_, c_, k=10).select("query_id", "vec_id") \
         .localCheckpoint(eager=False)
     n_q = q_.count()
+    # assign the corpus to its cells ONCE and share it across the sweep
+    # (the twin's shared ccell CTE; otherwise each nprobe point re-runs
+    # the corpus Arrow pass — the dominant cost at scale)
+    ids, mat, ctype = _centroid_arrays(cents, "centroid_id", "centroid")
+    cc = assign_cells(
+        c_.select(F.col("vec_id"), F.col("embedding").alias("__cv")),
+        "__cv", ids, mat, n=1, cell_type=ctype, round_dp=6) \
+        .localCheckpoint(eager=False)
     outs = []
     for p in (1, 2, 4):
-        ivf = ivf_knn_join(q_, c_, cents, k=10, nprobe=p, round_dp=6)
+        ivf = ivf_knn_join(q_, c_, cents, k=10, nprobe=p, round_dp=6,
+                           corpus_cells=cc)
         outs.append(
             exact.join(ivf, ["query_id", "vec_id"])
             .agg(F.lit(p).alias("nprobe"),
@@ -9969,3 +9983,99 @@ def q_ivf_nprobe_recall(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("nprobe")
+
+
+@q("cuped_adjusted_values", """
+WITH clean AS (
+  SELECT user_id, ts, value FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)),
+per AS (
+  SELECT user_id,
+         sum(CASE WHEN day(ts) <= 15 THEN value END) AS x,
+         sum(CASE WHEN day(ts) > 15 THEN value END) AS y
+  FROM clean GROUP BY 1),
+cc AS (SELECT * FROM per WHERE x IS NOT NULL AND y IS NOT NULL),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM cc),
+consts AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+         sx / n AS xbar
+  FROM s)
+SELECT user_id, y, x,
+       round(theta, 6) AS theta,
+       round(y - theta * (x - xbar), 6) AS metric_adj
+FROM cc CROSS JOIN consts
+ORDER BY user_id
+""", doc="CUPED variance reduction (operators/stats.py:cuped_adjust, "
+         "Deng et al. 2013): per-user second-half-month event value "
+         "residualized on the first-half covariate — theta = "
+         "cov(x,y)/var(x) from ONE sufficient-statistics pass, then a "
+         "scan-stage projection; the experimentation trick that cuts "
+         "A/B variance by the covariate's R^2. Users lacking either "
+         "period drop by the complete-case contract")
+def q_cuped_adjusted_values(spark, sf_dir):
+    from .operators.stats import cuped_adjust
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    clean = ev.filter(v.isNotNull() & ~F.isnan(v))
+    per = clean.groupBy("user_id").agg(
+        F.sum(F.when(F.dayofmonth("ts") <= 15, v)).alias("x"),
+        F.sum(F.when(F.dayofmonth("ts") > 15, v)).alias("y"))
+    return (cuped_adjust(per, "user_id", "y", "x")
+            .orderBy("user_id"))
+
+
+@q("ratio_metric_ci_purchase", """
+WITH clean AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS num,
+         1.0 AS den
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+per AS (
+  SELECT user_id, sum(num) AS y, sum(den) AS d FROM clean GROUP BY 1),
+s AS (
+  SELECT count(*) AS n, sum(y) AS sy, sum(d) AS sd,
+         sum(y * y) AS syy, sum(d * d) AS sdd, sum(y * d) AS syd
+  FROM per)
+SELECT n AS n_units,
+       round((sy / n) / (sd / n), 6) AS ratio,
+       round(sqrt((((syy - n * (sy / n) * (sy / n)) / (n - 1))
+                   - 2.0 * ((sy / n) / (sd / n))
+                         * ((syd - n * (sy / n) * (sd / n)) / (n - 1))
+                   + ((sy / n) / (sd / n)) * ((sy / n) / (sd / n))
+                         * ((sdd - n * (sd / n) * (sd / n)) / (n - 1)))
+                  / (n * (sd / n) * (sd / n))), 6) AS se,
+       round((sy / n) / (sd / n)
+             - 1.96 * sqrt((((syy - n * (sy / n) * (sy / n)) / (n - 1))
+                   - 2.0 * ((sy / n) / (sd / n))
+                         * ((syd - n * (sy / n) * (sd / n)) / (n - 1))
+                   + ((sy / n) / (sd / n)) * ((sy / n) / (sd / n))
+                         * ((sdd - n * (sd / n) * (sd / n)) / (n - 1)))
+                  / (n * (sd / n) * (sd / n))), 6) AS ci_lo,
+       round((sy / n) / (sd / n)
+             + 1.96 * sqrt((((syy - n * (sy / n) * (sy / n)) / (n - 1))
+                   - 2.0 * ((sy / n) / (sd / n))
+                         * ((syd - n * (sy / n) * (sd / n)) / (n - 1))
+                   + ((sy / n) / (sd / n)) * ((sy / n) / (sd / n))
+                         * ((sdd - n * (sd / n) * (sd / n)) / (n - 1)))
+                  / (n * (sd / n) * (sd / n))), 6) AS ci_hi
+FROM s
+""", doc="delta-method CI for a ratio metric (operators/stats.py:"
+         "ratio_metric_ci): purchase revenue per event with the USER as "
+         "the randomization unit — Var(R) = (s_yy - 2R s_yd + R^2 "
+         "s_dd)/(n dbar^2) over per-unit sums; the naive row-level iid "
+         "treatment understates variance whenever units contribute "
+         "unequal denominators. One groupBy(user) + one sufficient-"
+         "statistics aggregate; twin replays the exact expression tree")
+def q_ratio_metric_ci_purchase(spark, sf_dir):
+    from .operators.stats import ratio_metric_ci
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    clean = (ev.filter(v.isNotNull() & ~F.isnan(v))
+             .select("user_id",
+                     F.when(F.col("event_type") == "purchase", v)
+                     .otherwise(0.0).alias("num"),
+                     F.lit(1.0).alias("den")))
+    return ratio_metric_ci(clean, "user_id", "num", "den")

@@ -176,3 +176,52 @@ def test_quantile_normalize_matches_numpy(spark):
     # extremes of each multi-row group hit the global min/max
     assert out[103] == pytest.approx(gvals[0], abs=1e-9)    # g2 min (25)
     assert out[5] == pytest.approx(gvals[-1], abs=1e-9)     # g1 max value 9
+
+
+def test_cuped_adjust_matches_numpy_and_reduces_variance(spark):
+    from ai_incident_analyst_spark.operators.stats import cuped_adjust
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(10, 2, 200)
+    y = 0.8 * x + rng.normal(0, 1, 200)
+    rows = [(i, float(y[i]), float(x[i])) for i in range(200)]
+    rows += [(900, None, 1.0), (901, 2.0, float("nan"))]  # dropped
+    df = spark.createDataFrame(rows, "unit long, y double, x double")
+    out = cuped_adjust(df, "unit", "y", "x")
+    got = {r["unit"]: r for r in out.collect()}
+    assert set(got) == set(range(200))
+    theta_ref = np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1)
+    assert got[0]["theta"] == pytest.approx(theta_ref, abs=1e-5)
+    adj = np.array([got[i]["metric_adj"] for i in range(200)])
+    ref = y - theta_ref * (x - x.mean())
+    assert np.allclose(adj, ref, atol=1e-4)
+    # the point of CUPED: adjusted variance drops by ~R^2
+    assert adj.var() < 0.5 * y.var()
+    # mean is preserved (unbiasedness of the centered adjustment)
+    assert adj.mean() == pytest.approx(y.mean(), abs=1e-6)
+
+
+def test_ratio_metric_ci_matches_numpy_delta(spark):
+    from ai_incident_analyst_spark.operators.stats import ratio_metric_ci
+
+    rng = np.random.default_rng(5)
+    rows = []
+    per_y, per_d = [], []
+    for u in range(80):
+        k = int(rng.integers(1, 6))
+        ys = rng.uniform(0, 10, k)
+        rows += [(u, float(v), 1.0) for v in ys]
+        per_y.append(ys.sum())
+        per_d.append(float(k))
+    df = spark.createDataFrame(rows, "unit long, num double, den double")
+    r = ratio_metric_ci(df, "unit", "num", "den").collect()[0]
+    yv, dv = np.array(per_y), np.array(per_d)
+    n = len(yv)
+    ratio = yv.mean() / dv.mean()
+    var = (np.var(yv, ddof=1) - 2 * ratio * np.cov(yv, dv, ddof=1)[0, 1]
+           + ratio ** 2 * np.var(dv, ddof=1)) / (n * dv.mean() ** 2)
+    assert r["n_units"] == n
+    assert r["ratio"] == pytest.approx(ratio, abs=1e-6)
+    assert r["se"] == pytest.approx(np.sqrt(var), abs=1e-6)
+    assert r["ci_lo"] == pytest.approx(ratio - 1.96 * np.sqrt(var), abs=1e-5)
+    assert r["ci_hi"] == pytest.approx(ratio + 1.96 * np.sqrt(var), abs=1e-5)
