@@ -94,3 +94,44 @@ def mine_hard_negatives(queries: DataFrame, corpus: DataFrame,
             .where(F.col("rank") <= k)
             .select("query_id", "vec_id", "sim",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def sample_random_negatives(queries: DataFrame, corpus: DataFrame,
+                            positives: DataFrame, k: int = 5,
+                            query_id: str = "query_id",
+                            corpus_id: str = "vec_id",
+                            salt: str = "") -> DataFrame:
+    """Uniform random negatives per query — the in-batch-negatives
+    complement to ``mine_hard_negatives``: contrastive training wants a
+    MIX (a few hard negatives for gradient signal, many random ones for
+    calibration; all-hard collapses embeddings onto the decision
+    boundary). ``(query_id, vec_id, rank)``, k per query.
+
+    Randomness is the repo's deterministic-hash draw: candidates rank by
+    ``md5(salt:query_id:vec_id)`` — uniform per (query, candidate),
+    reproducible across engines/partitionings/reruns (a seeded shuffle
+    is NOT reproducible under Spark re-execution), and a different
+    ``salt`` re-draws the sample. Positives excluded by broadcast
+    anti-join BEFORE ranking so every returned row is a true negative.
+
+    Plan: query-ids × corpus-ids candidate join (ids only, never
+    vectors — the frame is narrow even at 100 TB corpus width), one
+    per-query top-k window. For corpora where |Q|·|C| ids overflow,
+    pre-filter the corpus with ``sampling.hash_sample`` to an O(k)
+    oversample per query first — same hash family, same determinism.
+    """
+    q = queries.select(F.col(query_id).alias("query_id")).distinct()
+    c = corpus.select(F.col(corpus_id).alias("vec_id")).distinct()
+    pos = positives.select(F.col(query_id).alias("query_id"),
+                           F.col(corpus_id).alias("vec_id"))
+    cand = (F.broadcast(q).crossJoin(c)
+            .join(F.broadcast(pos), ["query_id", "vec_id"], "left_anti"))
+    h = F.md5(F.concat_ws(":", F.lit(salt),
+                          F.col("query_id").cast("string"),
+                          F.col("vec_id").cast("string")))
+    w = Window.partitionBy("query_id").orderBy(h.asc(),
+                                               F.col("vec_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id",
+                    F.col("rank").cast("long").alias("rank")))

@@ -10079,3 +10079,50 @@ def q_ratio_metric_ci_purchase(spark, sf_dir):
                      .otherwise(0.0).alias("num"),
                      F.lit(1.0).alias("den")))
     return ratio_metric_ci(clean, "user_id", "num", "den")
+
+
+@q("random_negatives", """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, label FROM embeddings WHERE vec_id >= 5
+), pos AS (
+  SELECT q.query_id, c.vec_id FROM q JOIN c ON c.label = q.qlabel
+), cand AS (
+  SELECT q.query_id, c.vec_id
+  FROM q CROSS JOIN c
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.query_id = q.query_id
+                      AND p.vec_id = c.vec_id)
+)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY md5(concat_ws(':', 'r8', CAST(query_id AS VARCHAR),
+                                CAST(vec_id AS VARCHAR))) ASC,
+                  vec_id ASC) AS BIGINT) AS rank
+FROM cand
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+""", doc="uniform random negatives (operators/mining.py:"
+         "sample_random_negatives): the in-batch-negatives complement "
+         "to hard_negative_mining — contrastive training mixes a few "
+         "hard negatives with many random ones (all-hard collapses the "
+         "embedding space). Draws rank by md5(salt:qid:vid) — "
+         "deterministic across engines/partitionings/reruns where a "
+         "seeded shuffle is not; positives excluded by broadcast "
+         "anti-join BEFORE ranking; ids-only candidate frame, vectors "
+         "never move")
+def q_random_negatives(spark, sf_dir):
+    from .operators.mining import sample_random_negatives
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = (emb.where(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("label").alias("qlabel")))
+    corpus = emb.where(F.col("vec_id") >= 5)
+    positives = (qs.join(corpus.select("vec_id", "label"),
+                         F.col("qlabel") == F.col("label"))
+                 .select("query_id", "vec_id"))
+    return (sample_random_negatives(qs, corpus, positives, k=5, salt="r8")
+            .orderBy("query_id", "rank"))

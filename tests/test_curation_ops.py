@@ -252,3 +252,36 @@ def test_vocab_coverage_partitioning_invariance(spark):
     b = sorted(map(tuple, vocab_coverage(
         df.repartition(13), "text", [5, 20]).collect()))
     assert a == b
+
+
+def test_sample_random_negatives_contract(spark):
+    from ai_incident_analyst_spark.operators.mining import (
+        sample_random_negatives,
+    )
+
+    qs = spark.createDataFrame([(i,) for i in range(3)],
+                               "query_id long")
+    corpus = spark.createDataFrame([(i,) for i in range(100, 140)],
+                                   "vec_id long")
+    pos = spark.createDataFrame(
+        [(q, v) for q in range(3) for v in range(100, 110)],
+        "query_id long, vec_id long")
+    out = sample_random_negatives(qs, corpus, pos, k=4)
+    rows = out.collect()
+    # k per query, ranks 1..k
+    per = {}
+    for r in rows:
+        per.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    assert set(per) == {0, 1, 2}
+    for qid, lst in per.items():
+        assert sorted(rk for rk, _ in lst) == [1, 2, 3, 4]
+        # never a positive
+        assert all(v >= 110 for _, v in lst)
+    # deterministic across partitionings
+    again = sample_random_negatives(
+        qs.repartition(7), corpus.repartition(5), pos, k=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # a different salt re-draws (overwhelmingly likely to differ)
+    other = sample_random_negatives(qs, corpus, pos, k=4,
+                                    salt="x").collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
