@@ -317,3 +317,42 @@ def ratio_metric_ci(df: DataFrame, unit_col: str, num_col: str,
         F.round(se, 6).alias("se"),
         F.round(r - z * se, 6).alias("ci_lo"),
         F.round(r + z * se, 6).alias("ci_hi"))
+
+
+def srm_check(df: DataFrame, group_col: str,
+              expected: dict[str, float]) -> DataFrame:
+    """Sample-ratio-mismatch check: chi-squared goodness-of-fit of the
+    observed per-group unit counts against the DESIGNED assignment
+    ratios — the first gate every experiment readout must pass (a
+    traffic split that isn't the designed split invalidates the whole
+    analysis long before any metric is read; SRM is the most common
+    silent A/B corruption). One row per group ``(group, n_obs,
+    expected_frac, n_expected, chi2_term)`` — groups outside
+    ``expected`` raise (an unknown arm IS a mismatch), designed arms
+    with zero observed rows still contribute their full expected mass.
+
+    One groupBy(group) count + a broadcast of the (tiny) design table;
+    exact integer counts, 6 dp on the derived columns.
+    """
+    tot = sum(expected.values())
+    design = [(k, float(v) / tot) for k, v in sorted(expected.items())]
+    spark = df.sparkSession
+    d = F.broadcast(spark.createDataFrame(
+        design, "grp string, expected_frac double"))
+    obs = (df.select(F.col(group_col).cast("string").alias("grp"))
+           .groupBy("grp").agg(F.count(F.lit(1)).alias("n_obs")))
+    unknown = obs.join(d, "grp", "left_anti").collect()
+    if unknown:
+        raise ValueError(
+            "srm_check: observed group(s) not in the design: "
+            + ", ".join(sorted(r["grp"] for r in unknown)))
+    n = obs.agg(F.sum("n_obs")).first()[0] or 0
+    full = (d.join(obs, "grp", "left")
+            .withColumn("n_obs", F.coalesce("n_obs", F.lit(0))))
+    exp = F.col("expected_frac") * F.lit(float(n))
+    return full.select(
+        F.col("grp").alias("grp"), "n_obs",
+        F.round("expected_frac", 6).alias("expected_frac"),
+        F.round(exp, 6).alias("n_expected"),
+        F.round((F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp,
+                6).alias("chi2_term"))

@@ -10126,3 +10126,37 @@ def q_random_negatives(spark, sf_dir):
                  .select("query_id", "vec_id"))
     return (sample_random_negatives(qs, corpus, positives, k=5, salt="r8")
             .orderBy("query_id", "rank"))
+
+
+@q("srm_event_types", """
+WITH obs AS (
+  SELECT event_type AS grp, count(*) AS n_obs FROM events GROUP BY 1),
+design AS (
+  SELECT grp, CAST(expected_frac AS DOUBLE) AS expected_frac
+  FROM (VALUES ('view', 0.4), ('click', 0.25),
+               ('purchase', 0.15), ('error', 0.1),
+               ('signup', 0.1))
+       t(grp, expected_frac)),
+n AS (SELECT sum(n_obs) AS n FROM obs)
+SELECT d.grp, CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+       round(d.expected_frac, 6) AS expected_frac,
+       round(d.expected_frac * n.n, 6) AS n_expected,
+       round((coalesce(o.n_obs, 0) - d.expected_frac * n.n)
+             * (coalesce(o.n_obs, 0) - d.expected_frac * n.n)
+             / (d.expected_frac * n.n), 6) AS chi2_term
+FROM design d LEFT JOIN obs o ON o.grp = d.grp CROSS JOIN n
+ORDER BY d.grp
+""", doc="sample-ratio-mismatch gate (operators/stats.py:srm_check): "
+         "chi-squared goodness-of-fit of observed event-type counts "
+         "against a designed 8:5:3:2:2 split — the first check every "
+         "experiment readout runs (a wrong traffic split invalidates "
+         "the analysis before any metric is read); unknown arms raise, "
+         "zero-count designed arms keep their expected mass. One "
+         "groupBy + a broadcast design table; exact integers")
+def q_srm_event_types(spark, sf_dir):
+    from .operators.stats import srm_check
+    ev = _t(spark, sf_dir, "events")
+    return (srm_check(ev, "event_type",
+                      {"view": 0.4, "click": 0.25, "purchase": 0.15,
+                       "error": 0.1, "signup": 0.1})
+            .orderBy("grp"))

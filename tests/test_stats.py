@@ -225,3 +225,23 @@ def test_ratio_metric_ci_matches_numpy_delta(spark):
     assert r["se"] == pytest.approx(np.sqrt(var), abs=1e-6)
     assert r["ci_lo"] == pytest.approx(ratio - 1.96 * np.sqrt(var), abs=1e-5)
     assert r["ci_hi"] == pytest.approx(ratio + 1.96 * np.sqrt(var), abs=1e-5)
+
+
+def test_srm_check_hand_truth_and_guards(spark):
+    from ai_incident_analyst_spark.operators.stats import srm_check
+
+    rows = [("a",)] * 60 + [("b",)] * 40
+    df = spark.createDataFrame(rows, "g string")
+    out = {r["grp"]: r for r in srm_check(
+        df, "g", {"a": 0.5, "b": 0.4, "c": 0.1}).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"]["n_obs"] == 60 and out["a"]["n_expected"] == 50.0
+    assert out["a"]["chi2_term"] == pytest.approx(100 / 50, abs=1e-9)
+    assert out["c"]["n_obs"] == 0            # designed arm, zero traffic
+    assert out["c"]["chi2_term"] == pytest.approx(10.0, abs=1e-9)
+    # ratios normalize: {1, 1} == {0.5, 0.5}
+    out2 = {r["grp"]: r["n_expected"] for r in srm_check(
+        df, "g", {"a": 1.0, "b": 1.0}).collect()}
+    assert out2 == {"a": 50.0, "b": 50.0}
+    with pytest.raises(ValueError, match="not in the design"):
+        srm_check(df, "g", {"a": 1.0}).collect()
