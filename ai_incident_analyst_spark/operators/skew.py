@@ -126,3 +126,50 @@ def key_skew_report(df: DataFrame, key: str,
                 .alias("top10_frac"),
                 F.round(F.col("max_key_rows") * F.col("n_keys")
                         / F.col("n_rows"), 6).alias("skew_ratio")))
+
+
+def join_size_forecast(left: DataFrame, right: DataFrame,
+                       left_key: str, right_key: str,
+                       top_n: int = 5) -> DataFrame:
+    """Exact equi-join output-size forecast WITHOUT running the join:
+    ``|A ⋈ B| = Σ_k cnt_A(k) · cnt_B(k)`` over the matching keys — the
+    pre-flight that catches a many-to-many blowup (the Σ|block|² class)
+    while it still costs two key-counted aggregates instead of the
+    exploded join itself. One row out: ``(n_left, n_right, n_matching_
+    keys, join_rows, amplification_1e6, top_keys)`` — ``amplification``
+    is join_rows/max(inputs) in integer micro-units (exact), and
+    ``top_keys`` names the ``top_n`` keys by per-key output so the skew
+    culprit is in the report, not a follow-up query.
+
+    Plan: groupBy(key) count on each side (map-side combined), an
+    equi-join of the two KEY tables (key-cardinality, not row-
+    cardinality), one aggregate + one top-n sort-limit. All integers.
+    """
+    a = left.groupBy(F.col(left_key).alias("k")) \
+        .agg(F.count(F.lit(1)).alias("ca"))
+    b = right.groupBy(F.col(right_key).alias("k")) \
+        .agg(F.count(F.lit(1)).alias("cb"))
+    m = (a.join(b, "k")
+         .withColumn("out", F.col("ca") * F.col("cb"))
+         .localCheckpoint(eager=False))
+    na = left.count()
+    nb = right.count()
+    # TakeOrderedAndProject for the candidate set (never a global
+    # window), then an order-insensitive collect re-sorted INSIDE the
+    # row — collect_list order after a limit is not a contract, so the
+    # display order comes from array_sort on (out desc, key-string asc)
+    top = (m.orderBy(F.desc("out"), "k").limit(top_n)
+           .agg(F.array_join(
+               F.transform(
+                   F.array_sort(F.collect_list(F.struct(
+                       (-F.col("out")).alias("negout"),
+                       F.col("k").cast("string").alias("ks")))),
+                   lambda s: s["ks"]),
+               ",").alias("top_keys")))
+    return (m.agg(F.lit(na).alias("n_left"), F.lit(nb).alias("n_right"),
+                  F.count(F.lit(1)).alias("n_matching_keys"),
+                  F.sum("out").alias("join_rows"))
+            .withColumn("amplification_1e6",
+                        F.expr(f"join_rows * 1000000 div "
+                               f"{max(na, nb, 1)}"))
+            .crossJoin(F.broadcast(top)))

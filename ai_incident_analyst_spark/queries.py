@@ -10160,3 +10160,40 @@ def q_srm_event_types(spark, sf_dir):
                       {"view": 0.4, "click": 0.25, "purchase": 0.15,
                        "error": 0.1, "signup": 0.1})
             .orderBy("grp"))
+
+
+@q("join_size_forecast_orders", """
+WITH a AS (
+  SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1),
+b AS (
+  SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY 1),
+m AS (
+  SELECT a.k, ca * cb AS out FROM a JOIN b USING (k)),
+na AS (SELECT count(*) AS n FROM orders),
+nb AS (SELECT count(*) AS n FROM customer),
+top AS (SELECT out, k FROM m ORDER BY out DESC, k LIMIT 5),
+tops AS (
+  SELECT string_agg(CAST(k AS VARCHAR), ','
+                    ORDER BY out DESC, CAST(k AS VARCHAR)) AS top_keys
+  FROM top)
+SELECT (SELECT n FROM na) AS n_left,
+       (SELECT n FROM nb) AS n_right,
+       count(*) AS n_matching_keys,
+       CAST(sum(out) AS BIGINT) AS join_rows,
+       CAST(sum(out) * 1000000 // greatest((SELECT n FROM na),
+                                           (SELECT n FROM nb), 1)
+            AS BIGINT) AS amplification_1e6,
+       (SELECT top_keys FROM tops) AS top_keys
+FROM m
+""", doc="exact equi-join output-size forecast (operators/skew.py:"
+         "join_size_forecast): |A join B| = sum cnt_A(k)*cnt_B(k) from "
+         "two key-counted aggregates + a key-cardinality join — catches "
+         "a many-to-many blowup BEFORE paying for the exploded join, "
+         "and names the top-5 amplifying keys in the report. "
+         "TakeOrderedAndProject for the top keys (no global window); "
+         "exact integers; amplification as an integer micro-ratio")
+def q_join_size_forecast_orders(spark, sf_dir):
+    from .operators.skew import join_size_forecast
+    return join_size_forecast(_t(spark, sf_dir, "orders"),
+                              _t(spark, sf_dir, "customer"),
+                              "o_custkey", "c_custkey")

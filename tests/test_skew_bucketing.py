@@ -109,3 +109,23 @@ def test_key_skew_report_uniform(spark):
     df = spark.createDataFrame([(f"k{i}",) for i in range(8)], "k string")
     r = key_skew_report(df, "k").first()
     assert r["skew_ratio"] == 1.0 and r["max_key_rows"] == 1
+
+
+def test_join_size_forecast_matches_actual_join(spark):
+    from ai_incident_analyst_spark.operators.skew import join_size_forecast
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1] * 5 + [2] * 3 + [3] * 1 + [9] * 4],
+        "k long")
+    right = spark.createDataFrame(
+        [(k,) for k in [1] * 2 + [2] * 4 + [3] * 1 + [7] * 6],
+        "k long")
+    r = join_size_forecast(left, right, "k", "k", top_n=2).collect()[0]
+    actual = left.join(right, "k").count()
+    assert r["join_rows"] == actual == 5 * 2 + 3 * 4 + 1
+    assert r["n_left"] == 13 and r["n_right"] == 13
+    assert r["n_matching_keys"] == 3
+    # per-key outputs: k1=10, k2=12, k3=1 -> top-2 by out desc: 2,1
+    assert r["top_keys"] == "2,1"
+    assert r["amplification_1e6"] == (23 * 1_000_000) // 13
