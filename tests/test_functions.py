@@ -2,6 +2,7 @@
 reference never had (SURVEY.md §5 'upgrade'). Fixtures verbatim from
 reference tests (FIXTURES.md §4; preprocessor.py:46-50)."""
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
