@@ -10197,3 +10197,80 @@ def q_join_size_forecast_orders(spark, sf_dir):
     return join_size_forecast(_t(spark, sf_dir, "orders"),
                               _t(spark, sf_dir, "customer"),
                               "o_custkey", "c_custkey")
+
+
+@q("wordpiece_segment_stats", r"""
+WITH RECURSIVE words AS (
+  SELECT w, count(*) AS wc FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              t -> length(t) > 0 AND length(t) <= 12)) AS w
+    FROM documents) GROUP BY w),
+subs AS (
+  SELECT CASE WHEN st = 1 THEN substr(w, st, l)
+              ELSE '##' || substr(w, st, l) END AS piece,
+         sum(wc) AS cnt
+  FROM words, range(1, 13) t1(st), range(1, 5) t2(l)
+  WHERE st + l - 1 <= length(w)
+  GROUP BY 1),
+topk AS (
+  SELECT piece FROM subs ORDER BY cnt DESC, piece ASC LIMIT 150),
+chars AS (
+  SELECT piece FROM subs
+  WHERE length(regexp_replace(piece, '^##', '')) = 1),
+-- DISTINCT over UNION ALL (bare UNION inside a WITH RECURSIVE block is
+-- left undeduplicated by DuckDB — the unigram twin's lesson)
+vocab AS (SELECT DISTINCT piece FROM (
+  SELECT piece FROM topk UNION ALL SELECT piece FROM chars)),
+vp AS (
+  SELECT CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+              ELSE piece END AS raw,
+         piece NOT LIKE '##%' AS is_start
+  FROM vocab),
+paths(w, pos, step, acc) AS (
+  SELECT w, 0, 0, CAST(0 AS BIGINT) FROM words
+  UNION
+  SELECT p.w, p.pos + length(v.raw), p.step + 1,
+         p.acc + (4 - length(v.raw))
+                 * CAST(power(5, 12 - (p.step + 1)) AS BIGINT)
+  FROM paths p JOIN vp v
+    ON substr(p.w, p.pos + 1, length(v.raw)) = v.raw
+   AND v.is_start = (p.pos = 0)
+  WHERE p.pos < length(p.w)),
+best AS (
+  SELECT w, min(acc * 100 + step) AS key2
+  FROM paths WHERE pos = length(w) GROUP BY w),
+docw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              t -> length(t) > 0 AND length(t) <= 12)) AS w
+    FROM documents))
+SELECT doc_id,
+       count(*) AS n_words,
+       CAST(sum(key2 % 100) AS BIGINT) AS n_pieces,
+       CAST(sum(key2) AS BIGINT) AS key_sum
+FROM docw JOIN best USING (w)
+GROUP BY doc_id
+ORDER BY doc_id
+""", doc="BERT-style WordPiece segmentation (operators/wordpiece.py) — "
+         "the tokenizer family's third member beside BPE and unigram: "
+         "greedy longest-match-first with ## continuation pieces, under "
+         "a deterministic position-aware top-150 vocabulary + single-"
+         "char floor in both forms (so no word dead-ends and true "
+         "WordPiece UNK cannot arise). The twin hash-matches a GREEDY "
+         "algorithm because greedy MaxMatch == the lexicographic-min "
+         "complete path of the step-weighted integer key sum_i "
+         "(4-len_i)*5^(12-i), with the piece count in the ones digits "
+         "(KEY2 = KEY*100 + n_pieces) — all int64, zero FP. Corpus "
+         "collapses to its DISTINCT word table before the Arrow DP; "
+         "per-doc stats join the word keys back (one keyed shuffle)")
+def q_wordpiece_segment_stats(spark, sf_dir):
+    from .operators.wordpiece import (
+        wordpiece_encode_stats,
+        wordpiece_vocab,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    vocab = wordpiece_vocab(docs, "text", max_piece=4, top_k=150,
+                            max_word_len=12)
+    return wordpiece_encode_stats(docs, "doc_id", "text", vocab,
+                                  max_piece=4, max_word_len=12)
