@@ -356,3 +356,55 @@ def srm_check(df: DataFrame, group_col: str,
         F.round(exp, 6).alias("n_expected"),
         F.round((F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp,
                 6).alias("chi2_term"))
+
+
+def did_estimate(df: DataFrame, group_col: str, period_col: str,
+                 value_col: str, treat, control, pre, post,
+                 z: float = 1.96) -> DataFrame:
+    """Difference-in-differences: ``(ȳ_treat,post − ȳ_treat,pre) −
+    (ȳ_control,post − ȳ_control,pre)`` with a large-sample SE from the
+    four cell variances — the quasi-experimental workhorse when
+    randomization wasn't available (a filter rolled out to one corpus
+    segment, a policy applied to one source): the control trend
+    differences out shared shocks, leaving the treatment effect under
+    the parallel-trends assumption (stated, not tested here).
+
+    One row: ``(n_tpre, n_tpost, n_cpre, n_cpost, did, se, ci_lo,
+    ci_hi)``. ONE aggregation pass building all four cells' sufficient
+    statistics (conditional sums — no second scan, no join); SE =
+    sqrt(Σ s²_cell/n_cell) by independence of the four cells. NULL se
+    when any cell has n < 2. 6 dp rounding.
+    """
+    from .util import complete_case
+
+    v = F.col(value_col).cast("double")
+    df = complete_case(
+        df.filter(F.col(group_col).isin(treat, control)
+                  & F.col(period_col).isin(pre, post)), [v])
+    cells = {"tpre": (treat, pre), "tpost": (treat, post),
+             "cpre": (control, pre), "cpost": (control, post)}
+    aggs = []
+    for tag, (g, p) in cells.items():
+        cond = (F.col(group_col) == g) & (F.col(period_col) == p)
+        aggs += [F.count(F.when(cond, 1)).alias(f"n_{tag}"),
+                 F.sum(F.when(cond, v)).alias(f"s_{tag}"),
+                 F.sum(F.when(cond, v * v)).alias(f"ss_{tag}")]
+    s = df.agg(*aggs)
+
+    def m(tag):
+        return F.col(f"s_{tag}") / F.col(f"n_{tag}")
+
+    def var_n(tag):  # Bessel-corrected cell variance over cell n
+        n = F.col(f"n_{tag}")
+        return F.when(n >= 2, (F.col(f"ss_{tag}") - n * m(tag) * m(tag))
+                      / (n - 1) / n)
+
+    did = (m("tpost") - m("tpre")) - (m("cpost") - m("cpre"))
+    se = F.sqrt(var_n("tpost") + var_n("tpre")
+                + var_n("cpost") + var_n("cpre"))
+    return s.select(
+        "n_tpre", "n_tpost", "n_cpre", "n_cpost",
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(did - z * se, 6).alias("ci_lo"),
+        F.round(did + z * se, 6).alias("ci_hi"))

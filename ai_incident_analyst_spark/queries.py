@@ -10274,3 +10274,51 @@ def q_wordpiece_segment_stats(spark, sf_dir):
                             max_word_len=12)
     return wordpiece_encode_stats(docs, "doc_id", "text", vocab,
                                   max_piece=4, max_word_len=12)
+
+
+@q("did_click_vs_view", """
+WITH clean AS (
+  SELECT event_type AS g,
+         CASE WHEN day(ts) <= 15 THEN 'pre' ELSE 'post' END AS p,
+         value AS v
+  FROM events
+  WHERE event_type IN ('click', 'view')
+    AND value IS NOT NULL AND NOT isnan(value)),
+s AS (
+  SELECT
+       count(CASE WHEN g = 'click' AND p = 'pre' THEN 1 END) AS n_tpre,
+       sum(CASE WHEN g = 'click' AND p = 'pre' THEN v END) AS s_tpre,
+       sum(CASE WHEN g = 'click' AND p = 'pre' THEN v * v END) AS ss_tpre,
+       count(CASE WHEN g = 'click' AND p = 'post' THEN 1 END) AS n_tpost,
+       sum(CASE WHEN g = 'click' AND p = 'post' THEN v END) AS s_tpost,
+       sum(CASE WHEN g = 'click' AND p = 'post' THEN v * v END) AS ss_tpost,
+       count(CASE WHEN g = 'view' AND p = 'pre' THEN 1 END) AS n_cpre,
+       sum(CASE WHEN g = 'view' AND p = 'pre' THEN v END) AS s_cpre,
+       sum(CASE WHEN g = 'view' AND p = 'pre' THEN v * v END) AS ss_cpre,
+       count(CASE WHEN g = 'view' AND p = 'post' THEN 1 END) AS n_cpost,
+       sum(CASE WHEN g = 'view' AND p = 'post' THEN v END) AS s_cpost,
+       sum(CASE WHEN g = 'view' AND p = 'post' THEN v * v END) AS ss_cpost
+  FROM clean)
+SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+       round((((s_tpost / n_tpost) - (s_tpre / n_tpre)) - ((s_cpost / n_cpost) - (s_cpre / n_cpre))), 6) AS did,
+       round(sqrt(((ss_tpost - n_tpost * (s_tpost / n_tpost) * (s_tpost / n_tpost)) / (n_tpost - 1) / n_tpost) + ((ss_tpre - n_tpre * (s_tpre / n_tpre) * (s_tpre / n_tpre)) / (n_tpre - 1) / n_tpre) + ((ss_cpost - n_cpost * (s_cpost / n_cpost) * (s_cpost / n_cpost)) / (n_cpost - 1) / n_cpost) + ((ss_cpre - n_cpre * (s_cpre / n_cpre) * (s_cpre / n_cpre)) / (n_cpre - 1) / n_cpre)), 6) AS se,
+       round((((s_tpost / n_tpost) - (s_tpre / n_tpre)) - ((s_cpost / n_cpost) - (s_cpre / n_cpre))) - 1.96 * sqrt(((ss_tpost - n_tpost * (s_tpost / n_tpost) * (s_tpost / n_tpost)) / (n_tpost - 1) / n_tpost) + ((ss_tpre - n_tpre * (s_tpre / n_tpre) * (s_tpre / n_tpre)) / (n_tpre - 1) / n_tpre) + ((ss_cpost - n_cpost * (s_cpost / n_cpost) * (s_cpost / n_cpost)) / (n_cpost - 1) / n_cpost) + ((ss_cpre - n_cpre * (s_cpre / n_cpre) * (s_cpre / n_cpre)) / (n_cpre - 1) / n_cpre)), 6) AS ci_lo,
+       round((((s_tpost / n_tpost) - (s_tpre / n_tpre)) - ((s_cpost / n_cpost) - (s_cpre / n_cpre))) + 1.96 * sqrt(((ss_tpost - n_tpost * (s_tpost / n_tpost) * (s_tpost / n_tpost)) / (n_tpost - 1) / n_tpost) + ((ss_tpre - n_tpre * (s_tpre / n_tpre) * (s_tpre / n_tpre)) / (n_tpre - 1) / n_tpre) + ((ss_cpost - n_cpost * (s_cpost / n_cpost) * (s_cpost / n_cpost)) / (n_cpost - 1) / n_cpost) + ((ss_cpre - n_cpre * (s_cpre / n_cpre) * (s_cpre / n_cpre)) / (n_cpre - 1) / n_cpre)), 6) AS ci_hi
+FROM s
+""", doc="difference-in-differences (operators/stats.py:did_estimate): "
+         "click-vs-view event value across the month's halves — the "
+         "quasi-experimental estimator when randomization wasn't "
+         "available; the control trend differences out shared shocks "
+         "under parallel trends. ONE aggregation pass builds all four "
+         "cells' sufficient statistics as conditional sums (no second "
+         "scan, no join); SE from cell-variance independence; the twin "
+         "replays the exact expression tree")
+def q_did_click_vs_view(spark, sf_dir):
+    from .operators.stats import did_estimate
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "period", F.when(F.dayofmonth("ts") <= 15, "pre")
+        .otherwise("post"))
+    return did_estimate(ev, "event_type", "period", "value",
+                        treat="click", control="view",
+                        pre="pre", post="post")

@@ -245,3 +245,37 @@ def test_srm_check_hand_truth_and_guards(spark):
     assert out2 == {"a": 50.0, "b": 50.0}
     with pytest.raises(ValueError, match="not in the design"):
         srm_check(df, "g", {"a": 1.0}).collect()
+
+
+def test_did_estimate_matches_numpy(spark):
+    from ai_incident_analyst_spark.operators.stats import did_estimate
+
+    rng = np.random.default_rng(9)
+    cells = {("t", "pre"): rng.normal(10, 2, 50),
+             ("t", "post"): rng.normal(13, 2, 60),   # +3 effect
+             ("c", "pre"): rng.normal(8, 2, 55),
+             ("c", "post"): rng.normal(9, 2, 45)}    # +1 shared trend
+    rows = [(g, p, float(v)) for (g, p), xs in cells.items() for v in xs]
+    rows += [("x", "pre", 99.0), ("t", "mid", 5.0),
+             ("t", "pre", None)]   # out-of-design / null rows dropped
+    df = spark.createDataFrame(rows, "g string, p string, v double")
+    r = did_estimate(df, "g", "p", "v", treat="t", control="c",
+                     pre="pre", post="post").collect()[0]
+
+    def mv(k):
+        x = cells[k]
+        return x.mean(), x.var(ddof=1) / len(x)
+
+    mt0, vt0 = mv(("t", "pre"))
+    mt1, vt1 = mv(("t", "post"))
+    mc0, vc0 = mv(("c", "pre"))
+    mc1, vc1 = mv(("c", "post"))
+    did = (mt1 - mt0) - (mc1 - mc0)
+    se = np.sqrt(vt1 + vt0 + vc1 + vc0)
+    assert (r["n_tpre"], r["n_tpost"], r["n_cpre"], r["n_cpost"]) \
+        == (50, 60, 55, 45)
+    assert r["did"] == pytest.approx(did, abs=1e-6)
+    assert r["se"] == pytest.approx(se, abs=1e-6)
+    assert r["ci_lo"] == pytest.approx(did - 1.96 * se, abs=1e-5)
+    # the design recovered ~+2 (3 effect minus 1 shared trend)
+    assert 1.0 < r["did"] < 3.0
