@@ -408,3 +408,55 @@ def did_estimate(df: DataFrame, group_col: str, period_col: str,
         F.round(se, 6).alias("se"),
         F.round(did - z * se, 6).alias("ci_lo"),
         F.round(did + z * se, 6).alias("ci_hi"))
+
+
+def km_survival(df: DataFrame, duration_col: str,
+                event_col: str) -> DataFrame:
+    """Kaplan–Meier survival estimator over right-censored durations:
+    one row per EVENT time ``(t, n_risk, n_events, n_censored,
+    log_surv_micronats)`` — retention/churn analysis done correctly
+    (dropping censored subjects, the naive mistake, biases survival
+    down; KM keeps them at risk until their censoring time).
+
+    ``event_col``: 1 = event observed at ``duration_col``, 0 = censored
+    there. The survival curve is carried as an EXACT INTEGER:
+    ``log_surv_micronats = Σ_{u≤t} round(ln(1 − d_u/n_u)·1e6)`` — each
+    factor quantized at source (the ``unigram_vocab`` micro-nat recipe),
+    so the running product accumulates as an int64 sum with no FP
+    drift; ``S(t) = exp(micronats/1e6)`` is the caller's one derived
+    float. A time where every subject at risk dies (d = n) emits NULL
+    log-survival (S hits exactly 0; ln is undefined).
+
+    Plan: one groupBy(duration) for (d, c) counts, a suffix-cumsum
+    window over the DISTINCT duration table for n_risk (time-domain
+    cardinality, not subject cardinality — tiny by construction), one
+    running-sum window. Subject-cardinality work is the single groupBy.
+    """
+    d = F.col(duration_col).cast("long")
+    e = F.col(event_col).cast("int")
+    per_t = (df.select(d.alias("t"), e.alias("e"))
+             .groupBy("t")
+             .agg(F.sum("e").alias("d"),
+                  F.sum(F.lit(1) - F.col("e")).alias("c"),
+                  F.count(F.lit(1)).alias("n_at")))
+    w_risk = (Window.orderBy(F.col("t").desc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = per_t.withColumn("n_risk", F.sum("n_at").over(w_risk))
+    factor = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(F.log(F.lit(1.0) - F.col("d") / F.col("n_risk"))
+                * F.lit(1e6)).cast("long"))
+    w_cum = (Window.orderBy(F.col("t").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    curve = (risk.withColumn("__f", factor)
+             .withColumn(
+                 "log_surv_micronats",
+                 F.when(F.min(F.col("__f").isNotNull().cast("int"))
+                        .over(w_cum) == 1,
+                        F.sum("__f").over(w_cum))))
+    return (curve.where(F.col("d") > 0)
+            .select("t",
+                    F.col("n_risk").cast("long").alias("n_risk"),
+                    F.col("d").cast("long").alias("n_events"),
+                    F.col("c").cast("long").alias("n_censored"),
+                    "log_surv_micronats"))

@@ -10322,3 +10322,74 @@ def q_did_click_vs_view(spark, sf_dir):
     return did_estimate(ev, "event_type", "period", "value",
                         treat="click", control="view",
                         pre="pre", post="post")
+
+
+@q("km_user_churn", """
+WITH u AS (
+  SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+p AS (
+  SELECT user_id, min(ts) AS tp FROM events
+  WHERE event_type = 'purchase' GROUP BY 1),
+subj AS (
+  -- administrative censoring at a 48 h horizon: time-to-first-purchase
+  -- observed if within the horizon, censored AT the horizon otherwise.
+  -- Elapsed FULL hours via exact integer epoch-us division (date_diff
+  -- 'hour' counts boundary crossings — not portable to Spark's floor)
+  SELECT CASE WHEN tp IS NOT NULL
+               AND (epoch_us(tp) - epoch_us(t0)) // 3600000000 <= 48
+              THEN (epoch_us(tp) - epoch_us(t0)) // 3600000000
+              ELSE 48 END AS t,
+         CASE WHEN tp IS NOT NULL
+               AND (epoch_us(tp) - epoch_us(t0)) // 3600000000 <= 48
+              THEN 1 ELSE 0 END AS e
+  FROM u LEFT JOIN p USING (user_id)),
+per AS (
+  SELECT t, sum(e) AS d, sum(1 - e) AS c, count(*) AS n_at
+  FROM subj GROUP BY 1),
+risk AS (
+  SELECT *, sum(n_at) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+              AS n_risk
+  FROM per),
+f AS (
+  SELECT *, CASE WHEN d < n_risk
+                 THEN CAST(round(ln(1 - d / n_risk) * 1e6) AS BIGINT)
+            END AS fq
+  FROM risk),
+cum AS (
+  SELECT *,
+         CASE WHEN min(CASE WHEN fq IS NULL THEN 0 ELSE 1 END)
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+              THEN sum(fq) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+         END AS ls
+  FROM f)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CAST(c AS BIGINT) AS n_censored,
+       CAST(ls AS BIGINT) AS log_surv_micronats
+FROM cum WHERE d > 0 ORDER BY t
+""", doc="Kaplan-Meier time-to-conversion survival (operators/stats.py:"
+         "km_survival): hours from a user's first event to first "
+         "purchase, administratively censored at a 48 h horizon — the "
+         "survival analysis that keeps censored users at risk instead "
+         "of dropping them (the naive bias). Survival carried as an "
+         "EXACT int64: "
+         "log S(t) = sum of source-quantized micro-nat factors "
+         "round(ln(1-d/n)*1e6) — no FP accumulation, the unigram-vocab "
+         "recipe; windows run over the ~30-value DISTINCT duration "
+         "table, not subjects")
+def q_km_user_churn(spark, sf_dir):
+    from .operators.stats import km_survival
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .groupBy("user_id").agg(F.min("ts").alias("tp")))
+    # elapsed FULL hours as exact integer epoch-us division — mirrors
+    # the twin's epoch_us // 3600000000 (date_diff counts boundaries)
+    hours = F.expr("(unix_micros(cast(tp as timestamp)) "
+                   "- unix_micros(cast(t0 as timestamp))) "
+                   "div 3600000000")
+    obs = F.col("tp").isNotNull() & (hours <= 48)
+    subj = (u.join(p, "user_id", "left")
+            .select(F.when(obs, hours).otherwise(48).alias("dur"),
+                    F.when(obs, 1).otherwise(0).alias("evt")))
+    return km_survival(subj, "dur", "evt").orderBy("t")

@@ -279,3 +279,30 @@ def test_did_estimate_matches_numpy(spark):
     assert r["ci_lo"] == pytest.approx(did - 1.96 * se, abs=1e-5)
     # the design recovered ~+2 (3 effect minus 1 shared trend)
     assert 1.0 < r["did"] < 3.0
+
+
+def test_km_survival_matches_hand_computation(spark):
+    from ai_incident_analyst_spark.operators.stats import km_survival
+
+    import math
+    # classic toy: durations (event=1 observed, 0 censored)
+    rows = [(2, 1), (3, 1), (3, 0), (5, 1), (5, 1), (7, 0), (8, 1)]
+    df = spark.createDataFrame(rows, "dur int, evt int")
+    out = {r["t"]: r for r in km_survival(df, "dur", "evt").collect()}
+    # event times: 2 (n=7,d=1), 3 (n=6,d=1,c=1), 5 (n=4,d=2), 8 (n=1,d=1)
+    assert set(out) == {2, 3, 5, 8}
+    assert (out[2]["n_risk"], out[2]["n_events"]) == (7, 1)
+    assert (out[3]["n_risk"], out[3]["n_censored"]) == (6, 1)
+    assert (out[5]["n_risk"], out[5]["n_events"]) == (4, 2)
+
+    def q(x):
+        return round(math.log(x) * 1e6)
+
+    assert out[2]["log_surv_micronats"] == q(6 / 7)
+    assert out[3]["log_surv_micronats"] == q(6 / 7) + q(5 / 6)
+    assert out[5]["log_surv_micronats"] == q(6 / 7) + q(5 / 6) + q(2 / 4)
+    # t=8: d == n_risk -> S hits 0, log undefined -> NULL
+    assert out[8]["log_surv_micronats"] is None
+    # survival values themselves: S(5) = 6/7 * 5/6 * 1/2 = 5/14
+    s5 = math.exp(out[5]["log_surv_micronats"] / 1e6)
+    assert s5 == pytest.approx(5 / 14, rel=1e-4)
