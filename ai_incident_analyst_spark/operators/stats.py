@@ -460,3 +460,38 @@ def km_survival(df: DataFrame, duration_col: str,
                     F.col("d").cast("long").alias("n_events"),
                     F.col("c").cast("long").alias("n_censored"),
                     "log_surv_micronats"))
+
+
+def two_proportion_test(df: DataFrame, group_col: str, success_col,
+                        group_a, group_b, z: float = 1.96) -> DataFrame:
+    """Two-proportion z-test for conversion-style metrics: one row
+    ``(group_a, group_b, n_a, n_b, p_a, p_b, diff, se_pooled, z_stat,
+    ci_lo, ci_hi)``. ``success_col`` is a 0/1 column (or boolean —
+    cast). The z statistic uses the POOLED standard error (the null-
+    hypothesis convention); the CI around the difference uses the
+    UNPOOLED one (the estimation convention) — mixing them up is the
+    classic spreadsheet bug. NULL z/CI when either group is empty.
+    One aggregation pass; exact integer counts; 6 dp rounding.
+    """
+    s = F.col(success_col).cast("int")
+    base = df.filter(F.col(group_col).isin(group_a, group_b))
+    agg = (base.groupBy(F.col(group_col).alias("g"))
+           .agg(F.count(F.lit(1)).alias("n"), F.sum(s).alias("k")))
+    a = agg.filter(F.col("g") == group_a).alias("a")
+    b = agg.filter(F.col("g") == group_b).alias("b")
+    j = a.crossJoin(b)
+    na, nb = F.col("a.n"), F.col("b.n")
+    pa, pb = F.col("a.k") / na, F.col("b.k") / nb
+    pp = (F.col("a.k") + F.col("b.k")) / (na + nb)
+    se_pool = F.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    se_unpool = F.sqrt(pa * (1.0 - pa) / na + pb * (1.0 - pb) / nb)
+    diff = pa - pb
+    return j.select(
+        F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b"),
+        na.alias("n_a"), nb.alias("n_b"),
+        F.round(pa, 6).alias("p_a"), F.round(pb, 6).alias("p_b"),
+        F.round(diff, 6).alias("diff"),
+        F.round(se_pool, 6).alias("se_pooled"),
+        F.round(diff / se_pool, 6).alias("z_stat"),
+        F.round(diff - z * se_unpool, 6).alias("ci_lo"),
+        F.round(diff + z * se_unpool, 6).alias("ci_hi"))

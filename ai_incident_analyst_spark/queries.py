@@ -10393,3 +10393,44 @@ def q_km_user_churn(spark, sf_dir):
             .select(F.when(obs, hours).otherwise(48).alias("dur"),
                     F.when(obs, 1).otherwise(0).alias("evt")))
     return km_survival(subj, "dur", "evt").orderBy("t")
+
+
+@q("two_proportion_purchase", """
+WITH base AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+  FROM events),
+agg AS (SELECT g, count(*) AS n, sum(s) AS k FROM base GROUP BY 1)
+SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+       round(a.k / a.n, 6) AS p_a, round(b.k / b.n, 6) AS p_b,
+       round(a.k / a.n - b.k / b.n, 6) AS diff,
+       round(sqrt(((a.k + b.k) / (a.n + b.n))
+                  * (1.0 - (a.k + b.k) / (a.n + b.n))
+                  * (1.0 / a.n + 1.0 / b.n)), 6) AS se_pooled,
+       round((a.k / a.n - b.k / b.n)
+             / sqrt(((a.k + b.k) / (a.n + b.n))
+                    * (1.0 - (a.k + b.k) / (a.n + b.n))
+                    * (1.0 / a.n + 1.0 / b.n)), 6) AS z_stat,
+       round((a.k / a.n - b.k / b.n)
+             - 1.96 * sqrt((a.k / a.n) * (1.0 - a.k / a.n) / a.n
+                           + (b.k / b.n) * (1.0 - b.k / b.n) / b.n), 6)
+         AS ci_lo,
+       round((a.k / a.n - b.k / b.n)
+             + 1.96 * sqrt((a.k / a.n) * (1.0 - a.k / a.n) / a.n
+                           + (b.k / b.n) * (1.0 - b.k / b.n) / b.n), 6)
+         AS ci_hi
+FROM agg a CROSS JOIN agg b
+WHERE a.g = 'even' AND b.g = 'odd'
+""", doc="two-proportion z-test (operators/stats.py:two_proportion_test)"
+         ": purchase rate between even/odd user-id halves (a synthetic "
+         "A/B split) — pooled SE for the z statistic (null convention), "
+         "UNPOOLED SE for the difference CI (estimation convention); "
+         "mixing them up is the classic spreadsheet bug. One aggregation "
+         "pass, exact integer counts; twin replays the expression tree")
+def q_two_proportion_purchase(spark, sf_dir):
+    from .operators.stats import two_proportion_test
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+        .alias("g"),
+        (F.col("event_type") == "purchase").alias("s"))
+    return two_proportion_test(ev, "g", "s", "even", "odd")

@@ -177,6 +177,15 @@ HEADLINE = [
     "k_center_coreset",
     "fd_orders",
     "ivf_nprobe_recall",
+    "cuped_adjusted_values",
+    "ratio_metric_ci_purchase",
+    "random_negatives",
+    "srm_event_types",
+    "join_size_forecast_orders",
+    "wordpiece_segment_stats",
+    "did_click_vs_view",
+    "km_user_churn",
+    "two_proportion_purchase",
 ]
 
 

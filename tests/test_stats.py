@@ -306,3 +306,22 @@ def test_km_survival_matches_hand_computation(spark):
     # survival values themselves: S(5) = 6/7 * 5/6 * 1/2 = 5/14
     s5 = math.exp(out[5]["log_surv_micronats"] / 1e6)
     assert s5 == pytest.approx(5 / 14, rel=1e-4)
+
+
+def test_two_proportion_test_known_answer(spark):
+    from ai_incident_analyst_spark.operators.stats import (
+        two_proportion_test,
+    )
+
+    rows = [("a", 1)] * 30 + [("a", 0)] * 70 + \
+        [("b", 1)] * 20 + [("b", 0)] * 80 + [("c", 1)] * 5
+    df = spark.createDataFrame(rows, "g string, s int")
+    r = two_proportion_test(df, "g", "s", "a", "b").collect()[0]
+    pa, pb, pp = 0.3, 0.2, 50 / 200
+    se_pool = np.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+    se_unpool = np.sqrt(pa * (1 - pa) / 100 + pb * (1 - pb) / 100)
+    assert (r["n_a"], r["n_b"]) == (100, 100)
+    assert r["p_a"] == 0.3 and r["p_b"] == 0.2
+    assert r["z_stat"] == pytest.approx(0.1 / se_pool, abs=1e-6)
+    assert r["ci_lo"] == pytest.approx(0.1 - 1.96 * se_unpool, abs=1e-6)
+    assert r["ci_hi"] == pytest.approx(0.1 + 1.96 * se_unpool, abs=1e-6)
