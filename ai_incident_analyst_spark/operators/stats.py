@@ -495,3 +495,60 @@ def two_proportion_test(df: DataFrame, group_col: str, success_col,
         F.round(diff / se_pool, 6).alias("z_stat"),
         F.round(diff - z * se_unpool, 6).alias("ci_lo"),
         F.round(diff + z * se_unpool, 6).alias("ci_hi"))
+
+
+def log_rank_test(df: DataFrame, duration_col: str, event_col: str,
+                  group_col: str, group_a, group_b) -> DataFrame:
+    """Log-rank test: do two right-censored survival curves differ?
+    The hypothesis-test companion to ``km_survival`` (eyeballing two KM
+    curves is not a test). At each event time ``t``: observed group-A
+    events ``d_A,t`` vs expected ``E_A,t = d_t·n_A,t/n_t`` under the
+    null, with hypergeometric variance ``V_t = d_t·(n_A/n)·(1−n_A/n)·
+    (n−d)/(n−1)``; the statistic ``(Σ(O−E))²/ΣV`` is χ²(1). One row:
+    ``(n_a, n_b, events_a, events_b, o_minus_e, var_sum, chi2)``.
+
+    All terms are rational functions of exact integer counts — both
+    engines compute the same doubles from the same int64s, the
+    sufficient-statistics contract. Plan: one groupBy(duration) with
+    conditional counts, suffix-cumsum windows over the DISTINCT
+    duration table (time-domain cardinality), one final aggregate.
+    Times where ``n_t = 1`` contribute zero variance by convention
+    (the (n−d)/(n−1) guard).
+    """
+    base = df.filter(F.col(group_col).isin(group_a, group_b))
+    d = F.col(duration_col).cast("long")
+    e = F.col(event_col).cast("int")
+    isa = (F.col(group_col) == group_a).cast("int")
+    per = (base.select(d.alias("t"), e.alias("e"), isa.alias("a"))
+           .groupBy("t")
+           .agg(F.count(F.lit(1)).alias("n_at"),
+                F.sum("a").alias("na_at"),
+                F.sum("e").alias("d_t"),
+                F.sum(F.col("e") * F.col("a")).alias("da_t")))
+    w = (Window.orderBy(F.col("t").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = (per.withColumn("n", F.sum("n_at").over(w))
+            .withColumn("n1", F.sum("na_at").over(w)))
+    ev = risk.where(F.col("d_t") > 0)
+    frac = F.col("n1") / F.col("n")
+    e1 = F.col("d_t") * frac
+    v = F.when(F.col("n") > 1,
+               F.col("d_t") * frac * (1.0 - frac)
+               * (F.col("n") - F.col("d_t")) / (F.col("n") - 1)) \
+        .otherwise(F.lit(0.0))
+    stats = ev.agg(F.sum(F.col("da_t") - e1).alias("__ome"),
+                   F.sum(v).alias("__v"),
+                   F.sum("da_t").alias("events_a"),
+                   F.sum(F.col("d_t") - F.col("da_t")).alias("events_b"))
+    counts = base.agg(
+        F.sum(isa).alias("n_a"),
+        F.sum(F.lit(1) - isa).alias("n_b"))
+    return (counts.crossJoin(stats)
+            .select(F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.col("events_a").cast("long").alias("events_a"),
+                    F.col("events_b").cast("long").alias("events_b"),
+                    F.round("__ome", 6).alias("o_minus_e"),
+                    F.round("__v", 6).alias("var_sum"),
+                    F.round(F.col("__ome") * F.col("__ome")
+                            / F.col("__v"), 6).alias("chi2")))

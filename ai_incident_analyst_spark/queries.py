@@ -10434,3 +10434,80 @@ def q_two_proportion_purchase(spark, sf_dir):
         .alias("g"),
         (F.col("event_type") == "purchase").alias("s"))
     return two_proportion_test(ev, "g", "s", "even", "odd")
+
+
+@q("log_rank_purchase_halves", """
+WITH u AS (
+  SELECT user_id, min(ts) AS t0,
+         CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g
+  FROM events GROUP BY 1),
+p AS (
+  SELECT user_id, min(ts) AS tp FROM events
+  WHERE event_type = 'purchase' GROUP BY 1),
+subj AS (
+  SELECT g,
+         CASE WHEN tp IS NOT NULL
+               AND (epoch_us(tp) - epoch_us(t0)) // 3600000000 <= 48
+              THEN (epoch_us(tp) - epoch_us(t0)) // 3600000000
+              ELSE 48 END AS t,
+         CASE WHEN tp IS NOT NULL
+               AND (epoch_us(tp) - epoch_us(t0)) // 3600000000 <= 48
+              THEN 1 ELSE 0 END AS e
+  FROM u LEFT JOIN p USING (user_id)),
+per AS (
+  SELECT t, count(*) AS n_at,
+         sum(CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS na_at,
+         sum(e) AS d_t,
+         sum(e * CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS da_t
+  FROM subj GROUP BY 1),
+risk AS (
+  SELECT *, sum(n_at) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+              AS n,
+            sum(na_at) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+              AS n1
+  FROM per),
+ev AS (SELECT * FROM risk WHERE d_t > 0),
+stats AS (
+  SELECT sum(da_t - d_t * (n1 / n)) AS ome,
+         sum(CASE WHEN n > 1
+                  THEN d_t * (n1 / n) * (1.0 - n1 / n)
+                       * (n - d_t) / (n - 1)
+                  ELSE 0.0 END) AS v,
+         CAST(sum(da_t) AS BIGINT) AS events_a,
+         CAST(sum(d_t - da_t) AS BIGINT) AS events_b
+  FROM ev),
+counts AS (
+  SELECT CAST(sum(CASE WHEN g = 'even' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN g = 'odd' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b
+  FROM subj)
+SELECT n_a, n_b, events_a, events_b,
+       round(ome, 6) AS o_minus_e,
+       round(v, 6) AS var_sum,
+       round(ome * ome / v, 6) AS chi2
+FROM counts CROSS JOIN stats
+""", doc="log-rank test (operators/stats.py:log_rank_test): do the "
+         "even/odd user halves' time-to-purchase survival curves "
+         "differ? Observed-vs-expected group events under the null at "
+         "each event time with hypergeometric variance; chi2(1) "
+         "statistic. The hypothesis-test companion to km_user_churn — "
+         "same 48 h administrative censoring and exact epoch-us hour "
+         "division; all terms rational in exact integer counts; "
+         "suffix-cumsum windows over the distinct duration table")
+def q_log_rank_purchase_halves(spark, sf_dir):
+    from .operators.stats import log_rank_test
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    u = u.withColumn("g", F.when(F.col("user_id") % 2 == 0, "even")
+                     .otherwise("odd"))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .groupBy("user_id").agg(F.min("ts").alias("tp")))
+    hours = F.expr("(unix_micros(cast(tp as timestamp)) "
+                   "- unix_micros(cast(t0 as timestamp))) "
+                   "div 3600000000")
+    obs = F.col("tp").isNotNull() & (hours <= 48)
+    subj = (u.join(p, "user_id", "left")
+            .select("g", F.when(obs, hours).otherwise(48).alias("dur"),
+                    F.when(obs, 1).otherwise(0).alias("evt")))
+    return log_rank_test(subj, "dur", "evt", "g", "even", "odd")

@@ -186,6 +186,7 @@ HEADLINE = [
     "did_click_vs_view",
     "km_user_churn",
     "two_proportion_purchase",
+    "log_rank_purchase_halves",
 ]
 
 

@@ -325,3 +325,41 @@ def test_two_proportion_test_known_answer(spark):
     assert r["z_stat"] == pytest.approx(0.1 / se_pool, abs=1e-6)
     assert r["ci_lo"] == pytest.approx(0.1 - 1.96 * se_unpool, abs=1e-6)
     assert r["ci_hi"] == pytest.approx(0.1 + 1.96 * se_unpool, abs=1e-6)
+
+
+def test_log_rank_matches_hand_computation(spark):
+    from ai_incident_analyst_spark.operators.stats import log_rank_test
+
+    # two tiny arms with a clear difference; one censored row each
+    rows = [("a", 1, 1), ("a", 2, 1), ("a", 4, 0),
+            ("b", 3, 1), ("b", 5, 1), ("b", 6, 0)]
+    df = spark.createDataFrame(rows, "g string, dur int, evt int")
+    r = log_rank_test(df, "dur", "evt", "g", "a", "b").collect()[0]
+
+    # hand replay
+    subj = [(d, e, g == "a") for g, d, e in rows]
+    times = sorted({d for d, e, _ in subj if e == 1})
+    ome = vs = 0.0
+    for t in times:
+        n = sum(1 for d, _, _ in subj if d >= t)
+        n1 = sum(1 for d, _, a in subj if d >= t and a)
+        dt = sum(1 for d, e, _ in subj if d == t and e == 1)
+        da = sum(1 for d, e, a in subj if d == t and e == 1 and a)
+        ome += da - dt * n1 / n
+        if n > 1:
+            vs += dt * (n1 / n) * (1 - n1 / n) * (n - dt) / (n - 1)
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert (r["events_a"], r["events_b"]) == (2, 2)
+    assert r["o_minus_e"] == pytest.approx(ome, abs=1e-6)
+    assert r["var_sum"] == pytest.approx(vs, abs=1e-6)
+    assert r["chi2"] == pytest.approx(ome * ome / vs, abs=1e-5)
+
+
+def test_log_rank_identical_groups_near_zero(spark):
+    from ai_incident_analyst_spark.operators.stats import log_rank_test
+
+    rows = [(g, d, 1) for g in ("a", "b") for d in (1, 2, 3, 4, 5)]
+    df = spark.createDataFrame(rows, "g string, dur int, evt int")
+    r = log_rank_test(df, "dur", "evt", "g", "a", "b").collect()[0]
+    assert abs(r["o_minus_e"]) < 1e-9
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-9)
