@@ -10511,3 +10511,96 @@ def q_log_rank_purchase_halves(spark, sf_dir):
             .select("g", F.when(obs, hours).otherwise(48).alias("dur"),
                     F.when(obs, 1).otherwise(0).alias("evt")))
     return log_rank_test(subj, "dur", "evt", "g", "even", "odd")
+
+
+@q("shapley_channel_attribution", """
+WITH t0 AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+-- exposure + conversion measured in each user's FIRST 24 h (the full
+-- window is degenerate on this data: every user touches every channel)
+w AS (
+  SELECT e.user_id, e.event_type
+  FROM events e JOIN t0 USING (user_id)
+  WHERE epoch_us(e.ts) - epoch_us(t0.t0) < 86400000000),
+units AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+       + 8 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           AS mask,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+  FROM w GROUP BY 1),
+rates AS (
+  SELECT mask, CAST(round(1e6 * sum(cv) / count(*)) AS BIGINT) AS vq
+  FROM units GROUP BY 1),
+lat(channel, bit, mask_wo, w) AS (
+  VALUES ('view', 1, 0, 6),
+         ('view', 1, 2, 2),
+         ('view', 1, 4, 2),
+         ('view', 1, 8, 2),
+         ('view', 1, 6, 2),
+         ('view', 1, 10, 2),
+         ('view', 1, 12, 2),
+         ('view', 1, 14, 6),
+         ('click', 2, 0, 6),
+         ('click', 2, 1, 2),
+         ('click', 2, 4, 2),
+         ('click', 2, 8, 2),
+         ('click', 2, 5, 2),
+         ('click', 2, 9, 2),
+         ('click', 2, 12, 2),
+         ('click', 2, 13, 6),
+         ('signup', 4, 0, 6),
+         ('signup', 4, 1, 2),
+         ('signup', 4, 2, 2),
+         ('signup', 4, 8, 2),
+         ('signup', 4, 3, 2),
+         ('signup', 4, 9, 2),
+         ('signup', 4, 10, 2),
+         ('signup', 4, 11, 6),
+         ('error', 8, 0, 6),
+         ('error', 8, 1, 2),
+         ('error', 8, 2, 2),
+         ('error', 8, 4, 2),
+         ('error', 8, 3, 2),
+         ('error', 8, 5, 2),
+         ('error', 8, 6, 2),
+         ('error', 8, 7, 6)),
+terms AS (
+  SELECT l.channel,
+         l.w * (coalesce(v1.vq, 0) - coalesce(v0.vq, 0)) AS t
+  FROM lat l
+  LEFT JOIN rates v0 ON v0.mask = l.mask_wo
+  LEFT JOIN rates v1 ON v1.mask = l.mask_wo + l.bit)
+SELECT channel,
+       CAST(sum(t) AS BIGINT) AS shapley_scaled,
+       round(CAST(sum(t) AS BIGINT) / 24000000.0, 6) AS shapley
+FROM terms GROUP BY channel
+ORDER BY channel
+""", doc="Shapley-value channel attribution (operators/attribution.py):"
+         " each event-type channel's average marginal contribution to "
+         "the user conversion rate over every coalition of the other "
+         "channels — the axiomatic member of the attribution family "
+         "beside positional touch_attribution and path-based "
+         "markov_transitions; exposure/conversion in each user's first "
+         "24 h (the full window is degenerate here). Coalition rates "
+         "quantized ONCE to integer "
+         "micro-units, Shapley weights carried as n!-scaled integer "
+         "numerators, so the attribution is an exact int64 sum "
+         "(association-free) with one derived double at the end. "
+         "Subject work is one keyed groupBy; the 2^n lattice (n=4) is "
+         "a broadcast VALUES table")
+def q_shapley_channel_attribution(spark, sf_dir):
+    from .operators.attribution import shapley_attribution
+    ev = _t(spark, sf_dir, "events")
+    t0 = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    first24 = (ev.join(t0, "user_id")
+               .where(F.expr("unix_micros(cast(ts as timestamp)) "
+                             "- unix_micros(cast(t0 as timestamp))")
+                      < 86_400_000_000)
+               .withColumn("conv",
+                           (F.col("event_type") == "purchase")
+                           .cast("int")))
+    return (shapley_attribution(first24, "user_id", "event_type", "conv",
+                                ["view", "click", "signup", "error"])
+            .orderBy("channel"))

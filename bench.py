@@ -187,6 +187,7 @@ HEADLINE = [
     "km_user_churn",
     "two_proportion_purchase",
     "log_rank_purchase_halves",
+    "shapley_channel_attribution",
 ]
 
 
