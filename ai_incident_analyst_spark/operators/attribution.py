@@ -74,11 +74,15 @@ def shapley_attribution(df: DataFrame, unit_col: str, channel_col: str,
                start=F.lit(0))
     units = (df.groupBy(F.col(unit_col).alias("u"))
              .agg(mask.alias("mask"), F.max(conv).alias("cv")))
+    # rates is <=2^n rows but its subtree is the subject-cardinality
+    # groupBy; checkpoint so the two lattice joins (v0/v1) don't each
+    # re-run it
     rates = (units.groupBy("mask")
              .agg(F.count(F.lit(1)).alias("m"), F.sum("cv").alias("k"))
              .select("mask",
                      F.round(F.lit(1e6) * F.col("k") / F.col("m"))
-                     .cast("long").alias("vq")))
+                     .cast("long").alias("vq"))
+             .localCheckpoint(eager=False))
     spark = df.sparkSession
     lat = F.broadcast(spark.createDataFrame(
         _weight_lattice(channels),
