@@ -552,3 +552,82 @@ def log_rank_test(df: DataFrame, duration_col: str, event_col: str,
                     F.round("__v", 6).alias("var_sum"),
                     F.round(F.col("__ome") * F.col("__ome")
                             / F.col("__v"), 6).alias("chi2")))
+
+
+def conformal_ols_intervals(df: DataFrame, id_col: str, x_col: str,
+                            y_col: str, alpha: float = 0.1,
+                            salt: str = "cp") -> DataFrame:
+    """Split-conformal prediction intervals around a simple OLS fit:
+    distribution-free, finite-sample-valid uncertainty — the guarantee
+    is ``P(y ∈ ŷ ± q̂) ≥ 1−α`` for ANY data distribution, needing only
+    exchangeability (Vovk; Lei et al. 2018). The modern answer to "how
+    wide should the error bars on this learned scorer be".
+
+    Three deterministic md5-hash splits (first hex digit: 0–7 train,
+    8–b calibrate, c–f test). Fit on train (sufficient-statistics
+    closed form), ``q̂`` = the ⌈(n_cal+1)(1−α)⌉-th smallest calibration
+    absolute residual (the exact order statistic — ranked via
+    ``packing.global_cumsum``, never a single-task global window; ties
+    broken by id), coverage measured on the held-out test split. One
+    row: ``(n_train, n_cal, n_test, slope, intercept, q_hat,
+    n_covered, coverage)`` — coverage ≥ 1−α up to finite-sample noise
+    is the structural check.
+    """
+    import math
+
+    from .packing import global_cumsum
+    from .util import complete_case
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = complete_case(df, [x, y]).select(
+        F.col(id_col).cast("string").alias("id"),
+        x.alias("x"), y.alias("y"))
+    h = F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("id"))), 1, 1)
+    base = base.withColumn(
+        "__split",
+        F.when(h < "8", "train").when(h < "c", "cal").otherwise("test")) \
+        .localCheckpoint(eager=False)
+
+    tr = base.filter(F.col("__split") == "train")
+    fit = tr.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    consts = fit.select(F.col("n").alias("n_train"),
+                        slope.alias("__b"),
+                        (F.col("sy") / F.col("n")
+                         - slope * F.col("sx") / F.col("n"))
+                        .alias("__a"))
+
+    scored = base.crossJoin(F.broadcast(consts)).withColumn(
+        "__r", F.abs(F.col("y") - (F.col("__a")
+                                   + F.col("__b") * F.col("x"))))
+    cal = scored.filter(F.col("__split") == "cal")
+    n_cal = cal.count()
+    k = math.ceil((n_cal + 1) * (1.0 - alpha))
+    if k > n_cal:
+        raise ValueError(
+            f"alpha={alpha} needs more calibration rows ({n_cal}) — "
+            "the conformal quantile is off the end of the sample")
+    ranked = global_cumsum(
+        cal.withColumn("__one", F.lit(1))
+           .withColumn("__ord", F.struct(F.col("__r"), F.col("id"))),
+        "__ord", "__one", "__pos")
+    qhat = (ranked.filter(F.col("__pos") == k)
+            .select(F.col("__r").alias("__q")))
+
+    test = scored.filter(F.col("__split") == "test")
+    return (test.crossJoin(F.broadcast(qhat))
+            .agg(F.max("n_train").alias("n_train"),
+                 F.lit(n_cal).alias("n_cal"),
+                 F.count(F.lit(1)).alias("n_test"),
+                 F.round(F.max("__b"), 6).alias("slope"),
+                 F.round(F.max("__a"), 6).alias("intercept"),
+                 F.round(F.max("__q"), 6).alias("q_hat"),
+                 F.sum(F.when(F.col("__r") <= F.col("__q"), 1)
+                       .otherwise(0)).alias("n_covered"))
+            .withColumn("coverage",
+                        F.round(F.col("n_covered") / F.col("n_test"), 6)))

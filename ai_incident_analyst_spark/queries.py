@@ -10604,3 +10604,62 @@ def q_shapley_channel_attribution(spark, sf_dir):
     return (shapley_attribution(first24, "user_id", "event_type", "conv",
                                 ["view", "click", "signup", "error"])
             .orderBy("channel"))
+
+
+@q("conformal_price_intervals", """
+WITH base AS (
+  SELECT CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS id,
+         CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem),
+split AS (
+  SELECT *, CASE WHEN substr(md5('cp:' || id), 1, 1) < '8' THEN 'train'
+                 WHEN substr(md5('cp:' || id), 1, 1) < 'c' THEN 'cal'
+                 ELSE 'test' END AS s
+  FROM base),
+fit AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM split WHERE s = 'train'),
+consts AS (
+  SELECT n AS n_train,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+         sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx / n
+           AS a
+  FROM fit),
+scored AS (
+  SELECT sp.*, abs(sp.y - (c.a + c.b * sp.x)) AS r
+  FROM split sp CROSS JOIN consts c),
+ncal AS (SELECT count(*) AS n_cal FROM scored WHERE s = 'cal'),
+ranked AS (
+  SELECT r, row_number() OVER (ORDER BY r, id) AS pos
+  FROM scored WHERE s = 'cal'),
+qhat AS (
+  SELECT r AS q FROM ranked CROSS JOIN ncal
+  WHERE pos = CAST(ceil((n_cal + 1) * 0.9) AS BIGINT))
+SELECT (SELECT n_train FROM consts) AS n_train,
+       (SELECT n_cal FROM ncal) AS n_cal,
+       count(*) AS n_test,
+       round((SELECT b FROM consts), 6) AS slope,
+       round((SELECT a FROM consts), 6) AS intercept,
+       round((SELECT q FROM qhat), 6) AS q_hat,
+       CAST(sum(CASE WHEN r <= (SELECT q FROM qhat) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_covered,
+       round(sum(CASE WHEN r <= (SELECT q FROM qhat) THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS coverage
+FROM scored WHERE s = 'test'
+""", doc="split-conformal prediction intervals (operators/stats.py:"
+         "conformal_ols_intervals, alpha=0.1): distribution-free "
+         "finite-sample-valid error bars around the price~quantity OLS "
+         "fit — md5-hash train/calibrate/test splits, q_hat = the exact "
+         "ceil((n+1)(1-alpha))-th smallest calibration |residual| "
+         "(order statistic via the two-phase prefix sum, id tie-break), "
+         "coverage verified on the held-out test split. The modern "
+         "uncertainty layer over the repo's learned scorers")
+def q_conformal_price_intervals(spark, sf_dir):
+    from .operators.stats import conformal_ols_intervals
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+        "l_quantity", "l_extendedprice")
+    return conformal_ols_intervals(li, "rid", "l_quantity",
+                                   "l_extendedprice", alpha=0.1)

@@ -188,6 +188,7 @@ HEADLINE = [
     "two_proportion_purchase",
     "log_rank_purchase_halves",
     "shapley_channel_attribution",
+    "conformal_price_intervals",
 ]
 
 

@@ -363,3 +363,34 @@ def test_log_rank_identical_groups_near_zero(spark):
     r = log_rank_test(df, "dur", "evt", "g", "a", "b").collect()[0]
     assert abs(r["o_minus_e"]) < 1e-9
     assert r["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_conformal_intervals_coverage_and_exact_quantile(spark):
+    from ai_incident_analyst_spark.operators.stats import (
+        conformal_ols_intervals,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    x = rng.uniform(0, 10, n)
+    y = 2.0 * x + 1.0 + rng.normal(0, 1.0, n)
+    df = spark.createDataFrame(
+        [(i, float(x[i]), float(y[i])) for i in range(n)],
+        "rid long, x double, y double")
+    r = conformal_ols_intervals(df, "rid", "x", "y",
+                                alpha=0.1).collect()[0]
+    # splits partition the input
+    assert r["n_train"] + r["n_cal"] + r["n_test"] == n
+    # the fit recovered the line
+    assert r["slope"] == pytest.approx(2.0, abs=0.1)
+    assert r["intercept"] == pytest.approx(1.0, abs=0.3)
+    # q_hat for N(0,1) residuals at alpha=.1 is ~1.64; generous band
+    assert 1.3 < r["q_hat"] < 2.1
+    # the conformal guarantee: coverage >= 1 - alpha (up to sampling
+    # noise on ~1000 test rows; 3 sigma below 0.9 is ~0.87)
+    assert r["coverage"] >= 0.87
+    # degenerate alpha: quantile off the sample end must raise
+    import pytest as _pt
+    with _pt.raises(ValueError, match="calibration"):
+        conformal_ols_intervals(df.limit(20), "rid", "x", "y",
+                                alpha=0.001)
