@@ -334,3 +334,60 @@ def fd_report(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def dp_noisy_counts(df: DataFrame, group_cols: list[str],
+                    epsilon: float = 1.0, salt: str = "dp",
+                    max_k: int = 60) -> DataFrame:
+    """ε-differentially-private group counts via the discrete Laplace
+    (two-sided geometric) mechanism — the RELEASE step the privacy
+    ladder (k-anonymity → l-diversity → t-closeness) ends at: those
+    gates judge a table, DP actually perturbs what leaves. Counting
+    queries have sensitivity 1, so noise ~ DLap(e^{−ε}) gives ε-DP.
+
+    DETERMINISM CAVEAT (by design, stated loudly): the noise draw is
+    pseudo-random from ``md5(salt:group)`` — reproducible across
+    engines/partitionings/reruns, which is what makes the mechanism
+    TESTABLE and oracle-checkable, but a REAL release must swap the
+    hash for a CSPRNG draw per release (a fixed seed leaks: repeated
+    queries average the noise away; same caveat class as
+    ``sample_random_negatives``). The mechanism shape — inverse-CDF
+    over an integer support lattice, never a float rejection loop — is
+    the production one.
+
+    Inverse CDF by lattice argmin: u ∈ (0,1) from the hash's first 13
+    hex digits; the noise is the smallest k ∈ [−max_k, max_k] with
+    CDF(k) ≥ u, where CDF is the closed-form discrete-Laplace CDF with
+    p = e^{−ε}. Both engines evaluate the identical expression tree on
+    identical doubles, so the argmin matches; ``max_k`` bounds the
+    lattice (P(|k| > 60) < 1e-26 at ε = 1). Noisy counts are clamped
+    at 0 (post-processing preserves DP). One groupBy + a 2·max_k+1
+    lattice explode per GROUP (group-cardinality, not row-cardinality).
+    """
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    p = float(__import__("math").exp(-epsilon))
+    counts = (df.groupBy(*group_cols)
+              .agg(F.count(F.lit(1)).alias("__n")))
+    key = F.md5(F.concat_ws(
+        ":", F.lit(salt), *[F.col(c).cast("string") for c in group_cols]))
+    # u in (0,1): 13 hex digits = 52 bits, exact in a double
+    u = ((F.conv(F.substring(key, 1, 13), 16, 10).cast("double") + 0.5)
+         / F.lit(float(16 ** 13)))
+    lat = counts.withColumn("__u", u).withColumn(
+        "__k", F.explode(F.sequence(F.lit(-max_k), F.lit(max_k))))
+    kd = F.col("__k").cast("double")
+    # discrete-Laplace CDF: k<0 -> p^{-k}/(1+p); k>=0 -> 1 - p^{k+1}/(1+p)
+    cdf = F.when(F.col("__k") < 0,
+                 F.pow(F.lit(p), -kd) / F.lit(1.0 + p)) \
+        .otherwise(F.lit(1.0) - F.pow(F.lit(p), kd + 1.0)
+                   / F.lit(1.0 + p))
+    w = Window.partitionBy(*group_cols).orderBy("__k")
+    noise = (lat.where(cdf >= F.col("__u"))
+             .withColumn("__rn", F.row_number().over(w))
+             .where(F.col("__rn") == 1))
+    return noise.select(
+        *group_cols,
+        F.greatest(F.col("__n") + F.col("__k"), F.lit(0))
+        .cast("long").alias("noisy_count"),
+        F.lit(int(round(epsilon * 1e6))).alias("epsilon_1e6"))

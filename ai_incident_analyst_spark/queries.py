@@ -10663,3 +10663,46 @@ def q_conformal_price_intervals(spark, sf_dir):
         "l_quantity", "l_extendedprice")
     return conformal_ols_intervals(li, "rid", "l_quantity",
                                    "l_extendedprice", alpha=0.1)
+
+
+@q("dp_customer_counts", """
+WITH counts AS (
+  SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1),
+ng AS (
+  SELECT c_nationkey, n,
+         (CAST(concat('0x', substr(md5(concat_ws(':', 'dp',
+                  CAST(c_nationkey AS VARCHAR))), 1, 13)) AS UBIGINT)
+          + 0.5) / 4503599627370496.0 AS u
+  FROM counts),
+lat AS (SELECT ng.*, t.k FROM ng, range(-60, 61) t(k)),
+cdf AS (
+  SELECT *, CASE WHEN k < 0
+                 THEN pow(0.36787944117144233, -CAST(k AS DOUBLE))
+                      / 1.3678794411714423
+                 ELSE 1.0 - pow(0.36787944117144233, CAST(k AS DOUBLE)
+                                                     + 1.0)
+                            / 1.3678794411714423 END AS c
+  FROM lat),
+pick AS (
+  SELECT c_nationkey, n, k FROM cdf WHERE c >= u
+  QUALIFY row_number() OVER (PARTITION BY c_nationkey ORDER BY k) = 1)
+SELECT c_nationkey,
+       CAST(greatest(n + k, 0) AS BIGINT) AS noisy_count,
+       1000000 AS epsilon_1e6
+FROM pick ORDER BY c_nationkey
+""", doc="epsilon-differentially-private per-nation customer counts "
+         "(operators/validation.py:dp_noisy_counts, eps=1, discrete "
+         "Laplace / two-sided geometric, sensitivity 1): the RELEASE "
+         "mechanism the privacy ladder ends at — k-anonymity/"
+         "l-diversity/t-closeness judge a table, DP perturbs what "
+         "leaves. Noise via inverse CDF over an integer lattice "
+         "(argmin k with CDF(k) >= u), u from md5(salt:group) — "
+         "deterministic-by-design for testability/oracle-checking; a "
+         "real release swaps in a CSPRNG (stated caveat). e^-1 carried "
+         "as a shared decimal literal so both engines parse the same "
+         "double; group-cardinality lattice work only")
+def q_dp_customer_counts(spark, sf_dir):
+    from .operators.validation import dp_noisy_counts
+    return (dp_noisy_counts(_t(spark, sf_dir, "customer"),
+                            ["c_nationkey"], epsilon=1.0)
+            .orderBy("c_nationkey"))

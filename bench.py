@@ -189,6 +189,7 @@ HEADLINE = [
     "log_rank_purchase_halves",
     "shapley_channel_attribution",
     "conformal_price_intervals",
+    "dp_customer_counts",
 ]
 
 

@@ -209,3 +209,45 @@ def test_fd_report_hand_truths(spark):
     assert (r["n_violating_lhs"], bool(r["holds"])) == (2, False)
     with pytest.raises(ValueError):
         fd_report(df, [])
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    from ai_incident_analyst_spark.operators.validation import (
+        dp_noisy_counts,
+    )
+
+    import math
+
+    rows = [(g,) for g in ["a"] * 100 + ["b"] * 50 + ["c"] * 3]
+    df = spark.createDataFrame(rows, "g string")
+    out = {r["g"]: r["noisy_count"]
+           for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    assert set(out) == {"a", "b", "c"}
+
+    # python replay of the exact inverse-CDF draw
+    import hashlib
+
+    def replay(g, n, eps=1.0, salt="dp"):
+        h = hashlib.md5(f"{salt}:{g}".encode()).hexdigest()
+        u = (int(h[:13], 16) + 0.5) / float(16 ** 13)
+        p = math.exp(-eps)
+        for k in range(-60, 61):
+            cdf = (p ** (-k) / (1 + p) if k < 0
+                   else 1.0 - p ** (k + 1) / (1 + p))
+            if cdf >= u:
+                return max(n + k, 0)
+        raise AssertionError("lattice exhausted")
+
+    assert out == {"a": replay("a", 100), "b": replay("b", 50),
+                   "c": replay("c", 3)}
+    # noise at eps=1 stays small: within ~15 of truth whp (fixed seed)
+    assert abs(out["a"] - 100) <= 15
+    # clamp: counts never go negative
+    assert all(v >= 0 for v in out.values())
+    # different salt -> different draw (overwhelmingly)
+    other = {r["g"]: r["noisy_count"]
+             for r in dp_noisy_counts(df, ["g"], epsilon=1.0,
+                                      salt="x").collect()}
+    assert other != out
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], epsilon=0.0)
