@@ -203,13 +203,18 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
     a single-task global window); the two order-statistic lookups are
     EQUALITY joins on integer positions, not range joins. Within-group
     ranks are ordinary per-group windows. Ties order by ``id_col`` so
-    every rank is deterministic cross-engine.
+    every rank is deterministic cross-engine. NULL/NaN values are
+    dropped (complete-case) BEFORE ranking — engines disagree on NULL
+    sort position (Spark NULLS FIRST, most SQL NULLS LAST), so letting
+    them through would silently shift every rank.
     """
     from .packing import global_cumsum
+    from .util import complete_case
 
     v = F.col(value_col).cast("double")
-    base = (df.select(F.col(id_col).alias("id"),
-                      F.col(group_col).alias("grp"), v.alias("val"))
+    base = (complete_case(df, [v])
+            .select(F.col(id_col).alias("id"),
+                    F.col(group_col).alias("grp"), v.alias("val"))
             .withColumn("__one", F.lit(1))
             .withColumn("__ord", F.struct(F.col("val"), F.col("id"))))
     pos = (global_cumsum(base, "__ord", "__one", "__pos")

@@ -289,6 +289,12 @@ def streaming_conversations(stream: DataFrame, key: str = "user_id",
     State per key: (last_ts, conv_seq, ts_us[], roles[], contents[]) —
     bounded by the open conversation's length, not history. Output: one
     row per CLOSED conversation, append mode.
+
+    STATE-SCHEMA MIGRATION: the ``ts_us`` array was added to the state
+    tuple (round 8, sort-at-emit fix); a checkpoint written by the
+    previous 4-field schema cannot be resumed — restart the stream with
+    a fresh checkpoint (replaying the source), the standard Structured
+    Streaming contract for state-schema changes.
     """
     from pyspark.sql.types import ArrayType, StringType
 

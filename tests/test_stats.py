@@ -394,3 +394,24 @@ def test_conformal_intervals_coverage_and_exact_quantile(spark):
     with _pt.raises(ValueError, match="calibration"):
         conformal_ols_intervals(df.limit(20), "rid", "x", "y",
                                 alpha=0.001)
+
+
+def test_quantile_normalize_drops_null_values(spark):
+    # NULL/NaN values must not shift ranks (engines disagree on NULL
+    # sort position: Spark NULLS FIRST, SQL NULLS LAST)
+    from ai_incident_analyst_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    clean = [("g1", i, float(v)) for i, v in enumerate([3, 1, 4, 2])]
+    df = spark.createDataFrame(
+        clean + [("g1", 90, None), ("g1", 91, float("nan"))],
+        "g string, id long, v double")
+    out = {r["id"]: r["normalized"]
+           for r in quantile_normalize(df, "g", "v", "id").collect()}
+    want = {r["id"]: r["normalized"]
+            for r in quantile_normalize(
+                spark.createDataFrame(clean, "g string, id long, v double"),
+                "g", "v", "id").collect()}
+    assert out == want
+    assert 90 not in out and 91 not in out
