@@ -222,6 +222,8 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     power-law tail) are plain groupBy keys, so AQE skew splitting
     applies.
     """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .distinct()
          .localCheckpoint(eager=False))
@@ -281,6 +283,8 @@ def label_propagation(edges: DataFrame, src: str = "src",
     """
     from pyspark.sql import Window
 
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .union(edges.select(F.col(dst).alias("u"),
                                F.col(src).alias("v")))

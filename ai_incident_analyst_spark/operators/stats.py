@@ -113,41 +113,51 @@ def welch_t_test(df: DataFrame, group_col: str, value_col: str,
     Welch's form because corpus segments almost never share variance.
 
     Sufficient statistics only (n, Σx, Σx² per group → sample means and
-    Bessel-corrected variances), so the whole test is ONE aggregation
+    Bessel-corrected variances) via ONE conditional global aggregation
     pass with map-side combine; df is Welch–Satterthwaite. Outputs
     rounded 6 dp; t is NULL when either group has n < 2 (variance
-    undefined) — surfacing NULL beats a fake statistic.
+    undefined) — surfacing NULL beats a fake statistic. ALWAYS exactly
+    one row out: a group absent after filtering yields n=0 and NULL
+    stats rather than an empty frame (the conditional-aggregate form —
+    a per-group groupBy followed by a crossJoin of the two sides would
+    silently emit ZERO rows when a side is empty, which one-row-out
+    consumers never detect).
     """
     from .util import complete_case
 
+    if group_a == group_b:
+        raise ValueError("group_a and group_b must differ")
     v = F.col(value_col).cast("double")
     df = complete_case(df.filter(F.col(group_col).isin(group_a, group_b)),
                        [v])
-    agg = (df.groupBy(F.col(group_col).alias("g"))
-           .agg(F.count(F.lit(1)).alias("n"),
-                F.sum(v).alias("s"), F.sum(v * v).alias("ss")))
-    a = agg.filter(F.col("g") == group_a).alias("a")
-    b = agg.filter(F.col("g") == group_b).alias("b")
-    j = a.crossJoin(b)
+    isa = F.col(group_col) == F.lit(group_a)
+    agg = df.agg(
+        F.coalesce(F.sum(F.when(isa, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("na"),
+        F.sum(F.when(isa, v)).alias("sa"),
+        F.sum(F.when(isa, v * v)).alias("ssa"),
+        F.coalesce(F.sum(F.when(~isa, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("nb"),
+        F.sum(F.when(~isa, v)).alias("sb"),
+        F.sum(F.when(~isa, v * v)).alias("ssb"))
 
-    def m(side):
-        return F.col(f"{side}.s") / F.col(f"{side}.n")
+    def m(p):
+        return F.col(f"s{p}") / F.col(f"n{p}")
 
-    def var(side):  # Bessel-corrected sample variance
-        n = F.col(f"{side}.n")
+    def var(p):  # Bessel-corrected sample variance
+        n = F.col(f"n{p}")
         return F.when(n >= 2,
-                      (F.col(f"{side}.ss") - n * m(side) * m(side))
-                      / (n - 1))
+                      (F.col(f"ss{p}") - n * m(p) * m(p)) / (n - 1))
 
-    va_n = var("a") / F.col("a.n")
-    vb_n = var("b") / F.col("b.n")
+    va_n = var("a") / F.col("na")
+    vb_n = var("b") / F.col("nb")
     se2 = va_n + vb_n
     t = (m("a") - m("b")) / F.sqrt(se2)
-    dof = (se2 * se2) / (va_n * va_n / (F.col("a.n") - 1)
-                         + vb_n * vb_n / (F.col("b.n") - 1))
-    return j.select(
-        F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b"),
-        F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"),
+    dof = (se2 * se2) / (va_n * va_n / (F.col("na") - 1)
+                         + vb_n * vb_n / (F.col("nb") - 1))
+    return agg.select(
+        F.lit(group_a).alias("group_a"), F.lit(group_b).alias("group_b"),
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
         F.round(m("a"), 6).alias("mean_a"),
         F.round(m("b"), 6).alias("mean_b"),
         F.round(t, 6).alias("t"),
@@ -164,14 +174,26 @@ def benford_report(df: DataFrame, value_col: str) -> DataFrame:
 
     First digit extracted ARITHMETICALLY (``x / 10^floor(log10 x)``),
     never via string formatting (locale/scientific-notation traps);
-    expected mass is ``log10(1 + 1/d)``. One groupBy(digit) over a
+    expected mass is ``log10(1 + 1/d)``. Observed counts are
+    LEFT-JOINED onto the literal 1..9 digit domain (n_obs coalesced to
+    0) so a digit with zero observations still contributes its full
+    ``n·p_benford`` chi² mass — skipping absent digits would understate
+    the statistic exactly when fabrication is most blatant (same
+    zero-count-arm handling as ``srm_check``), and guarantees the
+    documented 9-row shape on skewed inputs. One groupBy(digit) over a
     projection — scan-bound at any scale. 6 dp rounding.
     """
     x = F.col(value_col).cast("double")
     digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
-    per = (df.filter(x > 0)
-           .select(digit.cast("int").alias("digit"))
-           .groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs")))
+    observed = (df.filter(x > 0)
+                .select(digit.cast("int").alias("digit"))
+                .groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs")))
+    domain = (df.sparkSession.range(1, 10)
+              .select(F.col("id").cast("int").alias("digit")))
+    per = (domain.join(F.broadcast(observed), "digit", "left")
+           .select("digit",
+                   F.coalesce("n_obs", F.lit(0)).cast("long")
+                   .alias("n_obs")))
     tot = per.agg(F.sum("n_obs").alias("n"))
     p_obs = F.col("n_obs") / F.col("n")
     p_ben = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
@@ -475,24 +497,32 @@ def two_proportion_test(df: DataFrame, group_col: str, success_col,
     cast). The z statistic uses the POOLED standard error (the null-
     hypothesis convention); the CI around the difference uses the
     UNPOOLED one (the estimation convention) — mixing them up is the
-    classic spreadsheet bug. NULL z/CI when either group is empty.
-    One aggregation pass; exact integer counts; 6 dp rounding.
+    classic spreadsheet bug. One conditional global aggregation pass;
+    exact integer counts; 6 dp rounding. ALWAYS exactly one row out:
+    an absent group yields n=0 and NULL z/CI instead of the empty
+    frame a groupBy-then-crossJoin would produce (same contract as
+    ``welch_t_test``).
     """
+    if group_a == group_b:
+        raise ValueError("group_a and group_b must differ")
     s = F.col(success_col).cast("int")
     base = df.filter(F.col(group_col).isin(group_a, group_b))
-    agg = (base.groupBy(F.col(group_col).alias("g"))
-           .agg(F.count(F.lit(1)).alias("n"), F.sum(s).alias("k")))
-    a = agg.filter(F.col("g") == group_a).alias("a")
-    b = agg.filter(F.col("g") == group_b).alias("b")
-    j = a.crossJoin(b)
-    na, nb = F.col("a.n"), F.col("b.n")
-    pa, pb = F.col("a.k") / na, F.col("b.k") / nb
-    pp = (F.col("a.k") + F.col("b.k")) / (na + nb)
+    isa = F.col(group_col) == F.lit(group_a)
+    agg = base.agg(
+        F.coalesce(F.sum(F.when(isa, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("na"),
+        F.sum(F.when(isa, s)).alias("ka"),
+        F.coalesce(F.sum(F.when(~isa, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("nb"),
+        F.sum(F.when(~isa, s)).alias("kb"))
+    na, nb = F.col("na"), F.col("nb")
+    pa, pb = F.col("ka") / na, F.col("kb") / nb
+    pp = (F.col("ka") + F.col("kb")) / (na + nb)
     se_pool = F.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
     se_unpool = F.sqrt(pa * (1.0 - pa) / na + pb * (1.0 - pb) / nb)
     diff = pa - pb
-    return j.select(
-        F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b"),
+    return agg.select(
+        F.lit(group_a).alias("group_a"), F.lit(group_b).alias("group_b"),
         na.alias("n_a"), nb.alias("n_b"),
         F.round(pa, 6).alias("p_a"), F.round(pb, 6).alias("p_b"),
         F.round(diff, 6).alias("diff"),

@@ -646,36 +646,57 @@ def pmi_collocations(df: DataFrame, id_col: str, text_col: str = "text",
 
     The phrase-mining pass (Church & Hanks 1990) a tokenizer-training or
     index-building pipeline runs to promote multi-word units. Plan
-    shape: one posexplode + per-doc ``lead`` window for bigrams (the
-    ``shingle_rows`` form — fully codegen'd), two count aggregations
-    (bigram, unigram — both map-side combined, vocabulary-sized
-    shuffles), two broadcast-friendly unigram joins back, and a
-    ``top_n`` rank on the ROUNDED pmi (word-pair tie-breaks) so the
-    returned list is deterministic cross-engine. Tokens: lowercased
-    ``\\W+`` splits of length ≥ 2.
+    shape: adjacency is built ARRAY-SIDE — ``zip_with`` over two
+    shifted ``slice``s of the per-document token array — so no
+    posexplode/per-doc ``lead`` window (and therefore no corpus-sized
+    shuffle+sort just to recover token order; document order is already
+    the array order). The only corpus-sized shuffles are the two
+    map-side-combined count aggregations (bigram, unigram — both
+    vocabulary-sized after partial agg), then two vocab-sized unigram
+    joins back and a ``top_n`` rank on the ROUNDED pmi (word-pair
+    tie-breaks) so the returned list is deterministic cross-engine.
+    Tokens: lowercased ``\\W+`` splits of length ≥ 2.
 
     Returns ``(w1, w2, n_pair, pmi)``, best-first.
     """
-    from .util import spread
-
-    toks = F.split(F.lower(F.col(text_col)), r"\W+")
-    tk = (spread(df.select(id_col, text_col), id_col)
-          .select(F.col(id_col).alias("doc"),
-                  F.posexplode(toks).alias("pos", "w"))
-          .where(F.length("w") >= 2))
-    w = Window.partitionBy("doc").orderBy("pos")
-    bi = (tk.select("doc", F.col("w").alias("w1"),
-                    F.lead("w").over(w).alias("w2"))
-          .where(F.col("w2").isNotNull()))
     # bigrams form over the FILTERED token sequence: dropped short
     # tokens close ranks, so 'a' in "state a machine" does not block
     # the (state, machine) pair — the twin filters before its lead()
     # window too, so both engines share this convention
-    uni = tk.groupBy(F.col("w")).agg(F.count(F.lit(1)).alias("cu"))
-    n_uni = uni.agg(F.sum("cu").alias("nu"))
+    ws = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+                  lambda x: F.length(x) >= 2)
+    # With adjacency built array-side there is no per-doc window left,
+    # so no co-partitioning by doc is needed (load_table already
+    # spreads corpus tables for parallelism — a keyed repartition here
+    # would be a corpus-sized shuffle bought for nothing). base feeds
+    # three branches (unigram counts, bigram counts, corpus totals)
+    # and uni two (both join legs): persist() exactly those two frames
+    # — measured sweet spot between recompute (3 extra corpus passes)
+    # and plan-build cost (persist is lazy metadata, unlike
+    # localCheckpoint whose ~0.2-0.5 s of driver-side analysis per
+    # call tripled build time). Unpersisted when the plan is GC'd.
+    base = df.select(text_col).select(ws.alias("ws")).persist()
+    uni = (base.select(F.explode("ws").alias("w"))
+           .groupBy(F.col("w")).agg(F.count(F.lit(1)).alias("cu"))
+           .persist())
+    n = F.size("ws")
+    bi = (base.where(n >= 2)
+          .select(F.explode(F.zip_with(
+              F.slice("ws", 1, n - 1),
+              F.slice(F.col("ws"), F.lit(2), n - 1),
+              lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+              .alias("p"))
+          .select("p.w1", "p.w2"))
     pairs = (bi.groupBy("w1", "w2")
              .agg(F.count(F.lit(1)).alias("n_pair")))
-    n_bi = pairs.agg(F.sum("n_pair").alias("nb"))
+    # corpus totals straight off the cached array frame — ONE pass,
+    # no second reference to the uni/pairs aggregates (which would
+    # re-run their shuffles): nu = Σ|ws|, nb = Σ max(|ws|−1, 0)
+    totals = base.agg(
+        F.sum(n).alias("nu"),
+        F.sum(F.greatest(n - 1, F.lit(0))).alias("nb"))
+    n_uni = totals.select("nu")
+    n_bi = totals.select("nb")
     out = (
         pairs.where(F.col("n_pair") >= min_count)
         .join(uni.select(F.col("w").alias("w1"),

@@ -360,9 +360,16 @@ def dp_noisy_counts(df: DataFrame, group_cols: list[str],
     CDF(k) ≥ u, where CDF is the closed-form discrete-Laplace CDF with
     p = e^{−ε}. Both engines evaluate the identical expression tree on
     identical doubles, so the argmin matches; ``max_k`` bounds the
-    lattice (P(|k| > 60) < 1e-26 at ε = 1). Noisy counts are clamped
-    at 0 (post-processing preserves DP). One groupBy + a 2·max_k+1
-    lattice explode per GROUP (group-cardinality, not row-cardinality).
+    lattice (P(|k| > 60) < 1e-26 at ε = 1). The lattice endpoint
+    k = max_k is pinned to CDF = 1.0, so a draw in the truncated tail
+    CLAMPS the noise at +max_k instead of silently dropping the group
+    (a u > CDF(max_k) draw would otherwise leave no surviving lattice
+    row — negligible at ε = 1 but a real 2-5 % group loss at ε ≈ 0.05;
+    clamping is standard truncated-DLap post-processing and keeps the
+    release a total function of the input groups). Noisy counts are
+    clamped at 0 (post-processing preserves DP). One groupBy + a
+    2·max_k+1 lattice explode per GROUP (group-cardinality, not
+    row-cardinality).
     """
     if epsilon <= 0:
         raise ValueError("epsilon must be positive")
@@ -377,9 +384,12 @@ def dp_noisy_counts(df: DataFrame, group_cols: list[str],
     lat = counts.withColumn("__u", u).withColumn(
         "__k", F.explode(F.sequence(F.lit(-max_k), F.lit(max_k))))
     kd = F.col("__k").cast("double")
-    # discrete-Laplace CDF: k<0 -> p^{-k}/(1+p); k>=0 -> 1 - p^{k+1}/(1+p)
-    cdf = F.when(F.col("__k") < 0,
-                 F.pow(F.lit(p), -kd) / F.lit(1.0 + p)) \
+    # discrete-Laplace CDF: k<0 -> p^{-k}/(1+p); k>=0 -> 1 - p^{k+1}/(1+p).
+    # The k == max_k endpoint is pinned to exactly 1.0 so every group
+    # keeps >= 1 surviving lattice row (tail draws clamp, never drop).
+    cdf = F.when(F.col("__k") == max_k, F.lit(1.0)) \
+        .when(F.col("__k") < 0,
+              F.pow(F.lit(p), -kd) / F.lit(1.0 + p)) \
         .otherwise(F.lit(1.0) - F.pow(F.lit(p), kd + 1.0)
                    / F.lit(1.0 + p))
     w = Window.partitionBy(*group_cols).orderBy("__k")

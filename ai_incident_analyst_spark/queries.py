@@ -9585,7 +9585,11 @@ WITH pos AS (
   SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice))))
               AS INT) AS digit
   FROM orders WHERE o_totalprice > 0),
-per AS (SELECT digit, count(*) AS n_obs FROM pos GROUP BY 1),
+obs AS (SELECT digit, count(*) AS n_obs FROM pos GROUP BY 1),
+per AS (
+  SELECT d.digit, COALESCE(o.n_obs, 0) AS n_obs
+  FROM (SELECT CAST(t.d AS INT) AS digit FROM range(1, 10) t(d)) d
+  LEFT JOIN obs o USING (digit)),
 tot AS (SELECT sum(n_obs) AS n FROM per)
 SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
        round(n_obs / n, 6) AS p_obs,
@@ -10676,7 +10680,8 @@ ng AS (
   FROM counts),
 lat AS (SELECT ng.*, t.k FROM ng, range(-60, 61) t(k)),
 cdf AS (
-  SELECT *, CASE WHEN k < 0
+  SELECT *, CASE WHEN k = 60 THEN 1.0
+                 WHEN k < 0
                  THEN pow(0.36787944117144233, -CAST(k AS DOUBLE))
                       / 1.3678794411714423
                  ELSE 1.0 - pow(0.36787944117144233, CAST(k AS DOUBLE)

@@ -313,10 +313,18 @@ def streaming_conversations(stream: DataFrame, key: str = "user_id",
     ])
 
     def render(ts_us, roles, contents):
-        # emit-time ordering: (ts, arrival order) — the stable sort's
-        # tiebreak is arrival order, matching the batch array_sort
-        # whose struct key leads with micros-precision ts
-        order = sorted(range(len(ts_us)), key=lambda i: ts_us[i])
+        # emit-time ordering: (ts, role, content) — the SAME falls-
+        # through key as the batch array_sort struct (micros ts leads;
+        # struct comparison then falls through to role, content), so
+        # same-microsecond turns order identically in both paths and
+        # the byte-identity contract holds without a tiebreak column.
+        # The `is not None` legs mirror Spark's ASC nulls-first.
+        order = sorted(range(len(ts_us)),
+                       key=lambda i: (ts_us[i],
+                                      roles[i] is not None,
+                                      roles[i] or "",
+                                      contents[i] is not None,
+                                      contents[i] or ""))
         return "".join(f"<|{roles[i]}|>{contents[i]}{eos}"
                        for i in order)
 

@@ -174,3 +174,20 @@ def test_label_propagation_python_replay(spark):
                spark.createDataFrame(edges, "src long, dst long"),
                iterations=3).collect()}
     assert got == replay(edges)
+
+
+def test_hits_and_lpa_reject_nonpositive_iterations(spark):
+    """iterations=0 must fail fast with a clear ValueError, not a
+    confusing join-on-None crash deep in the plan (advice r8)."""
+    import pytest
+
+    from ai_incident_analyst_spark.operators.graph import (
+        hits,
+        label_propagation,
+    )
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        hits(e, iterations=0)
+    with pytest.raises(ValueError, match="iterations"):
+        label_propagation(e, iterations=0)

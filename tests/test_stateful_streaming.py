@@ -282,3 +282,55 @@ def test_streaming_conversations_cross_batch_disorder(spark, tmp_path):
                     .join(last, ["user_id", "conv_seq"], "left_anti")
                     .collect()}
     assert got == closed_batch
+
+
+def test_streaming_conversations_same_ts_tiebreak(spark, tmp_path):
+    """Turns sharing the SAME timestamp must order by (role, content) —
+    the batch array_sort struct's fall-through key — not by arrival
+    order (advice r8: arrival-order tiebreak broke the byte-identity
+    contract on same-microsecond turns)."""
+    from ai_incident_analyst_spark.operators.conversation import (
+        assemble_conversations,
+        render_chat,
+    )
+    from ai_incident_analyst_spark.streaming.stateful import (
+        streaming_conversations,
+    )
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "tsrc")
+    ckpt = str(tmp_path / "tckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, ts timestamp, role string, content string"
+
+    # arrival order (user, assistant) REVERSES the (role, content)
+    # sort order at the shared timestamp
+    rows = [(1, "2024-01-01 10:00:00", "user", "zeta"),
+            (1, "2024-01-01 10:00:00", "assistant", "alpha"),
+            (1, "2024-01-01 13:00:00", "user", "opens next")]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "role", "content"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    collected = []
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (streaming_conversations(stream, "user_id", "ts", "role",
+                                 "content", gap_seconds=1800)
+         .writeStream
+         .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.conv_seq): r.chat_text for r in collected}
+    want = "<|assistant|>alpha<|end|><|user|>zeta<|end|>"
+    assert got == {(1, 1): want}
+
+    # byte-identity with the batch path over the same events
+    all_events = spark.createDataFrame(pdf)
+    conv = assemble_conversations(all_events, "user_id", "ts", "role",
+                                  "content", gap_seconds=1800)
+    batch = {(r["user_id"], r["conv_seq"]): r["chat_text"]
+             for r in render_chat(conv)
+             .filter(F.col("conv_seq") == 1).collect()}
+    assert batch == got

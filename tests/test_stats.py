@@ -130,13 +130,19 @@ def test_benford_report_mass_and_digits(spark):
             -5.0, 0.0]  # negatives / zeros excluded
     df = spark.createDataFrame([(v,) for v in vals], "x double")
     rows = {r["digit"]: r for r in benford_report(df, "x").collect()}
-    assert set(rows) == {1, 2, 3, 9}
+    # ALWAYS 9 rows: absent digits appear with n_obs = 0 (advice r8 —
+    # skipping them understated chi2 exactly when fabrication is worst)
+    assert set(rows) == set(range(1, 10))
     assert rows[1]["n_obs"] == 4           # 1.0, 12.5, 0.19, 199.0
     assert rows[2]["n_obs"] == 2
+    assert rows[5]["n_obs"] == 0
     assert sum(r["n_obs"] for r in rows.values()) == 8
     assert sum(r["p_obs"] for r in rows.values()) == pytest.approx(1.0, abs=1e-5)
     import math
     assert rows[1]["p_benford"] == pytest.approx(math.log10(2), abs=1e-6)
+    # zero-observation digit still contributes its full n*p chi2 mass
+    assert rows[5]["chi2_term"] == pytest.approx(
+        8 * math.log10(1.2), abs=1e-5)
 
 
 def test_quantile_normalize_matches_numpy(spark):
@@ -415,3 +421,43 @@ def test_quantile_normalize_drops_null_values(spark):
                 "g", "v", "id").collect()}
     assert out == want
     assert 90 not in out and 91 not in out
+
+
+def test_welch_t_test_absent_group_one_row(spark):
+    """An absent group yields n=0 / NULL stats, never an empty frame
+    (advice r8: the old groupBy+crossJoin form emitted ZERO rows when a
+    side was empty, invisible to one-row-out consumers)."""
+    from ai_incident_analyst_spark.operators.stats import welch_t_test
+
+    df = spark.createDataFrame(
+        [("b", 2.0), ("b", 3.0), ("b", 4.0)], "g string, v double")
+    out = welch_t_test(df, "g", "v", "a", "b").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    assert r["n_a"] == 0 and r["n_b"] == 3
+    assert r["mean_a"] is None and r["mean_b"] == pytest.approx(3.0)
+    assert r["t"] is None and r["df"] is None
+    # fully empty input: still one row, all-NULL stats
+    r2 = welch_t_test(df.filter("g = 'zzz'"), "g", "v", "a", "b").collect()
+    assert len(r2) == 1 and r2[0]["n_a"] == 0 and r2[0]["n_b"] == 0
+    with pytest.raises(ValueError):
+        welch_t_test(df, "g", "v", "b", "b")
+
+
+def test_two_proportion_absent_group_one_row(spark):
+    from ai_incident_analyst_spark.operators.stats import (
+        two_proportion_test,
+    )
+
+    df = spark.createDataFrame(
+        [("b", 1), ("b", 0), ("b", 1)], "g string, s int")
+    out = two_proportion_test(df, "g", "s", "a", "b").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_a"] == 0 and r["n_b"] == 3
+    assert r["p_a"] is None
+    assert r["p_b"] == pytest.approx(2.0 / 3.0, abs=1e-6)
+    assert r["z_stat"] is None and r["ci_lo"] is None
+    with pytest.raises(ValueError):
+        two_proportion_test(df, "g", "s", "a", "a")

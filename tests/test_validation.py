@@ -251,3 +251,40 @@ def test_dp_noisy_counts_mechanism(spark):
     assert other != out
     with pytest.raises(ValueError):
         dp_noisy_counts(df, ["g"], epsilon=0.0)
+
+
+def test_dp_noisy_counts_tail_clamps_not_drops(spark):
+    """At small epsilon the truncated-lattice tail is common; a group
+    whose u exceeds CDF(max_k) must CLAMP at +max_k, not vanish from
+    the release (advice r8: silent group loss from a privacy
+    mechanism)."""
+    from ai_incident_analyst_spark.operators.validation import (
+        dp_noisy_counts,
+    )
+
+    import hashlib
+    import math
+
+    groups = [f"g{i:03d}" for i in range(120)]
+    rows = [(g,) for g in groups for _ in range(10)]
+    df = spark.createDataFrame(rows, "g string")
+    eps = 0.02
+    out = {r["g"]: r["noisy_count"]
+           for r in dp_noisy_counts(df, ["g"], epsilon=eps,
+                                    salt="dp").collect()}
+    # every input group appears in the release — no silent drops
+    assert set(out) == set(groups)
+
+    # at least one group actually drew into the clamped tail (the test
+    # is vacuous otherwise), and that group's count equals n + max_k
+    p = math.exp(-eps)
+    cdf_max = 1.0 - p ** 61 / (1 + p)
+    tail = []
+    for g in groups:
+        h = hashlib.md5(f"dp:{g}".encode()).hexdigest()
+        u = (int(h[:13], 16) + 0.5) / float(16 ** 13)
+        if u > cdf_max:
+            tail.append(g)
+    assert tail, "fixture produced no tail draw; widen the group list"
+    for g in tail:
+        assert out[g] == 10 + 60, (g, out[g])
