@@ -117,6 +117,40 @@ def pca_power_fit(df: DataFrame, vec_col: str, iters: int = 2):
     return mean, v
 
 
+def pca_deflate_fit(df: DataFrame, vec_col: str, k: int,
+                    iters: int = 2):
+    """Top-``k`` principal directions by fixed-rounds power iteration
+    WITH HOTELLING DEFLATION — the fully oracle-checkable fit: every
+    step (matvec, normalize, Rayleigh quotient, rank-1 deflation) is
+    plain matrix arithmetic a SQL twin replays term-for-term, extending
+    ``pca_power_fit`` (top-1 only) to a whole component block.
+
+    Per component: ``v ← normalize(cov_c @ v)`` from the all-ones start
+    (``iters`` rounds, deterministic sign by construction — no LAPACK
+    convention to pin), then ``λ = vᵀ·cov_c·v`` and
+    ``cov_{c+1} = cov_c − λ·v·vᵀ``. Fixed rounds rather than a
+    convergence test keep the twin finite; with real spectral gaps two
+    rounds align well (tests assert alignment vs ``eigh``). The
+    ``eigh``-based ``pca_fit`` stays the production fit (exact, no
+    iteration error); this is the auditable sibling. Returns
+    ``(mean (d,), components (k, d))``.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    _, mean, cov = covariance_stats(df, vec_col)
+    cov = cov.copy()
+    comps = []
+    for _ in range(k):
+        v = np.ones(cov.shape[0], dtype=np.float64)
+        for _ in range(iters):
+            v = cov @ v
+            v = v / np.linalg.norm(v)
+        lam = float(v @ cov @ v)
+        comps.append(v)
+        cov = cov - lam * np.outer(v, v)
+    return mean, np.stack(comps)
+
+
 def pca_project(df: DataFrame, id_col: str, vec_col: str,
                 mean, components, out_col: str = "pc") -> DataFrame:
     """Append the (k,) projection ``components @ (x − mean)`` as

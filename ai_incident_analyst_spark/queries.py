@@ -5040,17 +5040,95 @@ def q_pca_covariance(spark, sf_dir):
     return spark.createDataFrame(rows, "i int, j int, cov double")
 
 
-@q("pca_project", None,
-   doc="PCA projection to the top-4 components (operators/pca.py: "
-       "pca_fit + pca_project): broadcast (k,d) matrix + one Arrow pass, "
-       "no shuffle. Eigendecomposition is iterative FP → no SQL twin; "
-       "numpy parity, sign determinism, and variance ordering in "
+def _pca_deflate_sql(k: int = 4, iters: int = 2, dp: int = 5) -> str:
+    """DuckDB twin for the power-iteration-with-deflation PCA fit +
+    projection — generated because the k×iters CTE ladder is purely
+    mechanical: per component, ``iters`` matvec+normalize rounds from
+    the all-ones start, then a Rayleigh-quotient λ and a rank-1
+    deflation feeding the next component's covariance. Mirrors
+    operators/pca.py:pca_deflate_fit term-for-term."""
+    # every CTE is MATERIALIZED: the deflation ladder references each
+    # cov{c} four times, so default CTE inlining would expand the
+    # upstream tree EXPONENTIALLY (cov3 -> 4^3 dims scans; observed as
+    # "Too many open files" before it even got slow)
+    ctes = ["""dims AS MATERIALIZED (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i
+  FROM embeddings),
+mu AS MATERIALIZED (SELECT i, avg(x) AS m FROM dims GROUP BY i),
+xx AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS e2
+  FROM dims a JOIN dims b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2),
+cov0 AS MATERIALIZED (
+  SELECT xx.i, xx.j, xx.e2 - ma.m * mb.m AS c
+  FROM xx JOIN mu ma ON ma.i = xx.i JOIN mu mb ON mb.i = xx.j)"""]
+    for c in range(k):
+        prev = f"cov{c}"
+        ctes.append(f"v{c}_0 AS MATERIALIZED (SELECT i, sum(c) AS w "
+                    f"FROM {prev} GROUP BY i)")
+        ctes.append(f"v{c}_0n AS MATERIALIZED (SELECT i, w / "
+                    f"(SELECT sqrt(sum(w * w)) "
+                    f"FROM v{c}_0) AS w FROM v{c}_0)")
+        for t in range(1, iters):
+            ctes.append(
+                f"v{c}_{t} AS MATERIALIZED (\n"
+                f"  SELECT {prev}.i, sum({prev}.c * v.w) AS w\n"
+                f"  FROM {prev} JOIN v{c}_{t - 1}n v ON v.i = {prev}.j\n"
+                f"  GROUP BY {prev}.i)")
+            ctes.append(
+                f"v{c}_{t}n AS MATERIALIZED (SELECT i, w / "
+                f"(SELECT sqrt(sum(w * w)) "
+                f"FROM v{c}_{t}) AS w FROM v{c}_{t})")
+        vn = f"v{c}_{iters - 1}n"
+        if c < k - 1:
+            ctes.append(
+                f"lam{c} AS MATERIALIZED (\n"
+                f"  SELECT sum(a.w * {prev}.c * b.w) AS l\n"
+                f"  FROM {prev} JOIN {vn} a ON a.i = {prev}.i\n"
+                f"  JOIN {vn} b ON b.i = {prev}.j)")
+            ctes.append(
+                f"cov{c + 1} AS MATERIALIZED (\n"
+                f"  SELECT {prev}.i, {prev}.j,\n"
+                f"         {prev}.c - (SELECT l FROM lam{c}) "
+                f"* a.w * b.w AS c\n"
+                f"  FROM {prev} JOIN {vn} a ON a.i = {prev}.i\n"
+                f"  JOIN {vn} b ON b.i = {prev}.j)")
+    proj = ",\n       ".join(
+        f"round(sum((d.x - mu.m) * c{c}.w), {dp}) AS pc{c + 1}"
+        for c in range(k))
+    joins = "\n  ".join(
+        f"JOIN v{c}_{iters - 1}n c{c} ON c{c}.i = d.i"
+        for c in range(k))
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT d.vec_id,\n       {proj}\n"
+        f"FROM dims d JOIN mu ON mu.i = d.i\n  {joins}\n"
+        "GROUP BY d.vec_id"
+    )
+
+
+@q("pca_project", _pca_deflate_sql(k=4, iters=2),
+   doc="PCA projection onto the top-4 principal directions from a "
+       "fixed-rounds power-iteration-with-deflation fit (operators/"
+       "pca.py:pca_deflate_fit): per component, 2 matvec+normalize "
+       "rounds from the all-ones start, Rayleigh-quotient lambda, "
+       "rank-1 Hotelling deflation — deterministic matrix arithmetic "
+       "end to end, so the whole fit AND projection hash-match a "
+       "generated DuckDB CTE ladder (rounded 5dp: the engines "
+       "accumulate identical sums in different association orders). "
+       "Closes the registry's last rows-only entry; the eigh-based "
+       "pca_fit remains the exact production fit with numpy-parity, "
+       "sign-determinism, and variance-ordering tests in "
        "tests/test_pca.py")
 def q_pca_project(spark, sf_dir):
-    from .operators.pca import pca_fit, pca_project
+    from .operators.pca import pca_deflate_fit, pca_project
     emb = _t(spark, sf_dir, "embeddings")
-    mean, comps, _ = pca_fit(emb, "embedding", k=4)
-    return pca_project(emb, "vec_id", "embedding", mean, comps)
+    mean, comps = pca_deflate_fit(emb, "embedding", k=4, iters=2)
+    proj = pca_project(emb, "vec_id", "embedding", mean, comps)
+    return proj.select(
+        "vec_id", *[F.round(F.col("pc")[c], 5).alias(f"pc{c + 1}")
+                    for c in range(4)])
 
 
 @q("weighted_sample_docs", """

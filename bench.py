@@ -264,7 +264,12 @@ def main():
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]:.2f}s", file=sys.stderr)
 
-    print(json.dumps({
+    # The driver's stdout capture truncates long lines (BENCH_r07/r08
+    # both recorded parsed:null against a 165-entry per-query map), so
+    # stdout carries a COMPACT summary — totals plus the 10 slowest
+    # queries — and the full per-query map goes to BENCH_DETAIL.json
+    # next to this script.
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
@@ -273,6 +278,23 @@ def main():
         "loadavg_start": round(load1, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
         "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    worst = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": detail["value"],
+        "unit": "sec",
+        "n_queries": len(times),
+        "queries": worst,          # 10 slowest; full map in detail file
+        "runs_per_query": runs,
+        "loadavg_start": detail["loadavg_start"],
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
     }))
 
 

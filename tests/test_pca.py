@@ -96,3 +96,43 @@ def test_pca_power_fit_parity_and_alignment(spark):
     np.testing.assert_allclose(v, ref, rtol=1e-12)
     _, comps, _ = pca_fit(df, "embedding", k=1)
     assert abs(float(np.dot(v, comps[0]))) > 0.95
+
+
+def test_pca_deflate_fit_aligns_with_eigh(spark):
+    """The oracle-checkable deflation fit must track the exact eigh
+    components: |cos| alignment per component on data with clear
+    spectral gaps, and monotone (non-increasing) captured variance."""
+    from ai_incident_analyst_spark.operators.pca import pca_deflate_fit
+
+    rng = np.random.default_rng(11)
+    # anisotropic Gaussian: variances 25, 9, 1, 0.04 along rotated axes
+    q, _ = np.linalg.qr(rng.normal(size=(4, 4)))
+    x = rng.normal(size=(300, 4)) * np.array([5.0, 3.0, 1.0, 0.2]) @ q.T
+    df = _frame(spark, x)
+    mean_e, comps_e, _ = pca_fit(df, "embedding", k=3)
+    mean_d, comps_d = pca_deflate_fit(df, "embedding", k=3, iters=8)
+    np.testing.assert_allclose(mean_d, mean_e, rtol=1e-12)
+    for c in range(3):
+        align = abs(float(comps_d[c] @ comps_e[c]))
+        assert align > 0.99, (c, align)
+    # captured variance (Rayleigh quotients) non-increasing
+    cov = np.cov(x.T, bias=True)
+    lams = [float(v @ cov @ v) for v in comps_d]
+    assert lams == sorted(lams, reverse=True)
+
+
+def test_pca_deflate_fit_deterministic_and_guarded(spark):
+    from ai_incident_analyst_spark.operators.pca import pca_deflate_fit
+
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(80, 5))
+    df = _frame(spark, x)
+    m1, c1 = pca_deflate_fit(df, "embedding", k=2, iters=2)
+    m2, c2 = pca_deflate_fit(_frame(spark, x, parts=9), "embedding",
+                             k=2, iters=2)
+    # partitioning-invariant up to FP noise in the partial sums
+    np.testing.assert_allclose(c1, c2, atol=1e-9)
+    with pytest.raises(ValueError):
+        pca_deflate_fit(df, "embedding", k=0)
+    with pytest.raises(ValueError):
+        pca_deflate_fit(df, "embedding", k=2, iters=0)
