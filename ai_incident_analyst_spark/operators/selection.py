@@ -54,6 +54,18 @@ def mmr_select(df: DataFrame, id_col: str, vec_col: str, k: int,
     (rel(x) == sim(x, anchor)), so once the anchor is picked, round-2
     scores compress toward ``(lam - (1-lam)) * rel`` — pass an external
     ``rel_col`` when you want diversity to dominate the tail picks.
+
+    PRACTICAL k BOUND: greedy selection is inherently k-SEQUENTIAL —
+    each pick depends on all previous picks, so the operator runs ONE
+    Spark job per pick (k jobs total; driver state is the k×d picked
+    vectors re-entering the plan as literals, same layering as the
+    ``embedding_cosine_neardup`` broadcast limit). Sized for the
+    intended k ≲ 100 coreset/diversity-probe use: per-job cost is one
+    cached corpus scan with a ≤k-term codegen expression, but job-
+    submission latency and expression width both grow with k. For
+    thousands of representatives, switch to ``operators/clustering.py``
+    k-means (one pick per centroid, fixed rounds) or cluster first and
+    run MMR per cluster.
     """
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("x"),
@@ -130,6 +142,14 @@ def k_center_select(df: DataFrame, id_col: str, vec_col: str, k: int,
     corpus scan; no join, no shuffle, 1-row argmax per round. Scores
     discretize to ``round_dp`` before every argmax (ties by id) so the
     fixed-k greedy unrolls into a SQL twin exactly.
+
+    PRACTICAL k BOUND: like ``mmr_select``, greedy max-min is
+    k-SEQUENTIAL — one Spark job per pick, an expression ``F.least``
+    over ≤k−1 distance terms, and k×d doubles of driver state. Sized
+    for k ≲ 100 (coreset seeding, eval-set picks). For larger center
+    counts use ``operators/clustering.py`` k-means (fixed rounds
+    independent of k) or the standard scale recipe: k-means to √k·c
+    clusters, then k-center WITHIN each cluster in parallel.
     """
     from ..functions.vectors import l2_sq
 
