@@ -30,6 +30,41 @@ from pyspark.sql.types import (
 )
 
 
+#: state-schema versions, one per stateful operator. Bump when the state
+#: tuple's layout OR semantics change. v1 was the unversioned tuple; v2
+#: (r9) prepends this version field so a restart over a checkpoint from
+#: an incompatible operator version fails FAST with an actionable
+#: message instead of an opaque deep-in-the-plan error (advice r8: the
+#: conversations migration note relied on opaque failure).
+_STATE_VERSIONS = {
+    "streaming_sessionize": 2,
+    "streaming_burst_monitor": 2,
+    "streaming_neardup_gate": 2,
+    # v2 was the r8 sort-at-emit state (ts_us added); v3 adds the guard
+    "streaming_conversations": 3,
+}
+
+
+def _check_state_version(got: int, expected: int, op: str) -> None:
+    """Fail fast when a resumed checkpoint holds state written by an
+    incompatible operator version. Spark's own state-store schema check
+    catches LAYOUT changes; this catches same-shape SEMANTIC changes
+    (e.g. a field's meaning or ordering contract changed) that would
+    otherwise corrupt silently or crash opaquely. ``expected`` is
+    captured BY VALUE in each operator's closure at plan-build time
+    (the serialized UDF carries it to the Python workers; a module
+    global would be re-imported worker-side and ignore runtime pins).
+    """
+    if got != expected:
+        raise ValueError(
+            f"{op}: state-schema version mismatch — the checkpoint holds "
+            f"v{got} state but this operator version writes v{expected}. "
+            f"The stream was restarted over a checkpoint written by an "
+            f"incompatible operator version; restart with a FRESH "
+            f"checkpoint location and replay the source (the standard "
+            f"Structured Streaming contract for state-schema changes).")
+
+
 def streaming_sessionize(stream: DataFrame, key: str = "user_id",
                          ts_col: str = "ts",
                          gap_seconds: int = 1800,
@@ -52,16 +87,23 @@ def streaming_sessionize(stream: DataFrame, key: str = "user_id",
         StructField("session_id", LongType()),
     ])
     state_schema = StructType([
+        StructField("schema_ver", LongType()),
         StructField("last_ts_epoch", LongType()),
         StructField("sid", LongType()),
     ])
+
+    state_ver = _STATE_VERSIONS["streaming_sessionize"]
 
     def assign(key_tuple: Any, pdfs: Iterable[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
             return
-        last_ts, sid = state.get if state.exists else (None, 0)
+        if state.exists:
+            ver, last_ts, sid = state.get
+            _check_state_version(ver, state_ver, "streaming_sessionize")
+        else:
+            last_ts, sid = None, 0
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
@@ -79,7 +121,8 @@ def streaming_sessionize(stream: DataFrame, key: str = "user_id",
                 ts_col: pdf[ts_col],
                 "session_id": sids,
             })
-        state.update((last_ts, sid))
+        state.update((state_ver,
+                      last_ts, sid))
         if state_timeout_ms > 0:
             state.setTimeoutDuration(state_timeout_ms)
 
@@ -107,19 +150,26 @@ def streaming_burst_monitor(stream: DataFrame, key: str = "container_name",
         StructField("events_this_trigger", LongType()),
         StructField("burst", LongType()),
     ])
-    state_schema = StructType([StructField("total", LongType())])
+    state_schema = StructType([StructField("schema_ver", LongType()),
+                               StructField("total", LongType())])
+
+    state_ver = _STATE_VERSIONS["streaming_burst_monitor"]
 
     def monitor(key_tuple: Any, pdfs: Iterable[pd.DataFrame],
                 state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
             return
-        (total,) = state.get if state.exists else (0,)
+        if state.exists:
+            ver, total = state.get
+            _check_state_version(ver, state_ver, "streaming_burst_monitor")
+        else:
+            total = 0
         n = 0
         for pdf in pdfs:
             n += len(pdf)
         total += n
-        state.update((total,))
+        state.update((state_ver, total))
         if state_timeout_ms > 0:
             state.setTimeoutDuration(state_timeout_ms)
         yield pd.DataFrame({
@@ -210,15 +260,23 @@ def streaming_neardup_gate(stream: DataFrame, id_col: str = "doc_id",
         StructField("est_jaccard", DoubleType()),
     ])
     state_schema = StructType([
+        StructField("schema_ver", LongType()),
         StructField("sigs", ArrayType(ArrayType(LongType()))),
     ])
+
+    state_ver = _STATE_VERSIONS["streaming_neardup_gate"]
 
     def gate(key_tuple: Any, pdfs: Iterable[pd.DataFrame],
              state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
             return
-        stored: list[list[int]] = list(state.get[0]) if state.exists else []
+        if state.exists:
+            ver, sigs0 = state.get
+            _check_state_version(ver, state_ver, "streaming_neardup_gate")
+            stored: list[list[int]] = list(sigs0)
+        else:
+            stored = []
         bucket = key_tuple[0]
         for pdf in pdfs:
             if len(pdf) == 0:
@@ -243,7 +301,8 @@ def streaming_neardup_gate(stream: DataFrame, id_col: str = "doc_id",
                 "is_neardup": flags,
                 "est_jaccard": [round(b, 6) for b in bests],
             })
-        state.update((stored,))
+        state.update((state_ver,
+                      stored))
         if state_timeout_ms > 0:
             state.setTimeoutDuration(state_timeout_ms)
 
@@ -290,11 +349,13 @@ def streaming_conversations(stream: DataFrame, key: str = "user_id",
     bounded by the open conversation's length, not history. Output: one
     row per CLOSED conversation, append mode.
 
-    STATE-SCHEMA MIGRATION: the ``ts_us`` array was added to the state
-    tuple (round 8, sort-at-emit fix); a checkpoint written by the
-    previous 4-field schema cannot be resumed — restart the stream with
-    a fresh checkpoint (replaying the source), the standard Structured
-    Streaming contract for state-schema changes.
+    STATE-SCHEMA MIGRATION: v2 (round 8) added the ``ts_us`` array
+    (sort-at-emit fix); v3 (round 9) prepends an explicit
+    ``schema_ver`` field, so any future incompatible resume fails FAST
+    at first state read with an actionable restart-with-fresh-
+    checkpoint message instead of an opaque unpack error — the
+    ``_check_state_version`` contract shared by every stateful
+    operator in this module.
     """
     from pyspark.sql.types import ArrayType, StringType
 
@@ -305,6 +366,7 @@ def streaming_conversations(stream: DataFrame, key: str = "user_id",
         StructField("chat_text", StringType()),
     ])
     state_schema = StructType([
+        StructField("schema_ver", LongType()),
         StructField("last_ts_epoch", LongType()),
         StructField("conv_seq", LongType()),
         StructField("ts_us", ArrayType(LongType())),
@@ -328,13 +390,16 @@ def streaming_conversations(stream: DataFrame, key: str = "user_id",
         return "".join(f"<|{roles[i]}|>{contents[i]}{eos}"
                        for i in order)
 
+    state_ver = _STATE_VERSIONS["streaming_conversations"]
+
     def assemble(key_tuple: Any, pdfs: Iterable[pd.DataFrame],
                  state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
             return
         if state.exists:
-            last_ts, seq, ts_us, roles, contents = state.get
+            ver, last_ts, seq, ts_us, roles, contents = state.get
+            _check_state_version(ver, state_ver, "streaming_conversations")
             ts_us, roles, contents = list(ts_us), list(roles), list(contents)
         else:
             last_ts, seq, ts_us, roles, contents = None, 1, [], [], []
@@ -360,7 +425,8 @@ def streaming_conversations(stream: DataFrame, key: str = "user_id",
                 contents.append(str(content))
                 if last_ts is None or e > last_ts:
                     last_ts = int(e)
-        state.update((last_ts, seq, ts_us, roles, contents))
+        state.update((state_ver,
+                      last_ts, seq, ts_us, roles, contents))
         if state_timeout_ms > 0:
             state.setTimeoutDuration(state_timeout_ms)
         if closed:
