@@ -7466,6 +7466,49 @@ def q_graph_ann_query(spark, sf_dir):
                             hops=3, beam=4, k=5)
 
 
+@q("graph_ann_index_query", _graph_ann_sql(k_nb=4, hops=3, beam=4, k=5,
+                                           cap=2000),
+   doc="graph ANN over the PERSISTED index (operators/graph_ann.py:"
+       "graph_write_index + graph_probe_index): the same beam search as "
+       "graph_ann_query, but the adjacency lives on disk partitioned by "
+       "__bucket = src % n_buckets, and each hop's fetch is a static "
+       "__bucket IN (...) AND src IN (...) filter over the <= beam "
+       "frontier ids — the parquet pruner consumes both at planning "
+       "time, so a hop reads only the frontier's bucket directories, "
+       "never the graph (partition-pruning proof in "
+       "tests/test_graph_ann_batch.py). Identical walk, identical "
+       "discretization, identical results to the inline search, hence "
+       "the SAME oracle; the index is (re)built only when the testdata "
+       "is newer than the persisted copy (mtime guard, logapi-fixture "
+       "pattern). This is the serving shape at 100 TB: build once, "
+       "probe per query with O(beam) pruned reads per hop")
+def q_graph_ann_index_query(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.graph_ann import (
+        build_knn_graph,
+        graph_probe_index,
+        graph_write_index,
+    )
+
+    emb = (_t(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") < 2000))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "graph_ann_index_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not (os.path.exists(marker)
+            and os.path.getmtime(marker) >= os.path.getmtime(src)):
+        graph = build_knn_graph(emb, "vec_id", "embedding", k=4)
+        graph_write_index(graph, path, n_buckets=16)
+    return graph_probe_index(spark, path, emb, "vec_id", "embedding",
+                             n_buckets=16, hops=3, beam=4, k=5)
+
+
 def _nn_descent_sql(k: int, rounds: int) -> str:
     """Unroll the fixed-round NN-descent build into MATERIALIZED CTE
     rounds: md5-ring seed graph, per-round (edges ∪ reverses ∪ two-hop)

@@ -160,6 +160,7 @@ HEADLINE = [
     "rp_project_embeddings",
     "source_overlap_minhash",
     "graph_ann_query",
+    "graph_ann_index_query",
     "graph_nn_descent",
     "temperature_sample_lang",
     "graph_ann_batch",
