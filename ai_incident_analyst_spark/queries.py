@@ -10832,3 +10832,76 @@ def q_dp_customer_counts(spark, sf_dir):
     return (dp_noisy_counts(_t(spark, sf_dir, "customer"),
                             ["c_nationkey"], epsilon=1.0)
             .orderBy("c_nationkey"))
+
+
+@q("dbscan_embeddings_2d", """
+WITH RECURSIVE pts AS MATERIALIZED (
+  SELECT vec_id AS id,
+         CAST(embedding[1] AS DOUBLE) AS x0,
+         CAST(embedding[2] AS DOUBLE) AS x1,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.03) AS BIGINT) AS c0,
+         CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.03) AS BIGINT) AS c1
+  FROM embeddings),
+offs AS (SELECT CAST(a.o AS BIGINT) AS o0, CAST(b.o AS BIGINT) AS o1
+         FROM range(-1, 2) a(o), range(-1, 2) b(o)),
+pairs AS MATERIALIZED (
+  SELECT l.id AS id_a, r.id AS id_b
+  FROM pts l CROSS JOIN offs
+  JOIN pts r ON r.c0 = l.c0 + offs.o0 AND r.c1 = l.c1 + offs.o1
+  WHERE (l.x0 - r.x0) * (l.x0 - r.x0)
+        + (l.x1 - r.x1) * (l.x1 - r.x1) <= 0.03 * 0.03),
+nb AS (SELECT id_a, count(*) AS n_nb FROM pairs GROUP BY id_a),
+core AS MATERIALIZED (SELECT id_a AS id FROM nb WHERE n_nb >= 6),
+edges AS MATERIALIZED (
+  SELECT p.id_a AS u, p.id_b AS v FROM pairs p
+  JOIN core a ON a.id = p.id_a
+  JOIN core b ON b.id = p.id_b
+  WHERE p.id_a <> p.id_b),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+labels AS MATERIALIZED (
+  SELECT u, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+core_lab AS MATERIALIZED (
+  SELECT c.id, COALESCE(l.cluster_id, c.id) AS cluster_id
+  FROM core c LEFT JOIN labels l ON l.u = c.id),
+border AS (
+  SELECT p.id_a AS id, min(cl.cluster_id) AS cluster_id
+  FROM pairs p JOIN core_lab cl ON cl.id = p.id_b
+  WHERE p.id_a <> p.id_b
+    AND p.id_a NOT IN (SELECT id FROM core)
+  GROUP BY p.id_a)
+SELECT pts.id AS vec_id,
+       CASE WHEN cl.id IS NOT NULL THEN 'core'
+            WHEN b.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(cl.cluster_id, b.cluster_id) AS cluster_id
+FROM pts LEFT JOIN core_lab cl ON cl.id = pts.id
+LEFT JOIN border b ON b.id = pts.id
+ORDER BY vec_id
+""", doc="DBSCAN over the embeddings' first two coordinates "
+         "(operators/clustering.py:dbscan_clusters, eps=0.03, "
+         "min_pts=6): density-based clustering with an explicit NOISE "
+         "class — k-means/k-center assume convex blobs, DBSCAN finds "
+         "arbitrary-shape dense regions and surfaces outliers instead "
+         "of force-assigning them. Grid-blocked (MR-DBSCAN shape): "
+         "candidate pairs from ONE equi-join on floor(x/eps) cell keys "
+         "after a 3^d neighbor-cell fan-out, exact distance on "
+         "candidates only, core counting a groupBy, clusters via "
+         "connected_components over core-core edges (twin: recursive-"
+         "CTE closure). Border points join the smallest core-neighbor "
+         "cluster id (classic DBSCAN leaves this order-dependent; the "
+         "min rule makes the labeling a pure function of the point "
+         "set). d<=3 by design — embeddings get projected first at "
+         "production dims (rp_project/pca_project), stated in the "
+         "docstring")
+def q_dbscan_embeddings_2d(spark, sf_dir):
+    from .operators.clustering import dbscan_clusters
+    emb = _t(spark, sf_dir, "embeddings")
+    df = emb.select("vec_id",
+                    F.col("embedding")[0].alias("ex"),
+                    F.col("embedding")[1].alias("ey"))
+    return (dbscan_clusters(df, "vec_id", ["ex", "ey"],
+                            eps=0.03, min_pts=6)
+            .orderBy("vec_id"))

@@ -191,6 +191,8 @@ HEADLINE = [
     "shapley_channel_attribution",
     "conformal_price_intervals",
     "dp_customer_counts",
+    # round 9
+    "dbscan_embeddings_2d",
 ]
 
 

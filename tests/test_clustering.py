@@ -186,3 +186,119 @@ def test_kmeans_int_agrees_with_float_variant_on_separated_data(spark):
     # same partition (cluster ids share the hash-ordered init, so they
     # even agree label-for-label)
     assert af == ai
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN (round 9)
+# ---------------------------------------------------------------------------
+
+def _dbscan_ref(x, eps, min_pts):
+    """Brute-force reference: classic definitions + the deterministic
+    border rule (border joins the smallest cluster id among its core
+    neighbors; cluster id = smallest core id in the component)."""
+    import numpy as np
+    n = len(x)
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    nb = d2 <= eps * eps
+    core = nb.sum(1) >= min_pts
+    # union-find over core-core edges
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(n):
+        if not core[i]:
+            continue
+        for j in range(i + 1, n):
+            if core[j] and nb[i, j]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    lab = {}
+    for i in range(n):
+        if core[i]:
+            lab[i] = find(i)
+    out = {}
+    for i in range(n):
+        if core[i]:
+            out[i] = ("core", lab[i])
+        else:
+            cands = [lab[j] for j in range(n)
+                     if core[j] and nb[i, j] and j != i]
+            out[i] = (("border", min(cands)) if cands
+                      else ("noise", None))
+    return out
+
+
+def test_dbscan_matches_bruteforce_reference(spark):
+    import numpy as np
+
+    from ai_incident_analyst_spark.operators.clustering import (
+        dbscan_clusters,
+    )
+
+    rng = np.random.default_rng(21)
+    # two dense blobs + a sparse background => core, border, AND noise
+    blob1 = rng.normal((0.0, 0.0), 0.05, size=(40, 2))
+    blob2 = rng.normal((1.0, 1.0), 0.05, size=(40, 2))
+    bg = rng.uniform(-0.5, 1.5, size=(25, 2))
+    x = np.vstack([blob1, blob2, bg])
+    df = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(x)],
+        "pid long, px double, py double")
+    got = {r["pid"]: (r["role"], r["cluster_id"])
+           for r in dbscan_clusters(df, "pid", ["px", "py"],
+                                    eps=0.08, min_pts=5).collect()}
+    want = _dbscan_ref(x, 0.08, 5)
+    assert len(got) == len(x)
+    assert got == want
+    roles = {v[0] for v in got.values()}
+    assert roles == {"core", "border", "noise"}, roles
+
+
+def test_dbscan_border_tie_is_deterministic(spark):
+    """A border point equidistant from two clusters joins the SMALLEST
+    cluster id — invariant under row order and partitioning."""
+    from ai_incident_analyst_spark.operators.clustering import (
+        dbscan_clusters,
+    )
+
+    # cluster A: ids 0-3 near x=0; cluster B: ids 10-13 near x=1;
+    # id 5 exactly between, within eps of ONE core on each side but
+    # with only 3 points (incl. itself) in its ball -> border, not a
+    # bridge (min_pts=4 keeps it sub-core; eps=0.45 keeps id 2 / id 12
+    # out of its ball)
+    rows = [(0, 0.00), (1, 0.02), (2, 0.04), (3, 0.06),
+            (10, 1.00), (11, 0.98), (12, 0.96), (13, 0.94),
+            (5, 0.50)]
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "pid long, px double") \
+            .repartition(parts)
+        got = {r["pid"]: (r["role"], r["cluster_id"])
+               for r in dbscan_clusters(df, "pid", ["px"],
+                                        eps=0.45, min_pts=4).collect()}
+        assert got[0] == ("core", 0)
+        assert got[10] == ("core", 10)
+        # 5 is within 0.45 of cores 3 (dist .44) and 13 (dist .44):
+        # deterministic tie -> the smaller cluster id, 0
+        assert got[5] == ("border", 0), got[5]
+
+
+def test_dbscan_guards(spark):
+    import pytest
+
+    from ai_incident_analyst_spark.operators.clustering import (
+        dbscan_clusters,
+    )
+
+    df = spark.createDataFrame([(1, 0.0)], "pid long, px double")
+    with pytest.raises(ValueError, match="1-3 dims"):
+        dbscan_clusters(df, "pid", ["a", "b", "c", "d"], 0.1, 2)
+    with pytest.raises(ValueError):
+        dbscan_clusters(df, "pid", ["px"], 0.0, 2)
+    with pytest.raises(ValueError):
+        dbscan_clusters(df, "pid", ["px"], 0.1, 0)
