@@ -9844,12 +9844,30 @@ WITH tk AS (
   WHERE t.tok ~ '^[a-z]+$' AND length(t.tok) BETWEEN 4 AND 24),
 rawc AS (SELECT w, count(*) AS f FROM tk GROUP BY w),
 -- the synthetic corpus draws from a tiny fixed vocabulary with no typo
--- tail, so inject deterministic typos: each vocab word with its 2nd
--- char deleted (freq 1), excluding collisions with real words — the
--- query then checks spell_suggest round-trips them to their source
+-- tail (this testdata generation has NO free-text comment columns to
+-- mine), so inject a deterministic MULTI-CLASS typo corpus — per vocab
+-- word: 2nd-char deletion, last-char deletion, 2nd/3rd transposition,
+-- 3rd-char duplication (insertion), and 2nd-char->q substitution —
+-- each freq 1, collisions with real words excluded. Deletions/
+-- insertions/substitutions are levenshtein 1 and must round-trip;
+-- TRANSPOSITIONS are levenshtein 2: the deletion-neighborhood join
+-- admits them as candidates and the verify step must REJECT them (no
+-- output row) — the edge case this fixture exists to pin down
+voc0 AS (SELECT w FROM rawc WHERE f >= 5),
 typos AS (
-  SELECT DISTINCT substr(w, 1, 1) || substr(w, 3, length(w)) AS w
-  FROM rawc WHERE f >= 5),
+  SELECT DISTINCT t.w FROM (
+    SELECT substr(w, 1, 1) || substr(w, 3, length(w)) AS w FROM voc0
+    UNION ALL
+    SELECT substr(w, 1, length(w) - 1) FROM voc0
+    UNION ALL
+    SELECT substr(w, 1, 1) || substr(w, 3, 1) || substr(w, 2, 1)
+           || substr(w, 4, length(w)) FROM voc0
+    UNION ALL
+    SELECT substr(w, 1, 3) || substr(w, 3, 1) || substr(w, 4, length(w))
+    FROM voc0
+    UNION ALL
+    SELECT substr(w, 1, 1) || 'q' || substr(w, 3, length(w)) FROM voc0
+  ) t),
 counts AS (
   SELECT w, f FROM rawc
   UNION ALL
@@ -9882,9 +9900,13 @@ ORDER BY word
          "matched to vocabulary words (freq>=5) at levenshtein EXACTLY "
          "1 via the 1-deletion-neighborhood equi-join — O(corpus chars) "
          "blocking keys instead of the |unknown|x|vocab| cross product; "
-         "JVM levenshtein verifies candidates (the variant join admits "
-         "some distance-2 pairs, e.g. transpositions). Best suggestion "
-         "by frequency desc, word asc")
+         "JVM levenshtein verifies candidates. Fixture (r9, expanded): "
+         "a 5-class deterministic typo corpus per vocab word — two "
+         "deletions, an insertion, a substitution (all distance 1, "
+         "must round-trip) and a TRANSPOSITION (distance 2: admitted "
+         "by the deletion-neighborhood join, must be rejected by the "
+         "verify — the candidate-generation edge case). Best "
+         "suggestion by frequency desc, word asc")
 def q_spell_suggest_docs(spark, sf_dir):
     from .operators.linkage import spell_suggest
     docs = _t(spark, sf_dir, "documents")
@@ -9893,10 +9915,19 @@ def q_spell_suggest_docs(spark, sf_dir):
            .filter(F.col("w").rlike("^[a-z]+$")
                    & F.length("w").between(4, 24)))
     rawc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
-    typos = (rawc.filter(F.col("f") >= 5)
-             .select(F.concat(F.substring("w", 1, 1),
-                              F.col("w").substr(F.lit(3), F.length("w")))
-                     .alias("w"))
+    w, ln = F.col("w"), F.length("w")
+    c1 = F.substring("w", 1, 1)
+    variants = [
+        F.concat(c1, w.substr(F.lit(3), ln)),                  # del ch2
+        w.substr(F.lit(1), ln - 1),                            # del last
+        F.concat(c1, w.substr(F.lit(3), F.lit(1)),             # swap 2,3
+                 w.substr(F.lit(2), F.lit(1)), w.substr(F.lit(4), ln)),
+        F.concat(w.substr(F.lit(1), F.lit(3)),                 # dup ch3
+                 w.substr(F.lit(3), F.lit(1)), w.substr(F.lit(4), ln)),
+        F.concat(c1, F.lit("q"), w.substr(F.lit(3), ln)),      # sub ch2
+    ]
+    voc0 = rawc.filter(F.col("f") >= 5)
+    typos = (voc0.select(F.explode(F.array(*variants)).alias("w"))
              .distinct()
              .join(rawc, "w", "left_anti")
              .withColumn("f", F.lit(1)))

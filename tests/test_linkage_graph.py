@@ -299,3 +299,50 @@ def test_spell_suggest_rejects_overlapping_bands(spark):
     df = spark.createDataFrame([("a", 3)], "w string, f long")
     with pytest.raises(ValueError):
         spell_suggest(df, "w", "f", min_vocab_freq=2, max_unknown_freq=2)
+
+
+def test_spell_suggest_transposition_vs_deletion_ties(spark):
+    """Candidate-generation edge cases (r9 fixture hardening): a
+    TRANSPOSITION shares a deletion variant with its source (so the
+    equi-join admits it) but is levenshtein 2 — the verify must reject
+    it; a typo explainable as deletion-of-A AND transposition-of-B must
+    keep only the true distance-1 explanation; equal-char
+    transpositions collapse to the word itself and are never unknowns."""
+    from ai_incident_analyst_spark.operators.linkage import spell_suggest
+
+    rows = [
+        ("hello", 50), ("batch", 50), ("stream", 50),
+        # pure transposition of 'hello' (swap l<->e): lev=2, candidate
+        # via shared deletion variant 'helo' -> must produce NO row
+        ("hlelo", 1),
+        # 'bath': deletion of batch (lev 1) -- suggestible even though
+        # it is ALSO two edits from other vocab words
+        ("bath", 1),
+        # transposition of 'stream' (swap r<->e): lev=2 -> no row
+        ("steram", 1),
+        # deletion of 'stream' -> row
+        ("steam", 1),
+    ]
+    df = spark.createDataFrame(rows, "w string, f long")
+    got = {r["word"]: (r["suggestion"], r["suggestion_freq"])
+           for r in spell_suggest(df, "w", "f", min_vocab_freq=5,
+                                  max_unknown_freq=1).collect()}
+    assert "hlelo" not in got        # transposition rejected by verify
+    assert "steram" not in got
+    assert got["bath"] == ("batch", 50)
+    assert got["steam"] == ("stream", 50)
+
+
+def test_spell_suggest_freq_beats_alphabetical(spark):
+    """Frequency rules; suggestion asc only breaks EQUAL frequencies."""
+    from ai_incident_analyst_spark.operators.linkage import spell_suggest
+
+    rows = [("tible", 90), ("table", 40), ("tble", 1)]
+    df = spark.createDataFrame(rows, "w string, f long")
+    got = {r["word"]: (r["suggestion"], r["suggestion_freq"])
+           for r in spell_suggest(df, "w", "f", min_vocab_freq=5,
+                                  max_unknown_freq=1).collect()}
+    # 'tble' is distance 1 from BOTH table (insert a) and tible
+    # (insert i); tible wins on frequency even though table < tible
+    # alphabetically
+    assert got["tble"] == ("tible", 90)
