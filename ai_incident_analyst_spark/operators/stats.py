@@ -666,3 +666,94 @@ def conformal_ols_intervals(df: DataFrame, id_col: str, x_col: str,
                        .otherwise(0)).alias("n_covered"))
             .withColumn("coverage",
                         F.round(F.col("n_covered") / F.col("n_test"), 6)))
+
+
+#: Poisson(1) CDF at k = 0..5, exact float64 literals shared with the
+#: SQL twin (e^-1 · Σ 1/i!). k = 6 is the pinned-1.0 clamp endpoint —
+#: a tail draw clamps the weight, never drops the row (the
+#: dp_noisy_counts lattice lesson); P(K > 6) < 1e-4 so the clamp is
+#: statistically invisible at any practical B.
+_POIS1_CDF = (0.36787944117144233, 0.7357588823428847,
+              0.9196986029286058, 0.9810118431238462,
+              0.9963401531726562, 0.9994058151824182)
+
+
+def bootstrap_mean_ci(df: DataFrame, id_col: str, value_col: str,
+                      n_resamples: int = 200, alpha: float = 0.05,
+                      salt: str = "boot",
+                      round_dp: int = 6) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean — the
+    NONPARAMETRIC interval the experimentation layer's closed-form
+    tests (welch/ratio-CI) can't give for skewed metrics (revenue,
+    latency, tokens/doc). One row out:
+    ``(n, mean, ci_lo, ci_hi, n_resamples)``.
+
+    POISSON BOOTSTRAP (the distributed classic — resampling n-out-of-n
+    WITH replacement needs a global multinomial, but each row's count
+    in a resample is asymptotically Poisson(1) and independent across
+    rows): row i's weight in resample b is an inverse-CDF Poisson(1)
+    draw from ``u = md5(salt:b:id)`` — deterministic, engine-portable,
+    append-stable (the ``dp_noisy_counts`` / ``sample_by_hash``
+    recipe). The weight ladder compares identical doubles against
+    shared float64 CDF literals, so both engines produce IDENTICAL
+    integer weights; ``u`` beyond CDF(5) clamps to weight 6 (never
+    drops). Resample means round to ``round_dp`` before ranking so
+    Σ-association noise can't flip an order statistic.
+
+    CI: the ``ceil(B·α/2)``-th / ``ceil(B·(1−α/2))``-th smallest of
+    the B rounded resample means (order statistics — no interpolation
+    convention to disagree on).
+
+    Scale shape: ONE pass — each row fans out to B ``(b, w·x, w)``
+    partials that combine map-side, so the shuffle is B × #partitions
+    rows regardless of data size; the rank step is a window over B
+    rows (B ≲ 10³ — driver-trivial). Cost is B× the scan's map work:
+    pick B by budget (200 gives ±~5% CI-endpoint Monte-Carlo noise).
+    DETERMINISM CAVEAT (same class as dp_noisy_counts, stated loudly):
+    hash-seeded draws make the interval reproducible and testable; an
+    inferential release should still prefer a fresh salt per analysis
+    so repeated looks don't reuse one fixed resampling.
+    """
+    if n_resamples < 2:
+        raise ValueError("n_resamples must be >= 2")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    import math
+
+    v = F.col("x")
+    base = df.select(F.col(id_col).cast("string").alias("id"),
+                     F.col(value_col).cast("double").alias("x"))
+    fan = base.select(
+        "id", "x",
+        F.explode(F.sequence(F.lit(0),
+                             F.lit(n_resamples - 1))).alias("b"))
+    key = F.md5(F.concat_ws(":", F.lit(salt),
+                            F.col("b").cast("string"), F.col("id")))
+    u = ((F.conv(F.substring(key, 1, 13), 16, 10).cast("double") + 0.5)
+         / F.lit(float(16 ** 13)))
+    w = F.lit(6)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    per_b = (fan.withColumn("w", w.cast("double"))
+             .groupBy("b")
+             .agg(F.sum(F.col("w") * v).alias("s"),
+                  F.sum("w").alias("n_w"))
+             .where(F.col("n_w") > 0)
+             .select("b", F.round(F.col("s") / F.col("n_w"),
+                                  round_dp).alias("m")))
+    ranked = per_b.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("m").asc(),
+                                                F.col("b").asc())))
+    r_lo = int(math.ceil(n_resamples * alpha / 2.0))
+    r_hi = int(math.ceil(n_resamples * (1.0 - alpha / 2.0)))
+    picks = (ranked.where(F.col("r").isin(r_lo, r_hi))
+             .groupBy()
+             .agg(F.min(F.when(F.col("r") == r_lo, F.col("m")))
+                  .alias("ci_lo"),
+                  F.min(F.when(F.col("r") == r_hi, F.col("m")))
+                  .alias("ci_hi")))
+    stats = base.agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.avg("x"), round_dp).alias("mean"))
+    return (stats.crossJoin(F.broadcast(picks))
+            .select("n", "mean", "ci_lo", "ci_hi",
+                    F.lit(n_resamples).alias("n_resamples")))

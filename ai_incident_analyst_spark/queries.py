@@ -10936,3 +10936,75 @@ def q_dbscan_embeddings_2d(spark, sf_dir):
     return (dbscan_clusters(df, "vec_id", ["ex", "ey"],
                             eps=0.03, min_pts=6)
             .orderBy("vec_id"))
+
+
+def _bootstrap_sql(table: str, id_expr: str, val_expr: str,
+                   n_resamples: int, alpha: float, dp: int) -> str:
+    """DuckDB twin for the deterministic Poisson bootstrap: same
+    md5(salt:b:id) draw, same shared Poisson(1) CDF float64 ladder
+    (identical weights by construction), same rounded resample means
+    and order-statistic endpoints."""
+    import math
+
+    from .operators.stats import _POIS1_CDF
+
+    ladder = "\n         ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POIS1_CDF))
+    r_lo = int(math.ceil(n_resamples * alpha / 2.0))
+    r_hi = int(math.ceil(n_resamples * (1.0 - alpha / 2.0)))
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST({id_expr} AS VARCHAR) AS id, CAST({val_expr} AS DOUBLE) AS x
+  FROM {table}),
+fan AS (
+  SELECT base.id, base.x, CAST(t.b AS BIGINT) AS b
+  FROM base, range(0, {n_resamples}) t(b)),
+drawn AS (
+  SELECT b, x,
+         (CAST(concat('0x', substring(md5(concat_ws(':', 'boot',
+                  CAST(b AS VARCHAR), id)), 1, 13)) AS UBIGINT)
+          + 0.5) / 4503599627370496.0 AS u
+  FROM fan),
+weighted AS (
+  SELECT b, x,
+    CASE {ladder}
+         ELSE 6 END AS w
+  FROM drawn),
+per_b AS (
+  SELECT b, round(sum(w * x) / sum(w), {dp}) AS m
+  FROM weighted GROUP BY b HAVING sum(w) > 0),
+ranked AS (
+  SELECT b, m, row_number() OVER (ORDER BY m ASC, b ASC) AS r
+  FROM per_b),
+picks AS (
+  SELECT min(CASE WHEN r = {r_lo} THEN m END) AS ci_lo,
+         min(CASE WHEN r = {r_hi} THEN m END) AS ci_hi
+  FROM ranked WHERE r IN ({r_lo}, {r_hi})),
+stats AS (SELECT count(*) AS n, round(avg(x), {dp}) AS mean FROM base)
+SELECT stats.n, stats.mean, picks.ci_lo, picks.ci_hi,
+       {n_resamples} AS n_resamples
+FROM stats CROSS JOIN picks
+"""
+
+
+@q("bootstrap_ci_order_total",
+   _bootstrap_sql("orders", "o_orderkey", "o_totalprice",
+                  n_resamples=200, alpha=0.05, dp=2),
+   doc="95% percentile-bootstrap CI for the mean order total "
+       "(operators/stats.py:bootstrap_mean_ci, B=200): the "
+       "NONPARAMETRIC interval for skewed metrics the closed-form "
+       "welch/ratio-CI tests can't give. Distributed Poisson bootstrap "
+       "— each row's per-resample weight is an inverse-CDF Poisson(1) "
+       "draw from md5(salt:b:id) against a shared float64 CDF ladder "
+       "(identical integer weights on both engines; tail clamps at 6, "
+       "never drops), so the B resample means and their order-"
+       "statistic endpoints hash-match the twin. One map-side-combined "
+       "pass (shuffle = B x partitions partials); 2dp rounding because "
+       "the means are ~1.5e5-scale sums over 60k doubles where "
+       "cross-engine association noise (~1e-4 abs) would flip a 6dp "
+       "digit")
+def q_bootstrap_ci_order_total(spark, sf_dir):
+    from .operators.stats import bootstrap_mean_ci
+    return bootstrap_mean_ci(_t(spark, sf_dir, "orders"),
+                             "o_orderkey", "o_totalprice",
+                             n_resamples=200, alpha=0.05, round_dp=2)

@@ -193,6 +193,7 @@ HEADLINE = [
     "dp_customer_counts",
     # round 9
     "dbscan_embeddings_2d",
+    "bootstrap_ci_order_total",
 ]
 
 

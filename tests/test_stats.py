@@ -461,3 +461,67 @@ def test_two_proportion_absent_group_one_row(spark):
     assert r["z_stat"] is None and r["ci_lo"] is None
     with pytest.raises(ValueError):
         two_proportion_test(df, "g", "s", "a", "a")
+
+
+def test_bootstrap_mean_ci_python_replay_and_invariance(spark):
+    """The hash-seeded Poisson bootstrap replays exactly in pure
+    Python: identical weights (shared CDF literal ladder), identical
+    rounded resample means, identical order-statistic endpoints —
+    and the result is partitioning-invariant."""
+    import hashlib
+    import math
+
+    from ai_incident_analyst_spark.operators.stats import (
+        _POIS1_CDF,
+        bootstrap_mean_ci,
+    )
+
+    import numpy as np
+    rng = np.random.default_rng(17)
+    vals = np.round(rng.lognormal(0.0, 1.0, 400), 4)   # skewed metric
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    B, alpha = 100, 0.1
+    out1 = bootstrap_mean_ci(df, "id", "x", n_resamples=B,
+                             alpha=alpha).collect()
+    out7 = bootstrap_mean_ci(df.repartition(7), "id", "x",
+                             n_resamples=B, alpha=alpha).collect()
+    assert len(out1) == 1
+    assert out1 == out7                       # layout invariance
+    r = out1[0]
+
+    def weight(b, i):
+        h = hashlib.md5(f"boot:{b}:{i}".encode()).hexdigest()
+        u = (int(h[:13], 16) + 0.5) / float(16 ** 13)
+        for k, c in enumerate(_POIS1_CDF):
+            if u < c:
+                return k
+        return 6
+
+    means = []
+    for b in range(B):
+        ws = np.array([weight(b, i) for i in range(len(vals))],
+                      dtype=float)
+        if ws.sum() > 0:
+            means.append(round(float((ws * vals).sum() / ws.sum()), 6))
+    means.sort()
+    r_lo = math.ceil(B * alpha / 2)
+    r_hi = math.ceil(B * (1 - alpha / 2))
+    assert r["ci_lo"] == pytest.approx(means[r_lo - 1], abs=2e-6)
+    assert r["ci_hi"] == pytest.approx(means[r_hi - 1], abs=2e-6)
+    assert r["n"] == 400 and r["n_resamples"] == B
+    assert r["ci_lo"] < r["mean"] < r["ci_hi"]
+    # ~90% CI for a lognormal(0,1) mean of n=400 is tight around e^0.5
+    assert 1.2 < r["ci_lo"] < r["ci_hi"] < 2.2
+
+
+def test_bootstrap_mean_ci_guards(spark):
+    from ai_incident_analyst_spark.operators.stats import (
+        bootstrap_mean_ci,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, x double")
+    with pytest.raises(ValueError):
+        bootstrap_mean_ci(df, "id", "x", n_resamples=1)
+    with pytest.raises(ValueError):
+        bootstrap_mean_ci(df, "id", "x", alpha=0.0)
