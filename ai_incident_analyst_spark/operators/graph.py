@@ -305,3 +305,59 @@ def label_propagation(edges: DataFrame, src: str = "src",
                   .select("node", "label")
                   .localCheckpoint(eager=False))
     return labels
+
+
+def k_core(edges: DataFrame, src: str = "src", dst: str = "dst",
+           k: int = 2, max_iter: int = 30) -> DataFrame:
+    """k-core decomposition (fixed k): the maximal subgraph in which
+    every node has degree ≥ ``k``, by iterative peeling — drop nodes
+    below ``k``, recompute degrees, repeat to the fixed point (Seidman
+    1983; the standard "dense kernel vs straggler fringe" diagnostic).
+    On an item-transition or near-dup graph the k-core separates the
+    stable dense interaction kernel from tendrils that pagerank/
+    triangles alone don't isolate — useful both as a curation signal
+    (keep the kernel) and as a skew early-warning (a huge 8-core means
+    hub joins ahead).
+
+    Returns ``(node, degree)`` for k-core members — degree WITHIN the
+    core (≥ k by construction). Empty frame when no k-core exists.
+
+    Physical shape per round: one degree groupBy + two semi-join-shaped
+    equi-joins of the edge list against the surviving node set — all
+    keyed on node ids, no driver data; lineage truncated per round
+    (eager localCheckpoint, so the convergence count reads cached
+    blocks). Converges in ≤ diameter-ish rounds on real graphs; raises
+    past ``max_iter`` rather than returning a half-peeled set (the
+    ``connected_components`` loudness contract). A fixed-round unroll
+    (no-op rounds are harmless: peeling is monotone, so a converged
+    edge set is a fixed point of every later round) is what the SQL
+    twin replays.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = (edges.select(F.col(src).cast("long").alias("u"),
+                        F.col(dst).cast("long").alias("v"))
+           .filter(F.col("u") != F.col("v")))
+    alive = (und.union(und.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    prev_edges = alive.count()
+    for _ in range(max_iter):
+        deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("u")
+        alive = (alive.join(keep, "u")
+                 .join(keep.withColumnRenamed("u", "v"), "v")
+                 .select("u", "v")
+                 .localCheckpoint(eager=True))
+        n = alive.count()
+        if n == prev_edges:
+            break
+        prev_edges = n
+    else:
+        raise RuntimeError(
+            f"k_core did not reach a fixed point in {max_iter} rounds; "
+            "raise max_iter")
+    return (alive.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+            .select(F.col("u").alias("node"),
+                    F.col("degree").cast("long").alias("degree")))

@@ -11008,3 +11008,51 @@ def q_bootstrap_ci_order_total(spark, sf_dir):
     return bootstrap_mean_ci(_t(spark, sf_dir, "orders"),
                              "o_orderkey", "o_totalprice",
                              n_resamples=200, alpha=0.05, round_dp=2)
+
+
+def _k_core_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling twin for k_core over the shared near-dup pair
+    graph (_NGRAM_PAIRS_CTES's sym): peeling is monotone, so once the
+    edge set reaches its fixed point every later round is a no-op —
+    a generous fixed unroll therefore equals the Spark side's
+    run-to-convergence loop (convergence-within-rounds asserted in
+    tests/test_graph.py on the gate data)."""
+    parts = [f"alive0 AS MATERIALIZED (SELECT u, v FROM sym)"]
+    for i in range(rounds):
+        parts.append(
+            f"keep{i} AS MATERIALIZED (SELECT u FROM alive{i} "
+            f"GROUP BY u HAVING count(*) >= {k})")
+        parts.append(
+            f"alive{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT a.u, a.v FROM alive{i} a\n"
+            f"  JOIN keep{i} x ON x.u = a.u\n"
+            f"  JOIN keep{i} y ON y.u = a.v)")
+    return (
+        f"WITH RECURSIVE {_NGRAM_PAIRS_CTES},\n"
+        + ",\n".join(parts) + "\n"
+        f"SELECT u AS node, CAST(count(*) AS BIGINT) AS degree\n"
+        f"FROM alive{rounds} GROUP BY u ORDER BY node"
+    )
+
+
+@q("k_core_neardup", _k_core_sql(k=2, rounds=8),
+   doc="2-core of the near-dup pair graph (operators/graph.py:k_core, "
+       "Seidman 1983 iterative peeling): the maximal subgraph where "
+       "every doc has >= 2 near-dup partners — cycles/cliques of "
+       "mutual duplication survive, chain tendrils peel away. The "
+       "dense-kernel diagnostic connected_components can't give (CC "
+       "merges chains and cliques alike); kernel docs are the ones "
+       "whose duplication is structural, not pairwise accident. Per "
+       "round: one degree groupBy + two node-set equi-joins, lineage "
+       "truncated; Spark runs to the fixed point, the twin unrolls 8 "
+       "monotone rounds (no-op past convergence — identical by "
+       "construction, convergence-within-8 asserted in tests)")
+def q_k_core_neardup(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs_lsh
+    from .operators.graph import k_core
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_lsh(docs, "doc_id", "text", n=3,
+                                    threshold=0.12, num_perm=64,
+                                    bands=64)
+    return (k_core(pairs, "id_a", "id_b", k=2)
+            .orderBy("node"))

@@ -194,6 +194,7 @@ HEADLINE = [
     # round 9
     "dbscan_embeddings_2d",
     "bootstrap_ci_order_total",
+    "k_core_neardup",
 ]
 
 

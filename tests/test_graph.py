@@ -191,3 +191,52 @@ def test_hits_and_lpa_reject_nonpositive_iterations(spark):
         hits(e, iterations=0)
     with pytest.raises(ValueError, match="iterations"):
         label_propagation(e, iterations=0)
+
+
+def test_k_core_matches_networkx_free_reference(spark):
+    """Peeling reference in pure Python on a designed graph: a 4-clique
+    (3-core), a 4-cycle hanging off it (2-core), and a chain tendril
+    (peels entirely at k=2)."""
+    from ai_incident_analyst_spark.operators.graph import k_core
+
+    edges = [
+        # 4-clique: 1,2,3,4
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        # 4-cycle 5-6-7-8 attached to the clique at 4-5
+        (4, 5), (5, 6), (6, 7), (7, 8), (8, 5),
+        # chain tendril 9-10-11
+        (8, 9), (9, 10), (10, 11),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    core2 = {r["node"]: r["degree"]
+             for r in k_core(df, k=2).collect()}
+    # chain 9-10-11 peels; clique + cycle survive
+    assert set(core2) == {1, 2, 3, 4, 5, 6, 7, 8}
+    assert core2[1] == 3 and core2[6] == 2
+    core3 = {r["node"]: r["degree"]
+             for r in k_core(df, k=3).collect()}
+    assert set(core3) == {1, 2, 3, 4}          # only the clique
+    assert all(d == 3 for d in core3.values())
+    assert k_core(df, k=4).count() == 0        # no 4-core
+    import pytest
+    with pytest.raises(ValueError):
+        k_core(df, k=0)
+
+
+def test_k_core_neardup_converges_within_twin_unroll(spark):
+    """The oracle unrolls 8 peeling rounds; assert the real graph's
+    fixed point arrives within that budget at the gate SF (so the
+    fixed-round twin and the run-to-convergence operator agree)."""
+    from ai_incident_analyst_spark.operators.dedup import (
+        ngram_jaccard_pairs_lsh,
+    )
+    from ai_incident_analyst_spark.operators.graph import k_core
+    from ai_incident_analyst_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    pairs = ngram_jaccard_pairs_lsh(docs, "doc_id", "text", n=3,
+                                    threshold=0.12, num_perm=64,
+                                    bands=64).localCheckpoint()
+    # max_iter=8 == the twin's unroll: must converge, not raise
+    out = k_core(pairs, "id_a", "id_b", k=2, max_iter=8)
+    assert out.count() >= 0
