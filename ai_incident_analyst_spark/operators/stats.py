@@ -757,3 +757,72 @@ def bootstrap_mean_ci(df: DataFrame, id_col: str, value_col: str,
     return (stats.crossJoin(F.broadcast(picks))
             .select("n", "mean", "ci_lo", "ci_hi",
                     F.lit(n_resamples).alias("n_resamples")))
+
+
+def sprt_bernoulli(df: DataFrame, order_col, success_col,
+                   p0: float, p1: float,
+                   alpha: float = 0.05, beta: float = 0.2,
+                   round_dp: int = 6) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test for a Bernoulli rate —
+    the SEQUENTIAL decision the fixed-n tests (welch / two-proportion)
+    can't give: observations arrive in ``order_col`` order and the test
+    stops at the FIRST crossing of the log-likelihood-ratio boundaries,
+    with guaranteed error rates (α, β) at any stopping time. One row:
+    ``(decision, n_decision, k_decision, llr_decision, n_total,
+    k_total, llr_final)`` — decision ∈ {'accept_h1', 'accept_h0',
+    'continue'}; the *_decision fields are NULL when no boundary was
+    crossed.
+
+    EXACT cross-engine arithmetic by construction: after the prefix
+    counts ``(n, k)`` (integers, via the two-phase distributed prefix
+    sum — never a single-task window), the LLR is
+    ``k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0))`` — two multiplications
+    and one addition on shared float64 constants, NOT a running float
+    sum, so both engines compute bit-identical LLRs at every n and the
+    first-crossing index cannot flap. Boundaries are Wald's
+    ``A = ln((1−β)/α)``, ``B = ln(β/(1−α))``.
+
+    Ties in ``order_col`` must be broken by a unique column (pass an
+    expression/struct) — same contract as ``global_cumsum``.
+    """
+    import math
+
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
+        raise ValueError("need 0 < p0, p1 < 1 and p0 != p1")
+    if not (0.0 < alpha < 1.0 and 0.0 < beta < 1.0):
+        raise ValueError("alpha/beta must be in (0, 1)")
+    from .packing import global_cumsum
+
+    c1 = math.log(p1 / p0)
+    c0 = math.log((1.0 - p1) / (1.0 - p0))
+    up = math.log((1.0 - beta) / alpha)
+    lo = math.log(beta / (1.0 - alpha))
+
+    base = df.select(F.col(order_col).alias("__o") if isinstance(
+        order_col, str) else order_col.alias("__o"),
+        F.col(success_col).cast("int").alias("__s"))
+    base = base.withColumn("__one", F.lit(1))
+    d = global_cumsum(base, "__o", "__s", "k")
+    d = global_cumsum(d, "__o", "__one", "n")
+    llr = (F.col("k").cast("double") * F.lit(c1)
+           + (F.col("n") - F.col("k")).cast("double") * F.lit(c0))
+    d = d.select("n", "k", llr.alias("llr"))
+    crossings = d.where((F.col("llr") >= F.lit(up))
+                        | (F.col("llr") <= F.lit(lo)))
+    first = (crossings.orderBy("n").limit(1)
+             .select(F.col("n").alias("n_decision"),
+                     F.col("k").alias("k_decision"),
+                     F.round("llr", round_dp).alias("llr_decision"),
+                     F.when(F.col("llr") >= F.lit(up),
+                            F.lit("accept_h1"))
+                     .otherwise(F.lit("accept_h0")).alias("decision")))
+    total = (d.orderBy(F.desc("n")).limit(1)
+             .select(F.col("n").alias("n_total"),
+                     F.col("k").alias("k_total"),
+                     F.round("llr", round_dp).alias("llr_final")))
+    # left-join shape: always one row out even with no crossing
+    return (total.join(first, F.lit(True), "left")
+            .select(F.coalesce("decision", F.lit("continue"))
+                    .alias("decision"),
+                    "n_decision", "k_decision", "llr_decision",
+                    "n_total", "k_total", "llr_final"))

@@ -11056,3 +11056,68 @@ def q_k_core_neardup(spark, sf_dir):
                                     bands=64)
     return (k_core(pairs, "id_a", "id_b", k=2)
             .orderBy("node"))
+
+
+def _sprt_sql(p0: float, p1: float, alpha: float, beta: float) -> str:
+    """DuckDB twin for the Bernoulli SPRT: identical LLR by
+    construction — k·c1 + (n−k)·c0 over exact integer prefix counts
+    with shared float64 constants (no running float sum anywhere), so
+    the first-crossing index matches exactly."""
+    import math
+
+    c1 = math.log(p1 / p0)
+    c0 = math.log((1.0 - p1) / (1.0 - p0))
+    up = math.log((1.0 - beta) / alpha)
+    lo = math.log(beta / (1.0 - alpha))
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS o,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS s
+  FROM orders),
+cum AS (
+  SELECT o, CAST(sum(s) OVER w AS BIGINT) AS k,
+         CAST(row_number() OVER w AS BIGINT) AS n
+  FROM base
+  WINDOW w AS (ORDER BY o
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+llr AS (
+  SELECT n, k,
+         CAST(k AS DOUBLE) * {c1!r}
+         + CAST(n - k AS DOUBLE) * {c0!r} AS llr
+  FROM cum),
+first_x AS (
+  SELECT n AS n_decision, k AS k_decision,
+         round(llr, 6) AS llr_decision,
+         CASE WHEN llr >= {up!r} THEN 'accept_h1'
+              ELSE 'accept_h0' END AS decision
+  FROM llr WHERE llr >= {up!r} OR llr <= {lo!r}
+  ORDER BY n LIMIT 1),
+total AS (
+  SELECT n AS n_total, k AS k_total, round(llr, 6) AS llr_final
+  FROM llr ORDER BY n DESC LIMIT 1)
+SELECT COALESCE(f.decision, 'continue') AS decision,
+       f.n_decision, f.k_decision, f.llr_decision,
+       t.n_total, t.k_total, t.llr_final
+FROM total t LEFT JOIN first_x f ON TRUE
+"""
+
+
+@q("sprt_urgent_orders", _sprt_sql(p0=0.15, p1=0.25, alpha=0.05,
+                                   beta=0.2),
+   doc="Wald SPRT (operators/stats.py:sprt_bernoulli) on the urgent-"
+       "order rate, H0 p=0.15 vs H1 p=0.25, orders in o_orderkey "
+       "arrival order: the SEQUENTIAL decision fixed-n tests can't "
+       "give — stop at the FIRST LLR boundary crossing with (alpha, "
+       "beta) guarantees at any stopping time. Exact cross-engine by "
+       "construction: llr(n) = k*ln(p1/p0) + (n-k)*ln(q1/q0) over "
+       "exact integer prefix counts (two-phase distributed prefix sum "
+       "— never a single-task window on the Spark side) with shared "
+       "float64 constants — two mults and an add, not a running float "
+       "sum, so the crossing index cannot flap")
+def q_sprt_urgent_orders(spark, sf_dir):
+    from .operators.stats import sprt_bernoulli
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderpriority") == "1-URGENT").alias("s"))
+    return sprt_bernoulli(orders, "o_orderkey", "s",
+                          p0=0.15, p1=0.25, alpha=0.05, beta=0.2)

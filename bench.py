@@ -195,6 +195,7 @@ HEADLINE = [
     "dbscan_embeddings_2d",
     "bootstrap_ci_order_total",
     "k_core_neardup",
+    "sprt_urgent_orders",
 ]
 
 

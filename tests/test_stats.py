@@ -525,3 +525,56 @@ def test_bootstrap_mean_ci_guards(spark):
         bootstrap_mean_ci(df, "id", "x", n_resamples=1)
     with pytest.raises(ValueError):
         bootstrap_mean_ci(df, "id", "x", alpha=0.0)
+
+
+def test_sprt_bernoulli_python_replay(spark):
+    """Exact replay: the LLR is k*c1 + (n-k)*c0 on shared constants, so
+    a sequential pure-Python walk must reproduce the decision point
+    bit-for-bit; partitioning must not matter."""
+    import math
+
+    from ai_incident_analyst_spark.operators.stats import sprt_bernoulli
+
+    import numpy as np
+    rng = np.random.default_rng(9)
+    xs = (rng.random(2000) < 0.3).astype(int)       # true p = 0.3
+    rows = [(i, int(x)) for i, x in enumerate(xs)]
+    p0, p1, alpha, beta = 0.2, 0.35, 0.05, 0.2
+    df = spark.createDataFrame(rows, "i long, s int")
+    out1 = sprt_bernoulli(df, "i", "s", p0, p1, alpha, beta).collect()
+    out7 = sprt_bernoulli(df.repartition(7), "i", "s",
+                          p0, p1, alpha, beta).collect()
+    assert out1 == out7
+    r = out1[0]
+
+    c1, c0 = math.log(p1 / p0), math.log((1 - p1) / (1 - p0))
+    up, lo = math.log((1 - beta) / alpha), math.log(beta / (1 - alpha))
+    k = 0
+    hit = None
+    for n, x in enumerate(xs, start=1):
+        k += x
+        llr = k * c1 + (n - k) * c0
+        if llr >= up or llr <= lo:
+            hit = (n, k, round(llr, 6),
+                   "accept_h1" if llr >= up else "accept_h0")
+            break
+    assert hit is not None
+    assert (r["n_decision"], r["k_decision"], r["llr_decision"],
+            r["decision"]) == hit
+    assert r["n_total"] == 2000 and r["k_total"] == int(xs.sum())
+
+
+def test_sprt_bernoulli_continue_and_guards(spark):
+    from ai_incident_analyst_spark.operators.stats import sprt_bernoulli
+
+    # 3 observations cannot cross Wald boundaries at these settings
+    df = spark.createDataFrame([(1, 1), (2, 0), (3, 1)], "i long, s int")
+    r = sprt_bernoulli(df, "i", "s", 0.4, 0.6,
+                       alpha=0.01, beta=0.01).collect()[0]
+    assert r["decision"] == "continue"
+    assert r["n_decision"] is None and r["llr_decision"] is None
+    assert r["n_total"] == 3 and r["k_total"] == 2
+    with pytest.raises(ValueError):
+        sprt_bernoulli(df, "i", "s", 0.5, 0.5)
+    with pytest.raises(ValueError):
+        sprt_bernoulli(df, "i", "s", 0.2, 0.3, alpha=0.0)
