@@ -380,3 +380,82 @@ def funnel_steps(df: DataFrame, user_col: str, ts_col: str,
             f"t_{k}",
             F.when(F.col(f"t_{k}") <= deadline, F.col(f"t_{k}")))
     return cur.withColumnRenamed("__u", user_col)
+
+
+def binary_segmentation(df: DataFrame, pos_col: str, value_col: str,
+                        n_splits: int = 2, min_seg: int = 3,
+                        round_dp: int = 6) -> DataFrame:
+    """Changepoint detection by BINARY SEGMENTATION (Scott & Knott
+    1974; the greedy classic behind ruptures' BinSeg): repeatedly split
+    the series at the position that most reduces within-segment sum of
+    squares. Complements ``cusum_drift`` (online, single drift) with
+    the OFFLINE multi-changepoint view — "where did the level of this
+    metric actually shift?" over a rollup series. Returns one row per
+    accepted split: ``(split_round, pos, gain)``, best-first; empty
+    when no split clears ``min_seg``/positive-gain.
+
+    The variance identity collapses the score to FIRST moments only:
+    ``gain(i) = S_l²/n_l + S_r²/n_r − S²/n`` (the Σx² terms cancel), so
+    with integer inputs (counts — the intended series) every gain is a
+    rational function of exact int64 prefix sums: both engines compute
+    IDENTICAL doubles and the argmax cannot flap (the ``log_rank`` /
+    ``sprt`` sufficient-statistics contract). Argmax ties break by
+    smallest pos.
+
+    Scale shape: the series is an AGGREGATED rollup (days, hours —
+    bounded cardinality; the corpus-scale work is upstream), so
+    per-segment windows are bounded; the dense index comes from the
+    two-phase distributed prefix sum, and driver state is just the
+    ≤ ``n_splits`` chosen boundaries re-entering the plan as literals
+    (the kmeans/k-center pattern). Each round is one window pass + a
+    1-row argmax collect.
+    """
+    if n_splits < 1 or min_seg < 1:
+        raise ValueError("n_splits and min_seg must be >= 1")
+    from .packing import global_cumsum
+
+    base = (df.select(F.col(pos_col).alias("p"),
+                      F.col(value_col).cast("long").alias("x"))
+            .withColumn("__one", F.lit(1)))
+    base = global_cumsum(base, "p", "__one", "idx")
+    base = base.select("p", "x", "idx").localCheckpoint(eager=False)
+
+    boundaries: list[int] = []   # split AFTER these idx values
+    found: list[tuple] = []
+    for rnd in range(1, n_splits + 1):
+        seg = F.lit(0)
+        for b in sorted(boundaries):
+            seg = seg + (F.col("idx") > F.lit(b)).cast("int")
+        w = Window.partitionBy("__seg").orderBy("idx")
+        wall = Window.partitionBy("__seg")
+        d = (base.withColumn("__seg", seg)
+             .withColumn("s1", F.sum("x").over(
+                 w.rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow)))
+             .withColumn("cnt", F.count(F.lit(1)).over(
+                 w.rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow)))
+             .withColumn("S", F.sum("x").over(wall))
+             .withColumn("N", F.count(F.lit(1)).over(wall)))
+        nl = F.col("cnt").cast("double")
+        nr = (F.col("N") - F.col("cnt")).cast("double")
+        sl = F.col("s1").cast("double")
+        sr = (F.col("S") - F.col("s1")).cast("double")
+        gain = (sl * sl / nl + sr * sr / nr
+                - F.col("S").cast("double") * F.col("S").cast("double")
+                / F.col("N").cast("double"))
+        cand = (d.where((F.col("cnt") >= min_seg)
+                        & (F.col("N") - F.col("cnt") >= min_seg))
+                .select("p", "idx", gain.alias("g"))
+                .where(F.col("g") > 0)
+                .orderBy(F.desc("g"), F.col("idx").asc())
+                .limit(1).collect())
+        if not cand:
+            break
+        r = cand[0]
+        boundaries.append(int(r["idx"]))
+        found.append((rnd, r["p"], round(float(r["g"]), round_dp)))
+
+    pos_type = df.select(pos_col).schema.fields[0].dataType.simpleString()
+    return df.sparkSession.createDataFrame(
+        found, schema=f"split_round int, pos {pos_type}, gain double")

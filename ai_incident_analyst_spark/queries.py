@@ -11121,3 +11121,77 @@ def q_sprt_urgent_orders(spark, sf_dir):
         (F.col("o_orderpriority") == "1-URGENT").alias("s"))
     return sprt_bernoulli(orders, "o_orderkey", "s",
                           p0=0.15, p1=0.25, alpha=0.05, beta=0.2)
+
+
+@q("changepoints_daily_events", """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1),
+s AS MATERIALIZED (
+  SELECT d, x,
+         CAST(row_number() OVER w AS BIGINT) AS idx,
+         CAST(sum(x) OVER w AS BIGINT) AS s1
+  FROM daily
+  WINDOW w AS (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (SELECT CAST(sum(x) AS BIGINT) AS S,
+               CAST(count(*) AS BIGINT) AS N FROM daily),
+g1 AS MATERIALIZED (
+  SELECT s.d, s.idx,
+         CAST(s1 AS DOUBLE) * s1 / idx
+         + CAST(S - s1 AS DOUBLE) * (S - s1) / (N - idx)
+         - CAST(S AS DOUBLE) * S / N AS g
+  FROM s, tot
+  WHERE idx >= 3 AND N - idx >= 3),
+pick1 AS MATERIALIZED (
+  SELECT d, idx, g FROM g1 WHERE g > 0
+  ORDER BY g DESC, idx ASC LIMIT 1),
+s2 AS MATERIALIZED (
+  SELECT d, x, idx,
+         CASE WHEN idx <= (SELECT idx FROM pick1) THEN 0 ELSE 1 END AS seg
+  FROM s),
+w2 AS MATERIALIZED (
+  SELECT d, idx,
+         CAST(row_number() OVER ws AS BIGINT) AS cnt,
+         CAST(sum(x) OVER ws AS BIGINT) AS s1,
+         CAST(sum(x) OVER wa AS BIGINT) AS S,
+         CAST(count(*) OVER wa AS BIGINT) AS N
+  FROM s2
+  WINDOW ws AS (PARTITION BY seg ORDER BY idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY seg)),
+g2 AS (
+  SELECT d, idx,
+         CAST(s1 AS DOUBLE) * s1 / cnt
+         + CAST(S - s1 AS DOUBLE) * (S - s1) / (N - cnt)
+         - CAST(S AS DOUBLE) * S / N AS g
+  FROM w2 WHERE cnt >= 3 AND N - cnt >= 3),
+pick2 AS (
+  SELECT d, idx, g FROM g2
+  WHERE g > 0 AND EXISTS (SELECT 1 FROM pick1)
+  ORDER BY g DESC, idx ASC LIMIT 1)
+SELECT * FROM (
+  SELECT 1 AS split_round, d AS pos, round(g, 6) AS gain FROM pick1
+  UNION ALL
+  SELECT 2 AS split_round, d AS pos, round(g, 6) AS gain FROM pick2)
+ORDER BY split_round
+""", doc="offline changepoint detection on the daily event-count "
+         "series (operators/temporal.py:binary_segmentation, Scott & "
+         "Knott binary segmentation, 2 splits, min_seg=3): where did "
+         "the metric's LEVEL shift — the offline multi-changepoint "
+         "complement to cusum_drift's online single-drift alarm. The "
+         "variance identity collapses the split score to FIRST moments "
+         "(gain = Sl^2/nl + Sr^2/nr - S^2/N; the sum-of-squares terms "
+         "cancel), so over integer counts every gain is a rational "
+         "function of exact int64 prefix sums — identical doubles on "
+         "both engines, argmax cannot flap (ties by position). The "
+         "series is a bounded rollup (days), the corpus-scale work is "
+         "the upstream count; driver state is the <= 2 chosen "
+         "boundaries (kmeans pattern)")
+def q_changepoints_daily_events(spark, sf_dir):
+    from .operators.temporal import binary_segmentation
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy(F.to_date(F.col("ts")).alias("d"))
+             .agg(F.count(F.lit(1)).alias("x")))
+    return binary_segmentation(daily, "d", "x", n_splits=2, min_seg=3)

@@ -196,6 +196,7 @@ HEADLINE = [
     "bootstrap_ci_order_total",
     "k_core_neardup",
     "sprt_urgent_orders",
+    "changepoints_daily_events",
 ]
 
 

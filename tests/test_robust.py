@@ -63,3 +63,67 @@ def test_theil_sen_robust_to_outlier(spark):
     r = theil_sen_slope(df, "g", "x", "y").first()
     assert r["n_points"] == 11
     assert abs(r["slope"] - 2.0) < 0.5  # OLS would blow past 10
+
+
+# ---------------------------------------------------------------------------
+# binary segmentation changepoints (round 9)
+# ---------------------------------------------------------------------------
+
+def test_binary_segmentation_recovers_level_shifts(spark):
+    """Two clean level shifts: round 1 must find the bigger one, round
+    2 the other; gains replay exactly in pure Python (integer
+    sufficient statistics)."""
+    from ai_incident_analyst_spark.operators.temporal import (
+        binary_segmentation,
+    )
+
+    # level 10 (idx 1-20), 40 (idx 21-40), 25 (idx 41-60)
+    vals = [10] * 20 + [40] * 20 + [25] * 20
+    rows = [(i + 1, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "p long, x long")
+    out = binary_segmentation(df, "p", "x", n_splits=2,
+                              min_seg=3).collect()
+    got = [(r["split_round"], r["pos"]) for r in out]
+    assert got == [(1, 20), (2, 40)], got
+
+    # python replay of round-1 gain at the chosen split
+    import numpy as np
+    x = np.array(vals, dtype=np.int64)
+    S, N = int(x.sum()), len(x)
+    sl, nl = int(x[:20].sum()), 20
+    sr, nr = S - sl, N - nl
+    g = sl * sl / nl + sr * sr / nr - S * S / N
+    assert out[0]["gain"] == pytest.approx(round(g, 6), abs=1e-9)
+
+
+def test_binary_segmentation_flat_series_and_guards(spark):
+    from ai_incident_analyst_spark.operators.temporal import (
+        binary_segmentation,
+    )
+
+    flat = spark.createDataFrame([(i, 7) for i in range(1, 13)],
+                                 "p long, x long")
+    assert binary_segmentation(flat, "p", "x", n_splits=2).count() == 0
+    short = spark.createDataFrame([(1, 1), (2, 9)], "p long, x long")
+    assert binary_segmentation(short, "p", "x", min_seg=3).count() == 0
+    with pytest.raises(ValueError):
+        binary_segmentation(flat, "p", "x", n_splits=0)
+
+
+def test_binary_segmentation_partitioning_invariant(spark):
+    from ai_incident_analyst_spark.operators.temporal import (
+        binary_segmentation,
+    )
+
+    import numpy as np
+    rng = np.random.default_rng(4)
+    vals = np.concatenate([rng.poisson(20, 25), rng.poisson(60, 25)])
+    rows = [(i + 1, int(v)) for i, v in enumerate(vals)]
+    a = binary_segmentation(
+        spark.createDataFrame(rows, "p long, x long"),
+        "p", "x", n_splits=2).collect()
+    b = binary_segmentation(
+        spark.createDataFrame(rows, "p long, x long").repartition(9),
+        "p", "x", n_splits=2).collect()
+    assert a == b
+    assert a and abs(a[0]["pos"] - 25) <= 2   # finds the true shift
