@@ -371,3 +371,48 @@ def spell_suggest(word_counts: DataFrame, word_col: str, freq_col: str,
             .select(F.col("w").alias("word"),
                     F.col("s").alias("suggestion"),
                     F.col("sf").alias("suggestion_freq")))
+
+
+def fellegi_sunter(pairs: DataFrame,
+                   field_params: dict[str, tuple[float, float]],
+                   upper: float, lower: float,
+                   round_dp: int = 6) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage scoring (JASA 1969;
+    the model under Splink/RecordLinkage): given candidate pairs with
+    one BOOLEAN agreement column per compared field, add the classic
+    log₂ match weight — ``log2(m/u)`` when the field agrees,
+    ``log2((1−m)/(1−u))`` when it disagrees — and classify by the two
+    thresholds: ``weight ≥ upper`` → 'match', ``≤ lower`` →
+    'non_match', else 'possible' (the clerical-review band).
+    ``field_params`` maps agreement column → ``(m, u)`` where m =
+    P(agree | same entity), u = P(agree | different entities).
+
+    Scoring is a FIXED left-to-right fold of per-field constants
+    selected by integer booleans — no running float aggregation — so
+    both engines compute identical doubles for every pair and the
+    threshold classification cannot flap (the ``sprt_bernoulli``
+    exactness contract). Blocking/candidate generation is the caller's
+    job (equi-join on block keys; the deletion-neighborhood /
+    LSH-bucket operators are the fuzzy options) — this operator is
+    pure per-pair arithmetic, embarrassingly parallel at any scale.
+
+    Returns the input plus ``(weight, decision)``.
+    """
+    import math
+
+    if not field_params:
+        raise ValueError("field_params must name at least one field")
+    if upper < lower:
+        raise ValueError("upper must be >= lower")
+    w = None
+    for fld, (m, u) in field_params.items():
+        if not (0.0 < m < 1.0 and 0.0 < u < 1.0):
+            raise ValueError(f"m/u for {fld!r} must be in (0, 1)")
+        term = F.when(F.col(fld), F.lit(math.log2(m / u))) \
+            .otherwise(F.lit(math.log2((1.0 - m) / (1.0 - u))))
+        w = term if w is None else w + term
+    return (pairs.withColumn("weight", F.round(w, round_dp))
+            .withColumn("decision",
+                        F.when(w >= F.lit(upper), F.lit("match"))
+                        .when(w <= F.lit(lower), F.lit("non_match"))
+                        .otherwise(F.lit("possible"))))

@@ -11195,3 +11195,130 @@ def q_changepoints_daily_events(spark, sf_dir):
              .groupBy(F.to_date(F.col("ts")).alias("d"))
              .agg(F.count(F.lit(1)).alias("x")))
     return binary_segmentation(daily, "d", "x", n_splits=2, min_seg=3)
+
+
+def _fs_sql() -> str:
+    """DuckDB twin for fs_customer_linkage: identical corruption,
+    blocking, agreement booleans, and weight constants (math.log2
+    reprs shared with the Spark literals — the weight is a fixed fold
+    of constants selected by booleans, so doubles match exactly)."""
+    import math
+
+    w = {}
+    for fld, (m, u) in _FS_PARAMS.items():
+        w[fld] = (repr(math.log2(m / u)),
+                  repr(math.log2((1.0 - m) / (1.0 - u))))
+    # decimal-literal trap: a bare 9.551 literal types as DECIMAL in
+    # DuckDB and the whole weight becomes DECIMAL(18,6) — CAST each
+    # constant to DOUBLE so the fold matches Spark's float64 exactly
+    terms = " + ".join(
+        f"CASE WHEN {fld} THEN CAST({a} AS DOUBLE) "
+        f"ELSE CAST({d} AS DOUBLE) END"
+        for fld, (a, d) in w.items())
+    return f"""
+WITH a AS MATERIALIZED (
+  SELECT c_custkey AS id_a, c_name AS name_a, c_acctbal AS bal_a,
+         c_nationkey AS nat_a, c_mktsegment AS seg_a
+  FROM customer),
+b AS MATERIALIZED (
+  SELECT c_custkey AS id_b,
+         CASE WHEN h IN ('0','1','2','3')
+              THEN 'Customer#' || substr(c_name, 11, 8)
+                   || substr(c_name, 10, 1)
+              ELSE c_name END AS name_b,
+         CASE WHEN h IN ('4','5') THEN c_acctbal + 1.37
+              ELSE c_acctbal END AS bal_b,
+         CASE WHEN h = '6' THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS nat_b,
+         c_mktsegment AS seg_b
+  FROM (SELECT *, substr(md5('fs:' || CAST(c_custkey AS VARCHAR)),
+                         1, 1) AS h
+        FROM customer)),
+pairs AS (
+  SELECT id_a, id_b,
+         name_a = name_b AS name_eq,
+         substr(name_a, 15, 4) = substr(name_b, 15, 4) AS suffix_eq,
+         abs(bal_a - bal_b) <= 0.5 AS bal_close
+  FROM a JOIN b ON a.nat_a = b.nat_b AND a.seg_a = b.seg_b),
+scored AS (
+  SELECT id_a, id_b, {terms} AS w
+  FROM pairs)
+SELECT CASE WHEN w >= 8.0 THEN 'match'
+            WHEN w <= -4.0 THEN 'non_match'
+            ELSE 'possible' END AS decision,
+       id_a = id_b AS is_true_pair,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(w), 6) AS min_weight,
+       round(max(w), 6) AS max_weight
+FROM scored
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+#: (m, u) per agreement field: m = P(agree | same entity) under the
+#: deterministic corruption rates below, u = P(agree | different)
+_FS_PARAMS = {
+    "name_eq": (0.75, 0.001),
+    # last-4-digit agreement: the rotation corruption breaks it, a
+    # random in-block pair matches it ~1e-4 of the time ('Customer#'
+    # names only differ in their digit tail — a PREFIX comparison is
+    # degenerate, every id < 10^6 shares 'Customer#000')
+    "suffix_eq": (0.75, 0.0005),
+    "bal_close": (0.875, 0.001),
+}
+
+
+@q("fs_customer_linkage", _fs_sql(),
+   doc="Fellegi-Sunter probabilistic record linkage (operators/"
+       "linkage.py:fellegi_sunter, JASA 1969 — the model under "
+       "Splink): customers linked against a deterministically "
+       "corrupted copy of themselves (md5-selected 25% name digit "
+       "rotation, 12.5% balance shift, 6% nationkey bump — the spell-"
+       "typo injection recipe), blocked on (nationkey, mktsegment) so "
+       "the nationkey corruption also exercises blocking misses. "
+       "Per-pair weight = fixed fold of log2(m/u) / log2((1-m)/(1-u)) "
+       "constants selected by agreement booleans — identical doubles "
+       "cross-engine, classification cannot flap. Output: decision x "
+       "is_true_pair counts with weight extrema — corrupted-name true "
+       "pairs land in the clerical-review 'possible' band by design")
+def q_fs_customer_linkage(spark, sf_dir):
+    from .operators.linkage import fellegi_sunter
+    c = _t(spark, sf_dir, "customer")
+    h = F.substring(F.md5(F.concat(F.lit("fs:"),
+                                   F.col("c_custkey").cast("string"))),
+                    1, 1)
+    name_b = F.when(
+        h.isin("0", "1", "2", "3"),
+        F.concat(F.lit("Customer#"), F.substring("c_name", 11, 8),
+                 F.substring("c_name", 10, 1))).otherwise(F.col("c_name"))
+    bal_b = F.when(h.isin("4", "5"),
+                   F.col("c_acctbal") + 1.37).otherwise(F.col("c_acctbal"))
+    nat_b = F.when(h == "6",
+                   (F.col("c_nationkey") + 1) % 25) \
+        .otherwise(F.col("c_nationkey"))
+    a = c.select(F.col("c_custkey").alias("id_a"),
+                 F.col("c_name").alias("name_a"),
+                 F.col("c_acctbal").alias("bal_a"),
+                 F.col("c_nationkey").alias("nat_a"),
+                 F.col("c_mktsegment").alias("seg_a"))
+    b = c.select(F.col("c_custkey").alias("id_b"),
+                 name_b.alias("name_b"), bal_b.alias("bal_b"),
+                 nat_b.alias("nat_b"),
+                 F.col("c_mktsegment").alias("seg_b"))
+    pairs = (a.join(b, (F.col("nat_a") == F.col("nat_b"))
+                    & (F.col("seg_a") == F.col("seg_b")))
+             .select("id_a", "id_b",
+                     (F.col("name_a") == F.col("name_b"))
+                     .alias("name_eq"),
+                     (F.substring("name_a", 15, 4)
+                      == F.substring("name_b", 15, 4)).alias("suffix_eq"),
+                     (F.abs(F.col("bal_a") - F.col("bal_b")) <= 0.5)
+                     .alias("bal_close")))
+    scored = fellegi_sunter(pairs, _FS_PARAMS, upper=8.0, lower=-4.0)
+    return (scored.groupBy("decision",
+                           (F.col("id_a") == F.col("id_b"))
+                           .alias("is_true_pair"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("weight"), 6).alias("min_weight"),
+                 F.round(F.max("weight"), 6).alias("max_weight"))
+            .orderBy("decision", "is_true_pair"))

@@ -197,6 +197,7 @@ HEADLINE = [
     "k_core_neardup",
     "sprt_urgent_orders",
     "changepoints_daily_events",
+    "fs_customer_linkage",
 ]
 
 

@@ -346,3 +346,35 @@ def test_spell_suggest_freq_beats_alphabetical(spark):
     # (insert i); tible wins on frequency even though table < tible
     # alphabetically
     assert got["tble"] == ("tible", 90)
+
+
+def test_fellegi_sunter_weights_and_bands(spark):
+    """Hand-checked weights: fixed fold of log2 constants selected by
+    booleans; thresholds route to match/possible/non_match."""
+    import math
+
+    from ai_incident_analyst_spark.operators.linkage import (
+        fellegi_sunter,
+    )
+
+    params = {"a_eq": (0.9, 0.01), "b_eq": (0.8, 0.2)}
+    wa, da = math.log2(0.9 / 0.01), math.log2(0.1 / 0.99)
+    wb, db = math.log2(0.8 / 0.2), math.log2(0.2 / 0.8)
+    rows = [(1, True, True), (2, True, False),
+            (3, False, True), (4, False, False)]
+    df = spark.createDataFrame(rows, "pid long, a_eq boolean, b_eq boolean")
+    out = {r["pid"]: (r["weight"], r["decision"])
+           for r in fellegi_sunter(df, params, upper=7.0,
+                                   lower=-2.0).collect()}
+    import pytest as pt
+    assert out[1][0] == pt.approx(round(wa + wb, 6), abs=1e-9)
+    assert out[1][1] == "match"          # 6.49 + 2 = 8.49 >= 7
+    assert out[2][0] == pt.approx(round(wa + db, 6), abs=1e-9)
+    assert out[2][1] == "possible"       # 6.49 - 2 = 4.49
+    assert out[4][1] == "non_match"      # -3.31 - 2 = -5.31 <= -2
+    with pt.raises(ValueError):
+        fellegi_sunter(df, {}, 1.0, 0.0)
+    with pt.raises(ValueError):
+        fellegi_sunter(df, params, upper=-5.0, lower=0.0)
+    with pt.raises(ValueError):
+        fellegi_sunter(df, {"a_eq": (1.0, 0.5)}, 1.0, 0.0)
