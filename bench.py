@@ -198,6 +198,7 @@ HEADLINE = [
     "sprt_urgent_orders",
     "changepoints_daily_events",
     "fs_customer_linkage",
+    "psi_event_values",
 ]
 
 
