@@ -756,3 +756,69 @@ def vocab_coverage(df: DataFrame, text_col: str,
             .select("n_top", "covered_tokens", "total_tokens",
                     F.round(F.col("covered_tokens")
                             / F.col("total_tokens"), 6).alias("coverage")))
+
+
+def rake_keyphrases(df: DataFrame, id_col: str, text_col: str,
+                    stopwords: tuple[str, ...] = (
+                        "the", "a", "an", "and", "of", "to", "in", "is"),
+                    max_phrase_words: int = 3, top_n: int = 20,
+                    round_dp: int = 6) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010), corpus mode: split
+    text into candidate phrases at stopword/punctuation boundaries,
+    score each word by ``degree/freq`` over ALL candidate occurrences
+    (freq = occurrences, degree = Σ of the lengths of the phrases it
+    appears in — co-occurrence credit), and rank distinct phrases by
+    the sum of their member-word scores. Complements the shelf's other
+    extractors: ``tag_keywords`` needs a dictionary, ``pmi_collocations``
+    finds word PAIRS, ``tfidf_top_terms`` single terms — RAKE surfaces
+    multi-word phrases with no dictionary and no window stats.
+
+    Returns top-``top_n`` rows ``(phrase, n_words, phrase_freq, score)``
+    by (score desc, phrase asc). Phrases longer than
+    ``max_phrase_words`` are discarded (the standard noise guard).
+
+    Plan: stopwords are cut with ONE ``\\b``-anchored regexp_replace
+    (RE2-portable — no lookarounds, so the twin runs the same regex),
+    segments explode to phrase occurrences, word stats are one
+    map-side-combined groupBy over exploded words, and the final score
+    joins VOCAB-sized stats back to DISTINCT phrases. degree/freq are
+    exact integers; the per-phrase score sum is ≤ ``max_phrase_words``
+    doubles, rounded to ``round_dp``.
+    """
+    if max_phrase_words < 1 or top_n < 1:
+        raise ValueError("max_phrase_words and top_n must be >= 1")
+    if not stopwords:
+        raise ValueError("stopwords must be non-empty")
+    sw = "|".join(sorted(stopwords))
+    cleaned = F.regexp_replace(F.lower(F.col(text_col)),
+                               r"[^a-z]+", " ")
+    cut = F.regexp_replace(cleaned, rf"\b({sw})\b", "|")
+    segs = (df.select(F.explode(F.split(cut, r"\|")).alias("seg"))
+            .select(F.filter(F.split(F.trim(F.col("seg")), r"\s+"),
+                             lambda x: F.length(x) > 0).alias("ws"))
+            .where((F.size("ws") >= 1)
+                   & (F.size("ws") <= max_phrase_words))
+            .select(F.array_join("ws", " ").alias("phrase"), "ws")
+            .localCheckpoint(eager=False))   # feeds word stats + counts
+    words = segs.select(F.explode("ws").alias("w"),
+                        F.size("ws").alias("__len"))
+    stats = (words.groupBy("w")
+             .agg(F.count(F.lit(1)).alias("freq"),
+                  F.sum("__len").alias("degree")))
+    phrases = (segs.groupBy("phrase")
+               .agg(F.count(F.lit(1)).alias("phrase_freq"),
+                    F.first("ws").alias("ws")))
+    scored = (phrases.select("phrase", "phrase_freq",
+                             F.explode("ws").alias("w"))
+              .join(stats, "w")
+              .groupBy("phrase", "phrase_freq")
+              .agg(F.count(F.lit(1)).alias("n_words"),
+                   F.round(F.sum(F.col("degree").cast("double")
+                                 / F.col("freq")), round_dp)
+                   .alias("score")))
+    return (scored.select("phrase",
+                          F.col("n_words").cast("int").alias("n_words"),
+                          F.col("phrase_freq").cast("long")
+                          .alias("phrase_freq"), "score")
+            .orderBy(F.desc("score"), "phrase")
+            .limit(top_n))

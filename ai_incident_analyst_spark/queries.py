@@ -11378,3 +11378,54 @@ def q_psi_event_values(spark, sf_dir):
     ref = ev.where(F.col("ts") < split)
     cur = ev.where(F.col("ts") >= split)
     return psi_report(ref, cur, "value", n_bins=10).orderBy("bin")
+
+
+@q("rake_keyphrases_docs", r"""
+WITH segs0 AS (
+  SELECT unnest(string_split_regex(
+           regexp_replace(
+             regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),
+             '\b(a|an|and|in|is|of|the|to)\b', '|', 'g'),
+           '\|')) AS seg
+  FROM documents),
+p AS MATERIALIZED (
+  SELECT array_to_string(ws, ' ') AS phrase, ws FROM (
+    SELECT list_filter(string_split_regex(trim(seg), '\s+'),
+                       x -> length(x) > 0) AS ws
+    FROM segs0)
+  WHERE len(ws) BETWEEN 1 AND 3),
+w AS (SELECT unnest(ws) AS w, len(ws) AS l FROM p),
+stats AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(l) AS BIGINT) AS degree
+  FROM w GROUP BY w),
+ph AS MATERIALIZED (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS phrase_freq
+  FROM p GROUP BY phrase),
+sc AS (
+  SELECT ph.phrase,
+         CAST(len(string_split(ph.phrase, ' ')) AS INT) AS n_words,
+         ph.phrase_freq,
+         round(sum(CAST(s.degree AS DOUBLE) / s.freq), 6) AS score
+  FROM ph, unnest(string_split(ph.phrase, ' ')) AS t(w)
+  JOIN stats s ON s.w = t.w
+  GROUP BY 1, 2, 3)
+SELECT phrase, n_words, phrase_freq, score
+FROM sc ORDER BY score DESC, phrase LIMIT 20
+""", doc="RAKE keyphrase extraction over the documents corpus "
+         "(operators/text_analysis.py:rake_keyphrases, Rose et al. "
+         "2010): candidate phrases are maximal stopword/punctuation-"
+         "free runs (cut with one RE2-portable \\b-anchored "
+         "regexp_replace — no lookarounds), each distinct phrase "
+         "scored by the sum of its member words' degree/freq over all "
+         "candidate occurrences. The dictionary-free multi-word "
+         "complement to tag_keywords (dictionary), pmi_collocations "
+         "(pairs), and tfidf_top_terms (single terms). Word stats are "
+         "one map-side-combined groupBy; the score join is vocab-sized; "
+         "degree/freq exact integers, per-phrase sum <= 3 doubles "
+         "rounded 6dp")
+def q_rake_keyphrases_docs(spark, sf_dir):
+    from .operators.text_analysis import rake_keyphrases
+    return rake_keyphrases(_t(spark, sf_dir, "documents"),
+                           "doc_id", "text", max_phrase_words=3,
+                           top_n=20)

@@ -199,6 +199,7 @@ HEADLINE = [
     "changepoints_daily_events",
     "fs_customer_linkage",
     "psi_event_values",
+    "rake_keyphrases_docs",
 ]
 
 

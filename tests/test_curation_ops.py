@@ -285,3 +285,47 @@ def test_sample_random_negatives_contract(spark):
     other = sample_random_negatives(qs, corpus, pos, k=4,
                                     salt="x").collect()
     assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
+
+
+def test_rake_keyphrases_hand_truth(spark):
+    """Classic RAKE arithmetic on a designed two-doc corpus."""
+    from ai_incident_analyst_spark.operators.text_analysis import (
+        rake_keyphrases,
+    )
+
+    rows = [(1, "deep learning of deep networks"),
+            (2, "the deep learning")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["phrase"]: r for r in
+           rake_keyphrases(df, "doc_id", "text",
+                           stopwords=("the", "of"),
+                           max_phrase_words=3, top_n=10).collect()}
+    # candidate occurrences: 'deep learning' x2, 'deep networks' x1
+    # freq: deep=3, learning=2, networks=1
+    # degree: deep = 2+2+2 = 6, learning = 2+2 = 4, networks = 2
+    # score('deep learning') = 6/3 + 4/2 = 4.0
+    # score('deep networks') = 6/3 + 2/1 = 4.0
+    assert set(out) == {"deep learning", "deep networks"}
+    assert out["deep learning"]["score"] == 4.0
+    assert out["deep learning"]["phrase_freq"] == 2
+    assert out["deep networks"]["score"] == 4.0
+    assert out["deep networks"]["n_words"] == 2
+
+
+def test_rake_keyphrases_guards_and_phrase_cap(spark):
+    import pytest as pt
+
+    from ai_incident_analyst_spark.operators.text_analysis import (
+        rake_keyphrases,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    # no stopword hit -> one 5-word run, over the cap -> dropped
+    assert rake_keyphrases(df, "doc_id", "text",
+                           stopwords=("zzz",),
+                           max_phrase_words=3).count() == 0
+    with pt.raises(ValueError):
+        rake_keyphrases(df, "doc_id", "text", stopwords=())
+    with pt.raises(ValueError):
+        rake_keyphrases(df, "doc_id", "text", max_phrase_words=0)
