@@ -401,74 +401,3 @@ def dp_noisy_counts(df: DataFrame, group_cols: list[str],
         F.greatest(F.col("__n") + F.col("__k"), F.lit(0))
         .cast("long").alias("noisy_count"),
         F.lit(int(round(epsilon * 1e6))).alias("epsilon_1e6"))
-
-
-def psi_report(ref: DataFrame, cur: DataFrame, value_col: str,
-               n_bins: int = 10, round_dp: int = 6) -> DataFrame:
-    """Population Stability Index between a REFERENCE and a CURRENT
-    window of a numeric column — the industry-standard drift monitor
-    (credit-scoring lineage; the scalar cousin of
-    ``token_divergence``'s KL). Bins are the reference's ``n_bins``
-    quantile edges (exact order statistics, NO interpolation), so the
-    reference distributes ~uniformly across bins and drift shows up as
-    current-window mass leaving them. Per bin: ``(bin, n_ref, n_cur,
-    p_ref, p_cur, psi_term)`` with ``psi = Σ psi_term =
-    Σ (p_cur−p_ref)·ln(p_cur/p_ref)``; the usual reading: < 0.1 stable,
-    0.1-0.25 moderate shift, > 0.25 investigate.
-
-    Proportions are Yates-smoothed (``(n + 0.5)/(N + 0.5·n_bins)``) so
-    an empty bin yields a large-but-finite term instead of ±inf — a
-    DETERMINISTIC convention both engines share; every term is then a
-    rational function of exact integer counts (identical doubles, the
-    sufficient-statistics contract). Edge values are data values
-    (collected n_bins−1 driver literals, the kmeans pattern — no
-    arithmetic, so cross-engine exact); bin id = count of edges below
-    the value, a fixed fold of boolean casts.
-
-    Scale shape: one distributed prefix-sum pass over the reference for
-    the edges, then one scan + groupBy per side — no joins against the
-    data, no per-row subqueries.
-    """
-    if n_bins < 2:
-        raise ValueError("n_bins must be >= 2")
-    from .packing import global_cumsum
-
-    v = F.col(value_col).cast("double")
-    r = ref.select(v.alias("v")).where(F.col("v").isNotNull())
-    c = cur.select(v.alias("v")).where(F.col("v").isNotNull())
-    idx = global_cumsum(r.withColumn("__one", F.lit(1)), "v", "__one",
-                        "idx").localCheckpoint(eager=False)
-    n_ref_total = idx.agg(F.max("idx")).collect()[0][0]
-    if not n_ref_total:
-        raise ValueError("psi_report: empty reference window")
-    import math
-    targets = sorted({int(math.ceil(n_ref_total * k / n_bins))
-                      for k in range(1, n_bins)})
-    edges = [row["v"] for row in
-             (idx.where(F.col("idx").isin(targets))
-              .orderBy("idx").select("v").collect())]
-
-    def binned(side):
-        b = F.lit(0)
-        for e in edges:
-            b = b + (F.col("v") > F.lit(float(e))).cast("int")
-        return (side.select(b.alias("bin"))
-                .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
-
-    bins = (binned(r).withColumnRenamed("n", "n_ref")
-            .join(binned(c).withColumnRenamed("n", "n_cur"),
-                  "bin", "full"))
-    tot = bins.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
-    nb = float(n_bins)
-    nr = F.coalesce("n_ref", F.lit(0)).cast("double")
-    nc = F.coalesce("n_cur", F.lit(0)).cast("double")
-    p1 = (nr + 0.5) / (F.col("tr").cast("double") + 0.5 * nb)
-    p2 = (nc + 0.5) / (F.col("tc").cast("double") + 0.5 * nb)
-    return (bins.crossJoin(F.broadcast(tot))
-            .select(F.col("bin").cast("int").alias("bin"),
-                    nr.cast("long").alias("n_ref"),
-                    nc.cast("long").alias("n_cur"),
-                    F.round(p1, round_dp).alias("p_ref"),
-                    F.round(p2, round_dp).alias("p_cur"),
-                    F.round((p2 - p1) * F.log(p2 / p1),
-                            round_dp).alias("psi_term")))

@@ -11324,62 +11324,6 @@ def q_fs_customer_linkage(spark, sf_dir):
             .orderBy("decision", "is_true_pair"))
 
 
-@q("psi_event_values", """
-WITH r AS MATERIALIZED (
-  SELECT CAST(value AS DOUBLE) AS v FROM events
-  WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL),
-c AS MATERIALIZED (
-  SELECT CAST(value AS DOUBLE) AS v FROM events
-  WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
-idx AS MATERIALIZED (
-  SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS idx
-  FROM r),
-edges AS MATERIALIZED (
-  SELECT v FROM idx
-  WHERE idx IN (
-    SELECT CAST(ceiling(CAST(n.n AS DOUBLE) * t.k / 10) AS BIGINT)
-    FROM (SELECT max(idx) AS n FROM idx) n, range(1, 10) t(k))),
-br AS (
-  SELECT bin, CAST(count(*) AS BIGINT) AS n_ref FROM (
-    SELECT (SELECT count(*) FROM edges e WHERE e.v < r.v) AS bin FROM r)
-  GROUP BY 1),
-bc AS (
-  SELECT bin, CAST(count(*) AS BIGINT) AS n_cur FROM (
-    SELECT (SELECT count(*) FROM edges e WHERE e.v < c.v) AS bin FROM c)
-  GROUP BY 1),
-bins AS (
-  SELECT COALESCE(br.bin, bc.bin) AS bin,
-         COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
-  FROM br FULL JOIN bc ON br.bin = bc.bin),
-tot AS (SELECT (SELECT count(*) FROM r) AS tr,
-               (SELECT count(*) FROM c) AS tc)
-SELECT CAST(bin AS INT) AS bin, n_ref, n_cur,
-       round((n_ref + 0.5) / (tr + 5.0), 6) AS p_ref,
-       round((n_cur + 0.5) / (tc + 5.0), 6) AS p_cur,
-       round(((n_cur + 0.5) / (tc + 5.0) - (n_ref + 0.5) / (tr + 5.0))
-             * ln(((n_cur + 0.5) / (tc + 5.0))
-                  / ((n_ref + 0.5) / (tr + 5.0))), 6) AS psi_term
-FROM bins CROSS JOIN tot ORDER BY bin
-""", doc="Population Stability Index of event values, first half of "
-         "January as reference vs the rest as current (operators/"
-         "validation.py:psi_report, 10 reference-decile bins): the "
-         "industry-standard scalar drift monitor (psi < 0.1 stable, "
-         "> 0.25 investigate) — the numeric cousin of "
-         "token_divergence_halves' KL. Edges are EXACT reference order "
-         "statistics (distributed prefix sum, no interpolation, edge "
-         "values are data values so cross-engine exact); proportions "
-         "Yates-smoothed so empty bins stay finite deterministically; "
-         "every term a rational function of exact integer counts. One "
-         "prefix-sum pass + one scan/groupBy per side")
-def q_psi_event_values(spark, sf_dir):
-    from .operators.validation import psi_report
-    ev = _t(spark, sf_dir, "events")
-    split = "2024-01-16"
-    ref = ev.where(F.col("ts") < split)
-    cur = ev.where(F.col("ts") >= split)
-    return psi_report(ref, cur, "value", n_bins=10).orderBy("bin")
-
-
 @q("rake_keyphrases_docs", r"""
 WITH segs0 AS (
   SELECT unnest(string_split_regex(

@@ -198,7 +198,6 @@ HEADLINE = [
     "sprt_urgent_orders",
     "changepoints_daily_events",
     "fs_customer_linkage",
-    "psi_event_values",
     "rake_keyphrases_docs",
 ]
 

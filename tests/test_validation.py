@@ -288,30 +288,3 @@ def test_dp_noisy_counts_tail_clamps_not_drops(spark):
     assert tail, "fixture produced no tail draw; widen the group list"
     for g in tail:
         assert out[g] == 10 + 60, (g, out[g])
-
-
-def test_psi_report_identical_windows_near_zero(spark):
-    """PSI of a window against itself is ~0 (only smoothing residue);
-    a shifted window produces a large PSI; empty bins stay finite."""
-    from ai_incident_analyst_spark.operators.validation import psi_report
-
-    import numpy as np
-    rng = np.random.default_rng(3)
-    a = [(float(v),) for v in rng.normal(0, 1, 2000)]
-    b = [(float(v),) for v in rng.normal(2.5, 1, 2000)]   # shifted
-    ra = spark.createDataFrame(a, "value double")
-    rb = spark.createDataFrame(b, "value double")
-    same = psi_report(ra, ra, "value", n_bins=10).collect()
-    assert len(same) == 10
-    assert sum(r["psi_term"] for r in same) < 1e-6
-    # reference mass ~uniform across its own decile bins
-    assert all(abs(r["p_ref"] - 0.1) < 0.02 for r in same)
-    drift = psi_report(ra, rb, "value", n_bins=10).collect()
-    psi = sum(r["psi_term"] for r in drift)
-    assert psi > 1.0                        # massive, finite shift
-    assert all(np.isfinite(r["psi_term"]) for r in drift)
-    import pytest as pt
-    with pt.raises(ValueError):
-        psi_report(ra, rb, "value", n_bins=1)
-    with pt.raises(ValueError):
-        psi_report(ra.limit(0), rb, "value")
