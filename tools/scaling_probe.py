@@ -109,6 +109,15 @@ DEFAULT_QUERIES = [
     "spell_suggest_docs",
     "ivf_nprobe_recall",
     "wordpiece_segment_stats",
+    # round-9 additions whose scaling needs watching: grid-blocked
+    # density clustering, B-fan-out bootstrap, peeling rounds, the
+    # blocked FS pair join, and the rebuilt pmi plan
+    "dbscan_embeddings_2d",
+    "bootstrap_ci_order_total",
+    "k_core_neardup",
+    "fs_customer_linkage",
+    "pmi_collocations",
+    "graph_ann_index_query",
 ]
 
 
