@@ -361,3 +361,72 @@ def k_core(edges: DataFrame, src: str = "src", dst: str = "dst",
     return (alive.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
             .select(F.col("u").alias("node"),
                     F.col("degree").cast("long").alias("degree")))
+
+
+def k_truss(edges: DataFrame, src: str = "src", dst: str = "dst",
+            k: int = 3, max_iter: int = 30) -> DataFrame:
+    """k-truss decomposition (Cohen 2008): the maximal subgraph in
+    which every EDGE participates in ≥ k−2 triangles — the edge-level
+    sharpening of ``k_core`` (every k-truss is inside the (k−1)-core,
+    but a truss additionally kills bridge edges whose endpoints are
+    individually well-connected). On a near-dup graph the 3-truss
+    keeps only mutually-corroborated duplication (every retained pair
+    shares a witness), dropping chain links a single noisy pair could
+    forge.
+
+    Returns ``(u, v, support)`` for surviving canonical (u < v) edges;
+    ``support`` = triangle count within the truss (≥ k−2). Empty frame
+    when no truss exists.
+
+    Physical shape per round: the canonical wedge join + closing-edge
+    join (the ``triangle_count`` machinery), an explode of each
+    triangle to its 3 edges, one support groupBy, and the drop filter;
+    lineage truncated per round, convergence by edge-count fixed point
+    (raises past ``max_iter`` — the loudness contract). Peeling is
+    monotone, so a fixed-round SQL unroll with trailing no-op rounds
+    equals the convergence loop — the ``k_core`` twin argument.
+    Triangle support squares hot-node degrees; the canonical
+    orientation halves wedge fan-out and AQE skew-splits the rest
+    (same scale notes as ``triangle_count``).
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3 for a k-truss, got {k}")
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                      F.greatest(F.col(src), F.col(dst)).alias("v"))
+         .filter(F.col("u") < F.col("v"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    prev = e.count()
+    support = None
+    for _ in range(max_iter):
+        w1, w2, w3 = e.alias("w1"), e.alias("w2"), e.alias("w3")
+        tri = (w1.join(w2, F.col("w1.v") == F.col("w2.u"))
+               .select(F.col("w1.u").alias("a"),
+                       F.col("w1.v").alias("b"),
+                       F.col("w2.v").alias("c"))
+               .join(w3, (F.col("a") == F.col("w3.u"))
+                     & (F.col("c") == F.col("w3.v")), "left_semi"))
+        sides = (tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+                 .union(tri.select(F.col("b").alias("u"),
+                                   F.col("c").alias("v")))
+                 .union(tri.select(F.col("a").alias("u"),
+                                   F.col("c").alias("v"))))
+        support = (sides.groupBy("u", "v")
+                   .agg(F.count(F.lit(1)).alias("support"))
+                   .localCheckpoint(eager=True))
+        e = (e.join(support.where(F.col("support") >= k - 2),
+                    ["u", "v"], "left_semi")
+             .localCheckpoint(eager=True))
+        n = e.count()
+        if n == prev:
+            break
+        prev = n
+    else:
+        raise RuntimeError(
+            f"k_truss did not reach a fixed point in {max_iter} rounds; "
+            "raise max_iter")
+    if support is None:
+        return e.select("u", "v", F.lit(0).cast("long").alias("support"))
+    return (e.join(support, ["u", "v"])
+            .select("u", "v", F.col("support").cast("long")
+                    .alias("support")))

@@ -11373,3 +11373,63 @@ def q_rake_keyphrases_docs(spark, sf_dir):
     return rake_keyphrases(_t(spark, sf_dir, "documents"),
                            "doc_id", "text", max_phrase_words=3,
                            top_n=20)
+
+
+def _k_truss_sql(k: int, rounds: int) -> str:
+    """Unrolled-peeling twin for k_truss over the shared near-dup pair
+    graph: per round, the canonical wedge+closing-edge triangle join,
+    a 3-way edge explode, one support groupBy, and the drop filter —
+    monotone, so trailing no-op rounds equal the Spark side's
+    run-to-convergence loop (the _k_core_sql argument; convergence-
+    within-rounds asserted in tests/test_graph.py)."""
+    parts = ["e0 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs)"]
+    for i in range(rounds):
+        parts.append(
+            f"tri{i} AS MATERIALIZED (\n"
+            f"  SELECT w1.u AS a, w1.v AS b, w2.v AS c\n"
+            f"  FROM e{i} w1 JOIN e{i} w2 ON w1.v = w2.u\n"
+            f"  JOIN e{i} w3 ON w3.u = w1.u AND w3.v = w2.v)")
+        parts.append(
+            f"sup{i} AS MATERIALIZED (\n"
+            f"  SELECT u, v, count(*) AS s FROM (\n"
+            f"    SELECT a AS u, b AS v FROM tri{i}\n"
+            f"    UNION ALL SELECT b AS u, c AS v FROM tri{i}\n"
+            f"    UNION ALL SELECT a AS u, c AS v FROM tri{i})\n"
+            f"  GROUP BY u, v)")
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT e{i}.u, e{i}.v FROM e{i}\n"
+            f"  JOIN sup{i} ON sup{i}.u = e{i}.u AND sup{i}.v = e{i}.v\n"
+            f"  WHERE s >= {k - 2})")
+    return (
+        f"WITH RECURSIVE {_NGRAM_PAIRS_CTES},\n"
+        + ",\n".join(parts) + "\n"
+        f"SELECT e{rounds}.u AS u, e{rounds}.v AS v, "
+        f"CAST(s AS BIGINT) AS support\n"
+        f"FROM e{rounds} JOIN sup{rounds - 1}\n"
+        f"  ON sup{rounds - 1}.u = e{rounds}.u\n"
+        f" AND sup{rounds - 1}.v = e{rounds}.v\n"
+        f"ORDER BY 1, 2"
+    )
+
+
+@q("k_truss_neardup", _k_truss_sql(k=3, rounds=6),
+   doc="3-truss of the near-dup pair graph (operators/graph.py:"
+       "k_truss, Cohen 2008 edge peeling): every surviving pair "
+       "participates in >= 1 triangle within the truss — only "
+       "mutually-corroborated duplication survives (every retained "
+       "pair shares a witness doc), killing chain links a single "
+       "noisy LSH pair could forge; the edge-level sharpening of "
+       "k_core_neardup. Per round one wedge+closing join + a 3-way "
+       "edge explode + one support groupBy, lineage truncated; Spark "
+       "runs to the fixed point, the twin unrolls 6 monotone rounds "
+       "(trailing no-ops — identical by construction)")
+def q_k_truss_neardup(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs_lsh
+    from .operators.graph import k_truss
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_lsh(docs, "doc_id", "text", n=3,
+                                    threshold=0.12, num_perm=64,
+                                    bands=64)
+    return (k_truss(pairs, "id_a", "id_b", k=3)
+            .orderBy("u", "v"))

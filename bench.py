@@ -199,6 +199,7 @@ HEADLINE = [
     "changepoints_daily_events",
     "fs_customer_linkage",
     "rake_keyphrases_docs",
+    "k_truss_neardup",
 ]
 
 

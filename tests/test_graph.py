@@ -240,3 +240,47 @@ def test_k_core_neardup_converges_within_twin_unroll(spark):
     # max_iter=8 == the twin's unroll: must converge, not raise
     out = k_core(pairs, "id_a", "id_b", k=2, max_iter=8)
     assert out.count() >= 0
+
+
+def test_k_truss_reference_graph(spark):
+    """A 4-clique with a pendant triangle and a chain: the 3-truss
+    keeps both triangle structures, the 4-truss only the clique."""
+    from ai_incident_analyst_spark.operators.graph import k_truss
+
+    edges = [
+        # 4-clique 1-4 (each edge in 2 triangles)
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        # pendant triangle 4-5-6 (each edge in exactly 1 triangle)
+        (4, 5), (5, 6), (4, 6),
+        # chain 6-7-8: no triangles, peels at any k
+        (6, 7), (7, 8),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    t3 = {(r["u"], r["v"]): r["support"]
+          for r in k_truss(df, k=3).collect()}
+    assert set(t3) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                       (4, 5), (5, 6), (4, 6)}
+    assert t3[(1, 2)] == 2 and t3[(4, 5)] == 1
+    t4 = {(r["u"], r["v"]): r["support"]
+          for r in k_truss(df, k=4).collect()}
+    assert set(t4) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    assert all(s == 2 for s in t4.values())
+    assert k_truss(df, k=5).count() == 0
+    import pytest
+    with pytest.raises(ValueError):
+        k_truss(df, k=2)
+
+
+def test_k_truss_cascade_peel(spark):
+    """Dropping one edge can strip triangles from others — the
+    iterative cascade: two triangles sharing an edge plus a weak
+    triangle hanging off, where removing the weak edges re-evaluates
+    support (4-truss of a 'bowtie + tail' collapses entirely)."""
+    from ai_incident_analyst_spark.operators.graph import k_truss
+
+    # bowtie: triangles (1,2,3) and (3,4,5) share node 3 only
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    t3 = k_truss(df, k=3)
+    assert t3.count() == 6          # both triangles survive the 3-truss
+    assert k_truss(df, k=4).count() == 0   # no edge has 2 triangles

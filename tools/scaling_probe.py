@@ -118,6 +118,7 @@ DEFAULT_QUERIES = [
     "fs_customer_linkage",
     "pmi_collocations",
     "graph_ann_index_query",
+    "k_truss_neardup",
 ]
 
 
