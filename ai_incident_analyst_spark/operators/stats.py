@@ -826,3 +826,46 @@ def sprt_bernoulli(df: DataFrame, order_col, success_col,
                     .alias("decision"),
                     "n_decision", "k_decision", "llr_decision",
                     "n_total", "k_total", "llr_final"))
+
+
+def loo_group_influence(df: DataFrame, group_col: str, value_col: str,
+                        round_dp: int = 6) -> DataFrame:
+    """Leave-one-group-out influence — data-valuation lite: for each
+    group (source, shard, annotator), how much does REMOVING it move
+    the corpus mean? ``influence = mean(without g) − mean(all)``: a
+    positive value says the group is dragging the metric DOWN (the
+    corpus improves without it) — the first-pass answer to "which
+    source should curation look at?" before anything as heavy as
+    Shapley over sources (``shapley_attribution`` is the exact
+    coalition version for ≤ ~15 players; this is the O(groups)
+    screen).
+
+    Pure sufficient statistics: one groupBy pass collects per-group
+    ``(n_g, S_g)``; the global totals are the SUMS of that
+    group-cardinality table (tiny — re-aggregated exactly, no second
+    corpus scan), and each group's row is
+    ``(S − S_g)/(N − n_g) − S/N`` — rational in the per-group sums.
+    Returns ``(<group_col>, n, group_mean, influence)``; a group that
+    IS the whole corpus yields NULL influence (nothing left without
+    it). NULL values are dropped (complete-case), NULL group keys form
+    their own group (they are real rows a curation decision covers).
+    """
+    v = F.col(value_col).cast("double")
+    per = (df.where(v.isNotNull() & ~F.isnan(v))
+           .groupBy(F.col(group_col).alias("g"))
+           .agg(F.count(F.lit(1)).alias("n"), F.sum(v).alias("s"))
+           .localCheckpoint(eager=False))   # feeds totals + output
+    # totals get distinct names: Spark resolves identifiers
+    # case-insensitively by default, so "N" would collide with "n"
+    tot = per.agg(F.sum("n").alias("tot_n"), F.sum("s").alias("tot_s"))
+    rest_n = F.col("tot_n") - F.col("n")
+    influence = F.when(
+        rest_n > 0,
+        (F.col("tot_s") - F.col("s")) / rest_n
+        - F.col("tot_s") / F.col("tot_n"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(F.col("g").alias(group_col),
+                    F.col("n").cast("long").alias("n"),
+                    F.round(F.col("s") / F.col("n"), round_dp)
+                    .alias("group_mean"),
+                    F.round(influence, round_dp).alias("influence")))

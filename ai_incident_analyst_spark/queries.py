@@ -11433,3 +11433,31 @@ def q_k_truss_neardup(spark, sf_dir):
                                     bands=64)
     return (k_truss(pairs, "id_a", "id_b", k=3)
             .orderBy("u", "v"))
+
+
+@q("loo_lang_influence", """
+WITH per AS MATERIALIZED (
+  SELECT lang AS g, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(n_chars AS DOUBLE)) AS s
+  FROM documents GROUP BY lang),
+tot AS (SELECT sum(n) AS tn, sum(s) AS ts FROM per)
+SELECT g AS lang, per.n AS n,
+       round(s / per.n, 6) AS group_mean,
+       round(CASE WHEN tn - per.n > 0
+                  THEN (ts - s) / (tn - per.n) - ts / tn END, 6)
+         AS influence
+FROM per CROSS JOIN tot ORDER BY lang
+""", doc="leave-one-group-out influence of each language slice on the "
+         "mean document length (operators/stats.py:loo_group_influence)"
+         " — data-valuation lite: positive influence means the corpus "
+         "mean RISES without the group (the group drags it down), the "
+         "O(groups) screen run before anything as heavy as per-source "
+         "Shapley. One groupBy pass; totals re-aggregated from the "
+         "group-cardinality table, no second corpus scan; every term "
+         "rational in per-group sufficient statistics")
+def q_loo_lang_influence(spark, sf_dir):
+    from .operators.stats import loo_group_influence
+    return (loo_group_influence(_t(spark, sf_dir, "documents"),
+                                "lang", "n_chars")
+            .withColumnRenamed("lang", "lang")
+            .orderBy("lang"))

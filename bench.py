@@ -200,6 +200,7 @@ HEADLINE = [
     "fs_customer_linkage",
     "rake_keyphrases_docs",
     "k_truss_neardup",
+    "loo_lang_influence",
 ]
 
 

@@ -578,3 +578,28 @@ def test_sprt_bernoulli_continue_and_guards(spark):
         sprt_bernoulli(df, "i", "s", 0.5, 0.5)
     with pytest.raises(ValueError):
         sprt_bernoulli(df, "i", "s", 0.2, 0.3, alpha=0.0)
+
+
+def test_loo_group_influence_hand_truth(spark):
+    from ai_incident_analyst_spark.operators.stats import (
+        loo_group_influence,
+    )
+
+    rows = [("a", 10.0), ("a", 20.0), ("b", 1.0), ("b", 2.0), ("b", 3.0),
+            ("c", None), ("c", 100.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in
+           loo_group_influence(df, "g", "v").collect()}
+    # complete-case: N=6, S=136
+    assert got["a"]["n"] == 2 and got["a"]["group_mean"] == 15.0
+    # without a: (136-30)/4 = 26.5; total mean 136/6
+    assert got["a"]["influence"] == pytest.approx(
+        round(26.5 - 136 / 6, 6), abs=1e-9)
+    # b drags the mean down hard -> strongly positive influence
+    assert got["b"]["influence"] > 0
+    assert got["c"]["n"] == 1
+    # single-group corpus -> NULL influence
+    solo = loo_group_influence(
+        spark.createDataFrame([("x", 1.0)], "g string, v double"),
+        "g", "v").collect()[0]
+    assert solo["influence"] is None
