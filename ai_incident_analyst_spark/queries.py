@@ -11123,8 +11123,7 @@ def q_sprt_urgent_orders(spark, sf_dir):
                           p0=0.15, p1=0.25, alpha=0.05, beta=0.2)
 
 
-@q("changepoints_daily_events", """
-WITH daily AS MATERIALIZED (
+_BINSEG_DAILY_CTES = """daily AS MATERIALIZED (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
          CAST(count(*) AS BIGINT) AS x
   FROM events GROUP BY 1),
@@ -11170,7 +11169,11 @@ g2 AS (
 pick2 AS (
   SELECT d, idx, g FROM g2
   WHERE g > 0 AND EXISTS (SELECT 1 FROM pick1)
-  ORDER BY g DESC, idx ASC LIMIT 1)
+  ORDER BY g DESC, idx ASC LIMIT 1)"""
+
+
+@q("changepoints_daily_events", "WITH "
+   + _BINSEG_DAILY_CTES + """
 SELECT * FROM (
   SELECT 1 AS split_round, d AS pos, round(g, 6) AS gain FROM pick1
   UNION ALL
@@ -11461,3 +11464,61 @@ def q_loo_lang_influence(spark, sf_dir):
                                 "lang", "n_chars")
             .withColumnRenamed("lang", "lang")
             .orderBy("lang"))
+
+
+@q("segment_trends_daily_events", "WITH " + _BINSEG_DAILY_CTES + """,
+seg AS (
+  SELECT (CASE WHEN daily.d > (SELECT d FROM pick1)
+               THEN 1 ELSE 0 END)
+       + (CASE WHEN daily.d > COALESCE((SELECT d FROM pick2),
+                                       DATE '9999-12-31')
+               THEN 1 ELSE 0 END) AS segment,
+         CAST(date_diff('day', DATE '2024-01-01', daily.d) AS DOUBLE)
+           AS xd,
+         CAST(x AS DOUBLE) AS y
+  FROM daily),
+agg AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+         sum(xd) AS sx, sum(y) AS sy,
+         sum(xd * xd) AS sxx, sum(y * y) AS syy, sum(xd * y) AS sxy
+  FROM seg GROUP BY segment)
+SELECT CAST(segment AS INT) AS segment, n,
+       round(CASE WHEN n * sxx - sx * sx > 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+         AS slope,
+       round(CASE WHEN n * sxx - sx * sx > 0
+                  THEN (sy - (n * sxy - sx * sy)
+                             / (n * sxx - sx * sx) * sx) / n END, 6)
+         AS intercept,
+       round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+             END, 6) AS r2
+FROM agg ORDER BY segment
+""", doc="piecewise daily-count trends: the binary-segmentation "
+         "changepoints cut the series into level regimes, then "
+         "ols_by_group fits slope/intercept/r2 PER SEGMENT — operator "
+         "composition (binary_segmentation boundaries re-enter the "
+         "plan as <= 2 driver literals, the kmeans pattern; OLS is one "
+         "sufficient-statistics pass keyed by segment). Twin reuses "
+         "the shared _BINSEG_DAILY_CTES verbatim plus the ols "
+         "closed forms; x = exact day offsets, y = exact counts, so "
+         "every statistic is rational in exact sums")
+def q_segment_trends_daily_events(spark, sf_dir):
+    from .operators.stats import ols_by_group
+    from .operators.temporal import binary_segmentation
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy(F.to_date(F.col("ts")).alias("d"))
+             .agg(F.count(F.lit(1)).alias("x")))
+    bounds = sorted(
+        r["pos"] for r in binary_segmentation(
+            daily, "d", "x", n_splits=2, min_seg=3).collect())
+    seg = F.lit(0)
+    for b in bounds:
+        seg = seg + (F.col("d") > F.lit(b)).cast("int")
+    frame = daily.select(
+        seg.cast("int").alias("segment"),
+        F.datediff(F.col("d"), F.lit("2024-01-01")).alias("xd"),
+        F.col("x").alias("y"))
+    return (ols_by_group(frame, "segment", "xd", "y")
+            .orderBy("segment"))

@@ -201,6 +201,7 @@ HEADLINE = [
     "rake_keyphrases_docs",
     "k_truss_neardup",
     "loo_lang_influence",
+    "segment_trends_daily_events",
 ]
 
 
