@@ -2404,6 +2404,28 @@ def interval_join_events(spark, sf_dir):
 
 
 _CC_CLUSTER_MEMO: dict = {}
+_NEARDUP_PAIRS_MEMO: dict = {}
+
+
+def _neardup_pairs_frame(spark, sf_dir):
+    """Shared LSH-blocked exact-Jaccard pair frame (same parameters as
+    the CC trio) for every query that walks the near-dup graph —
+    neardup clustering, k_core_neardup, k_truss_neardup. Memoized per
+    (applicationId, sf_dir) and lazily localCheckpointed, exactly the
+    _CC_CLUSTER_MEMO amortization: each query's standalone plan is
+    unchanged; a session running several graph queries pays the
+    MinHash banding once."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NEARDUP_PAIRS_MEMO:
+        from .operators.dedup import ngram_jaccard_pairs_lsh
+        docs = _t(spark, sf_dir, "documents")
+        _NEARDUP_PAIRS_MEMO[key] = (
+            ngram_jaccard_pairs_lsh(docs, "doc_id", "text", n=3,
+                                    threshold=0.12, num_perm=64,
+                                    bands=64)
+            .localCheckpoint(eager=False)
+        )
+    return _NEARDUP_PAIRS_MEMO[key]
 
 
 def _neardup_cluster_frame(spark, sf_dir):
@@ -2424,14 +2446,8 @@ def _neardup_cluster_frame(spark, sf_dir):
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CC_CLUSTER_MEMO:
-        from .operators.dedup import (
-            connected_components,
-            ngram_jaccard_pairs_lsh,
-        )
-        docs = _t(spark, sf_dir, "documents")
-        pairs = ngram_jaccard_pairs_lsh(docs, "doc_id", "text", n=3,
-                                        threshold=0.12, num_perm=64,
-                                        bands=64)
+        from .operators.dedup import connected_components
+        pairs = _neardup_pairs_frame(spark, sf_dir)
         _CC_CLUSTER_MEMO[key] = (
             connected_components(pairs, "id_a", "id_b")
             .localCheckpoint(eager=False)
@@ -11048,13 +11064,9 @@ def _k_core_sql(k: int, rounds: int) -> str:
        "monotone rounds (no-op past convergence — identical by "
        "construction, convergence-within-8 asserted in tests)")
 def q_k_core_neardup(spark, sf_dir):
-    from .operators.dedup import ngram_jaccard_pairs_lsh
     from .operators.graph import k_core
-    docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs_lsh(docs, "doc_id", "text", n=3,
-                                    threshold=0.12, num_perm=64,
-                                    bands=64)
-    return (k_core(pairs, "id_a", "id_b", k=2)
+    return (k_core(_neardup_pairs_frame(spark, sf_dir),
+                   "id_a", "id_b", k=2)
             .orderBy("node"))
 
 
@@ -11428,13 +11440,9 @@ def _k_truss_sql(k: int, rounds: int) -> str:
        "runs to the fixed point, the twin unrolls 6 monotone rounds "
        "(trailing no-ops — identical by construction)")
 def q_k_truss_neardup(spark, sf_dir):
-    from .operators.dedup import ngram_jaccard_pairs_lsh
     from .operators.graph import k_truss
-    docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs_lsh(docs, "doc_id", "text", n=3,
-                                    threshold=0.12, num_perm=64,
-                                    bands=64)
-    return (k_truss(pairs, "id_a", "id_b", k=3)
+    return (k_truss(_neardup_pairs_frame(spark, sf_dir),
+                    "id_a", "id_b", k=3)
             .orderBy("u", "v"))
 
 
