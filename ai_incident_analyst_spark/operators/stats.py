@@ -869,3 +869,74 @@ def loo_group_influence(df: DataFrame, group_col: str, value_col: str,
                     F.round(F.col("s") / F.col("n"), round_dp)
                     .alias("group_mean"),
                     F.round(influence, round_dp).alias("influence")))
+
+
+def msprt_mean(df: DataFrame, order_col, value_col,
+               theta0: float, sigma: float, tau: float,
+               alpha: float = 0.05, quantize_scale: int = 100,
+               round_dp: int = 6) -> DataFrame:
+    """Mixture SPRT (mSPRT) for a mean — the ALWAYS-VALID companion to
+    ``sprt_bernoulli``: the mixture likelihood ratio of H0: μ = θ0
+    against a N(θ0, τ²) prior over alternatives gives a p-value that is
+    valid at EVERY look (Robbins; the 'anytime-valid' machinery modern
+    experimentation platforms run), so peeking never inflates error.
+    One row out: ``(n_total, log_lambda_max, p_always_valid,
+    n_first_reject, decision)`` — ``p = min(1, exp(−max_n log Λ_n))``,
+    ``n_first_reject`` the first n with ``Λ_n ≥ 1/α`` (NULL + decision
+    'continue' if never).
+
+    ``log Λ_n = ½·ln(σ²/(σ²+nτ²)) + (x̄_n−θ0)²·n²τ² /
+    (2σ²(σ²+nτ²))`` — evaluated from the exact INTEGER prefix sum of
+    values quantized at ``quantize_scale`` (``D_n = S_n − n·θ0_q``,
+    int64, via the two-phase distributed prefix sum), so every per-n
+    log Λ is the same few float ops on the same exact integers in both
+    engines and the argmax/crossing indexes cannot flap (the
+    ``sprt_bernoulli`` exactness contract, extended to a continuous
+    metric by quantization — ``kmeans_fit_int``'s recipe). σ is a
+    caller-supplied population scale (the mSPRT convention; estimate
+    it on pre-experiment data).
+
+    Monetary default ``quantize_scale=100`` (cents-exact). Int64
+    bound: |S_n| < 2^63 holds to ~10^11 rows of 10^7-cent values.
+    """
+    import math
+
+    if sigma <= 0 or tau <= 0:
+        raise ValueError("sigma and tau must be positive")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    from .packing import global_cumsum
+
+    s2 = float(sigma) * float(sigma)
+    t2 = float(tau) * float(tau)
+    theta_q = float(theta0) * quantize_scale
+    base = df.select(
+        (F.col(order_col) if isinstance(order_col, str)
+         else order_col).alias("__o"),
+        F.round(F.col(value_col).cast("double") * quantize_scale)
+        .cast("long").alias("__v"))
+    base = base.withColumn("__one", F.lit(1))
+    d = global_cumsum(base, "__o", "__v", "s")
+    d = global_cumsum(d, "__o", "__one", "n")
+    nd = F.col("n").cast("double")
+    diff = (F.col("s").cast("double") - nd * F.lit(theta_q)) \
+        / F.lit(float(quantize_scale))
+    denom = F.lit(s2) + nd * F.lit(t2)
+    log_l = (F.lit(0.5) * F.log(F.lit(s2) / denom)
+             + diff * diff * F.lit(t2) / (F.lit(2.0 * s2) * denom))
+    d = d.select("n", log_l.alias("ll")).localCheckpoint(eager=False)
+    thresh = math.log(1.0 / alpha)
+    first = (d.where(F.col("ll") >= F.lit(thresh))
+             .agg(F.min("n").alias("n_first_reject")))
+    summary = d.agg(F.max("n").alias("n_total"),
+                    F.max("ll").alias("__llmax"))
+    return (summary.join(F.broadcast(first))
+            .select("n_total",
+                    F.round("__llmax", round_dp).alias("log_lambda_max"),
+                    F.round(F.least(F.lit(1.0),
+                                    F.exp(-F.col("__llmax"))),
+                            round_dp).alias("p_always_valid"),
+                    "n_first_reject",
+                    F.when(F.col("n_first_reject").isNotNull(),
+                           F.lit("reject_h0"))
+                    .otherwise(F.lit("continue")).alias("decision")))

@@ -11530,3 +11530,68 @@ def q_segment_trends_daily_events(spark, sf_dir):
         F.col("x").alias("y"))
     return (ols_by_group(frame, "segment", "xd", "y")
             .orderBy("segment"))
+
+
+def _msprt_sql(theta0: float, sigma: float, tau: float, alpha: float,
+               scale: int) -> str:
+    """DuckDB twin for the mSPRT: identical log-likelihood ratios from
+    the same exact integer prefix sums and shared float64 constants."""
+    import math
+
+    s2 = float(sigma) * float(sigma)
+    t2 = float(tau) * float(tau)
+    theta_q = float(theta0) * scale
+    thresh = math.log(1.0 / alpha)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS o,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * {scale}) AS BIGINT)
+           AS v
+  FROM orders),
+cum AS (
+  SELECT o, CAST(sum(v) OVER w AS BIGINT) AS s,
+         CAST(row_number() OVER w AS BIGINT) AS n
+  FROM base
+  WINDOW w AS (ORDER BY o
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+ll AS (
+  SELECT n,
+         0.5 * ln({s2!r} / ({s2!r} + CAST(n AS DOUBLE) * {t2!r}))
+         + ((CAST(s AS DOUBLE) - CAST(n AS DOUBLE) * {theta_q!r})
+            / {float(scale)!r})
+           * ((CAST(s AS DOUBLE) - CAST(n AS DOUBLE) * {theta_q!r})
+              / {float(scale)!r})
+           * {t2!r}
+           / ({2.0 * s2!r} * ({s2!r} + CAST(n AS DOUBLE) * {t2!r}))
+           AS ll
+  FROM cum),
+first_x AS (SELECT min(n) AS n_first_reject FROM ll
+            WHERE ll >= {thresh!r}),
+summary AS (SELECT max(n) AS n_total, max(ll) AS llmax FROM ll)
+SELECT n_total,
+       round(llmax, 6) AS log_lambda_max,
+       round(least(1.0, exp(-llmax)), 6) AS p_always_valid,
+       n_first_reject,
+       CASE WHEN n_first_reject IS NOT NULL THEN 'reject_h0'
+            ELSE 'continue' END AS decision
+FROM summary CROSS JOIN first_x
+"""
+
+
+@q("msprt_order_totals", _msprt_sql(theta0=240000.0, sigma=144000.0,
+                                    tau=50000.0, alpha=0.05, scale=100),
+   doc="always-valid mixture SPRT on the mean order total (operators/"
+       "stats.py:msprt_mean, H0 mu=240000, sigma=144000, tau=50000, "
+       "alpha=0.05): the anytime-valid p-value experimentation "
+       "platforms run so PEEKING never inflates error — the continuous-"
+       "metric companion to sprt_urgent_orders. log-Lambda at every n "
+       "is a few float ops on EXACT integer prefix sums of cent-"
+       "quantized values (two-phase distributed prefix sum; the "
+       "kmeans_fit_int quantization recipe), so the running max and "
+       "the first-rejection index match the twin exactly")
+def q_msprt_order_totals(spark, sf_dir):
+    from .operators.stats import msprt_mean
+    return msprt_mean(_t(spark, sf_dir, "orders"),
+                      "o_orderkey", "o_totalprice",
+                      theta0=240000.0, sigma=144000.0, tau=50000.0,
+                      alpha=0.05, quantize_scale=100)

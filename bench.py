@@ -202,6 +202,7 @@ HEADLINE = [
     "k_truss_neardup",
     "loo_lang_influence",
     "segment_trends_daily_events",
+    "msprt_order_totals",
 ]
 
 

@@ -603,3 +603,54 @@ def test_loo_group_influence_hand_truth(spark):
         spark.createDataFrame([("x", 1.0)], "g string, v double"),
         "g", "v").collect()[0]
     assert solo["influence"] is None
+
+
+def test_msprt_mean_python_replay(spark):
+    """Sequential pure-Python replay of the mixture log-LR from the
+    same quantized prefix sums; partitioning invariance; a true shift
+    rejects, a true null keeps a large always-valid p."""
+    import math
+
+    from ai_incident_analyst_spark.operators.stats import msprt_mean
+
+    import numpy as np
+    rng = np.random.default_rng(23)
+    vals = np.round(rng.normal(105.0, 10.0, 1500), 2)  # true mu=105
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, x double")
+    kw = dict(theta0=100.0, sigma=10.0, tau=5.0, alpha=0.05,
+              quantize_scale=100)
+    out1 = msprt_mean(df, "i", "x", **kw).collect()
+    out7 = msprt_mean(df.repartition(7), "i", "x", **kw).collect()
+    assert out1 == out7
+    r = out1[0]
+    assert r["decision"] == "reject_h0"
+
+    s2, t2, thq = 100.0, 25.0, 100.0 * 100
+    s = 0
+    llmax, first = -1e18, None
+    for n, v in enumerate(vals, start=1):
+        s += int(round(float(v) * 100))
+        diff = (s - n * thq) / 100.0
+        denom = s2 + n * t2
+        ll = 0.5 * math.log(s2 / denom) + diff * diff * t2 \
+            / (2.0 * s2 * denom)
+        llmax = max(llmax, ll)
+        if first is None and ll >= math.log(1 / 0.05):
+            first = n
+    assert r["n_first_reject"] == first
+    assert r["log_lambda_max"] == pytest.approx(round(llmax, 6),
+                                                abs=1e-9)
+    assert r["p_always_valid"] == pytest.approx(
+        round(min(1.0, math.exp(-llmax)), 6), abs=1e-9)
+
+    # true null: stays 'continue' with p = 1 whp at this n
+    null_vals = np.round(rng.normal(100.0, 10.0, 800), 2)
+    dfn = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(null_vals)],
+        "i long, x double")
+    rn = msprt_mean(dfn, "i", "x", **kw).collect()[0]
+    assert rn["decision"] == "continue"
+    assert rn["p_always_valid"] > 0.05
+    with pytest.raises(ValueError):
+        msprt_mean(df, "i", "x", theta0=1.0, sigma=0.0, tau=1.0)
