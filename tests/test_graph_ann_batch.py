@@ -119,3 +119,18 @@ def test_graph_index_probe_identity_and_pruning(spark, tmp_path):
                       & F.col("src").isin([3]))
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "__bucket" in plan
+
+
+def test_registry_index_query_matches_inline_query(spark):
+    """graph_ann_index_query must return byte-identical rows to
+    graph_ann_query at the same SF — same walk, same discretization,
+    only the adjacency's physical source differs (persisted bucket
+    index vs inline frame)."""
+    from ai_incident_analyst_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    inline = [tuple(r) for r in
+              REGISTRY["graph_ann_query"].fn(spark, sf).collect()]
+    probed = [tuple(r) for r in
+              REGISTRY["graph_ann_index_query"].fn(spark, sf).collect()]
+    assert inline == probed and len(inline) == 5

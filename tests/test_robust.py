@@ -127,3 +127,20 @@ def test_binary_segmentation_partitioning_invariant(spark):
         "p", "x", n_splits=2).collect()
     assert a == b
     assert a and abs(a[0]["pos"] - 25) <= 2   # finds the true shift
+
+
+def test_segment_trends_consistent_with_changepoints(spark):
+    """The piecewise-trend query's segment count must equal
+    changepoints+1, and each boundary day must be the last day of its
+    segment (the composition contract between the two queries)."""
+    from ai_incident_analyst_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    cps = REGISTRY["changepoints_daily_events"].fn(spark, sf).collect()
+    trends = REGISTRY["segment_trends_daily_events"].fn(spark, sf) \
+        .collect()
+    assert len(trends) == len(cps) + 1
+    segs = [r["segment"] for r in trends]
+    assert segs == sorted(segs) == list(range(len(trends)))
+    # each segment has enough points for a line and a real fit
+    assert all(r["n"] >= 3 and r["slope"] is not None for r in trends)
