@@ -21,7 +21,7 @@ over the raw values, nothing driver-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -107,3 +107,45 @@ def theil_sen_slope(df: DataFrame, key: str, x_col: str,
         F.percentile(F.col("slope"), F.lit(0.5)).alias("slope"))
     return n.join(med, key, "left") \
         .select(key, "n_points", F.round("slope", 6).alias("slope"))
+
+
+def weighted_median(df: DataFrame, group_col: str, value_col: str,
+                    weight_col: str) -> DataFrame:
+    """Exact per-group WEIGHTED (lower) median: the smallest value v
+    whose cumulative weight reaches half the group's total —
+    ``2·cumweight(v) ≥ total``. The robust center for weighted corpora
+    (token-weighted quality, quantity-weighted price) that the plain
+    median/MAD pair (``mad_outlier`` path) and the approximate
+    histogram quantiles can't give when rows carry unequal mass.
+    Returns ``(<group_col>, weighted_median, total_weight)``.
+
+    EXACT by construction: weights cast to int64, duplicate values
+    pre-aggregated (one groupBy), the threshold compare is pure integer
+    arithmetic (``2·cw ≥ tw`` — no halves, no FP), and the output is a
+    DATA value — nothing to round, cross-engine identical. Plan: one
+    (group, value) groupBy, one per-group cumulative window over the
+    group's DISTINCT values, a group-cardinality totals join, and a
+    min-over-qualifying aggregate. Per-group sort is the cost — groups
+    are the parallelism unit; for one giant group use the mergeable
+    histogram quantiles instead (documented tradeoff). Zero/negative
+    weights and NULL values are dropped.
+    """
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("long")
+    g = (df.select(F.col(group_col).alias("g"), v.alias("v"),
+                   w.alias("w"))
+         .where(F.col("w") > 0)
+         .where(F.col("v").isNotNull() & ~F.isnan(F.col("v"))))
+    per_val = g.groupBy("g", "v").agg(F.sum("w").alias("w"))
+    win = (Window.partitionBy("g").orderBy("v")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = per_val.withColumn("cw", F.sum("w").over(win))
+    tot = per_val.groupBy("g").agg(F.sum("w").alias("tw"))
+    return (cum.join(tot, "g")
+            .groupBy("g")
+            .agg(F.min(F.when(2 * F.col("cw") >= F.col("tw"),
+                              F.col("v"))).alias("weighted_median"),
+                 F.max("tw").alias("total_weight"))
+            .select(F.col("g").alias(group_col), "weighted_median",
+                    F.col("total_weight").cast("long")
+                    .alias("total_weight")))

@@ -11595,3 +11595,40 @@ def q_msprt_order_totals(spark, sf_dir):
                       "o_orderkey", "o_totalprice",
                       theta0=240000.0, sigma=144000.0, tau=50000.0,
                       alpha=0.05, quantize_scale=100)
+
+
+@q("weighted_median_price", """
+WITH g AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+  WHERE l_quantity > 0 AND l_extendedprice IS NOT NULL),
+per_val AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS w
+            FROM g GROUP BY g, v),
+cum AS (
+  SELECT g, v, w,
+         CAST(sum(w) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cw
+  FROM per_val),
+tot AS (SELECT g, CAST(sum(w) AS BIGINT) AS tw FROM per_val GROUP BY g)
+SELECT cum.g AS l_returnflag,
+       min(CASE WHEN 2 * cw >= tw THEN v END) AS weighted_median,
+       max(tw) AS total_weight
+FROM cum JOIN tot ON tot.g = cum.g
+GROUP BY cum.g ORDER BY l_returnflag
+""", doc="quantity-weighted median extended price per return flag "
+         "(operators/robust.py:weighted_median): the typical price per "
+         "unit VOLUME — rows carry unequal mass, which the plain "
+         "median/MAD path cannot express. Exact by construction: "
+         "integer cumulative weights, pure-integer threshold compare "
+         "(2*cw >= tw, no halves), output is a data value — nothing "
+         "rounded. One (group, value) groupBy + per-group cumulative "
+         "window over distinct values + a group-cardinality totals "
+         "join; groups are the parallelism unit")
+def q_weighted_median_price(spark, sf_dir):
+    from .operators.robust import weighted_median
+    return (weighted_median(_t(spark, sf_dir, "lineitem"),
+                            "l_returnflag", "l_extendedprice",
+                            "l_quantity")
+            .orderBy("l_returnflag"))

@@ -203,6 +203,7 @@ HEADLINE = [
     "loo_lang_influence",
     "segment_trends_daily_events",
     "msprt_order_totals",
+    "weighted_median_price",
 ]
 
 

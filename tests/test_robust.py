@@ -144,3 +144,42 @@ def test_segment_trends_consistent_with_changepoints(spark):
     assert segs == sorted(segs) == list(range(len(trends)))
     # each segment has enough points for a line and a real fit
     assert all(r["n"] >= 3 and r["slope"] is not None for r in trends)
+
+
+def test_weighted_median_hand_truth(spark):
+    from ai_incident_analyst_spark.operators.robust import (
+        weighted_median,
+    )
+
+    rows = [("a", 1.0, 1), ("a", 2.0, 1), ("a", 100.0, 5),
+            ("b", 5.0, 2), ("b", 7.0, 2),
+            ("c", 9.0, 3), ("c", 9.0, 1), ("c", 4.0, 1),
+            ("d", 1.0, 0), ("d", None, 4), ("d", 8.0, 1)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    got = {r["g"]: (r["weighted_median"], r["total_weight"])
+           for r in weighted_median(df, "g", "v", "w").collect()}
+    # a: weights 1,1,5 of 7 -> cum at 100.0 is 7 >= 3.5 first at 100.0?
+    #    cum(1.0)=1 (2<7), cum(2.0)=2 (4<7), cum(100.0)=7 (14>=7) -> 100
+    assert got["a"] == (100.0, 7)
+    # b: even split -> lower median 5.0 (2*2 >= 4)
+    assert got["b"] == (5.0, 4)
+    # c: value 9.0 pre-aggregated to weight 4; cum(4.0)=1 (2<5),
+    #    cum(9.0)=5 (10>=5) -> 9.0
+    assert got["c"] == (9.0, 5)
+    # d: zero-weight and NULL rows dropped -> only 8.0 remains
+    assert got["d"] == (8.0, 1)
+
+
+def test_weighted_median_equals_plain_median_at_unit_weights(spark):
+    import numpy as np
+
+    from ai_incident_analyst_spark.operators.robust import (
+        weighted_median,
+    )
+
+    rng = np.random.default_rng(6)
+    vals = sorted(float(v) for v in rng.normal(0, 1, 101))
+    df = spark.createDataFrame([("g", v, 1) for v in vals],
+                               "g string, v double, w long")
+    r = weighted_median(df, "g", "v", "w").collect()[0]
+    assert r["weighted_median"] == vals[50]   # exact middle, n odd
