@@ -136,7 +136,12 @@ def weighted_median(df: DataFrame, group_col: str, value_col: str,
                    w.alias("w"))
          .where(F.col("w") > 0)
          .where(F.col("v").isNotNull() & ~F.isnan(F.col("v"))))
-    per_val = g.groupBy("g", "v").agg(F.sum("w").alias("w"))
+    # per_val feeds BOTH the cumulative window and the totals agg —
+    # unmarked, each reference re-runs the scan+groupBy; truncate
+    # lineage so the scan runs once ((group, value)-cardinality, so the
+    # materialization is bounded by the distinct-value count)
+    per_val = (g.groupBy("g", "v").agg(F.sum("w").alias("w"))
+               .localCheckpoint(eager=False))
     win = (Window.partitionBy("g").orderBy("v")
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = per_val.withColumn("cw", F.sum("w").over(win))
