@@ -940,3 +940,68 @@ def msprt_mean(df: DataFrame, order_col, value_col,
                     F.when(F.col("n_first_reject").isNotNull(),
                            F.lit("reject_h0"))
                     .otherwise(F.lit("continue")).alias("decision")))
+
+
+def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
+                   group_a, group_b, round_dp: int = 6) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test — the standard
+    NONPARAMETRIC two-sample test beside ``welch_t_test``: does one
+    group stochastically dominate the other, with no normality
+    assumption (the right tool for skewed corpus metrics where the
+    t-test's mean is the wrong summary and the bootstrap is the
+    heavier hammer). One row: ``(group_a, group_b, n_a, n_b, u_a, z)``
+    with the normal approximation's tie-corrected z (NULL when either
+    group is empty or every value ties).
+
+    EXACT integer arithmetic end to end: per distinct value, the
+    group counts and the exclusive prefix count give DOUBLED average
+    ranks ``2·rank = 2·cum_before + cnt + 1`` (always integer — no
+    half-rank floats), so the doubled rank sum and
+    ``U2 = 2·R_a − n_a(n_a+1)·... `` stay int64; z is then a few float
+    ops on exact integers (identical cross-engine — the
+    ``sprt_bernoulli`` contract). Tie correction:
+    ``σ² = n_a·n_b/12·[(N+1) − Σ(t³−t)/(N(N−1))]``. Plan: one
+    (value)-grouped conditional count, one distributed prefix sum over
+    the DISTINCT-value table, one final aggregate. One row out always
+    (the ``welch_t_test`` one-row contract).
+    """
+    if group_a == group_b:
+        raise ValueError("group_a and group_b must differ")
+    from .packing import global_cumsum
+    from .util import complete_case
+
+    v = F.col(value_col).cast("double")
+    base = complete_case(
+        df.filter(F.col(group_col).isin(group_a, group_b)), [v])
+    isa = F.col(group_col) == F.lit(group_a)
+    per_v = (base.groupBy(v.alias("v"))
+             .agg(F.sum(F.when(isa, 1).otherwise(0)).cast("long")
+                  .alias("na"),
+                  F.sum(F.when(~isa, 1).otherwise(0)).cast("long")
+                  .alias("nb")))
+    per_v = per_v.withColumn("cnt", F.col("na") + F.col("nb"))
+    per_v = global_cumsum(per_v, "v", "cnt", "cum")
+    rank2 = 2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1
+    t3t = F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+    agg = per_v.agg(
+        F.coalesce(F.sum("na"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.sum("nb"), F.lit(0)).alias("n_b"),
+        F.coalesce(F.sum(F.col("na") * rank2), F.lit(0)).alias("r2a"),
+        F.coalesce(F.sum(t3t), F.lit(0)).alias("ties"))
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    # doubled U: U2 = 2·U_a = R2_a − ... (R2 already doubled ranks)
+    u2 = F.col("r2a") - na * (na + 1)
+    mu2 = na * nb  # doubled mean = 2·(na·nb/2)
+    var = (na * nb).cast("double") / 12.0 \
+        * ((n + 1).cast("double")
+           - F.col("ties").cast("double")
+           / (n * (n - 1)).cast("double"))
+    z = F.when((na > 0) & (nb > 0) & (var > 0),
+               (u2 - mu2).cast("double") / (2.0 * F.sqrt(var)))
+    return agg.select(
+        F.lit(group_a).alias("group_a"), F.lit(group_b).alias("group_b"),
+        na.alias("n_a"), nb.alias("n_b"),
+        F.when((na > 0) & (nb > 0), u2.cast("double") / 2.0)
+        .alias("u_a"),
+        F.round(z, round_dp).alias("z"))

@@ -11632,3 +11632,63 @@ def q_weighted_median_price(spark, sf_dir):
                             "l_returnflag", "l_extendedprice",
                             "l_quantity")
             .orderBy("l_returnflag"))
+
+
+@q("mann_whitney_click_vs_view", """
+WITH base AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        AND NOT isnan(value)),
+per_v AS (
+  SELECT v,
+         CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS na,
+         CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+           AS nb
+  FROM base GROUP BY v),
+cum AS (
+  SELECT v, na, nb, na + nb AS cnt,
+         CAST(sum(na + nb) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM per_v),
+agg AS (
+  SELECT CAST(COALESCE(sum(na), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(sum(nb), 0) AS BIGINT) AS n_b,
+         CAST(COALESCE(sum(na * (2 * (cum - cnt) + cnt + 1)), 0)
+              AS BIGINT) AS r2a,
+         CAST(COALESCE(sum(cnt * cnt * cnt - cnt), 0) AS BIGINT)
+           AS ties
+  FROM cum)
+SELECT 'click' AS group_a, 'view' AS group_b, n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 END AS u_a,
+       round(CASE WHEN n_a > 0 AND n_b > 0 AND
+                  CAST(n_a * n_b AS DOUBLE) / 12.0
+                  * (CAST(n_a + n_b + 1 AS DOUBLE)
+                     - CAST(ties AS DOUBLE)
+                       / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))
+                  > 0
+             THEN CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+                  / (2.0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0
+                     * (CAST(n_a + n_b + 1 AS DOUBLE)
+                        - CAST(ties AS DOUBLE)
+                          / CAST((n_a + n_b) * (n_a + n_b - 1)
+                                 AS DOUBLE))))
+             END, 6) AS z
+FROM agg
+""", doc="Mann-Whitney U / Wilcoxon rank-sum of click vs view event "
+         "values (operators/stats.py:mann_whitney_u): the standard "
+         "NONPARAMETRIC two-sample test beside welch_click_vs_view — "
+         "stochastic dominance with no normality assumption, the right "
+         "tool for skewed metrics. Exact integer rank arithmetic: "
+         "doubled average ranks (2*cum_before + cnt + 1, always "
+         "integer) keep the rank sum and U in int64; the tie-corrected "
+         "z is a few float ops on exact integers. One conditional "
+         "value-grouped count + one distributed prefix sum over the "
+         "DISTINCT-value table + one aggregate")
+def q_mann_whitney_click_vs_view(spark, sf_dir):
+    from .operators.stats import mann_whitney_u
+    return mann_whitney_u(_t(spark, sf_dir, "events"),
+                          "event_type", "value", "click", "view")

@@ -204,6 +204,7 @@ HEADLINE = [
     "segment_trends_daily_events",
     "msprt_order_totals",
     "weighted_median_price",
+    "mann_whitney_click_vs_view",
 ]
 
 

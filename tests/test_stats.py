@@ -654,3 +654,49 @@ def test_msprt_mean_python_replay(spark):
     assert rn["p_always_valid"] > 0.05
     with pytest.raises(ValueError):
         msprt_mean(df, "i", "x", theta0=1.0, sigma=0.0, tau=1.0)
+
+
+def test_mann_whitney_u_reference(spark):
+    """Manual average-rank reference (no scipy in the container):
+    U, tie-corrected z, and the one-row/absent-group contracts."""
+    import numpy as np
+
+    from ai_incident_analyst_spark.operators.stats import mann_whitney_u
+
+    rng = np.random.default_rng(14)
+    a = np.round(rng.normal(5.0, 2.0, 80), 1)    # 1dp -> plenty of ties
+    b = np.round(rng.normal(6.0, 2.0, 70), 1)
+    rows = [("a", float(x)) for x in a] + [("b", float(x)) for x in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+
+    allv = np.concatenate([a, b])
+    order = np.sort(np.unique(allv))
+    ranks = {}
+    start = 1
+    for val in order:
+        cnt = int((allv == val).sum())
+        ranks[float(val)] = start + (cnt - 1) / 2.0
+        start += cnt
+    ra = sum(ranks[float(x)] for x in a)
+    na, nb = len(a), len(b)
+    N = na + nb
+    u = ra - na * (na + 1) / 2.0
+    ties = sum(int((allv == val).sum()) ** 3 - int((allv == val).sum())
+               for val in order)
+    var = na * nb / 12.0 * ((N + 1) - ties / (N * (N - 1)))
+    z = (u - na * nb / 2.0) / var ** 0.5
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["u_a"] == pytest.approx(u, abs=1e-9)
+    assert r["z"] == pytest.approx(round(z, 6), abs=1e-6)
+
+    # absent group -> one row, NULL stats; identical values -> NULL z
+    empty = mann_whitney_u(df.filter("g = 'a'"), "g", "v",
+                           "a", "b").collect()[0]
+    assert empty["n_b"] == 0 and empty["z"] is None
+    const = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("a", 1.0)], "g string, v double")
+    assert mann_whitney_u(const, "g", "v", "a", "b").collect()[0]["z"] \
+        is None
+    with pytest.raises(ValueError):
+        mann_whitney_u(df, "g", "v", "a", "a")
