@@ -1005,3 +1005,64 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
         F.when((na > 0) & (nb > 0), u2.cast("double") / 2.0)
         .alias("u_a"),
         F.round(z, round_dp).alias("z"))
+
+
+def kruskal_wallis(df: DataFrame, group_col: str,
+                   value_col: str, round_dp: int = 6) -> DataFrame:
+    """Kruskal–Wallis H test — the k-group extension of
+    ``mann_whitney_u`` (one-way ANOVA on ranks): do ANY of the groups'
+    value distributions differ, with no normality assumption? One row:
+    ``(n_groups, n, h, dof)`` — ``h`` is tie-corrected and ~χ²(k−1)
+    under the null; NULL when fewer than 2 groups or every value ties.
+
+    Same exact-rank machinery as ``mann_whitney_u``: doubled average
+    ranks are integers, per-group doubled rank sums stay int64, and
+    ``H = [12/(N(N+1))·Σ R_g²/n_g − 3(N+1)] / (1 − Σ(t³−t)/(N³−N))``
+    is a few float ops on exact integers (deterministic cross-engine;
+    the Σ over ≤|groups| rows carries only ulp-level association noise
+    against H's 6dp rounding). Plan: one (group, value) count, one
+    value-level rollup + distributed prefix sum for ranks, one join
+    back, two tiny aggregates. NULL groups/values are dropped
+    (complete-case).
+    """
+    from .packing import global_cumsum
+    from .util import complete_case
+
+    v = F.col(value_col).cast("double")
+    base = complete_case(
+        df.filter(F.col(group_col).isNotNull()), [v])
+    per_gv = (base.groupBy(F.col(group_col).alias("g"), v.alias("v"))
+              .agg(F.count(F.lit(1)).alias("ng"))
+              .localCheckpoint(eager=False))  # feeds ranks + join back
+    per_v = per_gv.groupBy("v").agg(F.sum("ng").alias("cnt"))
+    per_v = global_cumsum(per_v, "v", "cnt", "cum")
+    rank2 = (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1) \
+        .alias("rank2")
+    t3t = (F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+    ranks = per_v.select("v", rank2,
+                         t3t.alias("t3t")).localCheckpoint(eager=False)
+    per_g = (per_gv.join(ranks, "v")
+             .groupBy("g")
+             .agg(F.sum("ng").alias("n_g"),
+                  F.sum(F.col("ng") * F.col("rank2")).alias("r2")))
+    ties = ranks.agg(F.sum("t3t").alias("ties"))
+    agg = (per_g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_g").alias("n"),
+        # R_g = r2/2 -> Σ R_g²/n_g = Σ r2²/(4·n_g); exact ints in, the
+        # same doubles out on both engines
+        F.sum(F.col("r2").cast("double") * F.col("r2").cast("double")
+              / (4.0 * F.col("n_g").cast("double"))).alias("srr"))
+        .crossJoin(F.broadcast(ties)))
+    nd = F.col("n").cast("double")
+    corr = (F.lit(1.0) - F.col("ties").cast("double")
+            / (nd * nd * nd - nd))
+    h = ((F.lit(12.0) / (nd * (nd + 1.0)) * F.col("srr")
+          - 3.0 * (nd + 1.0)) / corr)
+    return agg.select(
+        F.col("n_groups").cast("int").alias("n_groups"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when((F.col("n_groups") >= 2) & (corr > 0), h),
+                round_dp).alias("h"),
+        F.when(F.col("n_groups") >= 2, F.col("n_groups") - 1)
+        .cast("long").alias("dof"))

@@ -11692,3 +11692,60 @@ def q_mann_whitney_click_vs_view(spark, sf_dir):
     from .operators.stats import mann_whitney_u
     return mann_whitney_u(_t(spark, sf_dir, "events"),
                           "event_type", "value", "click", "view")
+
+
+@q("kruskal_wallis_event_values", """
+WITH base AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        AND NOT isnan(value)),
+per_gv AS (
+  SELECT g, v, CAST(count(*) AS BIGINT) AS ng FROM base GROUP BY g, v),
+per_v AS (
+  SELECT v, CAST(sum(ng) AS BIGINT) AS cnt FROM per_gv GROUP BY v),
+cum AS (
+  SELECT v, cnt,
+         CAST(sum(cnt) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM per_v),
+ranks AS (
+  SELECT v, 2 * (cum - cnt) + cnt + 1 AS rank2,
+         cnt * cnt * cnt - cnt AS t3t
+  FROM cum),
+per_g AS (
+  SELECT g, CAST(sum(ng) AS BIGINT) AS n_g,
+         CAST(sum(ng * rank2) AS BIGINT) AS r2
+  FROM per_gv JOIN ranks USING (v) GROUP BY g),
+ties AS (SELECT CAST(sum(t3t) AS BIGINT) AS ties FROM ranks),
+agg AS (
+  SELECT CAST(count(*) AS INT) AS n_groups,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         sum(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+             / (4.0 * CAST(n_g AS DOUBLE))) AS srr
+  FROM per_g)
+SELECT n_groups, n,
+       round(CASE WHEN n_groups >= 2
+                  AND 1.0 - CAST(ties AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * n * n - n) > 0
+             THEN (12.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * srr
+                   - 3.0 * (n + 1.0))
+                  / (1.0 - CAST(ties AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * n * n - n))
+             END, 6) AS h,
+       CASE WHEN n_groups >= 2
+            THEN CAST(n_groups - 1 AS BIGINT) END AS dof
+FROM agg CROSS JOIN ties
+""", doc="Kruskal-Wallis H across all five event types' value "
+         "distributions (operators/stats.py:kruskal_wallis): the "
+         "k-group rank ANOVA completing the nonparametric pair with "
+         "mann_whitney_click_vs_view — any-group-differs with no "
+         "normality assumption. Same exact doubled-rank machinery "
+         "(int64 rank sums; tie-corrected H a few float ops on exact "
+         "integers). One (group, value) count + one value rollup + "
+         "prefix sum + join back + two tiny aggregates")
+def q_kruskal_wallis_event_values(spark, sf_dir):
+    from .operators.stats import kruskal_wallis
+    return kruskal_wallis(_t(spark, sf_dir, "events"),
+                          "event_type", "value")

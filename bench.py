@@ -205,6 +205,7 @@ HEADLINE = [
     "msprt_order_totals",
     "weighted_median_price",
     "mann_whitney_click_vs_view",
+    "kruskal_wallis_event_values",
 ]
 
 

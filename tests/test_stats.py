@@ -700,3 +700,45 @@ def test_mann_whitney_u_reference(spark):
         is None
     with pytest.raises(ValueError):
         mann_whitney_u(df, "g", "v", "a", "a")
+
+
+def test_kruskal_wallis_reference(spark):
+    """Manual rank reference (no scipy): 3 shifted groups with ties;
+    degenerate cases return NULL h."""
+    import numpy as np
+
+    from ai_incident_analyst_spark.operators.stats import kruskal_wallis
+
+    rng = np.random.default_rng(31)
+    groups = {"a": np.round(rng.normal(5, 2, 50), 1),
+              "b": np.round(rng.normal(6, 2, 60), 1),
+              "c": np.round(rng.normal(5.5, 2, 40), 1)}
+    rows = [(g, float(x)) for g, xs in groups.items() for x in xs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+
+    allv = np.concatenate(list(groups.values()))
+    order = np.sort(np.unique(allv))
+    ranks, start = {}, 1
+    for val in order:
+        cnt = int((allv == val).sum())
+        ranks[float(val)] = start + (cnt - 1) / 2.0
+        start += cnt
+    N = len(allv)
+    srr = sum(sum(ranks[float(x)] for x in xs) ** 2 / len(xs)
+              for xs in groups.values())
+    ties = sum(int((allv == val).sum()) ** 3 - int((allv == val).sum())
+               for val in order)
+    hh = (12.0 / (N * (N + 1)) * srr - 3 * (N + 1)) \
+        / (1 - ties / (N ** 3 - N))
+    assert (r["n_groups"], r["n"], r["dof"]) == (3, N, 2)
+    assert r["h"] == pytest.approx(round(hh, 6), abs=1e-6)
+
+    one = kruskal_wallis(
+        spark.createDataFrame([("a", 1.0), ("a", 2.0)],
+                              "g string, v double"), "g", "v").collect()[0]
+    assert one["h"] is None and one["dof"] is None
+    const = kruskal_wallis(
+        spark.createDataFrame([("a", 1.0), ("b", 1.0)],
+                              "g string, v double"), "g", "v").collect()[0]
+    assert const["h"] is None      # all ties -> correction 0
