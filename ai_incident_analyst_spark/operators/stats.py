@@ -1066,3 +1066,63 @@ def kruskal_wallis(df: DataFrame, group_col: str,
                 round_dp).alias("h"),
         F.when(F.col("n_groups") >= 2, F.col("n_groups") - 1)
         .cast("long").alias("dof"))
+
+
+def brown_forsythe(df: DataFrame, group_col: str, value_col: str,
+                   round_dp: int = 6) -> DataFrame:
+    """Brown–Forsythe test of variance homogeneity (Levene's test with
+    MEDIAN centers — the robust form): one-way ANOVA on the absolute
+    deviations ``z = |x − median_g|``. The "did the SPREAD change?"
+    companion to the location tests (welch/mann-whitney compare
+    centers; a corpus intervention often moves dispersion first). One
+    row: ``(n_groups, n, f, dof1, dof2)`` — F ~ F(k−1, N−k) under
+    equal variances; NULL F when k < 2 or the deviations are all zero.
+
+    Group centers are EXACT lower medians (``operators/robust.py:
+    weighted_median`` at unit weights — a data value, cross-engine
+    exact), so the z column is identical on both engines; the F
+    statistic is then sufficient statistics of z (per-group n, Σz,
+    Σz²) in one aggregation pass — the ``welch_t_test`` contract, with
+    6dp rounding absorbing Σ-association ulps. Plan: the median's
+    (group, value) rollup + prefix machinery, one broadcast join of
+    k medians back, one groupBy pass, one tiny final aggregate.
+    """
+    from .robust import weighted_median
+
+    v = F.col(value_col).cast("double")
+    base = (df.filter(F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("g"), v.alias("v"))
+            .where(F.col("v").isNotNull() & ~F.isnan(F.col("v"))))
+    med = (weighted_median(base.withColumn("__w", F.lit(1)),
+                           "g", "v", "__w")
+           .select("g", F.col("weighted_median").alias("med")))
+    z = (base.join(F.broadcast(med), "g")
+         .select("g", F.abs(F.col("v") - F.col("med")).alias("z")))
+    per_g = z.groupBy("g").agg(F.count(F.lit(1)).alias("n_g"),
+                               F.sum("z").alias("sz"),
+                               F.sum(F.col("z") * F.col("z"))
+                               .alias("szz"))
+    agg = per_g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_g").alias("n"),
+        F.sum("sz").alias("tz"),
+        # between-group numerator pieces and within-group SS, all from
+        # the same sufficient statistics
+        F.sum(F.col("sz") * F.col("sz") / F.col("n_g")).alias("sb"),
+        F.sum(F.col("szz")).alias("tzz"))
+    nd = F.col("n").cast("double")
+    k = F.col("n_groups").cast("double")
+    ss_between = F.col("sb") - F.col("tz") * F.col("tz") / nd
+    ss_within = F.col("tzz") - F.col("sb")
+    f = F.when((F.col("n_groups") >= 2) & (ss_within > 0),
+               (ss_between / (k - 1.0))
+               / (ss_within / (nd - k)))
+    return agg.select(
+        F.col("n_groups").cast("int").alias("n_groups"),
+        F.col("n").cast("long").alias("n"),
+        F.round(f, round_dp).alias("f"),
+        F.when(F.col("n_groups") >= 2, F.col("n_groups") - 1)
+        .cast("long").alias("dof1"),
+        F.when(F.col("n_groups") >= 2,
+               F.col("n") - F.col("n_groups")).cast("long")
+        .alias("dof2"))

@@ -11749,3 +11749,62 @@ def q_kruskal_wallis_event_values(spark, sf_dir):
     from .operators.stats import kruskal_wallis
     return kruskal_wallis(_t(spark, sf_dir, "events"),
                           "event_type", "value")
+
+
+@q("brown_forsythe_event_values", """
+WITH base AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        AND NOT isnan(value)),
+per_val AS (SELECT g, v, CAST(count(*) AS BIGINT) AS w
+            FROM base GROUP BY g, v),
+cum AS (
+  SELECT g, v, w,
+         CAST(sum(w) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cw
+  FROM per_val),
+tot AS (SELECT g, CAST(sum(w) AS BIGINT) AS tw FROM per_val GROUP BY g),
+med AS (
+  SELECT cum.g, min(CASE WHEN 2 * cw >= tw THEN v END) AS med
+  FROM cum JOIN tot ON tot.g = cum.g GROUP BY cum.g),
+z AS (
+  SELECT base.g, abs(base.v - med.med) AS z
+  FROM base JOIN med ON med.g = base.g),
+per_g AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+         sum(z) AS sz, sum(z * z) AS szz
+  FROM z GROUP BY g),
+agg AS (
+  SELECT CAST(count(*) AS INT) AS n_groups,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         sum(sz) AS tz,
+         sum(sz * sz / n_g) AS sb,
+         sum(szz) AS tzz
+  FROM per_g)
+SELECT n_groups, n,
+       round(CASE WHEN n_groups >= 2 AND tzz - sb > 0
+             THEN ((sb - tz * tz / CAST(n AS DOUBLE))
+                   / (CAST(n_groups AS DOUBLE) - 1.0))
+                  / ((tzz - sb)
+                     / (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE)))
+             END, 6) AS f,
+       CASE WHEN n_groups >= 2
+            THEN CAST(n_groups - 1 AS BIGINT) END AS dof1,
+       CASE WHEN n_groups >= 2
+            THEN CAST(n - n_groups AS BIGINT) END AS dof2
+FROM agg
+""", doc="Brown-Forsythe variance-homogeneity test across the five "
+         "event types' values (operators/stats.py:brown_forsythe): "
+         "one-way ANOVA on |x - group median| — did the SPREAD change, "
+         "the dispersion companion to the location tests (welch/MWU/"
+         "KW). Group centers are exact lower medians (the "
+         "weighted_median integer-threshold machinery at unit "
+         "weights, data values — cross-engine exact); F from one "
+         "sufficient-statistics pass over the deviations, 6dp rounding "
+         "absorbing association ulps")
+def q_brown_forsythe_event_values(spark, sf_dir):
+    from .operators.stats import brown_forsythe
+    return brown_forsythe(_t(spark, sf_dir, "events"),
+                          "event_type", "value")

@@ -206,6 +206,7 @@ HEADLINE = [
     "weighted_median_price",
     "mann_whitney_click_vs_view",
     "kruskal_wallis_event_values",
+    "brown_forsythe_event_values",
 ]
 
 

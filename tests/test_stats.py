@@ -742,3 +742,47 @@ def test_kruskal_wallis_reference(spark):
         spark.createDataFrame([("a", 1.0), ("b", 1.0)],
                               "g string, v double"), "g", "v").collect()[0]
     assert const["h"] is None      # all ties -> correction 0
+
+
+def test_brown_forsythe_reference(spark):
+    """Manual reference with exact lower-median centers; unequal
+    spreads -> large F, equal spreads -> modest F; degenerate NULLs."""
+    import numpy as np
+
+    from ai_incident_analyst_spark.operators.stats import brown_forsythe
+
+    rng = np.random.default_rng(41)
+    a = np.round(rng.normal(0, 1.0, 90), 3)
+    b = np.round(rng.normal(0, 4.0, 80), 3)   # 4x the spread
+    rows = [("a", float(x)) for x in a] + [("b", float(x)) for x in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = brown_forsythe(df, "g", "v").collect()[0]
+
+    def lower_median(xs):
+        s = np.sort(xs)
+        n = len(s)
+        # smallest value with 2*rank >= n (unit weights)
+        import math
+        return float(s[math.ceil(n / 2) - 1])
+
+    zs = {"a": np.abs(a - lower_median(a)),
+          "b": np.abs(b - lower_median(b))}
+    N = sum(len(x) for x in zs.values())
+    k = 2
+    zbar = np.concatenate(list(zs.values())).mean()
+    ssb = sum(len(x) * (x.mean() - zbar) ** 2 for x in zs.values())
+    ssw = sum(((x - x.mean()) ** 2).sum() for x in zs.values())
+    f_ref = (ssb / (k - 1)) / (ssw / (N - k))
+    assert (r["n_groups"], r["n"], r["dof1"], r["dof2"]) == (2, N, 1,
+                                                             N - 2)
+    assert r["f"] == pytest.approx(f_ref, rel=1e-6)
+    assert r["f"] > 30              # 4x spread is unmissable
+
+    one = brown_forsythe(
+        spark.createDataFrame([("a", 1.0), ("a", 5.0)],
+                              "g string, v double"), "g", "v").collect()[0]
+    assert one["f"] is None
+    const = brown_forsythe(
+        spark.createDataFrame([("a", 1.0), ("b", 2.0)],
+                              "g string, v double"), "g", "v").collect()[0]
+    assert const["f"] is None       # zero within-group deviation
