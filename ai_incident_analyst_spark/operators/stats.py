@@ -1126,3 +1126,59 @@ def brown_forsythe(df: DataFrame, group_col: str, value_col: str,
         F.when(F.col("n_groups") >= 2,
                F.col("n") - F.col("n_groups")).cast("long")
         .alias("dof2"))
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str,
+                  round_dp: int = 6) -> DataFrame:
+    """Spearman rank correlation — the MONOTONE-association companion
+    to ``ols_by_group``'s Pearson r²: robust to outliers and any
+    monotone transform, the right screen for "does quality rise with
+    length?"-style corpus questions where linearity is an assumption
+    too far. One row: ``(n, rho)`` — Pearson correlation of the
+    average ranks, tie-handled; NULL when n < 2 or either column is
+    constant.
+
+    EXACT integer arithmetic: per column, DOUBLED average ranks
+    (``2·cum_before + cnt + 1`` over the distinct-value table —
+    always integers) join back to rows, and every Pearson sufficient
+    statistic of the doubled ranks stays int64 (Σ r², Σ rx·ry ≤ 4N³ —
+    exact to ~10⁶ rows; the constant factor cancels in the
+    correlation). ρ is then a few float ops on exact integers —
+    identical cross-engine (the ``mann_whitney_u`` machinery applied
+    to association). Plan: two distinct-value rollups + prefix sums,
+    two joins back, ONE aggregation pass. Complete-case on (x, y).
+    """
+    from .packing import global_cumsum
+    from .util import complete_case
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = complete_case(df, [x, y]).select(x.alias("x"), y.alias("y"))
+
+    def ranked(col: str) -> DataFrame:
+        per = base.groupBy(F.col(col).alias("v")) \
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        per = global_cumsum(per, "v", "cnt", "cum")
+        return per.select(
+            F.col("v").alias(col),
+            (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
+            .alias(f"r_{col}"))
+
+    r = (base.join(ranked("x"), "x").join(ranked("y"), "y")
+         .select(F.col("r_x").alias("rx"), F.col("r_y").alias("ry")))
+    agg = r.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("rx").alias("sx"), F.sum("ry").alias("sy"),
+                F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+                F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+                F.sum(F.col("rx") * F.col("ry")).alias("sxy"))
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy").cast("double") \
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    vx = n * F.col("sxx").cast("double") \
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vy = n * F.col("syy").cast("double") \
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    rho = F.when((F.col("n") >= 2) & (vx > 0) & (vy > 0),
+                 cov_n / F.sqrt(vx * vy))
+    return agg.select(F.col("n").cast("long").alias("n"),
+                      F.round(rho, round_dp).alias("rho"))

@@ -11808,3 +11808,64 @@ def q_brown_forsythe_event_values(spark, sf_dir):
     from .operators.stats import brown_forsythe
     return brown_forsythe(_t(spark, sf_dir, "events"),
                           "event_type", "value")
+
+
+@q("spearman_qty_price", """
+WITH base AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+rx AS (
+  SELECT v, 2 * (cum - cnt) + cnt + 1 AS r FROM (
+    SELECT v, cnt,
+           CAST(sum(cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+    FROM (SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt
+          FROM base GROUP BY x))),
+ry AS (
+  SELECT v, 2 * (cum - cnt) + cnt + 1 AS r FROM (
+    SELECT v, cnt,
+           CAST(sum(cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+    FROM (SELECT y AS v, CAST(count(*) AS BIGINT) AS cnt
+          FROM base GROUP BY y))),
+r AS (
+  SELECT CAST(rx.r AS BIGINT) AS a, CAST(ry.r AS BIGINT) AS b
+  FROM base JOIN rx ON rx.v = base.x JOIN ry ON ry.v = base.y),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a) AS BIGINT) AS sx, CAST(sum(b) AS BIGINT) AS sy,
+         CAST(sum(a * a) AS BIGINT) AS sxx,
+         CAST(sum(b * b) AS BIGINT) AS syy,
+         CAST(sum(a * b) AS BIGINT) AS sxy
+  FROM r)
+SELECT n,
+       round(CASE WHEN n >= 2
+                  AND CAST(n AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx > 0
+                  AND CAST(n AS DOUBLE) * syy
+                      - CAST(sy AS DOUBLE) * sy > 0
+             THEN (CAST(n AS DOUBLE) * sxy
+                   - CAST(sx AS DOUBLE) * sy)
+                  / sqrt((CAST(n AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx)
+                         * (CAST(n AS DOUBLE) * syy
+                            - CAST(sy AS DOUBLE) * sy))
+             END, 6) AS rho
+FROM agg
+""", doc="Spearman rank correlation of line quantity vs extended "
+         "price (operators/stats.py:spearman_corr): monotone "
+         "association robust to outliers and transforms — the rank "
+         "companion to ols_price_vs_qty's Pearson r2. Doubled average "
+         "ranks keep every Pearson sufficient statistic of the ranks "
+         "in exact int64 (the mann_whitney_u machinery applied to "
+         "association); rho is a few float ops on exact integers. Two "
+         "distinct-value rollups + prefix sums, two joins back, one "
+         "aggregation pass")
+def q_spearman_qty_price(spark, sf_dir):
+    from .operators.stats import spearman_corr
+    return spearman_corr(_t(spark, sf_dir, "lineitem"),
+                         "l_quantity", "l_extendedprice")

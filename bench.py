@@ -207,6 +207,7 @@ HEADLINE = [
     "mann_whitney_click_vs_view",
     "kruskal_wallis_event_values",
     "brown_forsythe_event_values",
+    "spearman_qty_price",
 ]
 
 

@@ -786,3 +786,43 @@ def test_brown_forsythe_reference(spark):
         spark.createDataFrame([("a", 1.0), ("b", 2.0)],
                               "g string, v double"), "g", "v").collect()[0]
     assert const["f"] is None       # zero within-group deviation
+
+
+def test_spearman_corr_reference(spark):
+    """Manual average-rank reference with ties; invariance to monotone
+    transforms; degenerate NULLs."""
+    import numpy as np
+
+    from ai_incident_analyst_spark.operators.stats import spearman_corr
+
+    rng = np.random.default_rng(51)
+    x = np.round(rng.normal(0, 1, 200), 2)
+    y = np.round(x ** 3 + rng.normal(0, 0.3, 200), 2)  # monotone-ish
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)],
+        "x double, y double")
+    r = spearman_corr(df, "x", "y").collect()[0]
+
+    def avg_ranks(vals):
+        order = np.sort(np.unique(vals))
+        m, start = {}, 1
+        for v in order:
+            c = int((vals == v).sum())
+            m[float(v)] = start + (c - 1) / 2.0
+            start += c
+        return np.array([m[float(v)] for v in vals])
+
+    rx, ry = avg_ranks(x), avg_ranks(y)
+    rho_ref = np.corrcoef(rx, ry)[0, 1]
+    assert r["n"] == 200
+    assert r["rho"] == pytest.approx(round(rho_ref, 6), abs=1e-9)
+    assert r["rho"] > 0.9
+
+    # monotone transform of x leaves rho unchanged EXACTLY
+    df2 = df.selectExpr("exp(x) AS x", "y")
+    r2 = spearman_corr(df2, "x", "y").collect()[0]
+    assert r2["rho"] == r["rho"]
+
+    const = spark.createDataFrame([(1.0, 2.0), (1.0, 3.0)],
+                                  "x double, y double")
+    assert spearman_corr(const, "x", "y").collect()[0]["rho"] is None
