@@ -1182,3 +1182,75 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
                  cov_n / F.sqrt(vx * vy))
     return agg.select(F.col("n").cast("long").alias("n"),
                       F.round(rho, round_dp).alias("rho"))
+
+
+def mantel_haenszel(df: DataFrame, stratum_col: str, group_col: str,
+                    success_col, group_a, group_b,
+                    round_dp: int = 6) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified 2×2 analysis — the
+    Simpson's-paradox-aware pooling the experimentation layer needs:
+    ``two_proportion_test`` on the MARGINAL table can reverse sign
+    when a confounder (region, device, cohort) is unevenly split;
+    CMH pools the per-stratum association instead. One row:
+    ``(n_strata, n, or_mh, chi2_cmh, dof)`` — the Mantel–Haenszel
+    common odds ratio ``Σ(a·d/n_s) / Σ(b·c/n_s)`` and the CMH χ²(1)
+    ``(|Σ(a − E[a])|)² / Σ Var(a)`` with the exact hypergeometric
+    variance ``r1·r2·c1·c2 / (n²(n−1))`` per stratum. NULL or_mh when
+    a denominator vanishes; NULL chi2 when ΣVar = 0.
+
+    Per stratum the 2×2 cells (a, b, c, d) are EXACT integers from ONE
+    conditional aggregation pass (the ``welch_t_test`` shape, keyed by
+    stratum); every pooled term is a rational function of those ints,
+    and the Σ over strata carries only ulp-level association noise
+    against 6dp rounding. Strata with a zero margin contribute zero to
+    every sum (standard CMH behavior — they carry no information about
+    association). Plan: one groupBy(stratum) pass + one tiny final
+    aggregate; stratum count is the only cardinality that matters.
+    """
+    if group_a == group_b:
+        raise ValueError("group_a and group_b must differ")
+    s = F.col(success_col).cast("int")
+    isa = F.col(group_col) == F.lit(group_a)
+    base = df.filter(F.col(group_col).isin(group_a, group_b)
+                     & F.col(stratum_col).isNotNull()
+                     & s.isNotNull())
+    per = (base.groupBy(F.col(stratum_col).alias("st"))
+           .agg(F.sum(F.when(isa & (s == 1), 1).otherwise(0))
+                .cast("long").alias("a"),
+                F.sum(F.when(isa & (s == 0), 1).otherwise(0))
+                .cast("long").alias("b"),
+                F.sum(F.when(~isa & (s == 1), 1).otherwise(0))
+                .cast("long").alias("c"),
+                F.sum(F.when(~isa & (s == 0), 1).otherwise(0))
+                .cast("long").alias("d")))
+    n_s = (F.col("a") + F.col("b") + F.col("c") + F.col("d")) \
+        .cast("double")
+    r1 = (F.col("a") + F.col("b")).cast("double")   # group_a row
+    r2 = (F.col("c") + F.col("d")).cast("double")
+    c1 = (F.col("a") + F.col("c")).cast("double")   # success column
+    c2 = (F.col("b") + F.col("d")).cast("double")
+    valid = n_s > 1
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(n_s).cast("long").alias("n"),
+        F.sum(F.when(valid, F.col("a") * F.col("d") / n_s)
+              .otherwise(0.0)).alias("sum_ad"),
+        F.sum(F.when(valid, F.col("b") * F.col("c") / n_s)
+              .otherwise(0.0)).alias("sum_bc"),
+        F.sum(F.when(valid, F.col("a").cast("double") - r1 * c1 / n_s)
+              .otherwise(0.0)).alias("sum_dev"),
+        F.sum(F.when(valid,
+                     r1 * r2 * c1 * c2 / (n_s * n_s * (n_s - 1.0)))
+              .otherwise(0.0)).alias("sum_var"))
+    or_mh = F.when(F.col("sum_bc") > 0,
+                   F.col("sum_ad") / F.col("sum_bc"))
+    chi2 = F.when(F.col("sum_var") > 0,
+                  F.col("sum_dev") * F.col("sum_dev")
+                  / F.col("sum_var"))
+    return agg.select(
+        F.col("n_strata").cast("int").alias("n_strata"),
+        "n",
+        F.round(or_mh, round_dp).alias("or_mh"),
+        F.round(chi2, round_dp).alias("chi2_cmh"),
+        F.when(F.col("sum_var") > 0, F.lit(1)).cast("long")
+        .alias("dof"))

@@ -11869,3 +11869,67 @@ def q_spearman_qty_price(spark, sf_dir):
     from .operators.stats import spearman_corr
     return spearman_corr(_t(spark, sf_dir, "lineitem"),
                          "l_quantity", "l_extendedprice")
+
+
+@q("cmh_large_order_rate", """
+WITH base AS (
+  SELECT o_orderpriority AS st,
+         CASE WHEN o_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS g,
+         CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS s
+  FROM orders),
+per AS (
+  SELECT st,
+         CAST(sum(CASE WHEN g = 'even' AND s = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(sum(CASE WHEN g = 'even' AND s = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(sum(CASE WHEN g = 'odd' AND s = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(sum(CASE WHEN g = 'odd' AND s = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM base GROUP BY st),
+agg AS (
+  SELECT CAST(count(*) AS INT) AS n_strata,
+         CAST(sum(a + b + c + d) AS BIGINT) AS n,
+         sum(CASE WHEN a + b + c + d > 1
+                  THEN CAST(a * d AS DOUBLE) / (a + b + c + d)
+                  ELSE 0.0 END) AS sum_ad,
+         sum(CASE WHEN a + b + c + d > 1
+                  THEN CAST(b * c AS DOUBLE) / (a + b + c + d)
+                  ELSE 0.0 END) AS sum_bc,
+         sum(CASE WHEN a + b + c + d > 1
+                  THEN CAST(a AS DOUBLE)
+                       - CAST((a + b) * (a + c) AS DOUBLE)
+                         / (a + b + c + d)
+                  ELSE 0.0 END) AS sum_dev,
+         sum(CASE WHEN a + b + c + d > 1
+                  THEN CAST(a + b AS DOUBLE) * (c + d) * (a + c)
+                       * (b + d)
+                       / (CAST(a + b + c + d AS DOUBLE)
+                          * (a + b + c + d) * (a + b + c + d - 1.0))
+                  ELSE 0.0 END) AS sum_var
+  FROM per)
+SELECT n_strata, n,
+       round(CASE WHEN sum_bc > 0 THEN sum_ad / sum_bc END, 6)
+         AS or_mh,
+       round(CASE WHEN sum_var > 0
+             THEN sum_dev * sum_dev / sum_var END, 6) AS chi2_cmh,
+       CASE WHEN sum_var > 0 THEN CAST(1 AS BIGINT) END AS dof
+FROM agg
+""", doc="Cochran-Mantel-Haenszel pooled odds ratio + chi2 of the "
+         "large-order rate, even vs odd customer cohorts stratified by "
+         "order priority (operators/stats.py:mantel_haenszel): the "
+         "Simpson's-paradox-aware pooling — the marginal two-"
+         "proportion test can reverse sign when a confounder is "
+         "unevenly split; CMH pools the per-stratum association with "
+         "exact hypergeometric variances. One conditional "
+         "groupBy(stratum) pass + a tiny final aggregate; every term "
+         "rational in exact 2x2 cell counts")
+def q_cmh_large_order_rate(spark, sf_dir):
+    from .operators.stats import mantel_haenszel
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("st"),
+        F.when(F.col("o_custkey") % 2 == 0, "even")
+        .otherwise("odd").alias("g"),
+        (F.col("o_totalprice") > 250000).cast("int").alias("s"))
+    return mantel_haenszel(o, "st", "g", "s", "even", "odd")

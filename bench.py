@@ -208,6 +208,7 @@ HEADLINE = [
     "kruskal_wallis_event_values",
     "brown_forsythe_event_values",
     "spearman_qty_price",
+    "cmh_large_order_rate",
 ]
 
 

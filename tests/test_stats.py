@@ -826,3 +826,50 @@ def test_spearman_corr_reference(spark):
     const = spark.createDataFrame([(1.0, 2.0), (1.0, 3.0)],
                                   "x double, y double")
     assert spearman_corr(const, "x", "y").collect()[0]["rho"] is None
+
+
+def test_mantel_haenszel_reference_and_simpson(spark):
+    """Hand-computed CMH on two strata, including a designed Simpson
+    reversal: the marginal association flips sign while the per-stratum
+    (and CMH-pooled) association is consistent."""
+    from ai_incident_analyst_spark.operators.stats import (
+        mantel_haenszel,
+        two_proportion_test,
+    )
+
+    # stratum s1: A converts 9/10, B 50/100 -> OR = 9*50/(1*50) = 9
+    # stratum s2: A converts 30/100, B 1/10  -> OR = 30*9/(70*1) ~ 3.86
+    rows = []
+    rows += [("s1", "A", 1)] * 9 + [("s1", "A", 0)] * 1
+    rows += [("s1", "B", 1)] * 50 + [("s1", "B", 0)] * 50
+    rows += [("s2", "A", 1)] * 30 + [("s2", "A", 0)] * 70
+    rows += [("s2", "B", 1)] * 1 + [("s2", "B", 0)] * 9
+    df = spark.createDataFrame(rows, "st string, g string, s int")
+    r = mantel_haenszel(df, "st", "g", "s", "A", "B").collect()[0]
+
+    tables = [(9, 1, 50, 50), (30, 70, 1, 9)]
+    sum_ad = sum(a * d / (a + b + c + d) for a, b, c, d in tables)
+    sum_bc = sum(b * c / (a + b + c + d) for a, b, c, d in tables)
+    dev = sum(a - (a + b) * (a + c) / (a + b + c + d)
+              for a, b, c, d in tables)
+    var = sum((a + b) * (c + d) * (a + c) * (b + d)
+              / ((a + b + c + d) ** 2 * (a + b + c + d - 1))
+              for a, b, c, d in tables)
+    assert (r["n_strata"], r["n"], r["dof"]) == (2, 220, 1)
+    assert r["or_mh"] == pytest.approx(round(sum_ad / sum_bc, 6),
+                                       abs=1e-9)
+    assert r["chi2_cmh"] == pytest.approx(round(dev * dev / var, 6),
+                                          abs=1e-9)
+    # pooled OR favors A strongly...
+    assert r["or_mh"] > 3
+    # ...while the MARGINAL rates favor B (Simpson's reversal):
+    # A: 39/110 ~ 0.355 vs B: 51/110 ~ 0.464
+    marg = two_proportion_test(df, "g", "s", "A", "B").collect()[0]
+    assert marg["p_a"] < marg["p_b"]
+
+    # zero-margin stratum contributes nothing; single-group -> NULL OR
+    solo = mantel_haenszel(
+        spark.createDataFrame([("x", "A", 1), ("x", "A", 0)],
+                              "st string, g string, s int"),
+        "st", "g", "s", "A", "B").collect()[0]
+    assert solo["or_mh"] is None
