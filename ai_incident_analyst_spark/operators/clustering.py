@@ -411,6 +411,16 @@ def dbscan_clusters(df: DataFrame, id_col: str, dim_cols: list[str],
             f"(rp_project / pca_project)")
     if eps <= 0 or min_pts < 1:
         raise ValueError("eps must be > 0 and min_pts >= 1")
+    # the component step (connected_components) keys on integer ids;
+    # a silent cast('long') would turn string ids into NULLs and
+    # collapse every point into one garbage cluster — fail loudly
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"dbscan_clusters needs an integral id column, got "
+            f"{id_col!r}: {id_type}; assign a surrogate long id "
+            f"(e.g. monotonically_increasing_id or a dense rank) "
+            f"before calling")
     from itertools import product
 
     from .dedup import connected_components

@@ -386,6 +386,10 @@ def fellegi_sunter(pairs: DataFrame,
     'non_match', else 'possible' (the clerical-review band).
     ``field_params`` maps agreement column → ``(m, u)`` where m =
     P(agree | same entity), u = P(agree | different entities).
+    A NULL agreement boolean (the comparison itself was impossible —
+    a missing field on either side) contributes the standard
+    Fellegi–Sunter NEUTRAL weight 0.0: a missing comparison is no
+    evidence either way, not a disagreement.
 
     Scoring is a FIXED left-to-right fold of per-field constants
     selected by integer booleans — no running float aggregation — so
@@ -409,7 +413,8 @@ def fellegi_sunter(pairs: DataFrame,
         if not (0.0 < m < 1.0 and 0.0 < u < 1.0):
             raise ValueError(f"m/u for {fld!r} must be in (0, 1)")
         term = F.when(F.col(fld), F.lit(math.log2(m / u))) \
-            .otherwise(F.lit(math.log2((1.0 - m) / (1.0 - u))))
+            .when(~F.col(fld), F.lit(math.log2((1.0 - m) / (1.0 - u)))) \
+            .otherwise(F.lit(0.0))
         w = term if w is None else w + term
     return (pairs.withColumn("weight", F.round(w, round_dp))
             .withColumn("decision",

@@ -688,6 +688,12 @@ def bootstrap_mean_ci(df: DataFrame, id_col: str, value_col: str,
     latency, tokens/doc). One row out:
     ``(n, mean, ci_lo, ci_hi, n_resamples)``.
 
+    Complete-case like every sibling estimator: NULL/NaN values leave
+    the frame BEFORE the fan-out and BEFORE ``n``/``mean`` are taken,
+    so resample denominators (Σw), ``n`` and ``mean`` all describe the
+    same row set — a NULL row must not carry Poisson weight into Σw
+    while contributing nothing to Σw·x.
+
     POISSON BOOTSTRAP (the distributed classic — resampling n-out-of-n
     WITH replacement needs a global multinomial, but each row's count
     in a resample is asymptotically Poisson(1) and independent across
@@ -720,9 +726,12 @@ def bootstrap_mean_ci(df: DataFrame, id_col: str, value_col: str,
         raise ValueError("alpha must be in (0, 1)")
     import math
 
+    from .util import complete_case
+
     v = F.col("x")
-    base = df.select(F.col(id_col).cast("string").alias("id"),
-                     F.col(value_col).cast("double").alias("x"))
+    base = complete_case(
+        df.select(F.col(id_col).cast("string").alias("id"),
+                  F.col(value_col).cast("double").alias("x")), ["x"])
     fan = base.select(
         "id", "x",
         F.explode(F.sequence(F.lit(0),
@@ -809,23 +818,33 @@ def sprt_bernoulli(df: DataFrame, order_col, success_col,
     d = d.select("n", "k", llr.alias("llr"))
     crossings = d.where((F.col("llr") >= F.lit(up))
                         | (F.col("llr") <= F.lit(lo)))
-    first = (crossings.orderBy("n").limit(1)
-             .select(F.col("n").alias("n_decision"),
-                     F.col("k").alias("k_decision"),
-                     F.round("llr", round_dp).alias("llr_decision"),
-                     F.when(F.col("llr") >= F.lit(up),
-                            F.lit("accept_h1"))
-                     .otherwise(F.lit("accept_h0")).alias("decision")))
-    total = (d.orderBy(F.desc("n")).limit(1)
-             .select(F.col("n").alias("n_total"),
-                     F.col("k").alias("k_total"),
-                     F.round("llr", round_dp).alias("llr_final")))
-    # left-join shape: always one row out even with no crossing
-    return (total.join(first, F.lit(True), "left")
-            .select(F.coalesce("decision", F.lit("continue"))
-                    .alias("decision"),
-                    "n_decision", "k_decision", "llr_decision",
-                    "n_total", "k_total", "llr_final"))
+    # global aggs, NOT orderBy/limit: an agg without groupBy always
+    # yields one row (NULLs when its input is empty), so the one-row
+    # contract holds even on EMPTY input (the welch_t_test /
+    # two_proportion_test lesson — empty frames are invisible to
+    # one-row consumers). n is unique, so min_by/max_by on n are
+    # deterministic and equal the old first/last-row picks.
+    first = crossings.agg(
+        F.min("n").alias("n_decision"),
+        F.min_by("k", "n").alias("k_decision"),
+        F.min_by("llr", "n").alias("__llr_d"))
+    total = d.agg(
+        F.max("n").alias("n_total"),
+        F.max_by("k", "n").alias("k_total"),
+        F.max_by("llr", "n").alias("__llr_f"))
+    return (total.join(F.broadcast(first), F.lit(True), "left")
+            .select(F.when(F.col("__llr_d") >= F.lit(up),
+                           F.lit("accept_h1"))
+                    .when(F.col("__llr_d").isNotNull(),
+                          F.lit("accept_h0"))
+                    .otherwise(F.lit("continue")).alias("decision"),
+                    "n_decision", "k_decision",
+                    F.round("__llr_d", round_dp).alias("llr_decision"),
+                    F.coalesce(F.col("n_total"),
+                               F.lit(0).cast("long")).alias("n_total"),
+                    F.coalesce(F.col("k_total"),
+                               F.lit(0).cast("long")).alias("k_total"),
+                    F.round("__llr_f", round_dp).alias("llr_final")))
 
 
 def loo_group_influence(df: DataFrame, group_col: str, value_col: str,
@@ -931,7 +950,8 @@ def msprt_mean(df: DataFrame, order_col, value_col,
     summary = d.agg(F.max("n").alias("n_total"),
                     F.max("ll").alias("__llmax"))
     return (summary.join(F.broadcast(first))
-            .select("n_total",
+            .select(F.coalesce(F.col("n_total"),
+                               F.lit(0).cast("long")).alias("n_total"),
                     F.round("__llmax", round_dp).alias("log_lambda_max"),
                     F.round(F.least(F.lit(1.0),
                                     F.exp(-F.col("__llmax"))),

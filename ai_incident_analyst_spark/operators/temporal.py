@@ -446,7 +446,11 @@ def binary_segmentation(df: DataFrame, pos_col: str, value_col: str,
                 / F.col("N").cast("double"))
         cand = (d.where((F.col("cnt") >= min_seg)
                         & (F.col("N") - F.col("cnt") >= min_seg))
-                .select("p", "idx", gain.alias("g"))
+                .select("p", "idx", gain.alias("g"),
+                        # round ENGINE-side (half away from zero, like
+                        # the twin's round(g, 6)) — Python round() is
+                        # banker's and can differ on a half-ulp gain
+                        F.round(gain, round_dp).alias("g_r"))
                 .where(F.col("g") > 0)
                 .orderBy(F.desc("g"), F.col("idx").asc())
                 .limit(1).collect())
@@ -454,7 +458,7 @@ def binary_segmentation(df: DataFrame, pos_col: str, value_col: str,
             break
         r = cand[0]
         boundaries.append(int(r["idx"]))
-        found.append((rnd, r["p"], round(float(r["g"]), round_dp)))
+        found.append((rnd, r["p"], float(r["g_r"])))
 
     pos_type = df.select(pos_col).schema.fields[0].dataType.simpleString()
     return df.sparkSession.createDataFrame(

@@ -10971,7 +10971,9 @@ def _bootstrap_sql(table: str, id_expr: str, val_expr: str,
     return f"""
 WITH base AS MATERIALIZED (
   SELECT CAST({id_expr} AS VARCHAR) AS id, CAST({val_expr} AS DOUBLE) AS x
-  FROM {table}),
+  FROM {table}
+  WHERE {val_expr} IS NOT NULL
+    AND NOT isnan(CAST({val_expr} AS DOUBLE))),
 fan AS (
   SELECT base.id, base.x, CAST(t.b AS BIGINT) AS b
   FROM base, range(0, {n_resamples}) t(b)),
@@ -11226,9 +11228,12 @@ def _fs_sql() -> str:
     # decimal-literal trap: a bare 9.551 literal types as DECIMAL in
     # DuckDB and the whole weight becomes DECIMAL(18,6) — CAST each
     # constant to DOUBLE so the fold matches Spark's float64 exactly
+    # three-way like the operator: NULL agreement (comparison
+    # impossible) folds the neutral 0.0, not the disagreement weight
     terms = " + ".join(
         f"CASE WHEN {fld} THEN CAST({a} AS DOUBLE) "
-        f"ELSE CAST({d} AS DOUBLE) END"
+        f"WHEN NOT {fld} THEN CAST({d} AS DOUBLE) "
+        f"ELSE CAST(0.0 AS DOUBLE) END"
         for fld, (a, d) in w.items())
     return f"""
 WITH a AS MATERIALIZED (

@@ -302,3 +302,18 @@ def test_dbscan_guards(spark):
         dbscan_clusters(df, "pid", ["px"], 0.0, 2)
     with pytest.raises(ValueError):
         dbscan_clusters(df, "pid", ["px"], 0.1, 0)
+
+
+def test_dbscan_rejects_non_integral_id(spark):
+    """String ids would silently cast to NULL and collapse every
+    point into one garbage cluster — fail loudly instead (ADVICE r9)."""
+    import pytest
+
+    from ai_incident_analyst_spark.operators.clustering import (
+        dbscan_clusters,
+    )
+
+    df = spark.createDataFrame([("a", 0.0), ("b", 1.0)],
+                               "pid string, px double")
+    with pytest.raises(ValueError, match="integral id"):
+        dbscan_clusters(df, "pid", ["px"], 0.1, 2)

@@ -378,3 +378,28 @@ def test_fellegi_sunter_weights_and_bands(spark):
         fellegi_sunter(df, params, upper=-5.0, lower=0.0)
     with pt.raises(ValueError):
         fellegi_sunter(df, {"a_eq": (1.0, 0.5)}, 1.0, 0.0)
+
+
+def test_fellegi_sunter_null_agreement_is_neutral(spark):
+    """A NULL agreement boolean (missing comparison) contributes the
+    standard NEUTRAL weight 0.0 — not the disagreement weight
+    (ADVICE r9)."""
+    import math
+
+    import pytest as pt
+
+    from ai_incident_analyst_spark.operators.linkage import (
+        fellegi_sunter,
+    )
+
+    params = {"a_eq": (0.9, 0.01), "b_eq": (0.8, 0.2)}
+    wa = math.log2(0.9 / 0.01)
+    wb, db = math.log2(0.8 / 0.2), math.log2(0.2 / 0.8)
+    rows = [(1, True, None), (2, None, None), (3, None, False)]
+    df = spark.createDataFrame(rows, "pid long, a_eq boolean, b_eq boolean")
+    out = {r["pid"]: r["weight"]
+           for r in fellegi_sunter(df, params, upper=7.0,
+                                   lower=-2.0).collect()}
+    assert out[1] == pt.approx(round(wa, 6), abs=1e-9)   # NULL b -> +0
+    assert out[2] == 0.0                                 # all NULL
+    assert out[3] == pt.approx(round(db, 6), abs=1e-9)   # explicit False

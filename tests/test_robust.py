@@ -183,3 +183,23 @@ def test_weighted_median_equals_plain_median_at_unit_weights(spark):
                                "g string, v double, w long")
     r = weighted_median(df, "g", "v", "w").collect()[0]
     assert r["weighted_median"] == vals[50]   # exact middle, n odd
+
+
+def test_binary_segmentation_engine_rounding_half_away(spark):
+    """Gain rounds ENGINE-side (half away from zero, the twin's
+    round(g, dp)) — Python round() is banker's and would emit 0.0
+    here (ADVICE r9). Series [1,1,0,0,0,0,0,0] with min_seg=4 has
+    exactly one candidate split with gain (S_l-S_r)^2/8 = 0.5, which
+    is binary-exact: half-away rounds to 1.0, banker's to 0.0."""
+    from ai_incident_analyst_spark.operators.temporal import (
+        binary_segmentation,
+    )
+
+    xs = [1, 1, 0, 0, 0, 0, 0, 0]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "p int, x int")
+    out = binary_segmentation(df, "p", "x", n_splits=1, min_seg=4,
+                              round_dp=0).collect()
+    assert len(out) == 1
+    assert out[0]["pos"] == 3                 # split AFTER idx 4 -> p=3
+    assert out[0]["gain"] == 1.0

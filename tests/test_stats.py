@@ -873,3 +873,53 @@ def test_mantel_haenszel_reference_and_simpson(spark):
                               "st string, g string, s int"),
         "st", "g", "s", "A", "B").collect()[0]
     assert solo["or_mh"] is None
+
+
+def test_bootstrap_mean_ci_complete_case(spark):
+    """NULL/NaN values leave the frame BEFORE the fan-out: the result
+    on a dirty frame equals the result on its pre-filtered twin, and
+    n/mean describe the clean row set (ADVICE r9: a NULL row must not
+    carry Poisson weight into the resample denominators)."""
+    from ai_incident_analyst_spark.operators.stats import (
+        bootstrap_mean_ci,
+    )
+
+    clean = [(i, float(i % 7) + 1.0) for i in range(60)]
+    dirty = clean + [(100, None), (101, float("nan")), (102, None)]
+    df_c = spark.createDataFrame(clean, "id long, x double")
+    df_d = spark.createDataFrame(dirty, "id long, x double")
+    out_c = bootstrap_mean_ci(df_c, "id", "x", n_resamples=50).collect()
+    out_d = bootstrap_mean_ci(df_d, "id", "x", n_resamples=50).collect()
+    assert out_c == out_d
+    r = out_d[0]
+    assert r["n"] == 60                       # NULL rows not counted
+    assert r["mean"] == pytest.approx(
+        sum(v for _, v in clean) / 60, abs=1e-6)
+
+
+def test_sprt_bernoulli_empty_input_one_row(spark):
+    """The one-row contract holds on EMPTY input (ADVICE r9): global
+    aggs, not orderBy/limit, anchor the output."""
+    from ai_incident_analyst_spark.operators.stats import sprt_bernoulli
+
+    df = spark.createDataFrame([], "i long, s int")
+    out = sprt_bernoulli(df, "i", "s", 0.2, 0.35).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["decision"] == "continue"
+    assert r["n_total"] == 0 and r["k_total"] == 0
+    assert r["n_decision"] is None and r["llr_decision"] is None
+    assert r["llr_final"] is None
+
+
+def test_msprt_mean_empty_input_one_row(spark):
+    from ai_incident_analyst_spark.operators.stats import msprt_mean
+
+    df = spark.createDataFrame([], "i long, x double")
+    out = msprt_mean(df, "i", "x", theta0=0.0, sigma=1.0,
+                     tau=1.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_total"] == 0
+    assert r["decision"] == "continue"
+    assert r["log_lambda_max"] is None and r["n_first_reject"] is None
