@@ -196,6 +196,69 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def sorted_neighborhood_jw_pairs(df: DataFrame, id_col: str,
+                                 text_col: str, sort_key: Column,
+                                 window: int = 5, threshold: float = 0.9,
+                                 round_dp: int = 6) -> DataFrame:
+    """Jaro–Winkler verification over SORTED-NEIGHBORHOOD blocking —
+    the scale-safe composition of the shelf's two linkage halves:
+    ``jaro_winkler_pairs``'s key blocker makes candidate volume
+    Σ|block|² (quadratic when a key is heavy — 64 distinct part names
+    make ``last_token`` blocks grow with the table), while the
+    Hernández–Stolfo window bounds candidates at O(n·window) BY
+    CONSTRUCTION, independent of key skew. JW is prefix-weighted, so
+    sorting by the name itself puts exactly the high-JW pairs in
+    adjacent ranks — the natural sort key for this verifier.
+
+    Same machinery as the halves it composes: global rank via the
+    two-phase prefix sum (never a single-task sort), one integer
+    equi-join for the window, the provable JW length-ratio prefilter
+    ahead of the Arrow verifier, scores rounded to ``round_dp`` BEFORE
+    the threshold compare (engine-portable boundary). Returns
+    ``(id_a, id_b, jw)`` with the pair ordered by rank (a before b).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from .packing import global_cumsum
+
+    @pandas_udf("double")
+    def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([jaro_winkler(x, y) for x, y in zip(a, b)])
+
+    # the function IS deterministic; the flag only stops Catalyst from
+    # COLLAPSING the scoring projection into the threshold filter and
+    # the downstream expansion joins, which re-evaluated the Arrow UDF
+    # up to 4x per pair (r10 plan audit: 4 ArrowEvalPython stages in
+    # jw_part_pairs -> 1 after this)
+    jw_udf = jw_udf.asNondeterministic()
+
+    base = df.select(F.col(id_col).alias("ia"),
+                     F.col(text_col).alias("ta"),
+                     F.struct(sort_key, F.col(id_col)).alias("__sk"),
+                     F.lit(1).alias("__one"))
+    ranked = global_cumsum(base, "__sk", "__one", out_col="__rank") \
+        .drop("__sk", "__one").localCheckpoint(eager=False)
+    probes = ranked.select(
+        "ia", "ta",
+        F.explode(F.array(*[F.col("__rank") + F.lit(j)
+                            for j in range(1, window)])).alias("__tr"))
+    right = ranked.select(F.col("ia").alias("ib"), F.col("ta").alias("tb"),
+                          F.col("__rank").alias("__tr"))
+    cand = probes.join(right, "__tr")
+    # provable JW length-ratio prefilter (see jaro_winkler_pairs):
+    # jw >= T forces min_len/max_len >= 3*(T - 0.4)/0.6 - 2
+    ratio = 3.0 * (float(threshold) - 0.4) / 0.6 - 2.0
+    if ratio > 0.0:
+        cand = cand.where(
+            F.least(F.length("ta"), F.length("tb"))
+            >= F.lit(ratio) * F.greatest(F.length("ta"), F.length("tb")))
+    return (cand
+            .withColumn("jw", F.round(jw_udf("ta", "tb"), round_dp))
+            .where(F.col("jw") >= threshold)
+            .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"),
+                    "jw"))
+
+
 def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1,
                  boost_threshold: float = 0.7) -> float:
     """Reference Jaro–Winkler similarity (Winkler 1990): Jaro matches
@@ -260,6 +323,13 @@ def jaro_winkler_pairs(df: DataFrame, id_col: str, text_col: str,
     @pandas_udf("double")
     def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series([jaro_winkler(x, y) for x, y in zip(a, b)])
+
+    # the function IS deterministic; the flag only stops Catalyst from
+    # COLLAPSING the scoring projection into the threshold filter and
+    # the downstream expansion joins, which re-evaluated the Arrow UDF
+    # up to 4x per pair (r10 plan audit: 4 ArrowEvalPython stages in
+    # jw_part_pairs -> 1 after this)
+    jw_udf = jw_udf.asNondeterministic()
 
     base = (spread(df.select(id_col, text_col), id_col)
             .select(F.col(id_col).alias("id"),

@@ -7774,12 +7774,63 @@ ORDER BY jw_bucket
          "jaro_winkler_similarity (<1e-12 on 180 random pairs), scores "
          "rounded to 6dp BEFORE the 0.9 threshold so the boundary is "
          "engine-portable; value check via 2dp-bucketed counts + "
-         "order-insensitive pair hash sums")
+         "order-insensitive pair hash sums. SCALE NOTE: last_token has "
+         "only 64 distinct values on part names, so this blocker's "
+         "candidate set grows quadratically with the table — kept as "
+         "the documented contrast case; jw_part_pairs_sn is the "
+         "bounded O(n*window) production shape")
 def q_jw_part_pairs(spark, sf_dir):
     from .operators.linkage import jaro_winkler_pairs, last_token
     part = _t(spark, sf_dir, "part")
     pairs = jaro_winkler_pairs(part, "p_partkey", "p_name",
                                last_token("p_name"), threshold=0.9)
+    pk = F.md5(F.concat(F.md5(F.col("id_a").cast("string")),
+                        F.md5(F.col("id_b").cast("string"))))
+    return (
+        pairs.groupBy(F.round("jw", 2).alias("jw_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum(F.conv(F.substring(pk, 1, 8), 16, 10).cast("long"))
+              .alias("pair_hash_sum"))
+        .orderBy("jw_bucket")
+    )
+
+
+@q("jw_part_pairs_sn", """
+WITH ranked AS (
+  SELECT p_partkey AS id, p_name AS txt,
+         row_number() OVER (ORDER BY p_name ASC, p_partkey ASC) AS rk
+  FROM part),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(jaro_winkler_similarity(a.txt, b.txt), 6) AS jw
+  FROM ranked a
+  JOIN ranked b ON b.rk BETWEEN a.rk + 1 AND a.rk + 7)
+SELECT round(jw, 2) AS jw_bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(('0x' || substring(md5(md5(CAST(id_a AS VARCHAR))
+                                       || md5(CAST(id_b AS VARCHAR))), 1, 8))
+                AS BIGINT)) AS BIGINT) AS pair_hash_sum
+FROM pairs WHERE jw >= 0.9
+GROUP BY round(jw, 2)
+ORDER BY jw_bucket
+""", doc="Jaro-Winkler linkage over SORTED-NEIGHBORHOOD blocking "
+         "(operators/linkage.py:sorted_neighborhood_jw_pairs, window=8) "
+         "— the SCALE-SAFE shape of jw_part_pairs: that query's "
+         "last_token blocker has 64 distinct values on part names, so "
+         "its candidate set grows quadratically with the table, while "
+         "the Hernandez-Stolfo rank window bounds candidates at "
+         "O(n*window) by construction, independent of key skew. JW is "
+         "prefix-weighted, so sorting by the name itself puts the "
+         "high-JW pairs in adjacent ranks. Global rank via the two-"
+         "phase prefix sum (never a single-task sort); same Arrow JW "
+         "verifier, 6dp-rounded before the 0.9 threshold; same 2dp-"
+         "bucketed counts + order-insensitive pair hash sums as the "
+         "quadratic contrast case")
+def q_jw_part_pairs_sn(spark, sf_dir):
+    from .operators.linkage import sorted_neighborhood_jw_pairs
+    part = _t(spark, sf_dir, "part")
+    pairs = sorted_neighborhood_jw_pairs(part, "p_partkey", "p_name",
+                                         F.col("p_name"), window=8,
+                                         threshold=0.9)
     pk = F.md5(F.concat(F.md5(F.col("id_a").cast("string")),
                         F.md5(F.col("id_b").cast("string"))))
     return (

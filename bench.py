@@ -209,6 +209,8 @@ HEADLINE = [
     "brown_forsythe_event_values",
     "spearman_qty_price",
     "cmh_large_order_rate",
+    # round 10
+    "jw_part_pairs_sn",
 ]
 
 
@@ -233,6 +235,9 @@ def wait_for_quiet_machine() -> dict:
     return {
         "load_guard_waited_sec": round(time.time() - t0, 1),
         "load_guard_threshold": ok,
+        # loadavg when the guard released — loadavg_start is read later,
+        # AFTER our own JVM spins up, so it includes self-inflicted load
+        "load_at_guard": round(load, 2),
         # True = timings below were taken on a machine the guard could
         # NOT quiet down — treat cross-round regressions as suspect
         "load_hot": load > ok,

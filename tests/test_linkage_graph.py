@@ -403,3 +403,39 @@ def test_fellegi_sunter_null_agreement_is_neutral(spark):
     assert out[1] == pt.approx(round(wa, 6), abs=1e-9)   # NULL b -> +0
     assert out[2] == 0.0                                 # all NULL
     assert out[3] == pt.approx(round(db, 6), abs=1e-9)   # explicit False
+
+
+def test_sorted_neighborhood_jw_pairs_window_semantics(spark):
+    """Candidates are exactly each row vs its next window-1 ranks in
+    (sort_key, id) order; the Arrow verifier scores equal the pure-
+    Python jaro_winkler reference; candidate volume is O(n*window) by
+    construction (the scale-safe alternative to key blocking)."""
+    import pytest as pt
+
+    from ai_incident_analyst_spark.operators.linkage import (
+        jaro_winkler,
+        sorted_neighborhood_jw_pairs,
+    )
+
+    names = [(1, "martha"), (2, "marhta"), (3, "michael"),
+             (4, "michelle"), (5, "zebra")]
+    df = spark.createDataFrame(names, "pid long, name string")
+    out = {(r["id_a"], r["id_b"]): r["jw"]
+           for r in sorted_neighborhood_jw_pairs(
+               df, "pid", "name", F.col("name"), window=3,
+               threshold=0.8).collect()}
+    # sort order: marhta(2) martha(1) michael(3) michelle(4) zebra(5)
+    # window=3 candidate pairs: (2,1)(2,3)(1,3)(1,4)(3,4)(3,5)(4,5)
+    expect = {}
+    order = [2, 1, 3, 4, 5]
+    texts = dict(names)
+    for i, a in enumerate(order):
+        for b in order[i + 1:i + 3]:
+            jw = round(jaro_winkler(texts[a], texts[b]), 6)
+            if jw >= 0.8:
+                expect[(a, b)] = jw
+    assert out == expect
+    assert (2, 1) in out and out[(2, 1)] == pt.approx(0.961111, abs=1e-6)
+    assert (3, 4) in out                     # michael/michelle ~ 0.921
+    # far-apart ranks are never candidates even if similar
+    assert (1, 5) not in out and (2, 5) not in out
