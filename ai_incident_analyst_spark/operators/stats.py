@@ -1161,12 +1161,15 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
     EXACT integer arithmetic: per column, DOUBLED average ranks
     (``2·cum_before + cnt + 1`` over the distinct-value table —
     always integers) join back to rows, and every Pearson sufficient
-    statistic of the doubled ranks stays int64 (Σ r², Σ rx·ry ≤ 4N³ —
-    exact to ~10⁶ rows; the constant factor cancels in the
-    correlation). ρ is then a few float ops on exact integers —
-    identical cross-engine (the ``mann_whitney_u`` machinery applied
-    to association). Plan: two distinct-value rollups + prefix sums,
-    two joins back, ONE aggregation pass. Complete-case on (x, y).
+    statistic of the doubled ranks accumulates in DECIMAL(38,0)
+    (Σ r², Σ rx·ry ≤ 4N³ — int64 overflows past ~1.3M rows, which the
+    r10 sf1 probe hit as a hard ANSI ARITHMETIC_OVERFLOW; decimal128
+    is exact to N ≈ 3·10¹², i.e. any realistic corpus, and DuckDB's
+    HUGEINT sum on the twin side is the same 128-bit exactness). ρ is
+    then a few float ops on exact integers — identical cross-engine
+    (the ``mann_whitney_u`` machinery applied to association). Plan:
+    two distinct-value rollups + prefix sums, two joins back, ONE
+    aggregation pass. Complete-case on (x, y).
     """
     from .packing import global_cumsum
     from .util import complete_case
@@ -1186,11 +1189,13 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
 
     r = (base.join(ranked("x"), "x").join(ranked("y"), "y")
          .select(F.col("r_x").alias("rx"), F.col("r_y").alias("ry")))
+    rxd = F.col("rx").cast("decimal(38,0)")
+    ryd = F.col("ry").cast("decimal(38,0)")
     agg = r.agg(F.count(F.lit(1)).alias("n"),
-                F.sum("rx").alias("sx"), F.sum("ry").alias("sy"),
-                F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-                F.sum(F.col("ry") * F.col("ry")).alias("syy"),
-                F.sum(F.col("rx") * F.col("ry")).alias("sxy"))
+                F.sum(rxd).alias("sx"), F.sum(ryd).alias("sy"),
+                F.sum(rxd * rxd).alias("sxx"),
+                F.sum(ryd * ryd).alias("syy"),
+                F.sum(rxd * ryd).alias("sxy"))
     n = F.col("n").cast("double")
     cov_n = n * F.col("sxy").cast("double") \
         - F.col("sx").cast("double") * F.col("sy").cast("double")

@@ -923,3 +923,17 @@ def test_msprt_mean_empty_input_one_row(spark):
     assert r["n_total"] == 0
     assert r["decision"] == "continue"
     assert r["log_lambda_max"] is None and r["n_first_reject"] is None
+
+
+def test_spearman_corr_no_int64_overflow_at_2m_rows(spark):
+    """Regression (r10 sf1 probe): the doubled-rank sufficient
+    statistics are ~4N^3 and blew int64 past ~1.3M rows as a hard ANSI
+    ARITHMETIC_OVERFLOW; decimal(38,0) accumulators are exact to
+    N ~ 3e12. 2M distinct monotone pairs -> rho exactly 1.0."""
+    from ai_incident_analyst_spark.operators.stats import spearman_corr
+
+    df = spark.range(2_000_000).selectExpr(
+        "cast(id as double) as x", "cast(id * 2 as double) as y")
+    r = spearman_corr(df, "x", "y").collect()[0]
+    assert r["n"] == 2_000_000
+    assert r["rho"] == 1.0
