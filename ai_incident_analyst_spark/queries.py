@@ -11354,7 +11354,13 @@ _FS_PARAMS = {
        "pairs land in the clerical-review 'possible' band by design")
 def q_fs_customer_linkage(spark, sf_dir):
     from .operators.linkage import fellegi_sunter
-    c = _t(spark, sf_dir, "customer")
+    from .operators.util import spread
+
+    # single-file local parquet = ONE input split: without a spread the
+    # whole sum-of-block-squared pair join streams through one task
+    # behind the broadcast (r10 sf1 probe: 136 s on 1 task); a real
+    # cluster reads many splits, spread() restores that shape locally
+    c = spread(_t(spark, sf_dir, "customer"), "c_custkey")
     h = F.substring(F.md5(F.concat(F.lit("fs:"),
                                    F.col("c_custkey").cast("string"))),
                     1, 1)
