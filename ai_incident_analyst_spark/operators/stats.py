@@ -976,10 +976,12 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
     EXACT integer arithmetic end to end: per distinct value, the
     group counts and the exclusive prefix count give DOUBLED average
     ranks ``2·rank = 2·cum_before + cnt + 1`` (always integer — no
-    half-rank floats), so the doubled rank sum and
-    ``U2 = 2·R_a − n_a(n_a+1)·... `` stay int64; z is then a few float
-    ops on exact integers (identical cross-engine — the
-    ``sprt_bernoulli`` contract). Tie correction:
+    half-rank floats), and the doubled rank sum / tie terms accumulate
+    in DECIMAL(38,0) (Σ na·rank2 ≤ 2N² and Σ t³ ≤ N³ overflow int64
+    around 10⁹ rows — the spearman r10 sf1 lesson applied ahead of the
+    crash; DuckDB's HUGEINT sums on the twin side are the same 128-bit
+    exactness); z is then a few float ops on exact integers (identical
+    cross-engine — the ``sprt_bernoulli`` contract). Tie correction:
     ``σ² = n_a·n_b/12·[(N+1) − Σ(t³−t)/(N(N−1))]``. Plan: one
     (value)-grouped conditional count, one distributed prefix sum over
     the DISTINCT-value table, one final aggregate. One row out always
@@ -1001,22 +1003,28 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
                   .alias("nb")))
     per_v = per_v.withColumn("cnt", F.col("na") + F.col("nb"))
     per_v = global_cumsum(per_v, "v", "cnt", "cum")
-    rank2 = 2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1
-    t3t = F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+    dec = "decimal(38,0)"
+    rank2 = (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1) \
+        .cast(dec)
+    cntd = F.col("cnt").cast(dec)
+    t3t = cntd * cntd * cntd - cntd
     agg = per_v.agg(
         F.coalesce(F.sum("na"), F.lit(0)).alias("n_a"),
         F.coalesce(F.sum("nb"), F.lit(0)).alias("n_b"),
-        F.coalesce(F.sum(F.col("na") * rank2), F.lit(0)).alias("r2a"),
-        F.coalesce(F.sum(t3t), F.lit(0)).alias("ties"))
+        F.coalesce(F.sum(F.col("na").cast(dec) * rank2),
+                   F.lit(0).cast(dec)).alias("r2a"),
+        F.coalesce(F.sum(t3t), F.lit(0).cast(dec)).alias("ties"))
     na, nb = F.col("n_a"), F.col("n_b")
     n = na + nb
-    # doubled U: U2 = 2·U_a = R2_a − ... (R2 already doubled ranks)
-    u2 = F.col("r2a") - na * (na + 1)
-    mu2 = na * nb  # doubled mean = 2·(na·nb/2)
-    var = (na * nb).cast("double") / 12.0 \
+    # doubled U: U2 = 2·U_a = R2_a − ... (R2 already doubled ranks);
+    # products of counts via double/decimal operands — an int64
+    # PRODUCT like na·(na+1) overflows before any cast at ~3e9 rows
+    u2 = F.col("r2a") - na.cast(dec) * (na + 1).cast(dec)
+    mu2 = na.cast(dec) * nb.cast(dec)  # doubled mean = 2·(na·nb/2)
+    var = na.cast("double") * nb.cast("double") / 12.0 \
         * ((n + 1).cast("double")
            - F.col("ties").cast("double")
-           / (n * (n - 1)).cast("double"))
+           / (n.cast("double") * (n - 1).cast("double")))
     z = F.when((na > 0) & (nb > 0) & (var > 0),
                (u2 - mu2).cast("double") / (2.0 * F.sqrt(var)))
     return agg.select(
@@ -1036,7 +1044,9 @@ def kruskal_wallis(df: DataFrame, group_col: str,
     under the null; NULL when fewer than 2 groups or every value ties.
 
     Same exact-rank machinery as ``mann_whitney_u``: doubled average
-    ranks are integers, per-group doubled rank sums stay int64, and
+    ranks are integers, per-group doubled rank sums and tie terms
+    accumulate in DECIMAL(38,0) (int64 headroom ends near 10⁹ rows —
+    the spearman r10 sf1 lesson; DuckDB HUGEINT matches), and
     ``H = [12/(N(N+1))·Σ R_g²/n_g − 3(N+1)] / (1 − Σ(t³−t)/(N³−N))``
     is a few float ops on exact integers (deterministic cross-engine;
     the Σ over ≤|groups| rows carries only ulp-level association noise
@@ -1056,15 +1066,18 @@ def kruskal_wallis(df: DataFrame, group_col: str,
               .localCheckpoint(eager=False))  # feeds ranks + join back
     per_v = per_gv.groupBy("v").agg(F.sum("ng").alias("cnt"))
     per_v = global_cumsum(per_v, "v", "cnt", "cum")
-    rank2 = (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1) \
-        .alias("rank2")
-    t3t = (F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+    dec = "decimal(38,0)"
+    rank2 = ((2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
+             .cast(dec).alias("rank2"))
+    cntd = F.col("cnt").cast(dec)
+    t3t = cntd * cntd * cntd - cntd
     ranks = per_v.select("v", rank2,
                          t3t.alias("t3t")).localCheckpoint(eager=False)
     per_g = (per_gv.join(ranks, "v")
              .groupBy("g")
              .agg(F.sum("ng").alias("n_g"),
-                  F.sum(F.col("ng") * F.col("rank2")).alias("r2")))
+                  F.sum(F.col("ng").cast(dec) * F.col("rank2"))
+                  .alias("r2")))
     ties = ranks.agg(F.sum("t3t").alias("ties"))
     agg = (per_g.agg(
         F.count(F.lit(1)).alias("n_groups"),
