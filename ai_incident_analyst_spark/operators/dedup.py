@@ -184,12 +184,24 @@ def ngram_jaccard_pairs_lsh(df: DataFrame, id_col: str, text_col: str,
     jaccard ≥ threshold) with id_a < id_b — restricted to LSH candidates.
     Recall is controlled by the band shape: ``r = num_perm // bands``
     signature rows per band gives P(candidate | J) = 1 − (1 − J^r)^bands.
-    For low thresholds (e.g. 0.12) use r = 1 (bands == num_perm): a pair
-    qualifying at J only evades every one of the 64 single-hash buckets
-    with probability (1 − J)^64 ≈ 2·10⁻⁴ — and because the permutation
-    family is deterministic, recall on a given corpus is a testable fact,
-    not a coin flip (tests/test_dedup.py verifies the candidate set is a
-    superset of the exact qualifying pairs at every test SF).
+
+    CHOOSING r (the round-10 sf10 lesson): the candidate volume carries
+    an n² · E[J^r] background term — every pair of UNRELATED docs
+    collides per band with probability J^r. r = 1 is recall-lossless for
+    low thresholds ((1 − J)^64 ≈ 2·10⁻⁴ at J = 0.12; testable, since
+    the permutation family is deterministic — tests/test_dedup.py) but
+    that background term is then linear in J: on a corpus whose random
+    pairs already share shingles (the 31-word-vocab testdata measures
+    E[J] ≈ 8·10⁻⁴), candidates are ~64 · 8e-4 · n²/2 — the sf10 probe
+    measured the r=1 composition spilling 50+ GB before dying. Measured
+    calibration at 500k docs: r=2/b=32 still verified ~4·10⁷ background
+    candidates (311 s, 13.6× per 10× docs); r=4/b=16 drops background
+    collision to J⁴ ≈ 4·10⁻¹³, candidates collapse to the true near-dup
+    population (53 s, 3.6× per 10×). Use r = 1 only when E[J] across
+    random pairs is negligible (large-vocab corpora) or n is bounded;
+    at scale pick r ≥ 2 and treat the banded candidate set as part of
+    the contract (the registry twins replicate the banding in SQL, so
+    recall needs no assumption — see queries._banded_pairs_ctes).
     """
     cand = minhash_lsh_neardup(df, id_col, text_col, num_perm, bands, n,
                                verify=False, hash_fn=hash_fn)

@@ -2419,10 +2419,15 @@ def _neardup_pairs_frame(spark, sf_dir):
     if key not in _NEARDUP_PAIRS_MEMO:
         from .operators.dedup import ngram_jaccard_pairs_lsh
         docs = _t(spark, sf_dir, "documents")
+        # bands=16 (r=4, portable md5 family): the r10 sf10 probe
+        # measured the old r=1 banding going quadratic (candidates ~
+        # bands x E[J] x n^2/2); at r=4 background pairs collide at J^4
+        # per band, and the banding is reproduced INSIDE the DuckDB twin
+        # (_banded_pairs_ctes), so no recall assumption is needed
         _NEARDUP_PAIRS_MEMO[key] = (
             ngram_jaccard_pairs_lsh(docs, "doc_id", "text", n=3,
                                     threshold=0.12, num_perm=64,
-                                    bands=64)
+                                    bands=16, hash_fn="md5")
             .localCheckpoint(eager=False)
         )
     return _NEARDUP_PAIRS_MEMO[key]
@@ -2455,26 +2460,88 @@ def _neardup_cluster_frame(spark, sf_dir):
     return _CC_CLUSTER_MEMO[key]
 
 
-_NGRAM_PAIRS_CTES = r"""
-sh AS (
-  SELECT doc_id AS doc, unnest(list_distinct([
+def _banded_pairs_ctes(src: str = "documents", num_perm: int = 64,
+                       bands: int = 16, threshold: float = 0.12) -> str:
+    """CTE block ending in ``pairs(id_a, id_b)``: banded portable-MinHash
+    candidates + EXACT word-3-gram Jaccard verify over ``src(doc_id,
+    text)`` — the DuckDB twin of ``ngram_jaccard_pairs_lsh(n=3,
+    threshold, num_perm, bands, hash_fn='md5')``.
+
+    The banding itself lives IN the oracle (same 60-bit md5 shingle
+    hash, LCG affine permutation family, md5 band buckets as
+    ``_minhash_oracle_sql``), so the twin reproduces the banded
+    candidate set bit-for-bit at ANY scale — no candidate-recall
+    assumption. This replaced the exact all-pairs twin in round 10
+    after the sf10 probe measured the old r=1 (bands == num_perm)
+    composition filling 50+ GB of shuffle spill: every banding has an
+    n^2 * E[J^r] background-candidate term, and on this corpus's
+    31-word vocabulary a RANDOM doc pair already has J ~ 8e-4, so r=1
+    candidates are ~64 * 8e-4 * n^2/2 — quadratic with a fat constant
+    (~6e9 candidate rows at sf10). Measured calibration of r on the
+    sf10 twin data (500k docs): r=2/b=32 (knee 0.18) still verified
+    ~4e7 background candidates, 311 s and 13.6x per 10x docs — the n^2
+    term visible; r=4/b=16 (knee (1/16)^(1/4) = 0.5) drops background
+    collision to J^4 ~ 4e-13 and candidates to the true near-dup
+    population. Recall is the standard banded curve 1-(1-J^r)^b —
+    ~certain for J >= 0.8, 50% at J ~ 0.39 — and because the
+    permutation family is deterministic, the twin reproduces whichever
+    pairs the banding yields EXACTLY; the 0.12 threshold is the exact
+    verify applied to those candidates."""
+    from .operators.dedup import _MINHASH_P, minhash_affine_params
+    pa, pb = minhash_affine_params(num_perm)
+    r = num_perm // bands
+    mins = ",\n         ".join(
+        f"min(({pa[i]}*s1+{pb[i]})%{_MINHASH_P}) AS h{i}"
+        for i in range(num_perm))
+    bands_sql = "\n  UNION ALL ".join(
+        f"SELECT doc, {b} AS band_idx, md5(concat_ws('|', "
+        + ", ".join(f"h{b * r + j}" for j in range(r))
+        + ")) AS bucket FROM nj_sig" for b in range(bands))
+    return rf"""nj_tk AS (
+  SELECT doc_id AS doc,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+         generate_subscripts(
+           regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+  FROM {src}),
+nj_gr AS (
+  SELECT doc, tok,
+         lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2
+  FROM nj_tk WINDOW w AS (PARTITION BY doc ORDER BY pos)),
+nj_sh AS (
+  SELECT doc,
+         CAST(('0x' || substring(md5(concat_ws(' ', tok, t1, t2)), 1, 15))
+              AS BIGINT) % {_MINHASH_P} AS s1
+  FROM nj_gr WHERE t2 IS NOT NULL),
+nj_sig AS (
+  SELECT doc,
+         {mins}
+  FROM nj_sh GROUP BY doc),
+nj_bk AS (
+  {bands_sql}),
+nj_cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM nj_bk a JOIN nj_bk b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc < b.doc),
+nj_sets AS (
+  SELECT doc_id AS doc, list_distinct([
     array_to_string(toks[i:i+2], ' ')
     for i in range(1, greatest(len(toks) - 2, 0) + 1)
-  ])) AS s
+  ]) AS ls
   FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-        FROM documents)
-), counts AS (
-  SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc
-), common AS (
-  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
-  GROUP BY 1, 2
-), pairs AS (
-  SELECT id_a, id_b FROM common
-  JOIN counts ca ON ca.doc = id_a
-  JOIN counts cb ON cb.doc = id_b
-  WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.12
-), sym AS (
+        FROM {src})),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(a.ls, b.ls)) AS ni,
+           len(a.ls) AS na, len(b.ls) AS nb
+    FROM nj_cand c
+    JOIN nj_sets a ON a.doc = c.id_a
+    JOIN nj_sets b ON b.doc = c.id_b)
+  WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= {threshold!r})"""
+
+
+_NGRAM_PAIRS_CTES = _banded_pairs_ctes("documents") + r""",
+sym AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION SELECT id_b, id_a FROM pairs
 ), reach(u, v) AS (
@@ -2607,9 +2674,10 @@ SELECT split, lang, count(*) AS n_docs FROM (
          "(connected components over n-gram Jaccard pairs), so a test "
          "doc's near-identical twin can never land in train — the "
          "contamination control a per-doc hash split lacks. Composed "
-         "LSH-blocked pairing + iterative CC + split, still exactly "
-         "reproduced by a DuckDB recursive-CTE twin (candidate recall is "
-         "lossless at test SFs — tests/test_dedup.py)")
+         "LSH-blocked pairing + iterative CC + split, exactly "
+         "reproduced by a DuckDB recursive-CTE twin that replicates the "
+         "16x4 MinHash banding itself (_banded_pairs_ctes) — candidates "
+         "reproduce bit-for-bit at any SF, no recall assumption")
 def q_leakage_safe_split(spark, sf_dir):
     from .operators.sampling import leakage_safe_split
     docs = _t(spark, sf_dir, "documents")
@@ -2912,23 +2980,8 @@ WITH RECURSIVE base AS (
 ), keep AS (
   SELECT b.doc_id, b.text, b.lang, b.n_chars
   FROM base b JOIN qs ON b.doc_id = qs.doc_id WHERE qs.quality >= 0.5
-), sh AS (
-  SELECT doc_id AS doc, unnest(list_distinct([
-    array_to_string(toks[i:i+2], ' ')
-    for i in range(1, greatest(len(toks) - 2, 0) + 1)
-  ])) AS s
-  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-        FROM keep)
-), counts AS (
-  SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc
-), common AS (
-  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2
-), pairs AS (
-  SELECT id_a, id_b FROM common
-  JOIN counts ca ON ca.doc = id_a JOIN counts cb ON cb.doc = id_b
-  WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.12
-), sym AS (
+), """ + _banded_pairs_ctes("keep") + r""",
+sym AS (
   SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
 ), reach(u, v) AS (
   SELECT u, v FROM sym
@@ -2960,13 +3013,13 @@ GROUP BY split, lang
          "boundary can't flip between engines) -> near-dup clustering "
          "(connected components) -> longest-survivor selection -> hash "
          "train/test split -> per-split BPE token budget. Pairing runs "
-         "through ngram_jaccard_pairs_lsh (banded-MinHash candidates + "
-         "exact verify) — the same 100 TB composition as neardup_clusters "
-         "— so no registry query self-joins raw shingles on an unbounded "
-         "input; 64 single-row bands make candidate recall lossless at "
-         "test SFs, so the exact all-pairs recursive-CTE twin still "
-         "reproduces it. The oracle composes the same stages as one SQL "
-         "query")
+         "through ngram_jaccard_pairs_lsh (16x4 banded-MinHash "
+         "candidates, portable md5 family, exact verify) — the same "
+         "100 TB composition as neardup_clusters — so no registry query "
+         "self-joins raw shingles on an unbounded input, and the BANDING "
+         "IS IN THE ORACLE (_banded_pairs_ctes): the twin reproduces the "
+         "candidate set bit-for-bit at any SF, no recall assumption. "
+         "The oracle composes the same stages as one SQL query")
 def q_corpus_pipeline(spark, sf_dir):
     from .operators.dedup import (
         connected_components,
@@ -2983,7 +3036,8 @@ def q_corpus_pipeline(spark, sf_dir):
     )
     keep = base.filter(F.round(quality_score("text"), 6) >= 0.5)
     pairs = ngram_jaccard_pairs_lsh(keep, "doc_id", "text", n=3,
-                                    threshold=0.12, num_perm=64, bands=64)
+                                    threshold=0.12, num_perm=64,
+                                    bands=16, hash_fn="md5")
     clusters = connected_components(pairs, "id_a", "id_b")
     surv = dedup_canonical(keep, clusters, "doc_id", "n_chars")
     split = train_test_split(surv, "doc_id", 0.2)
@@ -6709,23 +6763,8 @@ WITH RECURSIVE base AS (
 ), keep AS (
   SELECT b.doc_id, b.text, b.lang, b.n_chars
   FROM base b JOIN qs ON b.doc_id = qs.doc_id WHERE qs.quality >= 0.5
-), sh AS (
-  SELECT doc_id AS doc, unnest(list_distinct([
-    array_to_string(toks[i:i+2], ' ')
-    for i in range(1, greatest(len(toks) - 2, 0) + 1)
-  ])) AS s
-  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-        FROM keep)
-), counts AS (
-  SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc
-), common AS (
-  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2
-), pairs AS (
-  SELECT id_a, id_b FROM common
-  JOIN counts ca ON ca.doc = id_a JOIN counts cb ON cb.doc = id_b
-  WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.12
-), sym AS (
+), """ + _banded_pairs_ctes("keep") + r""",
+sym AS (
   SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
 ), reach(u, v) AS (
   SELECT u, v FROM sym
@@ -6769,10 +6808,10 @@ FROM cum GROUP BY 1, 2
          "near-twin can never land in train) -> BPE token counts -> "
          "per-split token-budget sharding via the two-phase distributed "
          "prefix sum -> per-shard manifest. The oracle replays the "
-         "whole pipeline as one recursive-CTE SQL query; candidate "
-         "recall of the LSH blocking is lossless at test SFs, so the "
-         "exact all-pairs twin reproduces it (the corpus_pipeline "
-         "arrangement)")
+         "whole pipeline as one recursive-CTE SQL query with the 16x4 "
+         "MinHash banding itself in the twin (_banded_pairs_ctes), so "
+         "candidates reproduce bit-for-bit at any SF — no recall "
+         "assumption (the corpus_pipeline arrangement)")
 def q_training_shards_pipeline(spark, sf_dir):
     from .operators.dedup import (
         connected_components,
@@ -6795,7 +6834,8 @@ def q_training_shards_pipeline(spark, sf_dir):
     keep = base.filter(F.round(quality_score("text"), 6) >= 0.5) \
         .localCheckpoint(eager=False)
     pairs = ngram_jaccard_pairs_lsh(keep, "doc_id", "text", n=3,
-                                    threshold=0.12, num_perm=64, bands=64)
+                                    threshold=0.12, num_perm=64,
+                                    bands=16, hash_fn="md5")
     clusters = connected_components(pairs, "id_a", "id_b")
     surv = dedup_canonical(keep, clusters, "doc_id", "n_chars")
     sp = leakage_safe_split(surv.select("doc_id", "text"), "doc_id",

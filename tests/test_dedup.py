@@ -69,12 +69,13 @@ def test_ngram_jaccard_matches_python(spark):
 
 
 def test_ngram_jaccard_lsh_equals_exact_on_testdata(spark, sf_dir):
-    """The LSH-blocked composition (r=1 banded-MinHash candidates, exact
-    verify on candidates) must return EXACTLY the full exact-Jaccard pair
-    set at the registry's threshold — this is the losslessness fact the
-    neardup_clusters / dedup_survivors / leakage_safe_split oracles rely
-    on (the permutation family is deterministic, so this is a stable
-    property of the corpus, not a flaky sample)."""
+    """r=1 banding (bands == num_perm) is recall-LOSSLESS: a qualifying
+    pair evades all 64 single-hash buckets with probability (1-J)^64.
+    Operator-level fact only — the registry compositions moved OFF r=1
+    in round 10 because its candidate volume is ~bands * E[J] * n^2/2
+    (the sf10 probe measured it filling the disk on the 31-word-vocab
+    corpus where random-pair J ~ 8e-4); they use 16x4 banding with the
+    banding replicated inside the DuckDB twin instead."""
     from ai_incident_analyst_spark.sources.tables import load_table
     docs = load_table(spark, sf_dir, "documents")
     exact = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in
@@ -85,6 +86,27 @@ def test_ngram_jaccard_lsh_equals_exact_on_testdata(spark, sf_dir):
                                    threshold=0.12, num_perm=64,
                                    bands=64).collect()}
     assert exact and lsh == exact
+
+
+def test_ngram_jaccard_lsh_banded_registry_shape(spark, sf_dir):
+    """The registry composition (16 bands x 4 rows, portable md5 family):
+    banded output is a SUBSET of the exact qualifying pairs, every
+    verified jaccard matches the exact value, and every true near-dup
+    (J >= 0.8, catch probability 1-(1-J^4)^16 ~ 1-1e-7) is present."""
+    from ai_incident_analyst_spark.sources.tables import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in
+             ngram_jaccard_pairs(docs, "doc_id", "text",
+                                 n=3, threshold=0.12).collect()}
+    banded = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in
+              ngram_jaccard_pairs_lsh(docs, "doc_id", "text", n=3,
+                                      threshold=0.12, num_perm=64,
+                                      bands=16, hash_fn="md5").collect()}
+    assert banded and set(banded) <= set(exact)
+    for k, j in banded.items():
+        assert j == exact[k], k
+    high = {k for k, j in exact.items() if j >= 0.8}
+    assert high <= set(banded)
 
 
 def test_minhash_identical_docs_equal_signatures(spark):
