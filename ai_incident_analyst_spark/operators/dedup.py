@@ -535,6 +535,22 @@ def simhash_neardup(df: DataFrame, id_col: str, text_col: str,
     verify with bit_count. Same candidate-generation trick FAISS-less
     systems use for web-scale simhash dedup. ``hash_fn="md5"`` selects
     the 60-bit oracle-portable fingerprint (band_bits must divide 60).
+
+    SCALE LAW (measured, r10 sf10 probe): the chunk key has FIXED
+    cardinality 2^band_bits per chunk index, so background candidates
+    grow as n² · chunks / 2^band_bits — the same
+    fixed-key-cardinality class as the nation×segment linkage blocker.
+    Raising max_hamming FORCES more/smaller chunks (pigeonhole needs
+    chunks > d), so high-recall settings are the quadratic ones: the
+    registry's d=5 on 60 bits caps chunks at 10 bits (1024 keys;
+    500k docs measured 46.6 s warm, ~17× per 10× docs) while the
+    64-bit default d=3 gets 16-bit chunks (65,536 keys, 64× fewer
+    background candidates). At corpus scale prefer the Manku-style
+    multi-table construction (combine 2+ chunks per key: C(chunks,2)
+    keys of 2·band_bits, guaranteed for d ≤ chunks−2) or MinHash
+    banding (``minhash_lsh_neardup``), whose per-band key space is
+    unbounded; both trade the same recall contract for a key space
+    that grows with the corpus instead of staying fixed.
     """
     nbits = 64 if hash_fn == "xxhash64" else 60
     assert nbits % band_bits == 0, "band_bits must divide fingerprint bits"

@@ -169,27 +169,31 @@ def psi_report(baseline: DataFrame, current: DataFrame, value_col: str,
     ``round_dp``; ``psi`` is the total (sum of the ROUNDED contribs,
     re-rounded — a 1-row broadcast anchor, deterministic cross-engine).
 
-    Plan: one tiny percentile aggregate over the baseline (broadcast),
-    one map-side-combined groupBy per side (each collapses to
-    ≤``n_bins`` rows — the only corpus-sized work is the two scans),
-    an outer join on the dense ``spark.range(n_bins)`` bin spine, and
-    the scalar total.
+    Plan: boundary percentiles via ``operators.quantiles.
+    exact_percentiles`` — bounded-memory distributed selection, NOT the
+    built-in ``percentile`` aggregate, whose O(distinct-values) state
+    the sf10 probe measured at 229 s over ~45M near-distinct doubles
+    (the boundaries come back as nine float literals, identical values
+    to ``F.percentile`` / DuckDB ``quantile_cont``); then one
+    map-side-combined groupBy per side (each collapses to ≤``n_bins``
+    rows — the only corpus-sized work is the two scans), an outer join
+    on the dense ``spark.range(n_bins)`` bin spine, and the scalar
+    total.
     """
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    from .quantiles import exact_percentiles
     spark = baseline.sparkSession
     v = F.col(value_col)
-    bounds = baseline.agg(*[
-        F.percentile(v, F.lit(i / n_bins)).alias(f"__b{i}")
-        for i in range(1, n_bins)])
+    bs = exact_percentiles(baseline, value_col,
+                           [i / n_bins for i in range(1, n_bins)])
     bucket = sum(
-        (F.when(v > F.col(f"__b{i}"), 1).otherwise(0)
-         for i in range(1, n_bins)),
+        (F.when(v > F.lit(b).cast("double"), 1).otherwise(0)
+         for b in bs),
         F.lit(0)).cast("long")
 
     def side_counts(df: DataFrame, out: str) -> DataFrame:
-        return (df.crossJoin(F.broadcast(bounds))
-                .select(bucket.alias("bin"))
+        return (df.select(bucket.alias("bin"))
                 .groupBy("bin").agg(F.count("*").alias(out)))
 
     spine = spark.range(n_bins).select(F.col("id").alias("bin"))
@@ -231,12 +235,12 @@ def psi_bucket_expr(baseline: DataFrame, value_col: str,
     drift. Same ties-fall-low strict-``>`` rule as ``psi_report``."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
-    row = baseline.agg(*[
-        F.percentile(F.col(value_col), F.lit(i / n_bins)).alias(f"b{i}")
-        for i in range(1, n_bins)]).first()
+    from .quantiles import exact_percentiles
+    bs = exact_percentiles(baseline, value_col,
+                           [i / n_bins for i in range(1, n_bins)])
     return sum(
-        (F.when(F.col(value_col) > F.lit(float(row[f"b{i}"])), 1)
-         .otherwise(0) for i in range(1, n_bins)),
+        (F.when(F.col(value_col) > F.lit(float(b)), 1)
+         .otherwise(0) for b in bs),
         F.lit(0)).cast("long")
 
 

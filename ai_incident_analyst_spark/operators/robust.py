@@ -28,7 +28,15 @@ from pyspark.sql import functions as F
 def group_quantiles(df: DataFrame, key: str, value_col: str,
                     probs: list[float]) -> DataFrame:
     """Exact interpolated quantiles per group:
-    ``(key, q_<p> ...)`` — one aggregation pass for all probs."""
+    ``(key, q_<p> ...)`` — one aggregation pass for all probs.
+
+    The built-in ``percentile`` aggregate buffers each group's value
+    multiset in state, so this is sized for MANY groups of bounded
+    cardinality (the per-group state is the group). For a GLOBAL (or
+    few-groups) quantile over a near-distinct numeric column use
+    ``operators.quantiles.exact_percentiles`` — bounded-memory
+    distributed selection, same interpolated values (the psi_report
+    sf10 lesson: 229 s -> seconds)."""
     v = F.col(value_col).cast("double")
     aggs = [F.percentile(v, F.lit(p)).alias(f"q_{str(p).replace('.', '_')}")
             for p in probs]

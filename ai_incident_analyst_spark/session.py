@@ -69,6 +69,14 @@ def get_spark(app_name: str = "ai-incident-analyst-spark",
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode scan parallelism: the testdata twins are single
+        # parquet FILES, so the 128m default gives a 1.2 GB sf10 table
+        # only ~10 input splits on 32 cores (and a 115 MB sf1 table ONE
+        # — the fs_customer_linkage single-task lesson). 32m targets
+        # ~4x more scan tasks; a real cluster reading multi-file tables
+        # should keep the 128m default (set via env to override).
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
