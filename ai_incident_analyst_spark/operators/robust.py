@@ -28,19 +28,41 @@ from pyspark.sql import functions as F
 def group_quantiles(df: DataFrame, key: str, value_col: str,
                     probs: list[float]) -> DataFrame:
     """Exact interpolated quantiles per group:
-    ``(key, q_<p> ...)`` — one aggregation pass for all probs.
+    ``(key, q_<p> ...)`` — same values as ``F.percentile`` per group
+    (NULL/NaN values ignored), computed by WINDOW-SORT instead of the
+    built-in ``percentile`` aggregate.
 
-    The built-in ``percentile`` aggregate buffers each group's value
-    multiset in state, so this is sized for MANY groups of bounded
-    cardinality (the per-group state is the group). For a GLOBAL (or
-    few-groups) quantile over a near-distinct numeric column use
-    ``operators.quantiles.exact_percentiles`` — bounded-memory
-    distributed selection, same interpolated values (the psi_report
-    sf10 lesson: 229 s -> seconds)."""
+    The built-in buffers each group's value multiset in aggregation
+    state — O(total distinct values) heap however many groups there
+    are; the r10 sf10 probe measured winsorized_order_totals (5 groups
+    x 3M near-distinct doubles) at 74 s warm on that path. Here the
+    engine instead range-sorts within each group (one keyed shuffle,
+    streaming window state, spills gracefully) and the interpolated
+    quantile v[k]*(1-frac) + v[k+1]*frac is assembled from the two
+    order-statistic rows each prob needs: rank columns mark them, a
+    plain groupBy picks them out. Exactness vs the built-in is pinned
+    by tests/test_quantiles.py."""
     v = F.col(value_col).cast("double")
-    aggs = [F.percentile(v, F.lit(p)).alias(f"q_{str(p).replace('.', '_')}")
-            for p in probs]
-    return df.groupBy(key).agg(*aggs)
+    base = (df.select(F.col(key).alias(key), v.alias("__v"))
+            .where(v.isNotNull() & ~F.isnan(v)))
+    w = Window.partitionBy(key).orderBy("__v")
+    marked = (base
+              .withColumn("__rn", F.row_number().over(w) - 1)
+              .withColumn("__n", F.count("*").over(
+                  Window.partitionBy(key))))
+    aggs = []
+    for p in probs:
+        name = f"q_{str(p).replace('.', '_')}"
+        r0 = F.lit(p) * (F.col("__n") - 1)
+        k = F.floor(r0).cast("long")
+        frac = r0 - k
+        lo = F.max(F.when(F.col("__rn") == k, F.col("__v")))
+        hi = F.max(F.when(
+            F.col("__rn") == F.least(k + 1, F.col("__n") - 1),
+            F.col("__v")))
+        fr = F.max(F.when(F.col("__rn") == k, frac))
+        aggs.append((lo * (1 - fr) + hi * fr).alias(name))
+    return marked.groupBy(key).agg(*aggs)
 
 
 def winsorize(df: DataFrame, key: str, value_col: str,

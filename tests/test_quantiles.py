@@ -126,3 +126,35 @@ def test_psi_report_matches_duckdb_shape(spark, sf_dir):
         assert rows[bin_]["n_base"] == n, (bin_, n)
     total = out.select("psi").first()["psi"]
     assert total is not None and not math.isnan(total)
+
+
+def test_group_quantiles_matches_builtin(spark):
+    """The window-sort group_quantiles must return bit-identical values
+    to the built-in per-group percentile aggregate it replaced."""
+    import random
+
+    from ai_incident_analyst_spark.operators.robust import group_quantiles
+    rng = random.Random(12)
+    rows = [(rng.choice("abcde"), rng.uniform(1000, 500000))
+            for _ in range(4000)]
+    rows += [("f", 42.0)]                      # singleton group
+    rows += [("g", 7.0), ("g", 7.0), ("g", 7.0)]   # all-ties group
+    df = spark.createDataFrame(rows, "k string, x double")
+    probs = [0.05, 0.5, 0.95, 0.99]
+    got = {r["k"]: [r[f"q_{str(p).replace('.', '_')}"] for p in probs]
+           for r in group_quantiles(df, "k", "x", probs).collect()}
+    want = {r["k"]: [r[f"p{i}"] for i in range(len(probs))]
+            for r in df.groupBy("k").agg(
+                *[F.percentile(F.col("x"), F.lit(p)).alias(f"p{i}")
+                  for i, p in enumerate(probs)]).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_group_quantiles_ignores_nulls(spark):
+    from ai_incident_analyst_spark.operators.robust import group_quantiles
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0)], "k string, x double")
+    row = group_quantiles(df, "k", "x", [0.5]).first()
+    assert row["q_0_5"] == 2.0
