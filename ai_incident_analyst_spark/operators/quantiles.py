@@ -18,11 +18,17 @@ distributed-selection recipe:
 2. map each target percentile p to the order-statistic ranks
    floor(p*(N-1)) and floor(p*(N-1))+1;
 3. bucket-count pass: equal-width bucket index over ``coarse_bins``
-   buckets (map-side combined, <= coarse_bins rows out); a driver-side
-   cumulative walk locates the bucket holding each needed rank;
+   buckets (map-side combined, <= coarse_bins rows out, each row also
+   carrying the bucket's min/max value); a driver-side cumulative walk
+   locates the bucket holding each needed rank;
 4. a located bucket holding more than ``cap`` rows (skew) is refined
-   with another bucket-count pass over just its rows — depth is
-   logarithmic (each pass shrinks a bucket ~coarse_bins-fold);
+   with another bucket-count pass over just its rows, re-ranged to the
+   bucket's MEASURED [min, max] — depth is logarithmic (each pass
+   shrinks a bucket ~coarse_bins-fold) and progress is guaranteed: a
+   heavy bucket whose min == max is all ties and every rank inside it
+   resolves to that value directly with no further pass, and a heavy
+   bucket too ulp-dense to subdivide (sub-width underflows to 0)
+   resolves exactly from a value->count aggregate instead of refining;
 5. the final pass collects only the located buckets' values (<= cap
    each), sorts them driver-side, and reads the exact order statistics
    via the buckets' cumulative start ranks.
@@ -48,8 +54,12 @@ def _bidx(col: str, lo: float, w: float, nb: int) -> Column:
     """Equal-width bucket index in [0, nb) — the ONE expression used by
     both the counting pass and bucket membership, so the two can never
     disagree on boundary float arithmetic."""
-    raw = F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("long")
-    return F.greatest(F.least(raw, F.lit(nb - 1)), F.lit(0))
+    # clamp in DOUBLE before floor/cast: (x - lo) can overflow to +inf
+    # when the column spans most of the double range, and inf must land
+    # in the top bucket rather than poison the long cast
+    raw = (F.col(col) - F.lit(lo)) / F.lit(w)
+    clamped = F.greatest(F.least(raw, F.lit(float(nb - 1))), F.lit(0.0))
+    return F.floor(clamped).cast("long")
 
 
 def exact_percentiles(df: DataFrame, value_col: str,
@@ -84,9 +94,16 @@ def exact_percentiles(df: DataFrame, value_col: str,
     if lo == hi:
         return [lo] * len(probs)
     need = sorted(ranks)
+    rank_to_val: dict[int, float] = {}
+
+    # w as hi/nb - lo/nb, never (hi-lo)/nb: the latter overflows to inf
+    # when the column spans most of the double range, and an infinite
+    # width maps everything to bucket 0 forever.
+    def _width(a: float, b: float) -> float:
+        return b / coarse_bins - a / coarse_bins
 
     # work items: (range_lo, width, start_rank, membership_expr | None)
-    pending = [(lo, (hi - lo) / coarse_bins, 0, None)]
+    pending = [(lo, _width(lo, hi), 0, None)]
     located: list[tuple[Column, int, int]] = []
     passes = 0
     while pending:
@@ -96,25 +113,51 @@ def exact_percentiles(df: DataFrame, value_col: str,
         rlo, w, srank, member = pending.pop()
         sub = base if member is None else base.where(member)
         bx = _bidx(value_col, rlo, w, coarse_bins)
-        counts = {r["__b"]: r["__c"] for r in
-                  (sub.select(bx.alias("__b")).groupBy("__b")
-                   .agg(F.count("*").alias("__c")).collect())}
+        stats = {r["__b"]: (r["__c"], float(r["__lo"]), float(r["__hi"]))
+                 for r in
+                 (sub.select(bx.alias("__b"), F.col(value_col))
+                  .groupBy("__b")
+                  .agg(F.count("*").alias("__c"),
+                       F.min(value_col).alias("__lo"),
+                       F.max(value_col).alias("__hi")).collect())}
         run = srank
         for bi in range(coarse_bins):
-            c = counts.get(bi, 0)
+            c, blo, bhi = stats.get(bi, (0, 0.0, 0.0))
             if c and any(run <= r < run + c for r in need):
                 bexpr = bx == F.lit(bi)
                 if member is not None:
                     bexpr = member & bexpr
-                if c > cap:
-                    pending.append((rlo + bi * w, w / coarse_bins,
-                                    run, bexpr))
-                else:
+                if c <= cap:
                     located.append((bexpr, run, c))
+                elif blo == bhi:
+                    # heavy ties: every rank in the bucket IS this value
+                    for r in need:
+                        if run <= r < run + c:
+                            rank_to_val[r] = blo
+                else:
+                    sw = _width(blo, bhi)
+                    if sw > 0 and math.isfinite(sw):
+                        pending.append((blo, sw, run, bexpr))
+                    else:
+                        # ulp-dense heavy bucket: can't subdivide the
+                        # range, but the distinct-value set is tiny
+                        # (few representable doubles between blo/bhi)
+                        # — resolve ranks from value->count directly.
+                        vcs = sorted(
+                            (float(r["__v"]), r["__c"]) for r in
+                            (sub.where(bexpr)
+                             .groupBy(F.col(value_col).alias("__v"))
+                             .agg(F.count("*").alias("__c")).collect()))
+                        vrun = run
+                        for val, vc in vcs:
+                            for r in need:
+                                if vrun <= r < vrun + vc:
+                                    rank_to_val[r] = val
+                            vrun += vc
+                        assert vrun == run + c, "bucket membership drifted"
             run += c
 
     # final selection: pull only the located buckets' values
-    rank_to_val: dict[int, float] = {}
     for bexpr, brank, bcount in located:
         got = sorted(r[0] for r in
                      base.where(bexpr).select(value_col).collect())

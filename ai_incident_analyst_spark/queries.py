@@ -2407,6 +2407,19 @@ _CC_CLUSTER_MEMO: dict = {}
 _NEARDUP_PAIRS_MEMO: dict = {}
 
 
+# Appended to every query description whose results flow through the
+# 16x4 banded MinHash candidate set: the 0.12 threshold is the exact
+# verify applied to BANDED candidates, not an exhaustive pair scan, and
+# downstream users must not read it as full recall at J=0.12.
+_BANDED_SEMANTICS_NOTE = (
+    ". PAIR SEMANTICS: 'banded candidates with exact J >= 0.12', NOT "
+    "all pairs with J >= 0.12 — 16x4 banded recall is 1-(1-J^4)^16 "
+    "(~0.3% at J=0.12, 50% at J~0.39, knee ~0.5, ~certain only for "
+    "J >= 0.8), so mid-similarity twins are mostly NOT candidates; "
+    "engine<->oracle parity stays exact because the twin replicates "
+    "the banding bit-for-bit")
+
+
 def _neardup_pairs_frame(spark, sf_dir):
     """Shared LSH-blocked exact-Jaccard pair frame (same parameters as
     the CC trio) for every query that walks the near-dup graph —
@@ -2677,7 +2690,8 @@ SELECT split, lang, count(*) AS n_docs FROM (
          "LSH-blocked pairing + iterative CC + split, exactly "
          "reproduced by a DuckDB recursive-CTE twin that replicates the "
          "16x4 MinHash banding itself (_banded_pairs_ctes) — candidates "
-         "reproduce bit-for-bit at any SF, no recall assumption")
+         "reproduce bit-for-bit at any SF, no recall assumption"
+         + _BANDED_SEMANTICS_NOTE)
 def q_leakage_safe_split(spark, sf_dir):
     from .operators.sampling import leakage_safe_split
     docs = _t(spark, sf_dir, "documents")
@@ -2743,7 +2757,8 @@ SELECT u AS node, cluster_id FROM labels
          "self-join) -> connected components (hash-min label "
          "propagation, lineage-truncated per round). Oracle is a DuckDB "
          "recursive-CTE transitive closure — a genuinely iterative "
-         "distributed algorithm with an exact SQL twin")
+         "distributed algorithm with an exact SQL twin"
+         + _BANDED_SEMANTICS_NOTE)
 def q_neardup_clusters(spark, sf_dir):
     return _neardup_cluster_frame(spark, sf_dir)
 
@@ -2757,7 +2772,8 @@ QUALIFY row_number() OVER (
   ORDER BY d.n_chars DESC, d.doc_id ASC) = 1
 """, doc="end-to-end corpus dedup: LSH-blocked exact-Jaccard pairing, "
          "cluster near-dups, keep the longest doc per cluster (ties -> "
-         "smallest id); singletons survive as their own cluster")
+         "smallest id); singletons survive as their own cluster"
+         + _BANDED_SEMANTICS_NOTE)
 def q_dedup_survivors(spark, sf_dir):
     from .operators.dedup import dedup_canonical
     docs = _t(spark, sf_dir, "documents")
@@ -3019,7 +3035,8 @@ GROUP BY split, lang
          "self-joins raw shingles on an unbounded input, and the BANDING "
          "IS IN THE ORACLE (_banded_pairs_ctes): the twin reproduces the "
          "candidate set bit-for-bit at any SF, no recall assumption. "
-         "The oracle composes the same stages as one SQL query")
+         "The oracle composes the same stages as one SQL query"
+         + _BANDED_SEMANTICS_NOTE)
 def q_corpus_pipeline(spark, sf_dir):
     from .operators.dedup import (
         connected_components,
@@ -6811,7 +6828,8 @@ FROM cum GROUP BY 1, 2
          "whole pipeline as one recursive-CTE SQL query with the 16x4 "
          "MinHash banding itself in the twin (_banded_pairs_ctes), so "
          "candidates reproduce bit-for-bit at any SF — no recall "
-         "assumption (the corpus_pipeline arrangement)")
+         "assumption (the corpus_pipeline arrangement)"
+         + _BANDED_SEMANTICS_NOTE)
 def q_training_shards_pipeline(spark, sf_dir):
     from .operators.dedup import (
         connected_components,
@@ -11155,7 +11173,8 @@ def _k_core_sql(k: int, rounds: int) -> str:
        "round: one degree groupBy + two node-set equi-joins, lineage "
        "truncated; Spark runs to the fixed point, the twin unrolls 8 "
        "monotone rounds (no-op past convergence — identical by "
-       "construction, convergence-within-8 asserted in tests)")
+       "construction, convergence-within-8 asserted in tests)"
+       + _BANDED_SEMANTICS_NOTE)
 def q_k_core_neardup(spark, sf_dir):
     from .operators.graph import k_core
     return (k_core(_neardup_pairs_frame(spark, sf_dir),
@@ -11540,7 +11559,8 @@ def _k_truss_sql(k: int, rounds: int) -> str:
        "k_core_neardup. Per round one wedge+closing join + a 3-way "
        "edge explode + one support groupBy, lineage truncated; Spark "
        "runs to the fixed point, the twin unrolls 6 monotone rounds "
-       "(trailing no-ops — identical by construction)")
+       "(trailing no-ops — identical by construction)"
+       + _BANDED_SEMANTICS_NOTE)
 def q_k_truss_neardup(spark, sf_dir):
     from .operators.graph import k_truss
     return (k_truss(_neardup_pairs_frame(spark, sf_dir),

@@ -64,21 +64,27 @@ def get_spark(app_name: str = "ai-incident-analyst-spark",
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus), 4)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     b = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # local-mode scan parallelism: the testdata twins are single
-        # parquet FILES, so the 128m default gives a 1.2 GB sf10 table
-        # only ~10 input splits on 32 cores (and a 115 MB sf1 table ONE
-        # — the fs_customer_linkage single-task lesson). 32m targets
-        # ~4x more scan tasks; a real cluster reading multi-file tables
-        # should keep the 128m default (set via env to override).
-        .config("spark.sql.files.maxPartitionBytes",
-                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"))
         .config("spark.ui.enabled", "false")
     )
+    # local-mode-ONLY scan parallelism override: the testdata twins are
+    # single parquet FILES, so the 128m default gives a 1.2 GB sf10
+    # table only ~10 input splits on 32 cores (and a 115 MB sf1 table
+    # ONE — the fs_customer_linkage single-task lesson). 32m targets
+    # ~4x more scan tasks. A cluster master (SPARK_GRAFT_MASTER=yarn/
+    # k8s/…) keeps Spark's 128m default — multi-file tables parallelize
+    # on their own and smaller splits only inflate task counts there.
+    if master.startswith("local"):
+        b = b.config("spark.sql.files.maxPartitionBytes",
+                     os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"))
+    elif os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES"):
+        b = b.config("spark.sql.files.maxPartitionBytes",
+                     os.environ["SPARK_GRAFT_MAX_PARTITION_BYTES"])
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -95,6 +95,43 @@ def test_extreme_skew_all_one_bucket(spark):
     assert got == want
 
 
+def test_heavy_ties_above_cap(spark):
+    """A single value occurring more often than ``cap`` rows must
+    resolve directly (min == max bucket) instead of refining forever —
+    the round-10 convergence bug: 200 copies of 5.0 with cap=50 raised
+    'failed to converge' because equal-width refinement can never split
+    a bucket of identical values."""
+    vals = [5.0] * 200 + [1.0, 2.0, 9.0]
+    _check(spark, vals, probs=[0.1, 0.5, 0.9], coarse_bins=8, cap=50)
+
+
+def test_all_ranks_inside_tie_block_above_cap(spark):
+    """Every requested rank lands inside the over-cap tie block."""
+    _check(spark, [7.0] * 300 + [0.0, 100.0],
+           probs=[0.25, 0.5, 0.75], coarse_bins=4, cap=20)
+
+
+def test_ulp_dense_heavy_bucket(spark):
+    """More than ``cap`` rows spread over adjacent representable
+    doubles: the sub-range width underflows to 0 so the bucket cannot
+    be subdivided — must resolve exactly from value->count instead of
+    looping."""
+    a = 1.0
+    b = math.nextafter(a, 2.0)
+    c = math.nextafter(b, 2.0)
+    vals = [a] * 40 + [b] * 40 + [c] * 40 + [500.0]
+    _check(spark, vals, probs=[0.1, 0.3, 0.5, 0.9],
+           coarse_bins=4, cap=30)
+
+
+def test_full_double_range_span(spark):
+    """hi - lo overflows to +inf: the width must be computed without
+    overflow so the bucket walk still makes progress."""
+    big = 1.7e308
+    vals = [-big, big] + [float(v) for v in range(100)]
+    _check(spark, vals, probs=[0.05, 0.5, 0.95], coarse_bins=16, cap=8)
+
+
 def test_psi_report_matches_duckdb_shape(spark, sf_dir):
     """psi_report end-to-end on real testdata after the boundary-path
     swap: identical output to the pre-swap contract (boundaries equal
