@@ -1079,3 +1079,62 @@ def mutual_knn_pairs(df: DataFrame, id_col: str, vec_col: str,
             .select(F.col("query_id").alias("id_a"),
                     F.col("vec_id").alias("id_b"),
                     "distance"))
+
+
+def mutual_knn_pairs_ivf(df: DataFrame, id_col: str, vec_col: str,
+                         centroids: DataFrame, k: int = 4, nprobe: int = 2,
+                         centroid_id: str = "centroid_id",
+                         centroid_vec: str = "centroid",
+                         round_dp: int | None = 6) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs over the FULL corpus via IVF
+    shortlisting — the scale path ``mutual_knn_pairs``' docstring
+    promises ("for corpora past the exact-kNN envelope, feed the
+    directed edges from ``ivf_knn_join``").
+
+    Unlike ``ivf_knn_join`` (small query batch, broadcast probe side),
+    here the query side IS the corpus, so nothing is broadcast: the
+    corpus gets ONE zero-shuffle Arrow assignment pass per role (rank-1
+    cell as list member via ``assign_cells(n=1)``, ``nprobe`` nearest
+    cells as query), the two sides meet in a SHUFFLE equi-join on the
+    cell id — both sides hash-partitioned by cell, candidate count
+    Σ_cells |probers(cell)|·|list(cell)| instead of n² — and the usual
+    round-then-rank top-(k+1) window runs per query. Self edges are
+    dropped after ranking (the ``mutual_knn_pairs`` k+1 contract), and
+    the mutuality test is the same edge-list left-semi self-join on the
+    reversed pair: edge-sized work, the corpus is scored only against
+    probed cells. At 100 TB the plan is two linear Arrow passes + one
+    cell-keyed shuffle whose skew follows cell sizes (balance visible
+    via ``ivf_cell_stats``; re-train centroids when a cell runs hot).
+
+    Recall inherits IVF semantics: an rNN pair is found iff each side
+    probes the other's cell — pairs are "mutual within the probed
+    shortlists", exactly reproducible (and reproduced, at ``round_dp``
+    discretization) by a SQL twin that replays assignment and probing.
+    """
+    ids, mat, ctype = _centroid_arrays(centroids, centroid_id, centroid_vec)
+    base = df.select(F.col(id_col).alias("vec_id"),
+                     F.col(vec_col).alias("__cv"))
+    members = assign_cells(base, "__cv", ids, mat, n=1,
+                           cell_type=ctype, round_dp=round_dp)
+    probers = assign_cells(
+        base.select(F.col("vec_id").alias("query_id"),
+                    F.col("__cv").alias("__qv")),
+        "__qv", ids, mat, n=nprobe, cell_type=ctype, round_dp=round_dp)
+    score = l2_sq("__qv", "__cv")
+    if round_dp is not None:
+        score = F.round(score, round_dp)
+    scored = probers.join(members, "__cell").withColumn("distance", score)
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(),
+                                               F.col("vec_id").asc())
+    edges = (scored.withColumn("__rn", F.row_number().over(w))
+             .filter((F.col("__rn") <= k + 1)
+                     & (F.col("query_id") != F.col("vec_id")))
+             .select("query_id", "vec_id", "distance")
+             .localCheckpoint(eager=False))
+    back = edges.select(F.col("query_id").alias("vec_id"),
+                        F.col("vec_id").alias("query_id"))
+    return (edges.join(back, ["query_id", "vec_id"], "left_semi")
+            .where(F.col("query_id") < F.col("vec_id"))
+            .select(F.col("query_id").alias("id_a"),
+                    F.col("vec_id").alias("id_b"),
+                    "distance"))

@@ -8573,12 +8573,77 @@ ORDER BY id_a, id_b
          "candidates. Contract: rank top-(k+1) including self, drop "
          "the self edge (the FAISS-user recipe), then a left-semi join "
          "of the directed edge list on its own reversal — edge-sized "
-         "work, the corpus is scored once")
+         "work, the corpus is scored once. The 300-vector cap is the "
+         "oracle contract (exact n^2 scoring); the FULL-corpus scale "
+         "shape is gated separately as mutual_knn_pairs_ivf")
 def q_mutual_knn_pairs(spark, sf_dir):
     from .operators.knn import mutual_knn_pairs
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
     return mutual_knn_pairs(emb, "vec_id", "embedding", k=4,
                             metric="cosine")
+
+
+@q("mutual_knn_pairs_ivf", """
+WITH cent AS (
+  SELECT label AS centroid_id, list(av ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(v) AS av
+        FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)
+        GROUP BY label, pos)
+  GROUP BY label
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), qcell AS (
+  SELECT vec_id AS query_id, v AS qv, centroid_id AS cell
+  FROM e CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY round(list_sum([ y*y for y in centroid ])
+             - 2*list_sum([ x[1]*x[2] for x in list_zip(v, centroid) ]),
+             6) ASC,
+             centroid_id ASC) <= 2
+), ccell AS (
+  SELECT vec_id, v AS cv, centroid_id AS cell
+  FROM e CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY round(list_sum([ y*y for y in centroid ])
+             - 2*list_sum([ x[1]*x[2] for x in list_zip(v, centroid) ]),
+             6) ASC,
+             centroid_id ASC) = 1
+), edges AS (
+  SELECT query_id, vec_id, distance FROM (
+    SELECT a.query_id, b.vec_id,
+           round(list_sum([ (x[1]-x[2])*(x[1]-x[2])
+                            for x in list_zip(a.qv, b.cv) ]), 6) AS distance
+    FROM qcell a JOIN ccell b ON a.cell = b.cell)
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY distance ASC, vec_id ASC) <= 5
+)
+SELECT a.query_id AS id_a, a.vec_id AS id_b, a.distance AS distance
+FROM (SELECT * FROM edges WHERE query_id <> vec_id) a
+JOIN (SELECT * FROM edges WHERE query_id <> vec_id) b
+  ON a.query_id = b.vec_id AND a.vec_id = b.query_id
+WHERE a.query_id < a.vec_id
+ORDER BY id_a, id_b
+""", doc="reciprocal nearest neighbors over the FULL corpus "
+         "(operators/knn.py:mutual_knn_pairs_ivf, k=4 squared-L2, "
+         "IVF shortlists, nprobe=2 label centroids) — the scale shape "
+         "the 300-vector exact mutual_knn_pairs query deliberately "
+         "does not measure (its oracle caps input by contract). The "
+         "query side IS the corpus, so nothing is broadcast: one Arrow "
+         "assignment pass per role, a SHUFFLE equi-join on the cell "
+         "id, round-then-rank top-(k+1), drop self, then the edge-list "
+         "left-semi mutuality join. Pairs mean 'mutual within the "
+         "probed shortlists' (IVF recall semantics); the twin replays "
+         "assignment+probing at 6dp so the pair set reproduces exactly")
+def q_mutual_knn_pairs_ivf(spark, sf_dir):
+    from .operators.knn import mutual_knn_pairs_ivf
+    emb = _t(spark, sf_dir, "embeddings")
+    return mutual_knn_pairs_ivf(emb, "vec_id", "embedding",
+                                _label_centroids(emb), k=4, nprobe=2,
+                                round_dp=6)
 
 
 @q("psi_orderprice_drift", """

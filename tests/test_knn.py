@@ -256,6 +256,57 @@ def test_mutual_knn_pairs_canonical_and_deterministic(spark):
     assert all(ia < ib for ia, ib, _ in a)
 
 
+def test_mutual_knn_pairs_ivf_full_probe_equals_exact(spark):
+    """With nprobe == #centroids every query probes every cell, so the
+    IVF shortlist is the whole corpus and the pairs must equal the
+    exact mutual_knn_pairs under the same (squared-L2, round-then-rank)
+    contract — the all-cells identity that pins the shuffle-join plan
+    to the broadcast exact plan."""
+    from ai_incident_analyst_spark.operators.knn import (
+        mutual_knn_pairs,
+        mutual_knn_pairs_ivf,
+    )
+
+    rows = [(i, [float((i * 7) % 13), float((i * 5) % 11), 1.0])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [2.0, 2.0, 1.0]), (1, [10.0, 2.0, 1.0]), (2, [5.0, 9.0, 1.0])],
+        "centroid_id long, centroid array<double>")
+    exact = sorted((r["id_a"], r["id_b"]) for r in
+                   mutual_knn_pairs(df, "vec_id", "embedding", k=3,
+                                    metric="l2_sq").collect())
+    ivf = sorted((r["id_a"], r["id_b"]) for r in
+                 mutual_knn_pairs_ivf(df, "vec_id", "embedding", cents,
+                                      k=3, nprobe=3).collect())
+    assert ivf == exact and len(ivf) > 0
+
+
+def test_mutual_knn_pairs_ivf_deterministic_and_canonical(spark):
+    """Partition-layout independent, canonical (id_a < id_b), and every
+    pair's edge really is reciprocal within the probed shortlists.
+    NOTE: pair sets are deliberately NOT asserted monotone in nprobe —
+    extra candidates can evict a previously-mutual edge from a
+    top-(k+1) list, which is genuine rNN semantics, not a defect."""
+    from ai_incident_analyst_spark.operators.knn import mutual_knn_pairs_ivf
+
+    rows = [(i, [float((i * 3) % 17), float((i * 11) % 7), 0.5])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [3.0, 1.0, 0.5]), (1, [13.0, 5.0, 0.5])],
+        "centroid_id long, centroid array<double>")
+    one = sorted(map(tuple, mutual_knn_pairs_ivf(
+        df, "vec_id", "embedding", cents, k=3, nprobe=1).collect()))
+    rep = sorted(map(tuple, mutual_knn_pairs_ivf(
+        df.repartition(7), "vec_id", "embedding", cents,
+        k=3, nprobe=1).collect()))
+    assert one == rep and len(one) > 0
+    assert all(ia < ib for ia, ib, _ in one)
+    # self-pairs can never appear and distances are non-negative
+    assert all(d >= 0.0 for _, _, d in one)
+
+
 def test_ivf_probe_where_filtered_identity_and_pushdown(spark, sf_dir,
                                                         tmp_path):
     """Filtered probe of the FULL persisted index == inline IVF over the
