@@ -582,6 +582,78 @@ def simhash_neardup(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def simhash_neardup_manku(df: DataFrame, id_col: str, text_col: str,
+                          max_hamming: int = 5, chunks: int = 7,
+                          combine: int = 2,
+                          hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash near-dup pairs via the Manku multi-chunk table
+    construction (Manku-Jain-Das Sarma, WWW 2007) — the scale-safe
+    sibling of ``simhash_neardup``'s single-chunk pigeonhole.
+
+    Same recall contract (EVERY pair with Hamming ≤ ``max_hamming`` is
+    found) but a bigger blocking key: the fingerprint splits into
+    ``chunks`` near-equal blocks and each row is indexed under every
+    ``combine``-subset of blocks, key = that subset's concatenated
+    block values. If ≤ d bits differ then ≤ d blocks are dirty, so
+    ≥ chunks−d clean blocks remain; with d ≤ chunks−combine some
+    ``combine``-subset is entirely clean and the pair collides in that
+    table — exact pigeonhole, no probabilistic recall term.
+
+    WHY this fixes the measured scale law: ``simhash_neardup``'s chunk
+    key space is a FIXED 2^band_bits per chunk (d=5 on 60 bits caps
+    chunks at 10-bit keys → 1024 values; r10 sf10 measured ~17× per
+    10× docs — the n²·chunks/2^band_bits background-candidate class).
+    Here the key carries combine·(nbits/chunks) bits — (7,2) on 60
+    bits ≈ 17 bits ≈ 131k values — so background candidates fall to
+    n²·C(chunks,combine)/2^(key bits): ~36× fewer than the (d=5,
+    band_bits=10) single-chunk blocking at the SAME guaranteed d ≤ 5
+    recall, at the price of C(chunks,combine)=21× index rows (linear,
+    shuffle-friendly). Raise ``combine`` (chunks=d+combine grows too)
+    to keep shrinking the candidate term as the corpus grows; the
+    table count C(chunks,combine) grows polynomially while the
+    background-candidate term shrinks geometrically.
+
+    Blocks need not divide the fingerprint evenly (sizes differ by at
+    most 1 bit, generated as explicit shift/mask pairs), so the DuckDB
+    twin replays the exact same keys. ``hash_fn="md5"`` selects the
+    60-bit oracle-portable fingerprint.
+    """
+    from itertools import combinations
+
+    nbits = 64 if hash_fn == "xxhash64" else 60
+    if not (1 <= combine < chunks):
+        raise ValueError("need 1 <= combine < chunks")
+    if max_hamming > chunks - combine:
+        raise ValueError("pigeonhole needs max_hamming <= chunks - combine")
+    sizes = [nbits // chunks + (1 if i < nbits % chunks else 0)
+             for i in range(chunks)]
+    offsets = [sum(sizes[:i]) for i in range(chunks)]
+
+    def block(i: int):
+        return (F.shiftright(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << sizes[i]) - 1)))
+
+    sh = simhash(df, id_col, text_col, hash_fn=hash_fn) \
+        .localCheckpoint(eager=False)
+    keys = F.array(*[
+        F.concat_ws(":", *[block(i).cast("string") for i in combo])
+        for combo in combinations(range(chunks), combine)
+    ])
+    blocked = sh.select("doc", "simhash",
+                        F.posexplode(keys).alias("tbl", "key"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"),
+                hamming64(F.col("a.simhash"),
+                          F.col("b.simhash")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

@@ -3,6 +3,7 @@ self-oracles (exact Jaccard / hamming computed in Python)."""
 
 import itertools
 
+import pytest
 from pyspark.sql import Row
 
 from ai_incident_analyst_spark.operators.dedup import (
@@ -152,6 +153,41 @@ def test_simhash_neardup_blocking_complete(spark):
             if bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1") <= max_h:
                 expect.add((a, b))
         assert got == expect
+
+
+def test_simhash_manku_blocking_complete_and_equals_single_chunk(spark):
+    """The Manku multi-chunk tables have the SAME guaranteed recall as
+    exhaustive pair enumeration at d <= chunks - combine: pair sets must
+    equal the brute-force hamming filter AND the single-chunk pigeonhole
+    at the same d (both are exact-recall constructions)."""
+    from ai_incident_analyst_spark.operators.dedup import (
+        simhash_neardup_manku,
+    )
+    df = spark.createDataFrame(DOCS)
+    fps = {r.doc: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    for d, chunks, combine in [(3, 5, 2), (5, 7, 2), (2, 5, 3)]:
+        got = {(r.id_a, r.id_b)
+               for r in simhash_neardup_manku(
+                   df, "doc_id", "text", max_hamming=d,
+                   chunks=chunks, combine=combine).collect()}
+        expect = set()
+        for a, b in itertools.combinations(sorted(fps), 2):
+            if bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1") <= d:
+                expect.add((a, b))
+        assert got == expect, (d, chunks, combine)
+
+
+def test_simhash_manku_parameter_validation(spark):
+    from ai_incident_analyst_spark.operators.dedup import (
+        simhash_neardup_manku,
+    )
+    df = spark.createDataFrame(DOCS)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup_manku(df, "doc_id", "text", max_hamming=6,
+                              chunks=7, combine=2)
+    with pytest.raises(ValueError, match="combine"):
+        simhash_neardup_manku(df, "doc_id", "text", max_hamming=1,
+                              chunks=4, combine=4)
 
 
 def test_blocked_cosine_neardup_equals_broadcast_variant(spark, sf_dir):
