@@ -82,6 +82,28 @@ def get_spark(app_name: str = "ai-incident-analyst-spark",
     if master.startswith("local"):
         b = b.config("spark.sql.files.maxPartitionBytes",
                      os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"))
+    # Big-input shuffle fan-out, ENV-GATED, off by default
+    # (tools/scaling_probe.py sets the same confs per-cell at runtime
+    # for its sf>=1 cells; these envs serve other big-input entry
+    # points, e.g. bench.py pointed at an sf1+ dir): shuffle width
+    # must scale with
+    # input bytes, not sit at the core count — at a fixed 32 partitions
+    # a 27.5M-row window-sort puts ~860k heavy rows in every sort task
+    # and run time becomes GC variance (the r10 cdc_chunk_dedup
+    # 13.5-20.3x flag band). The AQE-canonical rule — initial partition
+    # count 8x cores + a 16m coalesce target — measured on cdc sf10:
+    # mean 9.5 s (band 6.0-12.5) -> mean 5.0 s (band 4.6-5.8). It is
+    # NOT the session default because the same fan-out taxes every
+    # exchange of the 186-query sf0.1 bench (graph_ann_batch's 122
+    # tiny shuffles measured 4.0 -> 13.5 s) — scale the knob with the
+    # data, not globally.
+    if os.environ.get("SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS"):
+        b = b.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ["SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS"])
+    if os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES"):
+        b = b.config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                     os.environ["SPARK_GRAFT_ADVISORY_PARTITION_BYTES"])
     elif os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES"):
         b = b.config("spark.sql.files.maxPartitionBytes",
                      os.environ["SPARK_GRAFT_MAX_PARTITION_BYTES"])
