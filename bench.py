@@ -318,12 +318,16 @@ def main():
     from ai_incident_analyst_spark.queries import clear_session_memos
     times: dict[str, float] = {}
     for name in names:
-        if isolate:
-            clear_session_memos()
-            spark.catalog.clearCache()
         fn = REGISTRY[name].fn
         best = float("inf")
         for _ in range(runs):
+            # clear before EVERY run, not just every cell: a memoized
+            # query would otherwise repopulate the memo on run 1 and
+            # best-of-N would time a localCheckpoint READ on run 2
+            # (neardup_clusters measured 0.02 s that way — not the query)
+            if isolate:
+                clear_session_memos()
+                spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
