@@ -80,6 +80,9 @@ def timed(label: str, df, runs: int = 2) -> float:
 
 def main():
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    # the localCheckpointed fact frame lives on-heap (~90 B/row); the
+    # 8g default dies at 60M rows — same sizing as tools/scaling_probe
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark(app_name="skew-probe")
     # force the join to SHUFFLE: a 20k-row dim would broadcast and hide
     # the skew entirely (which is itself the first-choice fix — the
