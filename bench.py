@@ -211,6 +211,9 @@ HEADLINE = [
     "cmh_large_order_rate",
     # round 10
     "jw_part_pairs_sn",
+    # round 11
+    "mutual_knn_pairs_ivf",
+    "simhash_neardup_manku",
 ]
 
 
