@@ -599,19 +599,30 @@ def simhash_neardup_manku(df: DataFrame, id_col: str, text_col: str,
     ``combine``-subset is entirely clean and the pair collides in that
     table — exact pigeonhole, no probabilistic recall term.
 
-    WHY this fixes the measured scale law: ``simhash_neardup``'s chunk
-    key space is a FIXED 2^band_bits per chunk (d=5 on 60 bits caps
-    chunks at 10-bit keys → 1024 values; r10 sf10 measured ~17× per
-    10× docs — the n²·chunks/2^band_bits background-candidate class).
-    Here the key carries combine·(nbits/chunks) bits — (7,2) on 60
-    bits ≈ 17 bits ≈ 131k values — so background candidates fall to
-    n²·C(chunks,combine)/2^(key bits): ~36× fewer than the (d=5,
-    band_bits=10) single-chunk blocking at the SAME guaranteed d ≤ 5
-    recall, at the price of C(chunks,combine)=21× index rows (linear,
+    WHY this improves the scale law: ``simhash_neardup``'s chunk key
+    space is a FIXED 2^band_bits per chunk (d=5 on 60 bits caps chunks
+    at 10-bit keys → 1024 values; r10 sf10 measured ~17× per 10× docs
+    — the n²·chunks/2^band_bits background-candidate class). Here the
+    key carries combine·(nbits/chunks) bits — (7,2) on 60 bits ≈ 17
+    bits ≈ 131k values — for C(chunks,combine)=21× index rows (linear,
     shuffle-friendly). Raise ``combine`` (chunks=d+combine grows too)
-    to keep shrinking the candidate term as the corpus grows; the
-    table count C(chunks,combine) grows polynomially while the
-    background-candidate term shrinks geometrically.
+    to keep widening the key as the corpus grows.
+
+    TWO MEASURED BOUNDS the wider key cannot beat (r11 sf10 probe):
+    (1) the EFFECTIVE key cardinality is capped by the fingerprint's
+    entropy, not the key width — on the low-entropy twin corpus
+    (31-word vocab; majority votes concentrate) the (7,2) keys cut
+    candidates only 2.7× vs single-chunk (6.6B vs 17.6B at 500k docs),
+    not the uniform-hash 36×; (2) exact d=5 recall means the OUTPUT is
+    whatever the corpus contains — here the true pair set itself grows
+    ~101× per 10× docs (291k → 29.4M pairs), so NO exact-recall
+    blocking can be subquadratic on it. On real-vocab corpora where
+    near-dup pairs are sparse and fingerprints spread, the background
+    term dominates and the multi-chunk key wins in full; on
+    concentrated corpora use MinHash banding
+    (``minhash_lsh_neardup``, r=4), whose collision rate depends on
+    the Jaccard curve rather than fingerprint entropy — measured
+    7.7×/decade on this same corpus.
 
     Blocks need not divide the fingerprint evenly (sizes differ by at
     most 1 bit, generated as explicit shift/mask pairs), so the DuckDB

@@ -47,7 +47,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["exact_percentiles"]
+__all__ = ["exact_kth_smallest", "exact_percentiles"]
 
 
 def _bidx(col: str, lo: float, w: float, nb: int) -> Column:
@@ -93,7 +93,54 @@ def exact_percentiles(df: DataFrame, value_col: str,
             ranks.add(k + 1)
     if lo == hi:
         return [lo] * len(probs)
-    need = sorted(ranks)
+    rank_to_val = _resolve_ranks(base, value_col, sorted(ranks), lo, hi,
+                                 coarse_bins, cap)
+    out: list[float | None] = []
+    for i in range(len(probs)):
+        k, frac = wants[i]
+        vk = rank_to_val[k]
+        out.append(vk if frac == 0
+                   else vk * (1 - frac) + rank_to_val[k + 1] * frac)
+    return out
+
+
+def exact_kth_smallest(df: DataFrame, value_col: str, k: int,
+                       coarse_bins: int = 4096,
+                       cap: int = 2_000_000) -> float | None:
+    """The k-th smallest (1-based) non-null, non-NaN value of
+    ``value_col`` — the exact order statistic, via the same
+    bounded-memory distributed selection as ``exact_percentiles``.
+
+    This is the drop-in for "rank the column and take row k" plans
+    (range-repartition + window + checkpoint): 2-3 codegen'd
+    filter+groupBy passes, no sort, no materialized frame, driver
+    memory bounded by ``cap``. The k-th smallest VALUE is independent
+    of any tie-breaking rule, so it matches any SQL twin's
+    ``ORDER BY v, <tiebreak> LIMIT 1 OFFSET k-1``. Returns None when
+    the column is empty; raises if k is out of range.
+    """
+    v = F.col(value_col).cast("double")
+    base = (df.select(v.alias(value_col))
+            .where(v.isNotNull() & ~F.isnan(v)))
+    st = base.agg(F.count("*").alias("n"), F.min(value_col).alias("lo"),
+                  F.max(value_col).alias("hi")).first()
+    n = st["n"]
+    if n == 0:
+        return None
+    if not (1 <= k <= n):
+        raise ValueError(f"k={k} out of range for {n} rows")
+    lo, hi = float(st["lo"]), float(st["hi"])
+    if lo == hi:
+        return lo
+    return _resolve_ranks(base, value_col, [k - 1], lo, hi,
+                          coarse_bins, cap)[k - 1]
+
+
+def _resolve_ranks(base: DataFrame, value_col: str, need: list[int],
+                   lo: float, hi: float, coarse_bins: int,
+                   cap: int) -> dict[int, float]:
+    """Resolve 0-based order-statistic ranks to exact values via
+    iterative bucket refinement (module docstring steps 3-5)."""
     rank_to_val: dict[int, float] = {}
 
     # w as hi/nb - lo/nb, never (hi-lo)/nb: the latter overflows to inf
@@ -165,10 +212,4 @@ def exact_percentiles(df: DataFrame, value_col: str,
         for r in need:
             if brank <= r < brank + bcount:
                 rank_to_val[r] = float(got[r - brank])
-    out: list[float | None] = []
-    for i in range(len(probs)):
-        k, frac = wants[i]
-        vk = rank_to_val[k]
-        out.append(vk if frac == 0
-                   else vk * (1 - frac) + rank_to_val[k + 1] * frac)
-    return out
+    return rank_to_val

@@ -601,16 +601,17 @@ def conformal_ols_intervals(df: DataFrame, id_col: str, x_col: str,
     Three deterministic md5-hash splits (first hex digit: 0–7 train,
     8–b calibrate, c–f test). Fit on train (sufficient-statistics
     closed form), ``q̂`` = the ⌈(n_cal+1)(1−α)⌉-th smallest calibration
-    absolute residual (the exact order statistic — ranked via
-    ``packing.global_cumsum``, never a single-task global window; ties
-    broken by id), coverage measured on the held-out test split. One
+    absolute residual (the exact order statistic, computed by
+    ``quantiles.exact_kth_smallest`` bounded-memory selection — never a
+    global sort or single-task window; the k-th smallest VALUE is
+    tie-break independent), coverage measured on the held-out test
+    split. One
     row: ``(n_train, n_cal, n_test, slope, intercept, q_hat,
     n_covered, coverage)`` — coverage ≥ 1−α up to finite-sample noise
     is the structural check.
     """
     import math
 
-    from .packing import global_cumsum
     from .util import complete_case
 
     x = F.col(x_col).cast("double")
@@ -619,50 +620,60 @@ def conformal_ols_intervals(df: DataFrame, id_col: str, x_col: str,
         F.col(id_col).cast("string").alias("id"),
         x.alias("x"), y.alias("y"))
     h = F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("id"))), 1, 1)
+    # NOTHING corpus-sized is cached (r11 rework, measured at sf10's
+    # 45M rows): the old plan localCheckpointed the full (id, x, y,
+    # split) frame (~5 GB of deserialized rows — 43-150 s GC-variance
+    # band) and re-derived the fit per consumer through a broadcast
+    # cross-join. Now the fit is ONE aggregation collected to the
+    # driver, residuals are literal expressions, and the only cached
+    # frame is the single-double-column calibration residual (columnar
+    # persist — ~90 MB at 11M rows). Three parquet passes total
+    # (fit, cal, test) plus the selection's passes over the 90 MB.
     base = base.withColumn(
         "__split",
-        F.when(h < "8", "train").when(h < "c", "cal").otherwise("test")) \
-        .localCheckpoint(eager=False)
+        F.when(h < "8", "train").when(h < "c", "cal").otherwise("test"))
 
-    tr = base.filter(F.col("__split") == "train")
-    fit = tr.agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
-                 F.sum(F.col("x") * F.col("y")).alias("sxy"))
-    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
-    consts = fit.select(F.col("n").alias("n_train"),
-                        slope.alias("__b"),
-                        (F.col("sy") / F.col("n")
-                         - slope * F.col("sx") / F.col("n"))
-                        .alias("__a"))
+    frow = base.filter(F.col("__split") == "train").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy")).first()
+    n_train = frow["n"]
+    if not n_train:
+        raise ValueError("conformal_ols_intervals: train split is empty")
+    # driver floats re-injected as literals: bit-identical to the old
+    # broadcast-consts column arithmetic (same float64 ops, same order)
+    b_hat = ((n_train * frow["sxy"] - frow["sx"] * frow["sy"])
+             / (n_train * frow["sxx"] - frow["sx"] * frow["sx"]))
+    a_hat = frow["sy"] / n_train - b_hat * frow["sx"] / n_train
+    resid = F.abs(F.col("y") - (F.lit(a_hat) + F.lit(b_hat) * F.col("x")))
 
-    scored = base.crossJoin(F.broadcast(consts)).withColumn(
-        "__r", F.abs(F.col("y") - (F.col("__a")
-                                   + F.col("__b") * F.col("x"))))
-    cal = scored.filter(F.col("__split") == "cal")
-    n_cal = cal.count()
+    cal_r = (base.filter(F.col("__split") == "cal")
+             .select(resid.alias("__r")).persist())
+    n_cal = cal_r.count()
     k = math.ceil((n_cal + 1) * (1.0 - alpha))
     if k > n_cal:
         raise ValueError(
             f"alpha={alpha} needs more calibration rows ({n_cal}) — "
             "the conformal quantile is off the end of the sample")
-    ranked = global_cumsum(
-        cal.withColumn("__one", F.lit(1))
-           .withColumn("__ord", F.struct(F.col("__r"), F.col("id"))),
-        "__ord", "__one", "__pos")
-    qhat = (ranked.filter(F.col("__pos") == k)
-            .select(F.col("__r").alias("__q")))
+    # q̂ is the k-th smallest calibration residual — a SELECTION, not a
+    # ranking: the k-th order-statistic VALUE is tie-break-independent,
+    # so bounded-memory bucket-refinement selection replaces the old
+    # global_cumsum rank (range-repartition + window + another
+    # corpus-sized localCheckpoint). The SQL twin's ORDER BY (r, id)
+    # OFFSET k-1 yields the same value.
+    from .quantiles import exact_kth_smallest
+    qhat = exact_kth_smallest(cal_r, "__r", k)
 
-    test = scored.filter(F.col("__split") == "test")
-    return (test.crossJoin(F.broadcast(qhat))
-            .agg(F.max("n_train").alias("n_train"),
+    test = base.filter(F.col("__split") == "test").withColumn("__r", resid)
+    return (test
+            .agg(F.lit(n_train).cast("long").alias("n_train"),
                  F.lit(n_cal).alias("n_cal"),
                  F.count(F.lit(1)).alias("n_test"),
-                 F.round(F.max("__b"), 6).alias("slope"),
-                 F.round(F.max("__a"), 6).alias("intercept"),
-                 F.round(F.max("__q"), 6).alias("q_hat"),
-                 F.sum(F.when(F.col("__r") <= F.col("__q"), 1)
+                 F.round(F.lit(b_hat), 6).alias("slope"),
+                 F.round(F.lit(a_hat), 6).alias("intercept"),
+                 F.round(F.lit(qhat), 6).alias("q_hat"),
+                 F.sum(F.when(F.col("__r") <= F.lit(qhat), 1)
                        .otherwise(0)).alias("n_covered"))
             .withColumn("coverage",
                         F.round(F.col("n_covered") / F.col("n_test"), 6)))

@@ -455,21 +455,30 @@ def ngram_lm_score(df: DataFrame, id_col: str, text_col: str = "text"
 
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
                                    "[^a-z0-9]+", " "))
-    # the token table feeds THREE consumers (uni, tot, occ) and occ feeds
-    # two more (bi, the scored join) — checkpoint both so the tokenize
-    # scan and the lag window each run once (r3 plan audit: 5 scans /
-    # 9 shuffles → 1 scan without them)
     toks = (
         df.select(F.col(id_col), F.posexplode(F.split(norm, " "))
                   .alias("__p", "__w"))
         .filter(F.col("__w") != "")
-    ).localCheckpoint(eager=False)
+    )
     w = Window.partitionBy(id_col).orderBy("__p")
-    occ = toks.withColumn("__wp", F.lag("__w").over(w)) \
-        .localCheckpoint(eager=False)
+    # ONE materialized frame feeds every consumer: occ holds exactly
+    # toks' rows plus the lag column, so uni/tot derive from occ as
+    # well as bi and the scored join — the tokenize scan and the lag
+    # window still run once (the r3 lesson: 5 scans / 9 shuffles
+    # without it). persist(), NOT localCheckpoint: checkpoint stores
+    # deserialized RDD row objects (~100 B/row — the two old
+    # checkpoints held ~20 GB of old-gen at sf10's 100M tokens and the
+    # warm runs were a GC storm, 38→76 s run-to-run), while DataFrame
+    # persist stores compressed columnar batches at a fraction of the
+    # footprint; no lineage truncation is needed here (nothing
+    # iterative). The position column is dropped — its ordering is
+    # consumed by the lag.
+    occ = (toks.withColumn("__wp", F.lag("__w").over(w))
+           .select(id_col, "__w", "__wp")
+           .persist())
 
-    uni = toks.groupBy("__w").agg(F.count("*").alias("__cu"))
-    tot = toks.agg(F.count("*").alias("__T"))
+    uni = occ.groupBy("__w").agg(F.count("*").alias("__cu"))
+    tot = occ.agg(F.count("*").alias("__T"))
     bi = (occ.filter(F.col("__wp").isNotNull())
           .groupBy("__wp", "__w").agg(F.count("*").alias("__cb")))
 

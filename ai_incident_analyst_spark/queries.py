@@ -8662,13 +8662,9 @@ def q_mutual_knn_pairs(spark, sf_dir):
 
 @q("mutual_knn_pairs_ivf", """
 WITH cent AS (
-  SELECT label AS centroid_id, list(av ORDER BY pos) AS centroid
-  FROM (SELECT label, pos, avg(v) AS av
-        FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
-                     generate_subscripts(embedding, 1) AS pos
-              FROM embeddings)
-        GROUP BY label, pos)
-  GROUP BY label
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid
+  FROM embeddings
+  WHERE vec_id < greatest(1, (SELECT count(*) // 128 FROM embeddings))
 ), e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), qcell AS (
@@ -8706,21 +8702,31 @@ WHERE a.query_id < a.vec_id
 ORDER BY id_a, id_b
 """, doc="reciprocal nearest neighbors over the FULL corpus "
          "(operators/knn.py:mutual_knn_pairs_ivf, k=4 squared-L2, "
-         "IVF shortlists, nprobe=2 label centroids) — the scale shape "
-         "the 300-vector exact mutual_knn_pairs query deliberately "
-         "does not measure (its oracle caps input by contract). The "
-         "query side IS the corpus, so nothing is broadcast: one Arrow "
-         "assignment pass per role, a SHUFFLE equi-join on the cell "
-         "id, round-then-rank top-(k+1), drop self, then the edge-list "
-         "left-semi mutuality join. Pairs mean 'mutual within the "
-         "probed shortlists' (IVF recall semantics); the twin replays "
-         "assignment+probing at 6dp so the pair set reproduces exactly")
+         "IVF shortlists, nprobe=2) — the scale shape the 300-vector "
+         "exact mutual_knn_pairs query deliberately does not measure "
+         "(its oracle caps input by contract). The quantizer SCALES "
+         "WITH THE CORPUS: the first n//128 vectors serve as sample "
+         "centroids (twin-replayable — raw vectors, no training), so "
+         "cell size stays ~128 and candidates stay ~256n at every SF; "
+         "a FIXED quantizer (the first draft's 10 label centroids) "
+         "makes candidates n^2*nprobe/10 — measured 88.8 s at sf1, the "
+         "fixed-key-cardinality class again. The query side IS the "
+         "corpus, so nothing is broadcast: one Arrow assignment pass "
+         "per role, a SHUFFLE equi-join on the cell id, round-then-rank "
+         "top-(k+1), drop self, then the edge-list left-semi mutuality "
+         "join. Pairs mean 'mutual within the probed shortlists' (IVF "
+         "recall semantics); the twin replays assignment+probing at "
+         "6dp so the pair set reproduces exactly")
 def q_mutual_knn_pairs_ivf(spark, sf_dir):
     from .operators.knn import mutual_knn_pairs_ivf
     emb = _t(spark, sf_dir, "embeddings")
+    ncents = max(1, emb.count() // 128)
+    cents = (emb.where(F.col("vec_id") < ncents)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("embedding").cast("array<double>")
+                     .alias("centroid")))
     return mutual_knn_pairs_ivf(emb, "vec_id", "embedding",
-                                _label_centroids(emb), k=4, nprobe=2,
-                                round_dp=6)
+                                cents, k=4, nprobe=2, round_dp=6)
 
 
 @q("psi_orderprice_drift", """
