@@ -132,6 +132,40 @@ def test_full_double_range_span(spark):
     _check(spark, vals, probs=[0.05, 0.5, 0.95], coarse_bins=16, cap=8)
 
 
+def test_exact_kth_smallest_matches_sorted(spark):
+    """exact_kth_smallest(k) == sorted(values)[k-1] on every shape,
+    including heavy ties and k at both ends."""
+    import random
+
+    from ai_incident_analyst_spark.operators.quantiles import (
+        exact_kth_smallest,
+    )
+    rng = random.Random(13)
+    vals = ([rng.uniform(-100, 100) for _ in range(800)]
+            + [7.0] * 300 + [None, float("nan")])
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    clean = sorted(v for v in vals
+                   if v is not None and v == v)
+    for k in (1, 2, 57, 550, 1100, len(clean)):
+        got = exact_kth_smallest(df, "x", k, coarse_bins=16, cap=40)
+        assert got == clean[k - 1], (k, got, clean[k - 1])
+
+
+def test_exact_kth_smallest_edges(spark):
+    from ai_incident_analyst_spark.operators.quantiles import (
+        exact_kth_smallest,
+    )
+    empty = spark.createDataFrame([], "x double")
+    assert exact_kth_smallest(empty, "x", 1) is None
+    df = spark.createDataFrame([(3.0,), (1.0,)], "x double")
+    assert exact_kth_smallest(df, "x", 1) == 1.0
+    assert exact_kth_smallest(df, "x", 2) == 3.0
+    with pytest.raises(ValueError, match="out of range"):
+        exact_kth_smallest(df, "x", 3)
+    with pytest.raises(ValueError, match="out of range"):
+        exact_kth_smallest(df, "x", 0)
+
+
 def test_psi_report_matches_duckdb_shape(spark, sf_dir):
     """psi_report end-to-end on real testdata after the boundary-path
     swap: identical output to the pre-swap contract (boundaries equal
