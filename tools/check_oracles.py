@@ -11,6 +11,7 @@ Usage: python tools/check_oracles.py [sf_dir] [name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -46,8 +47,15 @@ def main():
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # partial dirs are legitimate (the zipf near-dup corpus ships
+        # documents only); queries touching an absent table fail loudly
+        # on their own row instead of blocking the whole run
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        else:
+            print(f"# note: {t}.parquet absent in {sf_dir} — view skipped",
+                  file=sys.stderr)
 
     n_pass = n_fail = n_rowsonly = 0
     for name, q in REGISTRY.items():

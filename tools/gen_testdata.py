@@ -36,6 +36,43 @@ RATIOS between driver SFs and generated SFs are meaningful:
 
 Usage: python tools/gen_testdata.py <sf> [out_dir]
        (default out_dir /root/repo/testdata/sf<sf>)
+
+ZIPF MODE (round-12 judge ask): the driver's documents corpus draws
+every token uniformly from a 31-word vocab, which makes the near-dup
+scale laws OUTPUT-bound — random doc pairs share most of their token
+set, the true Hamming<=5 pair set grows ~101x per 10x docs, and the
+SimHash fingerprints concentrate (low key entropy), so no blocking
+scheme can look subquadratic and the Manku multi-chunk candidate cut
+is unmeasurable. `--zipf` writes a REALISTIC-VOCAB documents table
+instead (everything else unchanged):
+
+- vocab: 50,000 tokens "w0".."w49999", frequency Zipf(s=1.07) SHIFTED
+  BY 100 RANKS (p_k ∝ (k+100)^-1.07) — the content-word distribution
+  AFTER stopword removal, which is what production fingerprinting
+  feeds (Manku's own pipeline fingerprints extracted features, not the
+  raw token stream). The shift matters mechanically: per-occurrence
+  SimHash votes concentrate when the head is heavy — with unshifted
+  Zipf the shared expected-vote vector has sigma_p = sqrt(Σp²) ≈ 0.115
+  per bit vs multinomial noise ~1/sqrt(L), so at L≈100 tokens ALL
+  fingerprints collapse toward one point and 3% of RANDOM pairs land
+  at Hamming ≤ 5 (measured on the first cut of this corpus: 3783
+  pairs / 500 docs — still output-bound). Shifted, sigma_p ≈ 0.017,
+  fingerprint bits are near-uniform and the background d≤5 rate is the
+  binomial floor C(60,≤5)/2^60 ≈ 5e-9 — ~0.6 expected background
+  pairs even at 500k docs.
+- doc length U{40..160} tokens; background docs are independent draws
+  (pairwise Jaccard ~1e-2).
+- planted near-dup structure, LINEAR in n (each special doc copies ONE
+  uniformly-random earlier doc): 8% near-dups with 2% of token
+  positions resampled (shifts each bit's vote by at most 2·#changed
+  against a ~sqrt(L) margin — most planted pairs stay within d ≤ 5)
+  and 2% exact copies. True-pair count therefore grows ~n, not n² —
+  the sparse-pair regime where candidate generation, not output, is
+  the term being measured.
+
+Usage: python tools/gen_testdata.py --zipf <sf> [out_dir]
+       (default out_dir /root/repo/testdata/zipf-sf<sf>; writes
+       documents.parquet ONLY — the near-dup family reads nothing else)
 """
 
 from __future__ import annotations
@@ -70,7 +107,58 @@ def write(df: pd.DataFrame, out_dir: str, name: str):
     print(f"# {name}: {len(df)} rows", file=sys.stderr)
 
 
+def gen_zipf_documents(sf: float, out_dir: str) -> None:
+    """Realistic-vocab documents twin: Zipf(1.07) over 50k tokens with a
+    linear planted near-dup set (8% mutated copies + 2% exact copies of
+    one random earlier doc each). Deterministic (seed 42)."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(42)
+    n_doc = max(500, int(50_000 * sf))
+    V = 50_000
+    # rank shift 100 = stopwords removed upstream (see module docstring:
+    # unshifted Zipf concentrates per-occurrence SimHash fingerprints)
+    p = (np.arange(1, V + 1, dtype=np.float64) + 100.0) ** -1.07
+    cdf = np.cumsum(p / p.sum())
+    vocab = np.array([f"w{i}" for i in range(V)])
+
+    lens = rng.integers(40, 161, n_doc)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    flat = np.searchsorted(cdf, rng.random(offs[-1])).astype(np.int32)
+    docs_tok = [flat[offs[i]:offs[i + 1]] for i in range(n_doc)]
+
+    kind = rng.random(n_doc)
+    start = n_doc // 4  # first quarter is always background
+    n_near = n_exact = 0
+    for i in range(start, n_doc):
+        if kind[i] < 0.08:  # near-dup: copy + resample 2% of positions
+            base = docs_tok[int(rng.integers(0, i))].copy()
+            m = rng.random(len(base)) < 0.02
+            base[m] = np.searchsorted(cdf, rng.random(int(m.sum())))
+            docs_tok[i] = base
+            n_near += 1
+        elif kind[i] < 0.10:  # exact copy
+            docs_tok[i] = docs_tok[int(rng.integers(0, i))]
+            n_exact += 1
+    print(f"# zipf documents: {n_doc} rows, {n_near} near-dup + "
+          f"{n_exact} exact planted", file=sys.stderr)
+
+    texts = [" ".join(vocab[t]) for t in docs_tok]
+    write(pd.DataFrame({
+        "doc_id": np.arange(n_doc, dtype=np.int64),
+        "text": texts,
+        "lang": rng.choice(LANGS, n_doc, p=LANG_P),
+        "source": [f"src{i % 20}" for i in range(n_doc)],
+        "n_chars": np.array([len(t) for t in texts],
+                            dtype=np.int64)}), out_dir, "documents")
+
+
 def main():
+    if sys.argv[1] == "--zipf":
+        sf = float(sys.argv[2])
+        out_dir = sys.argv[3] if len(sys.argv) > 3 else \
+            f"/root/repo/testdata/zipf-sf{sys.argv[2]}"
+        gen_zipf_documents(sf, out_dir)
+        return
     sf = float(sys.argv[1])
     out_dir = sys.argv[2] if len(sys.argv) > 2 else \
         f"/root/repo/testdata/sf{sys.argv[1]}"
