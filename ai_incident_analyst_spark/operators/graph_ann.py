@@ -258,7 +258,8 @@ def graph_ann_search_batch(graph: DataFrame, nodes: DataFrame,
                            query_vec: str = "query_vec",
                            entry: DataFrame | None = None,
                            hops: int = 3, beam: int = 4, k: int = 5,
-                           round_dp: int = 6) -> DataFrame:
+                           round_dp: int = 6,
+                           materialize: bool = False) -> DataFrame:
     """The distributed form of ``graph_ann_search``: ALL queries walk
     the graph together, each hop one relational stage — no driver state
     at all, the whole ``hops``-deep walk is a single declarative plan.
@@ -278,6 +279,17 @@ def graph_ann_search_batch(graph: DataFrame, nodes: DataFrame,
     ``id_col``); defaults to the global hash-anchored entry
     (smallest ``md5('e:'||id)``) shared by all queries.
     Returns ``(query_id, rank, <id_col>, sim)``.
+
+    CACHE OWNERSHIP: each hop ``persist()``s its frontier/visited frame
+    (beam·|queries| rows — tiny; see the loop comment). With the
+    default ``materialize=False`` the walk stays ONE lazy plan (zero
+    jobs at build — the contract ``tests/test_graph_ann_batch.py``
+    pins) and those CacheManager entries outlive the call: the CALLER
+    must clear them (run inside a session that isolates cells, or call
+    with ``materialize=True``). With ``materialize=True`` the
+    |queries|·k result is localCheckpointed eagerly and every loop
+    persist is released before returning — the cache-hygiene shape the
+    registry query uses (``tests/test_cache_hygiene.py``).
     """
     v = nodes.select(F.col(id_col).alias("id"),
                      F.col(vec_col).cast("array<double>").alias("x"))
@@ -304,6 +316,7 @@ def graph_ann_search_batch(graph: DataFrame, nodes: DataFrame,
     frontier = qs.select("qid").crossJoin(F.broadcast(entry))
     visited = frontier
     bw = Window.partitionBy("qid").orderBy(F.desc("s"), F.col("id"))
+    owned = []  # loop persists, released after the result materializes
     for _ in range(hops):
         cand = (frontier.join(graph, frontier["id"] == graph["src"])
                 .select("qid", F.col("dst").alias("id")).distinct()
@@ -321,12 +334,21 @@ def graph_ann_search_batch(graph: DataFrame, nodes: DataFrame,
                     .select("qid", "id")
                     .persist())
         visited = visited.unionByName(frontier).persist()
-    return (score(visited)
-            .withColumn("rank", F.row_number().over(bw))
-            .where(F.col("rank") <= k)
-            .select(F.col("qid").alias(query_id), "rank",
-                    F.col("id").alias(id_col), F.col("s").alias("sim"))
-            .orderBy(query_id, "rank"))
+        owned += [frontier, visited]
+    out = (score(visited)
+           .withColumn("rank", F.row_number().over(bw))
+           .where(F.col("rank") <= k)
+           .select(F.col("qid").alias(query_id), "rank",
+                   F.col("id").alias(id_col), F.col("s").alias("sim"))
+           .orderBy(query_id, "rank"))
+    if materialize:
+        # |queries|·k rows — checkpoint eagerly, then release every
+        # loop persist so no CacheManager entry outlives the call (the
+        # checkpointed result RDD is ContextCleaner-freed on GC)
+        out = out.localCheckpoint(eager=True)
+        for f in owned:
+            f.unpersist()
+    return out
 
 
 def graph_write_index(graph: DataFrame, path: str,

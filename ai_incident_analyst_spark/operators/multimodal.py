@@ -580,7 +580,10 @@ def dhash_neardup(sig: DataFrame, threshold: int = 3) -> DataFrame:
     # upstream hash/decode pass per reference. Signatures are 5 narrow
     # ints per image — orders of magnitude smaller than the media blobs —
     # so caching them is safe at any corpus scale (spills to disk, never
-    # re-decodes). Unpersisted when the plan is GC'd.
+    # re-decodes). Unpersisted before return — the verified pair list
+    # (small by the near-dup contract) is checkpointed first, so the
+    # cache never outlives the call (CacheManager entries are NOT
+    # freed by plan GC).
     sig = sig.persist()
     bands = sig.select(
         "media_id",
@@ -603,7 +606,10 @@ def dhash_neardup(sig: DataFrame, threshold: int = 3) -> DataFrame:
                     *[F.col(c).alias(f"b_{c}") for c in bcols])
     ham = sum((F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
                for c in bcols), F.lit(0))
-    return (cand.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("hamming", ham.cast("long"))
-            .where(F.col("hamming") <= threshold)
-            .select("id_a", "id_b", "hamming"))
+    out = (cand.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("hamming", ham.cast("long"))
+           .where(F.col("hamming") <= threshold)
+           .select("id_a", "id_b", "hamming")
+           .localCheckpoint(eager=True))
+    sig.unpersist()
+    return out

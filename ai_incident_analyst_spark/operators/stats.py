@@ -664,6 +664,10 @@ def conformal_ols_intervals(df: DataFrame, id_col: str, x_col: str,
     # OFFSET k-1 yields the same value.
     from .quantiles import exact_kth_smallest
     qhat = exact_kth_smallest(cal_r, "__r", k)
+    # qhat is a collected driver float — cal_r is fully consumed, so
+    # releasing the cache here is free and keeps long-lived sessions
+    # from accumulating ~90 MB per call (r11 ADVICE)
+    cal_r.unpersist()
 
     test = base.filter(F.col("__split") == "test").withColumn("__r", resid)
     return (test

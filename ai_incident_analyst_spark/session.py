@@ -101,10 +101,16 @@ def get_spark(app_name: str = "ai-incident-analyst-spark",
         b = b.config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             os.environ["SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS"])
+    # two INDEPENDENT knobs (r11 ADVICE): advisoryPartitionSizeInBytes
+    # controls AQE shuffle coalescing, maxPartitionBytes controls input
+    # splits — setting one must not drop the other. (On local masters
+    # maxPartitionBytes was already set above; this re-set with the
+    # same env value is a harmless overwrite, and on cluster masters
+    # it is the only place the env is honored.)
     if os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES"):
         b = b.config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                      os.environ["SPARK_GRAFT_ADVISORY_PARTITION_BYTES"])
-    elif os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES"):
+    if os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES"):
         b = b.config("spark.sql.files.maxPartitionBytes",
                      os.environ["SPARK_GRAFT_MAX_PARTITION_BYTES"])
     for k, v in RUNTIME_CONFS.items():

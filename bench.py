@@ -314,9 +314,10 @@ def main():
     # query ran first paid the LSH pairing and later consumers measured
     # a localCheckpoint read, and leaked .persist() frames from earlier
     # cells warmed later ones — the r10 jw_part_pairs 1.30 s (quiet
-    # full suite) vs 7.56 s (driver bench) 6x per-cell swing. Best-of-N
-    # WITHIN a cell still shares state: run 1 bounds cold, run 2
-    # steady-state, unchanged.
+    # full suite) vs 7.56 s (driver bench) 6x per-cell swing. Isolation
+    # is PER-RUN (see the inner comment below): best-of-N times N cold
+    # runs — only OS page cache / JIT / codegen warmth carries between
+    # them, never memos or cached frames.
     isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
     from ai_incident_analyst_spark.queries import clear_session_memos
     times: dict[str, float] = {}
