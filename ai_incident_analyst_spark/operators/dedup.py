@@ -803,12 +803,15 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     Each round is one equi-join (send every node's current label to its
     neighbors) plus one min-aggregation — two keyed shuffles, no driver
     data. ``localCheckpoint`` truncates lineage per round so the plan stays
-    O(1) instead of growing into an un-analyzable tree. Converges in
-    O(component diameter) rounds; near-dup graphs are bucket-clique-shaped
-    (diameter ≲ 4), so 3-5 rounds in practice. For adversarial long-chain
-    graphs the alternating large/small-star contraction (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond") drops this to
-    O(log² n); not needed for dedup workloads.
+    O(1) instead of growing into an un-analyzable tree. Near-dup graphs
+    are bucket-clique-shaped (diameter ≲ 4), so 3-5 LP rounds in
+    practice; if LP hasn't converged after 8 rounds (long-thin
+    topologies — density-held DBSCAN cores measured diameter ≈ 358 at
+    sf10, r12), the graph is contracted by the current labels and the
+    small quotient finishes with ALTERNATING STAR CONTRACTION (Kiveris
+    et al., SoCC'14 — O(log n) alternations on any topology); the two
+    label maps compose. See the inline phase comments for why the
+    hybrid beats either algorithm alone on the respective graph class.
 
     The reference dedups only on exact keys (src/preprocessing/
     preprocessor.py:30-42); transitive near-dup clustering is the
@@ -857,13 +860,34 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             rows, "node long, cluster_id long")
     from pyspark.sql import Observation
 
-    # eager checkpoint: each round references labels TWICE (message join +
-    # union) — materializing avoids recomputing the seed aggregation. The
-    # convergence probe rides ON the checkpoint job via observe(): hash-min
-    # labels only DECREASE, so "no label changed" == "sum of labels
-    # unchanged", and CollectMetrics computes that sum DURING checkpoint
-    # materialization — one job per round, no separate probe scan (decimal
-    # accumulator so huge ids can't wrap 64-bit)
+    # Distributed path (r12): HYBRID hash-min LP + alternating star
+    # contraction. Phase 1 is the original label-propagation loop —
+    # per-round state is NODE-sized (one label table), so it is the
+    # cheap path for the dense bucket-clique graphs dedup produces
+    # (diameter ≲ 4, converges in 3-5 rounds; a pure star-contraction
+    # rewrite was measured 6-10× slower there because star state is
+    # EDGE-sized and checkpointing a 29M-edge clique multiset per round
+    # dwarfs the label table). Phase 2 handles what LP cannot: a
+    # long-thin topology (the density-held DBSCAN core graph at sf10 —
+    # 110k-node giant component, measured diameter ≈ 358 — needs
+    # O(diameter) LP rounds; a pointer-jumping variant measured only
+    # ~1.5 hops/round of real progress, because a hash-min label is the
+    # smallest id SEEN, not a node nearer the minimum, so composing
+    # labels descends ids, not the graph). If LP hasn't converged after
+    # ``lp_rounds`` (10 — the sf10 minhash dedup graph measured exactly
+    # 9), the graph is CONTRACTED by the current labels
+    # (edges (L(u), L(v)), L(u)≠L(v), distinct — each supernode already
+    # absorbs a radius-``lp_rounds`` ball, so the quotient graph is a
+    # small fraction of the input) and the quotient runs ALTERNATING
+    # STAR CONTRACTION (Kiveris et al., "Connected Components in
+    # MapReduce and Beyond", SoCC'14), which converges in O(log n)
+    # alternations on ANY topology; the final label composes the two
+    # maps. Convergence probes ride on the per-round checkpoints via
+    # observe() (decimal accumulators so huge ids can't wrap): labels
+    # only decrease, so "sum unchanged" == converged in phase 1; in
+    # phase 2 both star ops map every edge instance to one instance
+    # with non-increasing (a+b), so "(count, sum) unchanged" ==
+    # fix point (every component a star centered at its min id).
     def _checkpoint_with_sum(d: DataFrame) -> tuple[DataFrame, object]:
         obs = Observation()
         cp = d.observe(
@@ -875,8 +899,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         sym.groupBy("u")
         .agg(F.min(F.least(F.col("u"), F.col("v"))).alias("label"))
     )
-    changed = 1
-    for _ in range(max_iter):
+    # 10 covers the dedup family with margin (the sf10 minhash pair
+    # graph measured EXACTLY 9 LP rounds to converge; cliques take 3-5)
+    lp_rounds = min(10, max_iter)
+    lp_converged = False
+    for _round in range(lp_rounds):
         msgs = (
             sym.join(labels.withColumnRenamed("u", "v"), "v")
             .select("u", "label")
@@ -886,22 +913,86 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             .groupBy("u")
             .agg(F.min("label").alias("label"))
         )
-        changed = 0 if cur_sum == prev_sum else 1
+        lp_converged = cur_sum == prev_sum
         prev_sum = cur_sum
         labels = new
-        if changed == 0:
+        if lp_converged:
             break
-    else:
-        # exhausted max_iter with labels still moving: the labels are
-        # PARTIAL (one true component would surface as several cluster_ids
-        # and dedup_canonical would keep extra survivors) — fail loudly
-        # rather than silently under-dedup
+    if lp_converged:
+        return labels.select(F.col("u").alias("node"),
+                             F.col("label").alias("cluster_id"))
+
+    # ---- phase 2: star contraction on the label-quotient graph ----
+    def _checkpoint_with_stats(d: DataFrame) -> tuple[DataFrame, tuple]:
+        obs = Observation()
+        cp = d.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("a") + F.col("b")).cast("decimal(38,0)"))
+            .alias("s"),
+        ).localCheckpoint()
+        return cp, (obs.get["n"], obs.get["s"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # per node u over its FULL neighborhood: m = min(Γ(u) ∪ {u});
+        # emit (v, m) for v ∈ Γ(u), v > u — one edge per instance
+        nbrs = e.select("a", "b").union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = (nbrs.groupBy("a")
+                .agg(F.least(F.min("b"), F.col("a")).alias("m")))
+        return (nbrs.join(mins, "a")
+                .where(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b")))
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # e is oriented a > b: per node a over its smaller neighbors N,
+        # m = min(N); emit (b, m) for b ∈ N \ {m} plus the center (a, m)
+        mins = e.groupBy("a").agg(F.min("b").alias("m"))
+        linked = (e.join(mins, "a")
+                  .where(F.col("b") != F.col("m"))
+                  .select(F.col("b").alias("a"), F.col("m").alias("b")))
+        centers = mins.select(F.col("a"), F.col("m").alias("b"))
+        return linked.union(centers)
+
+    lu = labels.select(F.col("u").alias("__u"), F.col("label").alias("la"))
+    lv = labels.select(F.col("u").alias("__v"), F.col("label").alias("lb"))
+    quotient, prev = _checkpoint_with_stats(
+        sym.join(lu, sym["u"] == lu["__u"])
+        .join(lv, sym["v"] == lv["__v"])
+        .where(F.col("la") != F.col("lb"))
+        .select(F.greatest("la", "lb").alias("a"),
+                F.least("la", "lb").alias("b"))
+        .distinct())
+    converged = False
+    for _round in range(max_iter):
+        quotient, _ = _checkpoint_with_stats(_large_star(quotient))
+        quotient, cur = _checkpoint_with_stats(_small_star(quotient))
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        # still contracting after max_iter alternations (covers ~2^25
+        # supernodes): labels would be PARTIAL (one true component
+        # surfacing as several cluster_ids; dedup_canonical would keep
+        # extra survivors) — fail loudly rather than silently under-dedup
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter — "
-            "component diameter exceeds the round budget")
-    return labels.select(F.col("u").alias("node"),
-                         F.col("label").alias("cluster_id"))
+            f"connected_components did not converge in {max_iter} "
+            "star-contraction rounds; raise max_iter — component size "
+            "exceeds the round budget")
+    # fix point: every quotient component is a star (supernode → root);
+    # compose the maps: final(u) = root(L(u)), defaulting to L(u) for
+    # supernodes untouched by the quotient (their component converged
+    # within the LP phase)
+    roots = (quotient.select(F.col("a").alias("la"),
+                             F.col("b").alias("root"))
+             .union(quotient.select(F.col("b").alias("la"),
+                                    F.col("b").alias("root")))
+             .distinct())
+    return (labels.join(roots, F.col("label") == F.col("la"), "left")
+            .select(F.col("u").alias("node"),
+                    F.coalesce(F.col("root"), F.col("label"))
+                    .alias("cluster_id")))
 
 
 def dedup_canonical(docs: DataFrame, clusters: DataFrame, id_col: str,
