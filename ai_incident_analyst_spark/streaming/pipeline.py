@@ -19,9 +19,20 @@ from pyspark.sql import functions as F
 
 def streaming_dedup(stream: DataFrame, keys: list[str], ts_col: str = "ts",
                     watermark: str = "1 hour") -> DataFrame:
-    """A2 as a stream: bounded-state dropDuplicates within the watermark
-    (preprocessor.py:30-42's run-scoped dedup, generalized)."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    """A2 as a stream: bounded-state dedup within the watermark
+    (preprocessor.py:30-42's run-scoped dedup, generalized).
+
+    ``dropDuplicatesWithinWatermark``, NOT ``dropDuplicates``: plain
+    dropDuplicates only evicts state when the EVENT-TIME column is part
+    of the dedup keys — on keys alone its state grows forever (the r12
+    sf1 streaming probe measured exactly that: peak state 1,000,000
+    rows over a 30-day stream with a 1-hour watermark, i.e. every key
+    ever seen). The WithinWatermark variant guarantees duplicates are
+    dropped when they arrive within the watermark delay of the first
+    sighting and evicts the key afterwards — bounded state, the
+    run-scoped-dedup contract this operator promises."""
+    return (stream.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys))
 
 
 def streaming_count_by_window(stream: DataFrame, ts_col: str = "ts",

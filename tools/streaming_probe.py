@@ -32,6 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
+from pyspark.sql import functions as F
+
 from ai_incident_analyst_spark.session import get_spark
 from ai_incident_analyst_spark.streaming.pipeline import (
     streaming_count_by_window, streaming_dedup, streaming_history_sink)
@@ -52,12 +54,26 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="stream_probe_")
     src = os.path.join(work, "src")
     try:
-        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # raw twin parquet reads ts as TIMESTAMP_NTZ under Spark 4 (the
+        # sources/tables._normalize gotcha); watermarks need TIMESTAMP
+        events = (spark.read.parquet(f"{sf_dir}/events.parquet")
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
         n_rows = events.count()
         # event-time order across files = the arrival order a log
         # follower sees; within-file order is irrelevant to watermarks
         (events.repartitionByRange(n_files, "ts")
          .write.mode("overwrite").parquet(src))
+        # FileStreamSource batches by MODIFICATION TIME, and the 20
+        # range files were written in parallel with interleaved mtimes —
+        # the first run arrived effectively shuffled and the watermark
+        # dropped 55% of rows as late. Force mtimes ascending in path
+        # order (range partitioning writes part-00000 = earliest ts), so
+        # arrival order == event-time order, as for a real log tailer.
+        parts = sorted(f for f in os.listdir(src)
+                       if f.startswith("part-"))
+        base = time.time() - len(parts) - 10
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(src, f), (base + i, base + i))
         schema = events.schema
         stream = (spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", 2)
