@@ -214,6 +214,8 @@ HEADLINE = [
     # round 11
     "mutual_knn_pairs_ivf",
     "simhash_neardup_manku",
+    "mutual_knn_pairs_ivf_trained",
+    "dbscan_embeddings_2d_scaled",
 ]
 
 
