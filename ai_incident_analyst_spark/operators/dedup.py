@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .util import spread
+from .util import guard_pairwise_input, spread
 
 
 # ---------------------------------------------------------------------------
@@ -121,7 +121,9 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str,
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        n: int = 3, threshold: float = 0.5,
+                        max_rows: int | None = 50_000,
+                        force: bool = False) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard similarity.
 
     Plan shape: explode distinct shingles → self-equi-join on shingle
@@ -131,8 +133,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
     At scale: extremely common shingles generate hot buckets; callers
     should cap shingle document-frequency upstream (stop-shingle removal)
-    — the LSH variant below is the preferred 100 TB path.
+    — the LSH variant below is the preferred 100 TB path. Inputs above
+    ``max_rows`` (default 50k = the largest in-envelope measured corpus;
+    the measured sf2 cell blew past its fitted exponent into spill,
+    SCALING.md) raise ``PairwiseInputCapExceeded`` unless ``force=True``.
     """
+    guard_pairwise_input(df, max_rows, "ngram_jaccard_pairs",
+                         "ngram_jaccard_pairs_lsh (banded-MinHash "
+                         "candidates + exact verify)", force)
     # join on the 64-bit shingle hash, not the string: fixed-width keys
     # shuffle less and probe faster; a cross-doc collision would need
     # ~2^32 distinct shingles (birthday bound) to become likely
@@ -805,7 +813,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     data. ``localCheckpoint`` truncates lineage per round so the plan stays
     O(1) instead of growing into an un-analyzable tree. Near-dup graphs
     are bucket-clique-shaped (diameter ≲ 4), so 3-5 LP rounds in
-    practice; if LP hasn't converged after 8 rounds (long-thin
+    practice; if LP hasn't converged after ``lp_rounds`` (10) rounds (long-thin
     topologies — density-held DBSCAN cores measured diameter ≈ 358 at
     sf10, r12), the graph is contracted by the current labels and the
     small quotient finishes with ALTERNATING STAR CONTRACTION (Kiveris
@@ -928,8 +936,8 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         cp = d.observe(
             obs,
             F.count(F.lit(1)).alias("n"),
-            F.sum((F.col("a") + F.col("b")).cast("decimal(38,0)"))
-            .alias("s"),
+            F.sum(F.col("a").cast("decimal(38,0)")
+                  + F.col("b").cast("decimal(38,0)")).alias("s"),
         ).localCheckpoint()
         return cp, (obs.get["n"], obs.get["s"])
 
@@ -1146,7 +1154,9 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
 def semantic_neardup(df: DataFrame, id_col: str, vec_col: str,
                      threshold: float = 0.9,
                      cluster_col: str | None = None,
-                     k: int = 8, max_iter: int = 5) -> DataFrame:
+                     k: int = 8, max_iter: int = 5,
+                     max_rows: int | None = 25_000,
+                     force: bool = False) -> DataFrame:
     """Semantic near-dup pairs within embedding-space clusters — the
     SemDeDup recipe (cf. public SemDeDup, Abbas et al. 2023): cluster
     first, then compare ONLY within each cluster, dropping candidate
@@ -1160,9 +1170,22 @@ def semantic_neardup(df: DataFrame, id_col: str, vec_col: str,
     zero-shuffle Arrow pass. Pairs join on the cluster key (equi-join,
     never a cross join); cosine is the exact Catalyst HOF expression.
     Returns (cluster, id_a, id_b, cosine) with cosine ≥ threshold.
+
+    The ``cluster_col`` (fixed-bucketing) path is Σ|cluster|² with
+    cluster sizes PROPORTIONAL to n (a 10-label column means n²/10
+    pairs) — the measured sf2 cell hit the spill regime at 406 s
+    (SCALING.md); inputs above ``max_rows`` (default 25k = the largest
+    in-envelope measured corpus) raise ``PairwiseInputCapExceeded``
+    unless ``force=True``. The k-means path (``cluster_col=None``) is
+    the shipped recommendation — k grows with n so cluster sizes stay
+    bounded — and is not capped.
     """
     from ..functions.vectors import cosine_similarity
 
+    if cluster_col is not None:
+        guard_pairwise_input(df, max_rows, "semantic_neardup(cluster_col=…)",
+                             "semantic_neardup(cluster_col=None) — the "
+                             "k-means path with n-proportional k", force)
     if cluster_col is None:
         from .clustering import kmeans_assign, kmeans_fit
         cents, _ = kmeans_fit(df.select(id_col, vec_col), id_col, vec_col,

@@ -1158,7 +1158,13 @@ def mutual_knn_pairs_ivf(df: DataFrame, id_col: str, vec_col: str,
         d2 = ((Q * Q).sum(axis=1)[:, None]
               + (C * C).sum(axis=1)[None, :] - 2.0 * (Q @ C.T))
         if round_dp is not None:
-            d2 = np.round(d2, round_dp)
+            # HALF-UP (floor(x*s+0.5)/s — exact for the non-negative d²
+            # here), matching Spark F.round / the DuckDB twin's
+            # half-away-from-zero, NOT np.round's banker's half-even:
+            # a d² landing exactly on a half-ulp at round_dp must rank
+            # identically engine-vs-twin (r13, ADVICE).
+            scale = 10.0 ** round_dp
+            d2 = np.floor(d2 * scale + 0.5) / scale
         kk = min(kk_keep, d2.shape[1])
         idx = np.argsort(d2, axis=1, kind="stable")[:, :kk]
         return pd.DataFrame({

@@ -30,7 +30,7 @@ import pandas as pd  # module-level: pandas_udf type hints are strings
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .util import spread
+from .util import guard_pairwise_input, spread
 
 
 def last_token(col: Column | str, delim: str = " ") -> Column:
@@ -41,10 +41,20 @@ def last_token(col: Column | str, delim: str = " ") -> Column:
 
 
 def fuzzy_self_join(df: DataFrame, id_col: str, text_col: str,
-                    blocker: Column, max_dist: int = 2) -> DataFrame:
+                    blocker: Column, max_dist: int = 2,
+                    max_rows: int | None = 200_000,
+                    force: bool = False) -> DataFrame:
     """All unordered row pairs whose block keys match and whose
     ``text_col`` edit distance is ≤ ``max_dist``:
     ``(id_a, id_b, text_a, text_b, dist)``.
+
+    Σ|block|² candidate growth: with a low-cardinality blocker the
+    candidate set is quadratic in the table (the 64-value last-token
+    blocker measured spill-regime at sf2, SCALING.md) — inputs above
+    ``max_rows`` (default 200k = the largest in-envelope measured SF)
+    raise ``PairwiseInputCapExceeded`` unless ``force=True``; the
+    bounded sibling is ``sorted_neighborhood_pairs`` (O(n·window) by
+    construction, skew-independent).
 
     Three result-preserving optimizations keep the verify stage cheap
     (together 22× on 20k product names at sf0.1 — 51 s → 2.5 s):
@@ -62,6 +72,9 @@ def fuzzy_self_join(df: DataFrame, id_col: str, text_col: str,
       with early exit instead of the full O(len²) table (returns −1 past
       the threshold).
     """
+    guard_pairwise_input(df, max_rows, "fuzzy_self_join",
+                         "sorted_neighborhood_pairs (Hernandez-Stolfo "
+                         "rank-window blocking, O(n·window))", force)
     side = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("txt"),
@@ -307,7 +320,9 @@ def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1,
 
 def jaro_winkler_pairs(df: DataFrame, id_col: str, text_col: str,
                        blocker: Column, threshold: float = 0.9,
-                       round_dp: int = 6) -> DataFrame:
+                       round_dp: int = 6,
+                       max_rows: int | None = 200_000,
+                       force: bool = False) -> DataFrame:
     """Blocked fuzzy pairs by Jaro–Winkler similarity ≥ ``threshold`` —
     the name-matching verifier record-linkage practice prefers over raw
     edit distance (prefix-weighted, length-normalized). Same Σ|block|²
@@ -317,7 +332,15 @@ def jaro_winkler_pairs(df: DataFrame, id_col: str, text_col: str,
     Scores round to ``round_dp`` BEFORE the threshold compare so the
     boundary is engine-portable. Returns
     ``(id_a, id_b, text_a, text_b, jw)``.
+
+    Inputs above ``max_rows`` (default 200k — the measured sf0.5 cell
+    confirmed the n² fit; the sf2 projection is a 47-minute burn,
+    SCALING.md) raise ``PairwiseInputCapExceeded`` unless ``force=True``;
+    ``sorted_neighborhood_jw_pairs`` is the bounded O(n·window) sibling.
     """
+    guard_pairwise_input(df, max_rows, "jaro_winkler_pairs",
+                         "sorted_neighborhood_jw_pairs (rank-window "
+                         "blocking, O(n·window))", force)
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

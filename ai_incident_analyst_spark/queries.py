@@ -11763,13 +11763,21 @@ _FS_PARAMS = {
        "pairs land in the clerical-review 'possible' band by design")
 def q_fs_customer_linkage(spark, sf_dir):
     from .operators.linkage import fellegi_sunter
-    from .operators.util import spread
+    from .operators.util import guard_pairwise_input, spread
 
     # single-file local parquet = ONE input split: without a spread the
     # whole sum-of-block-squared pair join streams through one task
     # behind the broadcast (r10 sf1 probe: 136 s on 1 task); a real
     # cluster reads many splits, spread() restores that shape locally
     c = spread(_t(spark, sf_dir, "customer"), "c_custkey")
+    # (nationkey, mktsegment) has 125 distinct values, so this blocked
+    # self-join is Σ|block|² ∝ n²/125 — the measured sf2 cell hit the
+    # spill regime (SCALING.md); cap at the largest in-envelope SF
+    # (sf1 = 150k customers). Bounded alternative: block on a higher-
+    # cardinality key or sorted_neighborhood_pairs + fellegi_sunter.
+    guard_pairwise_input(c, 150_000, "fs_customer_linkage",
+                         "a higher-cardinality blocker or "
+                         "sorted_neighborhood_pairs + fellegi_sunter")
     h = F.substring(F.md5(F.concat(F.lit("fs:"),
                                    F.col("c_custkey").cast("string"))),
                     1, 1)
@@ -12405,3 +12413,49 @@ def q_cmh_large_order_rate(spark, sf_dir):
         .otherwise("odd").alias("g"),
         (F.col("o_totalprice") > 250000).cast("int").alias("s"))
     return mantel_haenszel(o, "st", "g", "s", "even", "odd")
+
+
+# ===========================================================================
+# driver-panel rotation (r13 judge ask #6)
+# ===========================================================================
+# The external driver's CORRECTNESS panel samples the FIRST 50 registry
+# entries; for 12 rounds that was the same §2 relational core, leaving
+# ~230 registry queries with no independent driver confirmation (only
+# the builder's full-registry gate and the judge's spot checks). Rotate:
+# keep flagship first (entry() anchor) and a 25-query §2 core, swap the
+# other 25 slots to never-driver-checked LLM-pipeline rows spanning
+# every family (near-dup, CC clustering, text analysis, BPE, packing/
+# sharding/sampling, retrieval, multimodal, ANN frontier, graph,
+# sketches, drift). In-place reorder of the SAME dict object — every
+# importer (`from .queries import REGISTRY`) sees the rotated order.
+_R13_PANEL = [
+    "flagship_error_summary",
+    # §2 relational/function core retained (driver-green 12 rounds)
+    "scan_project_filter", "time_window", "keyword_search_json",
+    "dedup_keep_first", "union_missing_columns", "count_by_day",
+    "metrics_grouping_sets", "topk_per_group", "redact_pii",
+    "redact_secrets", "concat_null_skip", "json_extract",
+    "pricing_summary", "revenue_by_segment", "customers_without_orders",
+    "token_count", "quality_score", "lang_id", "fingerprint",
+    "ngram_jaccard_pairs", "knn_l2", "semantic_neardup", "knn_ivf",
+    "kmeans_clusters",
+    # never-driver-checked LLM-pipeline rows rotated in
+    "simhash_neardup_manku", "neardup_clusters", "dedup_survivors",
+    "dedup_lines_global", "cdc_chunk_dedup", "tfidf_top_terms",
+    "bpe_trained_tokens", "winnow_fingerprint", "ngram_lm_bits",
+    "pack_sequences", "shard_by_budget", "train_test_split",
+    "leakage_safe_split", "dsir_select_docs", "bm25_search",
+    "hybrid_search_rrf", "image_neardup_dhash", "frame_sample_fanout",
+    "mutual_knn_pairs_ivf_trained", "ivf_nprobe_recall",
+    "graph_ann_query", "pagerank_items", "hll_distinct_users",
+    "cms_user_counts", "psi_orderprice_drift",
+]
+assert len(_R13_PANEL) == 50 and len(set(_R13_PANEL)) == 50
+assert all(n in REGISTRY for n in _R13_PANEL), \
+    [n for n in _R13_PANEL if n not in REGISTRY]
+_rotated = _R13_PANEL + [n for n in REGISTRY if n not in set(_R13_PANEL)]
+_snapshot = dict(REGISTRY)
+REGISTRY.clear()
+for _n in _rotated:
+    REGISTRY[_n] = _snapshot[_n]
+del _rotated, _snapshot, _n

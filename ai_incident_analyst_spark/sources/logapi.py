@@ -128,6 +128,62 @@ def fixture_transport(fixture_path: str):
     return transport
 
 
+def synthetic_transport(url: str, api_key: str, payload: dict) -> dict:
+    """Deterministic load-generator endpoint for scale probes and soak
+    tests (r13: the streaming incident loop needed an sf1-scale cell,
+    and ``fixture_transport`` re-parses its whole JSON corpus on every
+    fetch — O(corpus) per micro-batch measures the fixture, not the
+    engine). Generates the window's rows ON DEMAND, O(window), from the
+    SINCE/UNTIL bounds alone, so any corpus size streams in bounded
+    memory. Pure function of (url, window): checkpoint replay
+    regenerates identical rows.
+
+    Config rides the ``url`` option (the transport signature carries no
+    other channel): ``synth:?period_ms=2592&dup_pct=10`` — one row per
+    ``period_ms`` of event time, every ``dup_pct``% of rows followed by
+    an exact duplicate (same timestamp+message, exercising the loop's
+    keep-first dedup). Row fields cycle deterministically through small
+    pools (level error/warn/info, 8 containers, 4 namespaces; message =
+    template + row ordinal + a PII-shaped token so redaction does real
+    work). ``count(*)`` probes answer arithmetically."""
+    import urllib.parse as _up
+
+    q = dict(_up.parse_qsl(_up.urlparse(url).query))
+    period_ms = max(1, int(q.get("period_ms", "1000")))
+    dup_pct = float(q.get("dup_pct", "0"))
+    nrql = json.loads(
+        re.search(r"nrql\(query: (\".*\")\) ", payload["query"]).group(1))
+    m = re.search(r"SINCE (\d+) UNTIL (\d+)", nrql)
+    lo, hi = int(m.group(1)), int(m.group(2))
+    first = -(-lo // period_ms)  # ceil: first ordinal with ts >= lo
+    last = (hi - 1) // period_ms  # last ordinal with ts < hi
+    n = max(0, last - first + 1)
+    if "count(*)" in nrql:
+        n_dup = int(n * dup_pct / 100.0)
+        return {"data": {"actor": {"account": {"nrql": {"results": [
+            {"count": n + n_dup}]}}}}}
+    levels = ["error", "error", "warn", "info"]
+    msgs = ["db timeout for user{i}@example.com",
+            "OOM killed worker {i}",
+            "disk full on node {i}",
+            "conn reset by peer {i} token=tok_{i}secret"]
+    rows = []
+    for i in range(first, last + 1):
+        row = {"timestamp": i * period_ms,
+               "level": levels[i % 4],
+               "container_name": f"svc-{i % 8}",
+               "namespace_name": f"ns{i % 4}",
+               "event": "e",
+               "message": msgs[i % 4].format(i=i)}
+        rows.append(row)
+        if dup_pct and (i % max(1, int(100 / dup_pct))) == 0:
+            rows.append(dict(row))
+    m = re.search(r"LIMIT (\d+)", nrql)
+    if m:
+        rows = rows[: int(m.group(1))]
+    return {"data": {"actor": {"account": {"nrql": {"results": rows}}}}}
+
+
 def _resolve_transport(options) -> "callable":
     fixture = options.get("fixture_path")
     if fixture:

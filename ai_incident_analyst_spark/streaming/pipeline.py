@@ -30,9 +30,40 @@ def streaming_dedup(stream: DataFrame, keys: list[str], ts_col: str = "ts",
     ever seen). The WithinWatermark variant guarantees duplicates are
     dropped when they arrive within the watermark delay of the first
     sighting and evicts the key afterwards — bounded state, the
-    run-scoped-dedup contract this operator promises."""
+    run-scoped-dedup contract this operator promises.
+
+    ARRIVAL-DISORDER CONTRACT (r13): ``watermark`` is the tolerated
+    arrival disorder, stated in EVENT time — a row whose ``ts_col``
+    lags the maximum event time already ingested by more than the
+    watermark delay is DROPPED as late (and a duplicate arriving after
+    its key was evicted is re-admitted). A real log tailer satisfies
+    the contract by bounding how far its shippers lag each other:
+    watermark ≥ (max shipper lag + max clock skew). Drops are
+    observable, not silent — Spark counts them per micro-batch in
+    ``stateOperators[].numRowsDroppedByWatermark``; use
+    ``late_drop_rows(query)`` below to read the total, and size the
+    delay from the measured late-drop curve (SCALING.md, r13
+    shuffled-arrival cells: the probe's 20-file corpus arriving in
+    RANDOM file order needs a watermark near the full corpus span
+    before drops reach zero — arrival disorder, not event-time span,
+    is what the delay must cover)."""
     return (stream.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(keys))
+
+
+def late_drop_rows(query) -> int:
+    """Total rows dropped as too-late by watermarked stateful operators
+    over the query's retained progress history — the observable side of
+    the arrival-disorder contract (``streaming_dedup`` /
+    ``streaming_count_by_window`` docstrings). Sums
+    ``stateOperators[].numRowsDroppedByWatermark`` across
+    ``recentProgress`` (complete for availableNow runs; for long-lived
+    streams poll per-batch, recentProgress retains ~100 entries)."""
+    total = 0
+    for p in query.recentProgress:
+        for so in (p.get("stateOperators") or []):
+            total += int(so.get("numRowsDroppedByWatermark") or 0)
+    return total
 
 
 def streaming_count_by_window(stream: DataFrame, ts_col: str = "ts",
@@ -40,7 +71,15 @@ def streaming_count_by_window(stream: DataFrame, ts_col: str = "ts",
                               watermark: str = "1 day",
                               group_col: str | None = None) -> DataFrame:
     """A4 as a stream: tumbling-window counts with late-data tolerance
-    (app.py:22-27's per-day counts)."""
+    (app.py:22-27's per-day counts).
+
+    Same arrival-disorder contract as ``streaming_dedup``: ``watermark``
+    is the tolerated event-time lag behind the max event time seen —
+    a window finalizes (emits, in append mode) once the watermark
+    passes its end, and rows for already-finalized windows are dropped,
+    counted in ``numRowsDroppedByWatermark`` (read via
+    ``late_drop_rows``). Size it from the shipper-lag bound, not the
+    data's event-time span."""
     keys = [F.window(F.col(ts_col), window).alias("win")]
     if group_col:
         keys.append(F.col(group_col))

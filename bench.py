@@ -358,10 +358,18 @@ def main():
         "sf": sf,
         **guard,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # Per-SF detail files (r13): the gate's sf0.01 bench smoke used to
+    # OVERWRITE the committed sf0.1 BENCH_DETAIL.json, so round audits
+    # depended on `git checkout --` working-tree hygiene. Each SF now
+    # writes its own file; BENCH_DETAIL.json stays the sf0.1 (driver-SF)
+    # record only.
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, f"BENCH_DETAIL_sf{sf}.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    if sf == 0.1:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
     worst = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -376,7 +384,7 @@ def main():
         "load_guard_waited_sec": guard["load_guard_waited_sec"],
         "load_hot": guard["load_hot"],
         "sf": sf,
-        "detail": "BENCH_DETAIL.json",
+        "detail": "BENCH_DETAIL_sf{}.json".format(sf),
     }))
 
 

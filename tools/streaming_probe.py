@@ -19,6 +19,23 @@ Reported per query: rows/sec end-to-end, micro-batch count, PEAK STATE
 ROWS (stateOperators.numRowsTotal from query progress) — the number
 that proves the watermark bounds state instead of accumulating the
 corpus. Usage: python tools/streaming_probe.py [sf_dir] [n_files]
+
+--disorder mode (r13 judge ask #4): the same corpus arriving in RANDOM
+file order (mtimes shuffled — the FileStreamSource arrival-order trap
+measured in r12, now deliberately triggered) through
+streaming_count_by_window at a LADDER of watermark delays; reports
+rows dropped as late (late_drop_rows) and output windows per delay —
+the late-drop curve that sizes the disorder-tolerance knob.
+Usage: python tools/streaming_probe.py --disorder [sf_dir] [n_files]
+
+--incident mode (r13 judge ask #5): the FULL streaming incident loop
+(logapi stream source -> dedup -> redact -> embed -> kNN vs prior-
+incident corpus -> prompt -> LLM -> day-partitioned history append)
+at sf1 scale — 1M synthetic rows via logapi's synthetic_transport
+(O(window) generation per fetch; fixture_transport would re-parse the
+whole corpus per micro-batch), deterministic fake embedder + LLM.
+Reports rows/s end-to-end, micro-batches, history entries.
+Usage: python tools/streaming_probe.py --incident [n_rows] [batch_days]
 """
 from __future__ import annotations
 
@@ -45,6 +62,121 @@ def peak_state_rows(query) -> int:
         for so in (p.get("stateOperators") or []):
             peak = max(peak, int(so.get("numRowsTotal") or 0))
     return peak
+
+
+def disorder_main() -> None:
+    """Shuffled-arrival late-drop curve: rows dropped vs watermark delay."""
+    import random
+
+    from ai_incident_analyst_spark.streaming.pipeline import late_drop_rows
+
+    args = [a for a in sys.argv[2:]]
+    sf_dir = args[0] if args else "/root/repo/testdata/sf1"
+    n_files = int(args[1]) if len(args) > 1 else 20
+    spark = get_spark("streaming-disorder-probe")
+    work = tempfile.mkdtemp(prefix="stream_disorder_")
+    src = os.path.join(work, "src")
+    try:
+        events = (spark.read.parquet(f"{sf_dir}/events.parquet")
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        n_rows = events.count()
+        (events.repartitionByRange(n_files, "ts")
+         .write.mode("overwrite").parquet(src))
+        # RANDOM arrival order: shuffle mtimes across the range files.
+        # Each file spans ~30/n_files days of event time, so a file
+        # arriving k positions early/late carries up to k*(30/n_files)
+        # days of disorder — the worst case a parallel fleet of log
+        # shippers with no ordering produces. Seeded: the curve is
+        # reproducible.
+        parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+        order = list(range(len(parts)))
+        random.Random(42).shuffle(order)
+        base = time.time() - len(parts) - 10
+        for f, pos in zip(parts, order):
+            os.utime(os.path.join(src, f), (base + pos, base + pos))
+        schema = events.schema
+        print(f"| watermark delay | input rows | late-dropped | dropped % "
+              f"| output windows | peak state rows |")
+        print("|---|---|---|---|---|---|")
+        for delay in ["1 hour", "1 day", "4 days", "15 days", "30 days"]:
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 2).parquet(src))
+            wc = streaming_count_by_window(
+                stream, ts_col="ts", window="1 day", watermark=delay,
+                group_col="event_type")
+            out = {"n": 0}
+
+            def sink(batch_df, batch_id):
+                out["n"] += batch_df.count()
+
+            ck = os.path.join(work, f"ckpt_{delay.replace(' ', '_')}")
+            q = (wc.writeStream.outputMode("append")
+                 .option("checkpointLocation", ck)
+                 .foreachBatch(sink).trigger(availableNow=True).start())
+            q.awaitTermination()
+            dropped = late_drop_rows(q)
+            print(f"| {delay} | {n_rows:,} | {dropped:,} "
+                  f"| {100.0 * dropped / n_rows:.1f}% | {out['n']} "
+                  f"| {peak_state_rows(q):,} |", flush=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+def incident_main() -> None:
+    """End-to-end streaming incident loop at synthetic sf1 scale."""
+    from ai_incident_analyst_spark.operators.embedding import embed_text
+    from ai_incident_analyst_spark.streaming.incident_loop import (
+        incident_stream,
+    )
+
+    n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    batch_days = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
+    span_ms = 30 * 86_400_000  # 30 days, like the events twin
+    period_ms = max(1, span_ms // n_rows)
+    spark = get_spark("incident-loop-probe")
+    work = tempfile.mkdtemp(prefix="incident_probe_")
+    try:
+        corpus = embed_text(
+            spark.createDataFrame(
+                [(i, f"prior incident {i}: svc-{i % 8} failure mode "
+                     f"{i % 37}") for i in range(1000)],
+                "hist_id long, message string"),
+            ["message"], dim=32).select("hist_id", "embedding") \
+            .localCheckpoint()
+        llm_calls = {"n": 0}
+
+        def llm(prompt: str) -> str:
+            llm_calls["n"] += 1
+            return f"RCA: {prompt.count(']')} lines considered"
+
+        opts = {
+            "transport": "ai_incident_analyst_spark.sources.logapi"
+                         ".synthetic_transport",
+            "url": f"synth:?period_ms={period_ms}&dup_pct=10",
+            "since_ms": "0", "until_ms": str(span_ms),
+            "batch_ms": str(int(batch_days * 86_400_000)),
+        }
+        t0 = time.time()
+        q = incident_stream(
+            spark, opts, corpus,
+            history_path=os.path.join(work, "hist"),
+            checkpoint=os.path.join(work, "ckpt"),
+            llm_fn=llm, batch_size=100, k=3, dim=32,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination()
+        wall = time.time() - t0
+        total_in = sum(int(p["numInputRows"]) for p in q.recentProgress)
+        batches = sum(1 for p in q.recentProgress
+                      if int(p["numInputRows"]) > 0)
+        hist = spark.read.parquet(os.path.join(work, "hist"))
+        print(f"| incident loop e2e | {total_in:,} in | "
+              f"{hist.count():,} history rows / {llm_calls['n']} entries "
+              f"| {batches} batches | {wall:.1f}s "
+              f"| {total_in / wall:,.0f} rows/s |")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
 
 
 def main() -> None:
@@ -118,4 +250,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--disorder":
+        disorder_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--incident":
+        incident_main()
+    else:
+        main()
