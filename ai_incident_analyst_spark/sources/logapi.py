@@ -350,7 +350,17 @@ class LogApiStreamReader(SimpleDataSourceStreamReader):
         lo = int(start["ts"])
         hi = min(lo + self.batch_ms, self.spec.until_ms)
         if hi <= lo:
-            return [], {"ts": lo}
+            # drained (offset at the until_ms cap): end == start, and
+            # pyspark's prefetch cache verifies THAT case is empty by
+            # calling next() on the result (datasource_internal.py:
+            # add_result_to_cache) — so it must be an ITERATOR, not a
+            # bare list. A list here crashed every capped stream on the
+            # first latestOffset poll AFTER drain with TypeError
+            # ('list' object is not an iterator) — found r13 by the
+            # --incident probe; the functional tests stop their queries
+            # on a row-count condition fast enough to never poll past
+            # the cap.
+            return iter([]), {"ts": lo}
         return list(self.spec.fetch(lo, hi)), {"ts": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:

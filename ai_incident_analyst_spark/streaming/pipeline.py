@@ -52,13 +52,25 @@ def streaming_dedup(stream: DataFrame, keys: list[str], ts_col: str = "ts",
 
 
 def late_drop_rows(query) -> int:
-    """Total rows dropped as too-late by watermarked stateful operators
-    over the query's retained progress history — the observable side of
-    the arrival-disorder contract (``streaming_dedup`` /
-    ``streaming_count_by_window`` docstrings). Sums
+    """Total rows dropped as too-late AT THE STATE STORE over the
+    query's retained progress history — the observable side of the
+    arrival-disorder contract for ``streaming_dedup``
+    (dropDuplicatesWithinWatermark evicts/rejects per key at the store,
+    so every late arrival lands in this metric; measured r13: 797,776
+    of 1M rows under fully shuffled arrival at a 1-hour watermark). Sums
     ``stateOperators[].numRowsDroppedByWatermark`` across
     ``recentProgress`` (complete for availableNow runs; for long-lived
-    streams poll per-batch, recentProgress retains ~100 entries)."""
+    streams poll per-batch, recentProgress retains ~100 entries).
+
+    NOT valid for ``streaming_count_by_window`` (or any windowed
+    aggregation): Spark cuts aggregation late rows with a plain Filter
+    on the window column BEFORE the aggregate, so they never reach the
+    state store and this metric stays ~0 while rows are silently lost
+    (measured r13: 0.0% reported vs real losses under the same shuffled
+    arrival). For aggregations, measure COMPLETENESS against a batch
+    replay of the same aggregation (tools/streaming_probe.py --disorder
+    does exactly that), or emit in update mode and reconcile downstream.
+    """
     total = 0
     for p in query.recentProgress:
         for so in (p.get("stateOperators") or []):
@@ -76,9 +88,14 @@ def streaming_count_by_window(stream: DataFrame, ts_col: str = "ts",
     Same arrival-disorder contract as ``streaming_dedup``: ``watermark``
     is the tolerated event-time lag behind the max event time seen —
     a window finalizes (emits, in append mode) once the watermark
-    passes its end, and rows for already-finalized windows are dropped,
-    counted in ``numRowsDroppedByWatermark`` (read via
-    ``late_drop_rows``). Size it from the shipper-lag bound, not the
+    passes its end, and rows for already-finalized windows are dropped.
+    OBSERVABILITY CAVEAT (measured, r13): those late rows are cut by a
+    pre-aggregation Filter on the window column, NOT at the state
+    store, so ``numRowsDroppedByWatermark``/``late_drop_rows`` stays ~0
+    while data is silently lost. Audit completeness against a batch
+    replay of the same aggregation (tools/streaming_probe.py --disorder
+    measures the loss curve vs delay), or run update mode and reconcile
+    in the sink. Size the delay from the shipper-lag bound, not the
     data's event-time span."""
     keys = [F.window(F.col(ts_col), window).alias("win")]
     if group_col:

@@ -220,3 +220,59 @@ def test_tiny_window_collapses_slices(spark):
         {"since_ms": "0", "until_ms": "400", "min_slice_ms": "200",
          "num_partitions": "4", "fixture_path": "unused"})
     assert len(half.partitions()) == 2
+
+
+def test_drained_stream_read_returns_iterator(fixture_file):
+    """r13 regression: at the until_ms cap read() returns end == start,
+    and pyspark's prefetch cache (datasource_internal.add_result_to_cache)
+    verifies that case is empty via next() on the result — a bare list
+    there crashed every capped stream on the first latestOffset poll
+    after drain (TypeError: 'list' object is not an iterator), found by
+    the --incident probe at 1M rows."""
+    from ai_incident_analyst_spark.sources.logapi import LogApiStreamReader
+
+    reader = LogApiStreamReader(
+        _parse_datatype_string(DEFAULT_SCHEMA),
+        {"fixture_path": fixture_file, "since_ms": str(T0),
+         "until_ms": str(T0 + 2 * HOUR), "batch_ms": str(HOUR)})
+    # drain the two windows
+    rows1, off1 = reader.read({"ts": T0})
+    assert off1 == {"ts": T0 + HOUR} and len(list(rows1)) == 1
+    rows2, off2 = reader.read(off1)
+    assert off2 == {"ts": T0 + 2 * HOUR} and len(list(rows2)) == 1
+    # past the cap: end == start, and the result must satisfy the
+    # prefetch cache's next()-based emptiness check
+    drained, off3 = reader.read(off2)
+    assert off3 == off2
+    with pytest.raises(StopIteration):
+        next(drained)
+
+
+def test_capped_stream_survives_polling_past_drain(spark, fixture_file):
+    """The integration face of the same regression: a capped stream must
+    stay healthy while the engine keeps polling latestOffset after the
+    cap is drained (the functional tests used to stop their queries on a
+    row-count condition fast enough to mask this)."""
+    import time
+
+    spark.dataSource.register(LogApiDataSource)
+    q = (spark.readStream.format("logapi")
+         .option("fixture_path", fixture_file)
+         .option("since_ms", T0).option("until_ms", T0 + 4 * HOUR)
+         .option("batch_ms", 2 * HOUR)
+         .load()
+         .writeStream.format("memory").queryName("logapi_capped")
+         .start())
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql(
+                    "SELECT count(*) c FROM logapi_capped").first().c >= 4:
+                break
+            time.sleep(0.5)
+        # several latestOffset polls past the drained cap
+        time.sleep(3)
+        assert q.isActive and q.exception() is None
+    finally:
+        q.stop()
+    assert spark.sql("SELECT count(*) c FROM logapi_capped").first().c == 4

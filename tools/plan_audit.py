@@ -112,15 +112,25 @@ PRECHECKPOINT_AUDIT = {
 
 
 class _identity_checkpoints:
-    def __enter__(self):
+    # patch BOTH the abstract base and the classic implementation:
+    # Spark 4 instances are pyspark.sql.classic.dataframe.DataFrame,
+    # which OVERRIDES localCheckpoint — patching only pyspark.sql
+    # .DataFrame silently misses them (first cut of this audit did,
+    # and the † rows still showed the collapsed 1-scan plan)
+    def _classes(self):
         from pyspark.sql import DataFrame
-        self._orig = DataFrame.localCheckpoint
-        DataFrame.localCheckpoint = lambda df, eager=True: df
+        from pyspark.sql.classic.dataframe import DataFrame as CDataFrame
+        return (DataFrame, CDataFrame)
+
+    def __enter__(self):
+        self._orig = [(c, c.localCheckpoint) for c in self._classes()]
+        for c in self._classes():
+            c.localCheckpoint = lambda df, eager=True: df
         return self
 
     def __exit__(self, *exc):
-        from pyspark.sql import DataFrame
-        DataFrame.localCheckpoint = self._orig
+        for c, orig in self._orig:
+            c.localCheckpoint = orig
         return False
 
 

@@ -22,10 +22,25 @@ corpus. Usage: python tools/streaming_probe.py [sf_dir] [n_files]
 
 --disorder mode (r13 judge ask #4): the same corpus arriving in RANDOM
 file order (mtimes shuffled — the FileStreamSource arrival-order trap
-measured in r12, now deliberately triggered) through
-streaming_count_by_window at a LADDER of watermark delays; reports
-rows dropped as late (late_drop_rows) and output windows per delay —
-the late-drop curve that sizes the disorder-tolerance knob.
+measured in r12, now deliberately triggered) through BOTH watermarked
+operators at a LADDER of watermark delays. Two late-data mechanisms,
+two metrics (a first cut of this probe read
+``numRowsDroppedByWatermark`` for the windowed counts and measured
+~0.0% dropped at a 1-hour watermark under full shuffle — wrong
+instrument, not a robust engine: aggregation late rows are cut by a
+pre-aggregation Filter on the window column that the state-store
+metric never sees):
+
+  * streaming_count_by_window — COMPLETENESS vs the batch ground
+    truth: emitted (window,group) count-rows are compared against the
+    same aggregation run in batch; report rows lost inside emitted
+    groups (late filter), groups never emitted (watermark never
+    passed them before the stream ended), and the state-store drop
+    metric for reference.
+  * streaming_dedup — state-store drops (``late_drop_rows``, the
+    metric IS real for dropDuplicatesWithinWatermark) + emitted rows
+    vs the corpus.
+
 Usage: python tools/streaming_probe.py --disorder [sf_dir] [n_files]
 
 --incident mode (r13 judge ask #5): the FULL streaming incident loop
@@ -39,6 +54,7 @@ Usage: python tools/streaming_probe.py --incident [n_rows] [batch_days]
 """
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import sys
@@ -65,7 +81,8 @@ def peak_state_rows(query) -> int:
 
 
 def disorder_main() -> None:
-    """Shuffled-arrival late-drop curve: rows dropped vs watermark delay."""
+    """Shuffled-arrival disorder curves: completeness (windowed counts)
+    and state-store drops (dedup) vs watermark delay."""
     import random
 
     from ai_incident_analyst_spark.streaming.pipeline import late_drop_rows
@@ -76,6 +93,7 @@ def disorder_main() -> None:
     spark = get_spark("streaming-disorder-probe")
     work = tempfile.mkdtemp(prefix="stream_disorder_")
     src = os.path.join(work, "src")
+    delays = ["1 hour", "1 day", "4 days", "15 days", "30 days"]
     try:
         events = (spark.read.parquet(f"{sf_dir}/events.parquet")
                   .withColumn("ts", F.col("ts").cast("timestamp")))
@@ -95,29 +113,76 @@ def disorder_main() -> None:
         for f, pos in zip(parts, order):
             os.utime(os.path.join(src, f), (base + pos, base + pos))
         schema = events.schema
-        print(f"| watermark delay | input rows | late-dropped | dropped % "
-              f"| output windows | peak state rows |")
+
+        # batch ground truth for the windowed counts: {(win_start, grp):
+        # count} — what a disorder-free engine must emit once every
+        # window has finalized
+        truth = {(r["window_start"].isoformat(), r["event_type"]):
+                 r["row_count"]
+                 for r in (events
+                           .groupBy(F.window("ts", "1 day")["start"]
+                                    .alias("window_start"),
+                                    "event_type")
+                           .agg(F.count("*").alias("row_count"))
+                           .collect())}
+        truth_rows = sum(truth.values())
+
+        print("windowed counts (append mode) — completeness vs batch "
+              "ground truth:")
+        print("| watermark delay | truth (window,group) rows | emitted "
+              "| rows lost in emitted groups | groups never emitted "
+              "(rows) | state-store drop metric |")
         print("|---|---|---|---|---|---|")
-        for delay in ["1 hour", "1 day", "4 days", "15 days", "30 days"]:
+        for delay in delays:
             stream = (spark.readStream.schema(schema)
                       .option("maxFilesPerTrigger", 2).parquet(src))
             wc = streaming_count_by_window(
                 stream, ts_col="ts", window="1 day", watermark=delay,
                 group_col="event_type")
-            out = {"n": 0}
+            got: dict = {}
 
-            def sink(batch_df, batch_id):
-                out["n"] += batch_df.count()
+            def sink(batch_df, batch_id, got=got):
+                for r in batch_df.collect():
+                    got[(r["window_start"].isoformat(),
+                         r["event_type"])] = r["count"]
 
             ck = os.path.join(work, f"ckpt_{delay.replace(' ', '_')}")
             q = (wc.writeStream.outputMode("append")
                  .option("checkpointLocation", ck)
                  .foreachBatch(sink).trigger(availableNow=True).start())
             q.awaitTermination()
-            dropped = late_drop_rows(q)
-            print(f"| {delay} | {n_rows:,} | {dropped:,} "
-                  f"| {100.0 * dropped / n_rows:.1f}% | {out['n']} "
-                  f"| {peak_state_rows(q):,} |", flush=True)
+            lost_in_emitted = sum(truth[k] - v for k, v in got.items())
+            never = {k: truth[k] for k in truth if k not in got}
+            print(f"| {delay} | {truth_rows:,} ({len(truth)} groups) "
+                  f"| {sum(got.values()):,} ({len(got)} groups) "
+                  f"| {lost_in_emitted:,} "
+                  f"| {len(never)} ({sum(never.values()):,}) "
+                  f"| {late_drop_rows(q)} |", flush=True)
+
+        print()
+        print("streaming_dedup (dropDuplicatesWithinWatermark on "
+              "event_id) — state-store drops ARE the late metric here:")
+        print("| watermark delay | input rows | emitted | late-dropped "
+              "(state store) | peak state rows |")
+        print("|---|---|---|---|---|")
+        for delay in delays:
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 2).parquet(src))
+            dd = streaming_dedup(stream, ["event_id"], ts_col="ts",
+                                 watermark=delay)
+            out = {"n": 0}
+
+            def dsink(batch_df, batch_id, out=out):
+                out["n"] += batch_df.count()
+
+            ck = os.path.join(work, f"dck_{delay.replace(' ', '_')}")
+            q = (dd.writeStream.outputMode("append")
+                 .option("checkpointLocation", ck)
+                 .foreachBatch(dsink).trigger(availableNow=True).start())
+            q.awaitTermination()
+            print(f"| {delay} | {n_rows:,} | {out['n']:,} "
+                  f"| {late_drop_rows(q):,} | {peak_state_rows(q):,} |",
+                  flush=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
@@ -158,22 +223,50 @@ def incident_main() -> None:
             "batch_ms": str(int(batch_days * 86_400_000)),
         }
         t0 = time.time()
+        # availableNow only covers the first prefetched batch for
+        # simple stream readers (tests/test_logapi_source.py:168) — run
+        # continuous micro-batches and poll the source offset until the
+        # until_ms cap is drained, the same pattern the tests use
         q = incident_stream(
             spark, opts, corpus,
             history_path=os.path.join(work, "hist"),
             checkpoint=os.path.join(work, "ckpt"),
             llm_fn=llm, batch_size=100, k=3, dim=32,
-        ).trigger(availableNow=True).start()
+        ).start()
+        deadline = time.time() + 1800
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["sources"]:
+                off = p["sources"][0]["endOffset"]
+                if isinstance(off, str):
+                    # python-datasource offsets serialize as a dict
+                    # repr (single quotes) — not JSON
+                    import ast
+                    off = ast.literal_eval(off)
+                if off and int(off["ts"]) >= span_ms:
+                    break
+            time.sleep(0.5)
+        q.stop()
         q.awaitTermination()
         wall = time.time() - t0
-        total_in = sum(int(p["numInputRows"]) for p in q.recentProgress)
+        # corpus size from the transport's own count(*) arithmetic —
+        # recentProgress numInputRows would count each foreachBatch
+        # ACTION's re-scan of the batch source (measured 4x: dedup /
+        # embed+knn / prompt / history append), not the corpus
+        from ai_incident_analyst_spark.sources.logapi import (
+            graphql_envelope, parse_results, synthetic_transport,
+        )
+        corpus_rows = parse_results(synthetic_transport(
+            opts["url"], "", graphql_envelope(
+                "0", f"SELECT count(*) FROM Log SINCE 0 UNTIL {span_ms}")
+        ))[0]["count"]
         batches = sum(1 for p in q.recentProgress
                       if int(p["numInputRows"]) > 0)
         hist = spark.read.parquet(os.path.join(work, "hist"))
-        print(f"| incident loop e2e | {total_in:,} in | "
+        print(f"| incident loop e2e | {corpus_rows:,} in | "
               f"{hist.count():,} history rows / {llm_calls['n']} entries "
               f"| {batches} batches | {wall:.1f}s "
-              f"| {total_in / wall:,.0f} rows/s |")
+              f"| {corpus_rows / wall:,.0f} rows/s |")
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
