@@ -236,7 +236,7 @@ def sorted_neighborhood_jw_pairs(df: DataFrame, id_col: str,
 
     @pandas_udf("double")
     def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series([jaro_winkler(x, y) for x, y in zip(a, b)])
+        return _jw_batch(a, b, float(threshold), round_dp)
 
     # the function IS deterministic; the flag only stops Catalyst from
     # COLLAPSING the scoring projection into the threshold filter and
@@ -270,6 +270,61 @@ def sorted_neighborhood_jw_pairs(df: DataFrame, id_col: str,
             .where(F.col("jw") >= threshold)
             .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"),
                     "jw"))
+
+
+def _jw_batch(a: "pd.Series", b: "pd.Series", threshold: float,
+              round_dp: int) -> "pd.Series":
+    """Batch Jaro–Winkler with a PROVABLE vectorized prune (r13 opt,
+    guide §4.2 — do the heavy lifting in native code inside the UDF):
+    the interpreted ``jaro_winkler`` kernel only runs on pairs whose
+    char-multiset upper bound can still reach ``threshold``.
+
+    Bound (result-preserving by proof, not heuristic): Jaro matches are
+    a one-to-one pairing of equal characters, so
+    ``m ≤ Σ_c min(count_a(c), count_b(c))`` (byte counts on UTF-8 only
+    loosen the bound — every common char contributes ≥ 1 common byte);
+    ``jaro = (m/n1 + m/n2 + (m−t)/m)/3 ≤ (m_ub/n1 + m_ub/n2 + 1)/3``
+    (monotone in m, transposition term ≤ 1); and with the standard
+    p = 0.1, l ≤ 4 boost ``jw ≤ 0.6·jaro + 0.4`` (also valid when the
+    boost doesn't fire, since jaro ≤ 1). A pair with
+    ``jw_ub < threshold − 0.5·10^−round_dp − 1e−9`` cannot round up to
+    the threshold, so returning 0.0 for it leaves the post-UDF
+    ``round(jw, round_dp) >= threshold`` filter's output unchanged
+    (the margin covers rounding-at-the-boundary plus float error in
+    the bound arithmetic itself). Equal strings short-circuit to 1.0
+    (covers the empty-string diagonal the length math can't).
+
+    Count vectors are built once per DISTINCT string in the batch and
+    the min/sum runs as one numpy pass (prune rate and speedup measured
+    in OPTIMIZATION_r13.md).
+    """
+    import numpy as np
+
+    av, bv = a.to_numpy(), b.to_numpy()
+    n = len(av)
+    if n == 0:
+        return pd.Series([], dtype="float64")
+    texts = np.concatenate([av, bv])
+    uniq, inv = np.unique(texts, return_inverse=True)
+    counts = np.zeros((len(uniq), 256), dtype=np.int32)
+    lens = np.ones(len(uniq), dtype=np.float64)  # 1-floor: len 0 pairs
+    for i, u in enumerate(uniq):                 # are handled via eq/0.0
+        bs = np.frombuffer(u.encode("utf-8"), dtype=np.uint8)
+        counts[i] = np.bincount(bs, minlength=256)
+        if len(u):
+            lens[i] = float(len(u))
+    ia, ib = inv[:n], inv[n:]
+    m_ub = np.minimum(counts[ia], counts[ib]).sum(axis=1,
+                                                  dtype=np.float64)
+    jaro_ub = (m_ub / lens[ia] + m_ub / lens[ib] + 1.0) / 3.0
+    jw_ub = 0.6 * jaro_ub + 0.4
+    cut = threshold - 0.5 * 10.0 ** (-round_dp) - 1e-9
+    eq = av == bv
+    out = np.zeros(n, dtype=np.float64)
+    out[eq] = 1.0
+    for i in np.nonzero((jw_ub >= cut) & ~eq)[0]:
+        out[i] = jaro_winkler(av[i], bv[i])
+    return pd.Series(out)
 
 
 def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1,
@@ -345,7 +400,7 @@ def jaro_winkler_pairs(df: DataFrame, id_col: str, text_col: str,
 
     @pandas_udf("double")
     def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series([jaro_winkler(x, y) for x, y in zip(a, b)])
+        return _jw_batch(a, b, float(threshold), round_dp)
 
     # the function IS deterministic; the flag only stops Catalyst from
     # COLLAPSING the scoring projection into the threshold filter and
@@ -386,6 +441,19 @@ def jaro_winkler_pairs(df: DataFrame, id_col: str, text_col: str,
         .withColumn("jw", F.round(jw_udf("ta", "tb"), round_dp))
         .where(F.col("jw") >= threshold)
     )
+    # hash-spread the verified text pairs BEFORE the id expansion (r13
+    # opt — the fuzzy_self_join:104 lesson finally applied to this
+    # operator too): the verified frame is |distinct-text-pairs| rows
+    # (288 at sf0.1) behind an Arrow UDF and a tiny distinct, so AQE
+    # plans the two broadcast expansion joins — which fan each text
+    # pair out to |ids_a|x|ids_b| rows and then feed the md5 pair-hash
+    # aggregation — at the verified side's near-single-partition
+    # parallelism: the multi-million-row expansion ran almost serially.
+    # repartition-by-key with an explicit count is NOT AQE-coalesced,
+    # so the expansion and the consumer's partial aggregation
+    # parallelize over text pairs (plan: Exchange count +1, measured
+    # 3.8x on jw_part_pairs — OPTIMIZATION_r13.md).
+    verified = spread(verified, "ta", "tb")
     # expansion joins carry the BLOCK KEY alongside the text (the
     # fuzzy_self_join contract): with a blocker not derived from the
     # text, a text-only join would emit cross-block pairs

@@ -232,6 +232,42 @@ def test_jw_length_prefilter_is_lossless(spark):
     assert (2, 3) not in want and len(want) >= 2
 
 
+def test_jw_batch_char_multiset_prune_is_lossless():
+    """_jw_batch (r13: vectorized char-multiset upper-bound prune ahead
+    of the python kernel) must agree with per-pair jaro_winkler on every
+    pair that can reach the threshold — including equal strings, empty
+    strings, repeated-char multisets, and values exactly at the rounding
+    boundary — and may differ only on pairs both sides drop."""
+    import random
+    import string
+
+    import pandas as pd
+
+    from ai_incident_analyst_spark.operators.linkage import (
+        _jw_batch,
+        jaro_winkler,
+    )
+
+    rng = random.Random(13)
+    vocab = ["almond", "antique", "azure", "beige", "bisque", "blanched",
+             "blue", "blush", "brown", "burlywood"]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(1, 6)))
+             for _ in range(120)]
+    texts += ["", "", "aaa", "aab", "aba", "ab", "ba",
+              "almond azure", "azure almond"]
+    pairs = [(rng.choice(texts), rng.choice(texts)) for _ in range(4000)]
+    a = pd.Series([p[0] for p in pairs])
+    b = pd.Series([p[1] for p in pairs])
+    for threshold in (0.9, 0.7, 0.0):
+        got = _jw_batch(a, b, threshold, 6)
+        for i, (x, y) in enumerate(pairs):
+            exact = jaro_winkler(x, y)
+            if round(exact, 6) >= threshold:
+                assert got[i] == exact, (x, y, threshold)
+            else:
+                assert round(got[i], 6) < threshold, (x, y, threshold)
+
+
 # ---------------------------------------------------------------------------
 # SymSpell deletion-blocked spell suggestion (round 8)
 # ---------------------------------------------------------------------------
