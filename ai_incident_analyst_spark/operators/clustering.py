@@ -358,7 +358,8 @@ def kmeans_assign_int(df: DataFrame, vec_col: str, cents_q: np.ndarray,
 
 
 def dbscan_clusters(df: DataFrame, id_col: str, dim_cols: list[str],
-                    eps: float, min_pts: int) -> DataFrame:
+                    eps: float, min_pts: int,
+                    max_rows: int | None = None) -> DataFrame:
     """Density-based clustering (DBSCAN, Ester et al. KDD'96) over a
     LOW-DIMENSIONAL point set via deterministic ε-grid neighbor
     blocking — the density tool the clustering shelf was missing:
@@ -424,6 +425,20 @@ def dbscan_clusters(df: DataFrame, id_col: str, dim_cols: list[str],
     from itertools import product
 
     from .dedup import connected_components
+    from .util import guard_pairwise_input
+
+    # r14 (r13 verdict ask #6): at FIXED ε and a fixed coordinate range,
+    # 10x points = ~10x density = ~100x ε-pairs (SCALING.md contrast
+    # table; the sf10 200k-point fixed-ε cell died in
+    # SparkOutOfMemoryError) — callers whose ε does NOT shrink with n
+    # pass ``max_rows`` so the burn becomes a refusal. Density-held
+    # callers (dbscan_embeddings_2d_scaled's ε ∝ 1/√n) pass None: their
+    # pair count stays ~linear by construction.
+    guard_pairwise_input(df, max_rows, "dbscan_clusters (fixed eps)",
+                         "a density-held eps (shrink eps by "
+                         "(n_ref/n)^(1/d), the dbscan_embeddings_2d_"
+                         "scaled recipe) or a uniform pre-thinning "
+                         "sample")
 
     d = len(dim_cols)
     pts = df.select(

@@ -225,13 +225,63 @@ def nn_descent_graph(df: DataFrame, id_col: str, vec_col: str,
     Determinism: rounded-then-ranked sims with dst tie-breaks and the
     fixed round count unroll into a DuckDB twin (the kmeans/MMR
     recipe). Returns ``(src, dst, sim)`` like ``build_knn_graph``.
+
+    Candidate scoring is a cogroup-BLAS Arrow kernel (r14 — the r12
+    ``mutual_knn_pairs_ivf`` recipe): the Catalyst ``cosine_similarity``
+    higher-order expression never enters whole-stage codegen, so the
+    ~O(n·(2k)²) candidate rows paid interpreted per-row evaluation plus
+    a per-round rank window (exchange + sort). Instead, candidates key
+    by a hash block of ``src`` (every candidate of a node lands in ONE
+    block, so the kernel's local top-k per src is already the global
+    top-k — no window needed), dst vectors ride the candidate row from
+    one equi-join, src vectors arrive via the cogroup's other side
+    (blocked by the same hash of ``id``), and each block scores in one
+    vectorized numpy pass. Rounding is HALF-AWAY-FROM-ZERO
+    (``sign(x)·floor(|x|·s + 0.5)/s`` — cosine may be negative),
+    matching Spark ``F.round`` / the DuckDB twin exactly like the
+    ``knn.py`` cogroup kernel; ties break by dst via a stable lexsort,
+    identical to the window's ``ORDER BY sim DESC, dst``.
     """
+    import numpy as np
+    import pandas as pd
+
     v = df.select(F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("x"))
     g = _ring_init(v, k)
-    vx_src = v.select(F.col("id").alias("src"), F.col("x").alias("__ax"))
     vx_dst = v.select(F.col("id").alias("dst"), F.col("x").alias("__bx"))
-    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.col("dst"))
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"src {id_type}, dst {id_type}, sim double"
+    nblk = df.sparkSession.sparkContext.defaultParallelism
+    vblk = v.withColumn("__blk", F.pmod(F.xxhash64(F.col("id")),
+                                        F.lit(nblk)))
+    scale = 10.0 ** round_dp
+
+    def score_block(_key, vec_pdf, cand_pdf):
+        if len(cand_pdf) == 0 or len(vec_pdf) == 0:
+            return pd.DataFrame({"src": [], "dst": [], "sim": []})
+        vid = vec_pdf["id"].to_numpy()
+        vmat = np.array(list(vec_pdf["x"]), dtype=np.float64)
+        vorder = np.argsort(vid, kind="stable")
+        vid_s, vmat_s = vid[vorder], vmat[vorder]
+        src = cand_pdf["src"].to_numpy()
+        dst = cand_pdf["dst"].to_numpy()
+        A = vmat_s[np.searchsorted(vid_s, src)]
+        B = np.array(list(cand_pdf["__bx"]), dtype=np.float64)
+        sim = (A * B).sum(axis=1) / (
+            np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1)))
+        # half-away-from-zero at round_dp (Spark F.round / DuckDB round;
+        # NOT np.round's half-even) — cosine is signed, so the knn.py
+        # non-negative floor(x·s+0.5) form gets a sign wrapper
+        sim = np.sign(sim) * np.floor(np.abs(sim) * scale + 0.5) / scale
+        order = np.lexsort((dst, -sim, src))
+        src_o, dst_o, sim_o = src[order], dst[order], sim[order]
+        starts = np.flatnonzero(np.r_[True, src_o[1:] != src_o[:-1]])
+        lens = np.diff(np.r_[starts, len(src_o)])
+        rank = np.arange(len(src_o)) - np.repeat(starts, lens)
+        keep = rank < k
+        return pd.DataFrame({"src": src_o[keep], "dst": dst_o[keep],
+                             "sim": sim_o[keep]})
+
     for _ in range(rounds):
         und = g.select("src", "dst").union(
             g.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -242,12 +292,12 @@ def nn_descent_graph(df: DataFrame, id_col: str, vec_col: str,
         cand = (und.union(two_hop)
                 .where(F.col("src") != F.col("dst"))
                 .distinct())
-        g = (cand.join(vx_src, "src").join(vx_dst, "dst")
-             .withColumn("sim", F.round(
-                 cosine_similarity(F.col("__ax"), F.col("__bx")), round_dp))
-             .withColumn("__rn", F.row_number().over(w))
-             .where(F.col("__rn") <= k)
-             .select("src", "dst", "sim")
+        candv = (cand.join(vx_dst, "dst")
+                 .withColumn("__blk", F.pmod(F.xxhash64(F.col("src")),
+                                             F.lit(nblk))))
+        g = (vblk.groupBy("__blk")
+             .cogroup(candv.groupBy("__blk"))
+             .applyInPandas(score_block, schema=out_schema)
              .localCheckpoint(eager=False))
     return g
 

@@ -304,6 +304,15 @@ def _jw_batch(a: "pd.Series", b: "pd.Series", threshold: float,
     n = len(av)
     if n == 0:
         return pd.Series([], dtype="float64")
+    # null texts (r13 ADVICE): None in an object array crashes np.unique
+    # (None-vs-str unsortable). Null-vs-null pairs hit the eq path below
+    # (1.0, the old per-pair kernel's behavior); null-vs-anything-else is
+    # 0.0 by definition here and never reaches the interpreted kernel —
+    # nulls are masked to "" for the count/bound arithmetic only.
+    nulls = pd.isna(a).to_numpy() | pd.isna(b).to_numpy()
+    if nulls.any():
+        av = np.where(pd.isna(a).to_numpy(), "", av)
+        bv = np.where(pd.isna(b).to_numpy(), "", bv)
     texts = np.concatenate([av, bv])
     uniq, inv = np.unique(texts, return_inverse=True)
     counts = np.zeros((len(uniq), 256), dtype=np.int32)
@@ -322,7 +331,11 @@ def _jw_batch(a: "pd.Series", b: "pd.Series", threshold: float,
     eq = av == bv
     out = np.zeros(n, dtype=np.float64)
     out[eq] = 1.0
-    for i in np.nonzero((jw_ub >= cut) & ~eq)[0]:
+    if nulls.any():
+        # masked eq would score null-vs-"" as 1.0; only null==null is
+        out[nulls] = 0.0
+        out[pd.isna(a).to_numpy() & pd.isna(b).to_numpy()] = 1.0
+    for i in np.nonzero((jw_ub >= cut) & ~eq & ~nulls)[0]:
         out[i] = jaro_winkler(av[i], bv[i])
     return pd.Series(out)
 

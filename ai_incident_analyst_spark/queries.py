@@ -8730,6 +8730,7 @@ ORDER BY id_a, id_b
          "6dp so the pair set reproduces exactly")
 def q_mutual_knn_pairs_ivf(spark, sf_dir):
     from .operators.knn import mutual_knn_pairs_ivf
+    from .operators.util import PairwiseInputCapExceeded
     emb = _t(spark, sf_dir, "embeddings")
     # honest cost statement (r11 ADVICE): with ncents = n//128 the
     # coarse-assignment pass itself evaluates n·(n/128) centroid
@@ -8740,7 +8741,23 @@ def q_mutual_knn_pairs_ivf(spark, sf_dir):
     # term) — identical behavior at every tested SF (sf10 has 1562
     # cents) — and mutual_knn_pairs_ivf_trained below is the
     # linear-assignment fix: a FIXED trained quantizer.
-    ncents = max(1, min(4096, emb.count() // 128))
+    n = emb.count()
+    # r14 (r13 verdict ask #6): behavior-guard the measured 16.7x/decade
+    # superlinear envelope (SCALING.md: sf1=20k rows 2.6 s, sf10=200k
+    # rows 44 s). The count above already exists for ncents, so the
+    # guard is free — no guard_pairwise_input limit-count job. 100k
+    # rows ≈ n²/128 · 64-dim BLAS ≈ 1e10 flops, the last defensible
+    # scale for the untrained corpus-sampled quantizer.
+    if n > 100_000:
+        raise PairwiseInputCapExceeded(
+            "mutual_knn_pairs_ivf (untrained n//128 quantizer): input "
+            "has more than 100000 rows, and the coarse-assignment pass "
+            "grows quadratically with the corpus (n·(n/128) centroid "
+            "distances — measured 16.7x per 10x docs, SCALING.md). Use "
+            "the bounded sibling — mutual_knn_pairs_ivf_trained (fixed "
+            "k-means quantizer, linear assignment) — or call "
+            "mutual_knn_pairs_ivf directly with your own centroids.")
+    ncents = max(1, min(4096, n // 128))
     cents = (emb.where(F.col("vec_id") < ncents)
              .select(F.col("vec_id").alias("centroid_id"),
                      F.col("embedding").cast("array<double>")
@@ -10505,12 +10522,17 @@ def q_ivf_nprobe_recall(spark, sf_dir):
         _centroid_arrays,
         assign_cells,
         ivf_knn_join,
-        knn_join,
+        knn_join_blocked,
     )
     emb = _t(spark, sf_dir, "embeddings")
     cents = _label_centroids(emb)
     q_, c_ = _qc_split(spark, sf_dir)
-    exact = knn_join(q_, c_, k=10).select("query_id", "vec_id") \
+    # exact ground-truth side via the blocked-BLAS kernel (r14): the
+    # expression-scored broadcast-nested-loop knn_join paid interpreted
+    # higher-order l2 over |q|·|corpus| rows; knn_join_blocked is the
+    # same result by contract (exact top-k, same (distance, vec_id)
+    # tie-break) from one Arrow pass with per-partition local top-k
+    exact = knn_join_blocked(q_, c_, k=10).select("query_id", "vec_id") \
         .localCheckpoint(eager=False)
     n_q = q_.count()
     # assign the corpus to its cells ONCE and share it across the sweep
@@ -11330,8 +11352,13 @@ def q_dbscan_embeddings_2d(spark, sf_dir):
     df = emb.select("vec_id",
                     F.col("embedding")[0].alias("ex"),
                     F.col("embedding")[1].alias("ey"))
+    # fixed-ε cap (r14): sf1 = 20k points measured in-envelope (11.6 s),
+    # sf10 = 200k died in SparkOutOfMemoryError (SCALING.md); 50k keeps
+    # ~6x sf1's ε-pair count — the last pre-spill scale for ε=0.03 on
+    # this coordinate range. The _scaled sibling passes no cap: its ε
+    # shrinks ∝ 1/√n, holding pairs ~linear.
     return (dbscan_clusters(df, "vec_id", ["ex", "ey"],
-                            eps=0.03, min_pts=6)
+                            eps=0.03, min_pts=6, max_rows=50_000)
             .orderBy("vec_id"))
 
 

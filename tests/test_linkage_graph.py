@@ -268,6 +268,24 @@ def test_jw_batch_char_multiset_prune_is_lossless():
                 assert round(got[i], 6) < threshold, (x, y, threshold)
 
 
+def test_jw_batch_null_texts():
+    """r13 ADVICE: None in the batch crashed np.unique (object array
+    mixing None and str is unsortable). Defined behavior now: null==null
+    pairs score 1.0 (the old per-pair kernel's None==None path),
+    null-vs-anything-else (including null-vs-empty-string) scores 0.0,
+    and no null ever reaches the interpreted kernel — at EVERY
+    threshold, including ones low enough to disable the prune."""
+    import pandas as pd
+
+    from ai_incident_analyst_spark.operators.linkage import _jw_batch
+
+    a = pd.Series([None, None, None, "azure", "", "azure", None])
+    b = pd.Series([None, "azure", "", None, None, "azure", None])
+    for threshold in (0.9, 0.5, 0.0):
+        got = _jw_batch(a, b, threshold, 6)
+        assert list(got) == [1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0], threshold
+
+
 # ---------------------------------------------------------------------------
 # SymSpell deletion-blocked spell suggestion (round 8)
 # ---------------------------------------------------------------------------

@@ -99,6 +99,47 @@ def test_semantic_neardup_label_path_guard(spark):
                             max_rows=1).count() >= 0
 
 
+def test_dbscan_fixed_eps_guard(spark):
+    """r14 (r13 verdict ask #6): dbscan_clusters grows ε-pairs ∝ n² at
+    FIXED ε (sf10 fixed-ε cell died in SparkOutOfMemoryError); callers
+    with a non-density-held ε pass max_rows and get a refusal naming
+    the density-held recipe. Default stays uncapped (the _scaled
+    sibling's ε shrinks with n by construction)."""
+    from ai_incident_analyst_spark.operators.clustering import (
+        dbscan_clusters,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 3), float(i % 5)) for i in range(8)],
+        "id long, x double, y double")
+    with pytest.raises(PairwiseInputCapExceeded, match="density-held"):
+        dbscan_clusters(pts, "id", ["x", "y"], eps=0.5, min_pts=2,
+                        max_rows=7)
+    assert dbscan_clusters(pts, "id", ["x", "y"], eps=0.5, min_pts=2,
+                           max_rows=8).count() == 8
+    assert dbscan_clusters(pts, "id", ["x", "y"], eps=0.5, min_pts=2
+                           ).count() == 8  # default: uncapped
+
+
+def test_mutual_knn_pairs_ivf_untrained_guard(spark, tmp_path):
+    """r14 (r13 verdict ask #6): the untrained n//128 quantizer's
+    coarse assignment is n·(n/128) BLAS flops (measured 16.7x per 10x
+    docs, SCALING.md) — the registry query refuses above 100k corpus
+    rows, naming the trained (linear-assignment) sibling. The guard
+    reuses the count the query already takes for ncents: zero extra
+    job."""
+    from ai_incident_analyst_spark.queries import REGISTRY
+
+    big = spark.range(100_001).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        (F.col("id") % 7).cast("int").alias("label"))
+    big.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(PairwiseInputCapExceeded,
+                       match="mutual_knn_pairs_ivf_trained"):
+        REGISTRY["mutual_knn_pairs_ivf"].fn(spark, str(tmp_path))
+
+
 def test_fs_customer_linkage_guard_helper(spark):
     """fs_customer_linkage's guard is inline (queries.py) at cap 150k —
     exercise the same helper call shape it uses."""
